@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog of the driver-generated test tables (FIXTURES.md).
+  *
+  * Mirrors the reference's in-memory catalog of registered sources
+  * (reference: flink-table/flink-table-api-java/src/main/java/org/apache/flink/table/
+  * catalog/GenericInMemoryCatalog semantics) as plain parquet scans. Spark's
+  * vectorized parquet reader + DataSource V2 pushdown replace the reference's
+  * `ScanTableSource` + `SupportsProjectionPushDown`/`SupportsFilterPushDown`
+  * (flink-table/flink-table-common/.../connector/source/abilities/).
+  *
+  * Scale note: every query goes through `spark.read.parquet`, so column pruning
+  * and predicate pushdown reach the scan for free; at 100 TB the same code reads
+  * a partitioned directory tree instead of one file — no API change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Raw read. events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
+    * by default — read it as nanos-since-epoch long (legacy conf) and let
+    * [[t]] normalize to a µs TimestampType column. */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Normalized read: ns-precision columns become TimestampType (µs,
+    * truncated — floor, so second-level bucketing is unaffected). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = raw(spark, dir, name)
+    normalize(name, df)
+  }
+
+  def normalize(name: String, df: DataFrame): DataFrame =
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+
+  /** Register all tables as temp views (for spark.sql-based operators). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** One engine query: the Spark implementation + (optionally) an equivalent
+  * ANSI-SQL oracle that DuckDB can run on the same parquet tables.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

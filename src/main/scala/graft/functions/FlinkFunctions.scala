@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface the reference exposes but Spark lacks under the
+  * same name, re-expressed as compositions of codegen'd built-ins (never UDFs,
+  * so whole-stage codegen stays intact).
+  *
+  * Reference catalog: flink-table/flink-table-planner-blink/src/main/java/org/apache/
+  * flink/table/planner/functions/sql/FlinkSqlOperatorTable.java (235 entries) and
+  * runtime impls in flink-table/flink-table-runtime-blink/src/main/java/org/apache/
+  * flink/table/runtime/functions/SqlFunctionUtils.java.
+  */
+object FlinkFunctions {
+
+  /** SPLIT_INDEX(str, sep, index) — 0-based, null when out of range.
+    * Reference: SqlFunctionUtils.splitIndex. `sep` is treated as a literal
+    * string (the reference uses a plain separator, Spark's split takes a regex,
+    * so we quote it).
+    */
+  def splitIndex(str: Column, sep: String, index: Int): Column =
+    element_at(split(str, java.util.regex.Pattern.quote(sep)), index + 1)
+
+  /** IS_DIGIT(str) — true iff the string is entirely ASCII digits.
+    * Reference: SqlFunctionUtils.isDigit. */
+  def isDigit(str: Column): Column = str.rlike("^[0-9]+$")
+
+  /** IS_ALPHA(str) — true iff the string is entirely ASCII letters.
+    * Reference: SqlFunctionUtils.isAlpha. */
+  def isAlpha(str: Column): Column = str.rlike("^[A-Za-z]+$")
+
+  /** IS_DECIMAL(str) — true iff the string parses as a decimal number.
+    * Reference: SqlFunctionUtils.isDecimal. */
+  def isDecimal(str: Column): Column =
+    str.rlike("^[-+]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$")
+
+  /** IFNULL(a, b) — Reference: BuiltInFunctionDefinitions.IF_NULL. */
+  def ifNull(a: Column, b: Column): Column = coalesce(a, b)
+
+  /** LISTAGG(col, sep) with deterministic (sorted) element order.
+    * Reference: planner/functions/aggfunctions/ListAggFunction.java. The
+    * reference emits input order (nondeterministic under retraction); we sort
+    * for reproducibility — callers needing arrival order use collect_list
+    * over an explicitly ordered window instead.
+    */
+  def listAgg(col: Column, sep: String): Column =
+    array_join(array_sort(collect_list(col)), sep)
+
+  /** HASH_CODE(str) — JVM String.hashCode, as the reference defines it
+    * (SqlFunctionUtils.hashCode). A native codegen'd Catalyst expression
+    * ([[org.apache.spark.sql.graft.JvmHashCodeExpression]]).
+    */
+  def hashCode(str: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.jvmHashCode(str)
+
+  /** Cross-engine stable 31-bit string hash: first 8 hex chars of md5, mod
+    * 2^31-1. Used by MinHash/SimHash so a SQL oracle can reproduce it exactly.
+    */
+  def md5Hash31(str: Column): Column =
+    conv(substring(md5(str), 1, 8), 16, 10).cast("long") % 2147483647L
+}

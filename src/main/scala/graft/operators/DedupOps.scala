@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.FlinkFunctions.md5Hash31
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * The reference's closest surface is the Deduplicate operator
+  * (flink-table-runtime-blink/.../operators/deduplicate/
+  * DeduplicateKeepFirstRowFunction.java) which is key-equality only; the
+  * near-dup family here extends it with content-hash keys.
+  *
+  * Scale design (100 TB): every stage is an explode -> hash-shuffle -> agg
+  * pipeline with no driver-side materialization and no O(n^2) step except the
+  * final candidate verification, which is bounded by LSH bucket sizes (tune
+  * bands/rows to keep buckets small). All hashes are md5-derived so a SQL
+  * oracle reproduces them bit-for-bit.
+  */
+object DedupOps {
+
+  /** Normalized text + distinct word-3-gram shingles per document. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").as("toks"))
+    toks.select(
+        col("doc_id"),
+        explode(
+          when(size(col("toks")) >= 3,
+            expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+            .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
+      .distinct()
+  }
+
+  /** DuckDB fragment producing the identical (doc_id, sh) shingle relation. */
+  val shinglesSql: String =
+    """sh_rel AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |         THEN unnest(list_transform(range(1, len(t) - 1),
+      |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |         ELSE array_to_string(t, ' ') END AS sh
+      |  FROM (SELECT doc_id,
+      |               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      |        FROM documents))""".stripMargin
+
+  /** Exact dedup by content fingerprint (md5 of normalized text): keep the
+    * lowest doc_id per fingerprint — reference DeduplicateKeepFirstRowFunction
+    * semantics with a content key. One hash shuffle; scales linearly. */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .select($"doc_id",
+          md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("cnt"))
+        .orderBy($"fp")
+    },
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           |       min(doc_id) AS keeper, count(*) AS cnt
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** N-gram Jaccard near-dup: pairs of docs whose distinct word-3-gram sets
+    * have Jaccard >= 0.5. |A∩B| via shingle-key join + count, so the shuffle
+    * key is the shingle — no cross join. At 100 TB, very frequent shingles
+    * become hot keys: production path caps df(shingle) (drop shingles present
+    * in > X docs) which bounds the pair blowup; kept exact here to match the
+    * oracle. */
+  val qNgramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val sh = shingles(Tables.t(s, dir, "documents")).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .withColumn("jac", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
+        .filter($"jac" >= 0.5)
+        .select($"doc_a", $"doc_b", $"jac")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""WITH $shinglesSql,
+            |sizes AS (SELECT doc_id, count(*) AS n FROM sh_rel GROUP BY 1),
+            |inter AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            |  FROM sh_rel a JOIN sh_rel b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT doc_a, doc_b,
+            |       round(inter / (sa.n + sb.n - inter), 6) AS jac
+            |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+            |           JOIN sizes sb ON sb.doc_id = doc_b
+            |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** MinHash signatures: 16 permutations h_i(x) = (a_i*x + b_i) mod p over
+    * 31-bit shingle hashes, p = 2^31-1, a_i = 2i+1, b_i = 1000003*i + 12345.
+    * Banded 4x4 for LSH (see qMinhashLsh). Output: one row per (doc, band)
+    * with the band signature — the LSH bucket key. */
+  private val P31 = 2147483647L
+  def minhashBands(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val perms = spark.range(16).select(
+      $"id".cast("int").as("i"),
+      (lit(2) * $"id" + 1).cast("long").as("a"),
+      (lit(1000003L) * $"id" + 12345L).%(P31).as("b"))
+    shingles(docs)
+      .withColumn("h", md5Hash31(col("sh")))
+      .crossJoin(broadcast(perms))
+      .groupBy($"doc_id", $"i")
+      .agg(min(($"a" * $"h" + $"b") % P31).as("mh"))
+      .groupBy($"doc_id", ($"i" / 4).cast("int").as("band"))
+      .agg(concat_ws("-",
+        transform(array_sort(collect_list(struct($"i", $"mh"))),
+          x => x.getField("mh").cast("string"))).as("sig"))
+  }
+
+  /** MinHash+LSH candidate pairs: docs sharing any band signature. */
+  val qMinhashLsh: Q = Q(
+    "q_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val bands = minhashBands(s, Tables.t(s, dir, "documents"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""WITH $shinglesSql,
+            |hashed AS (
+            |  SELECT doc_id,
+            |         CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS h
+            |  FROM sh_rel),
+            |perms AS (
+            |  SELECT i, CAST(2*i + 1 AS BIGINT) AS a,
+            |         CAST(1000003*i + 12345 AS BIGINT) % 2147483647 AS b
+            |  FROM (SELECT unnest(range(16)) AS i)),
+            |sigs AS (
+            |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+            |  FROM hashed CROSS JOIN perms GROUP BY 1, 2),
+            |bands AS (
+            |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+            |         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+            |  FROM sigs GROUP BY 1, 2)
+            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |FROM bands a JOIN bands b
+            |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** SimHash (32-bit) over token multiset: bit j set iff
+    * sum over tokens of (+1 if bit j of h(token) else -1) > 0. */
+  def simhash(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"),
+        explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("tok"))
+      .withColumn("h", md5Hash31(col("tok")))
+      .select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("shiftright(h, cast(j as int)) & 1") === 1, 1)
+        .otherwise(-1)).as("bal"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("bal") > 0, expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  val qSimhash: Q = Q(
+    "q_simhash",
+    (s, dir) => {
+      import s.implicits._
+      simhash(Tables.t(s, dir, "documents"))
+        .select($"doc_id", $"simhash")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT doc_id,
+           |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483647 AS h
+           |  FROM toks),
+           |bits AS (
+           |  SELECT doc_id, j,
+           |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+           |  FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS j) r
+           |  GROUP BY 1, 2)
+           |SELECT doc_id,
+           |       CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+           |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** SimHash near-dup pairs: hamming distance <= 6 on the 32-bit signature.
+    * Kept as a bounded self-join here; the scale path buckets by bit-chunks
+    * (split signature into k+1 chunks; any exact chunk match is a candidate)
+    * exactly like LSH banding. */
+  val qSimhashPairs: Q = Q(
+    "q_simhash_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val sh = simhash(Tables.t(s, dir, "documents")).cache()
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hd"))
+        .filter(col("hd") <= 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT doc_id,
+           |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483647 AS h
+           |  FROM toks),
+           |bits AS (
+           |  SELECT doc_id, j,
+           |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+           |  FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS j) r
+           |  GROUP BY 1, 2),
+           |sh AS (
+           |  SELECT doc_id,
+           |         CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+           |  FROM bits GROUP BY 1)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY doc_a, doc_b""".stripMargin))
+
+  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qSimhashPairs)
+}

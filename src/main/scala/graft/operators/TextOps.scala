@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID (stopword
+  * heuristic), quality scoring, token counting, document fingerprinting.
+  * All pure expression pipelines (codegen'd, no UDFs), each with an exact
+  * DuckDB oracle.
+  */
+object TextOps {
+
+  private val stop = Map(
+    "en" -> Seq("the", "and", "of", "a", "is", "to", "in"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "una", "por", "como"))
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Language-ID: count stopword occurrences per language over lowercased
+    * whitespace tokens; deterministic priority order en > de > es > fr on
+    * ties. (The fixture texts are synthetic English-vocabulary, so the point
+    * is deterministic scoring, not accuracy.) */
+  val qLangId: Q = Q(
+    "q_lang_id",
+    (s, dir) => {
+      import s.implicits._
+      val score = stop.map { case (l, ws) =>
+        l -> expr(s"size(filter(toks, x -> x IN (${inList(ws)})))")
+      }
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", split(lower($"text"), " "))
+        .select(
+          $"doc_id", $"lang",
+          score("en").as("s_en"), score("de").as("s_de"),
+          score("fr").as("s_fr"), score("es").as("s_es"))
+        .withColumn("pred",
+          when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr", "en")
+            .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
+            .when($"s_es" >= $"s_fr", "es")
+            .otherwise("fr"))
+        .withColumn("hit", $"pred" === $"lang")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+            |sc AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(list_filter(toks, x -> x IN (${inList(stop("en"))}))) AS INTEGER) AS s_en,
+            |    CAST(len(list_filter(toks, x -> x IN (${inList(stop("de"))}))) AS INTEGER) AS s_de,
+            |    CAST(len(list_filter(toks, x -> x IN (${inList(stop("fr"))}))) AS INTEGER) AS s_fr,
+            |    CAST(len(list_filter(toks, x -> x IN (${inList(stop("es"))}))) AS INTEGER) AS s_es
+            |  FROM t)
+            |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+            |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred,
+            |  (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            |        WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            |        WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS hit
+            |FROM sc ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: token count, mean token length, punctuation count,
+    * stopword ratio, and a blended [0,1] quality score. */
+  val qQualityScore: Q = Q(
+    "q_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", split(trim(regexp_replace($"text", "\\s+", " ")), " "))
+        .withColumn("n_tok", size($"toks"))
+        .withColumn("n_char", length($"text"))
+        .withColumn("letters", length(regexp_replace($"text", "\\s", "")))
+        .withColumn("punct", length(regexp_replace($"text", "[a-zA-Z0-9\\s]", "")))
+        .withColumn("n_stop",
+          expr("size(filter(toks, x -> x IN ('the', 'and', 'of', 'a', 'is', 'to', 'in')))"))
+        .select(
+          $"doc_id", $"n_tok", $"n_char",
+          round($"letters" / $"n_tok", 6).as("avg_tok_len"),
+          $"punct",
+          round($"n_stop" / $"n_tok", 6).as("stop_ratio"),
+          round(
+            lit(0.4) * least($"n_tok" / 100.0, lit(1.0)) +
+              lit(0.3) * (lit(1.0) - $"punct" / $"n_char") +
+              lit(0.3) * least(lit(5.0) * $"n_stop" / $"n_tok", lit(1.0)), 6)
+            .as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH x AS (
+           |  SELECT doc_id,
+           |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+           |    CAST(length(text) AS INTEGER) AS n_char,
+           |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS letters,
+           |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INTEGER) AS punct,
+           |    CAST(len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+           |         x -> x IN ('the', 'and', 'of', 'a', 'is', 'to', 'in'))) AS INTEGER) AS n_stop
+           |  FROM documents)
+           |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tok, n_char,
+           |  round(letters / CAST(len(toks) AS INTEGER), 6) AS avg_tok_len,
+           |  punct,
+           |  round(n_stop / CAST(len(toks) AS INTEGER), 6) AS stop_ratio,
+           |  round(0.4 * least(len(toks) / 100.0, 1.0)
+           |      + 0.3 * (1.0 - punct / n_char)
+           |      + 0.3 * least(5.0 * n_stop / len(toks), 1.0), 6) AS quality
+           |FROM x ORDER BY doc_id""".stripMargin))
+
+  /** Token counting: whitespace tokens, unique tokens, and a BPE-ish regex
+    * tokenization (letter runs / digit runs / single punctuation). */
+  val qTokenCount: Q = Q(
+    "q_token_count",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", split(trim(regexp_replace($"text", "\\s+", " ")), " "))
+        .select(
+          $"doc_id",
+          size($"toks").as("n_tokens"),
+          size(array_distinct($"toks")).as("n_unique"),
+          length($"text").as("n_chars_calc"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")).as("n_bpeish"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens,
+           |  CAST(len(list_distinct(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS INTEGER) AS n_unique,
+           |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Positional document fingerprint: xor-fold of md5-derived 31-bit token
+    * hashes weighted by position (cross-engine-stable stand-in for a rolling
+    * hash; reference analogue: content-defined chunking fingerprints). */
+  val qFingerprint: Q = Q(
+    "q_doc_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .select($"doc_id",
+          posexplode(split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ")))
+        .select($"doc_id", $"pos",
+          graft.functions.FlinkFunctions.md5Hash31($"col").as("h"))
+        .withColumn("v", $"h" * (($"pos" % 61) + 1))
+        .groupBy($"doc_id")
+        .agg(expr("bit_xor(v)").as("fp"), count(lit(1)).as("n_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           |  FROM documents),
+           |x AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(range(1, len(toks) + 1),
+           |      i -> (CAST(('0x' || substr(md5(toks[i]), 1, 8)) AS BIGINT) % 2147483647)
+           |           * (((i - 1) % 61) + 1))) AS v
+           |  FROM t)
+           |SELECT doc_id, bit_xor(v) AS fp, count(*) AS n_tokens
+           |FROM x GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint)
+}

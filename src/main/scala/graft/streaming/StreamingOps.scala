@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming twins of the window/dedup operators (reference §2.7:
+  * streaming semantics core — WindowOperator.java, DeduplicateKeepFirstRow
+  * Function.java, watermarks in flink-core/.../eventtime/).
+  *
+  * The reference's per-record streaming runtime maps onto Spark's micro-batch
+  * model: its MiniBatch optimization (operators/bundle/) is inherent here, and
+  * its watermark (BoundedOutOfOrdernessWatermarks.java) is `withWatermark`.
+  * These entry points replay the bounded `events` fixture through a real
+  * streaming query (file source -> stateful agg -> memory sink) so the
+  * streaming path produces bit-identical results to the batch oracle.
+  */
+object StreamingOps {
+
+  /** Replay a parquet fixture as a stream (schema inferred from the raw
+    * batch read — file streams need an explicit schema), normalized like the
+    * batch path (ns timestamps -> µs TimestampType). */
+  def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = Tables.raw(spark, dir, name).schema
+    // Glob form: the file-stream source requires a directory basePath; the
+    // {name} glob keeps basePath = dir while matching only this fixture.
+    Tables.normalize(name,
+      spark.readStream.schema(schema).parquet(s"$dir/{$name}.parquet"))
+  }
+
+  /** Run a streaming DataFrame to completion into an in-memory table and
+    * return the materialized result. */
+  def runToMemory(spark: SparkSession, stream: DataFrame, mode: String, name: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming TUMBLE aggregate (complete mode) — same semantics and same
+    * oracle as the batch q_window_tumble. */
+  val qStreamTumble: Q = Q(
+    "q_stream_tumble",
+    (s, dir) => {
+      import s.implicits._
+      val agg = streamTable(s, dir, "events")
+        .groupBy(window($"ts", "5 minutes"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+        .select(
+          unix_timestamp($"window.start").as("wstart"),
+          $"event_type", $"cnt", $"total")
+      runToMemory(s, agg, "complete", "graft_stream_tumble")
+        .orderBy($"wstart", $"event_type")
+    },
+    Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS wstart,
+           |       event_type, count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Streaming deduplication (append mode) — reference
+    * DeduplicateKeepFirstRowFunction.java via streaming dropDuplicates.
+    * Output restricted to the key columns so keep-first equals DISTINCT. */
+  val qStreamDedup: Q = Q(
+    "q_stream_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val dedup = streamTable(s, dir, "events")
+        .select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+      runToMemory(s, dedup, "append", "graft_stream_dedup")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+           |ORDER BY user_id, event_type""".stripMargin))
+
+  /** Streaming sliding-window aggregate (complete mode), hop twin. */
+  val qStreamHop: Q = Q(
+    "q_stream_hop",
+    (s, dir) => {
+      import s.implicits._
+      val agg = streamTable(s, dir, "events")
+        .groupBy(window($"ts", "600 seconds", "300 seconds"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+        .select(
+          unix_timestamp($"window.start").as("wstart"),
+          $"event_type", $"cnt", $"total")
+      runToMemory(s, agg, "complete", "graft_stream_hop")
+        .orderBy($"wstart", $"event_type")
+    },
+    Some("""SELECT wstart, event_type, count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM (
+           |  SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+           |                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS wstart,
+           |         event_type, value
+           |  FROM events)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(qStreamTumble, qStreamDedup, qStreamHop)
+}
