@@ -17,10 +17,11 @@ object FlinkFunctions {
   /** SPLIT_INDEX(str, sep, index) — 0-based, null when out of range.
     * Reference: SqlFunctionUtils.splitIndex. `sep` is treated as a literal
     * string (the reference uses a plain separator, Spark's split takes a regex,
-    * so we quote it).
+    * so we quote it). try_element_at: Flink returns null out-of-range, and
+    * Spark 4's ANSI-mode element_at would throw.
     */
   def splitIndex(str: Column, sep: String, index: Int): Column =
-    element_at(split(str, java.util.regex.Pattern.quote(sep)), index + 1)
+    try_element_at(split(str, java.util.regex.Pattern.quote(sep)), lit(index + 1))
 
   /** IS_DIGIT(str) — true iff the string is entirely ASCII digits.
     * Reference: SqlFunctionUtils.isDigit. */

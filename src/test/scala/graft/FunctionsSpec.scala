@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.FlinkFunctions._
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends GraftSpec {
+
+  test("splitIndex is 0-based and null out of range") {
+    import spark.implicits._
+    val df = Seq("a,b,c").toDF("s")
+    val r = df.select(
+      splitIndex($"s", ",", 0), splitIndex($"s", ",", 2), splitIndex($"s", ",", 9)
+    ).collect().head
+    assert(r.getString(0) == "a" && r.getString(1) == "c" && r.isNullAt(2))
+  }
+
+  test("isDigit / isAlpha / isDecimal classify correctly") {
+    import spark.implicits._
+    val df = Seq(("123", "abc", "-3.5"), ("12a", "ab1", "3.5.5")).toDF("d", "a", "x")
+    val rows = df.select(isDigit($"d"), isAlpha($"a"), isDecimal($"x")).collect()
+    assert(rows(0).getBoolean(0) && rows(0).getBoolean(1) && rows(0).getBoolean(2))
+    assert(!rows(1).getBoolean(0) && !rows(1).getBoolean(1) && !rows(1).getBoolean(2))
+  }
+
+  test("hash_code native expression matches JVM String.hashCode") {
+    import spark.implicits._
+    val samples = Seq("", "a", "hello world", "graft-Engine_42", "ünïcödé")
+    val rows = samples.toDF("s")
+      .select(graft.functions.FlinkFunctions.hashCode($"s")).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getInt(0) == s.hashCode, s"mismatch for '$s'")
+    }
+  }
+
+  test("hash_code survives whole-stage codegen over a real table") {
+    import spark.implicits._
+    val df = Tables.t(spark, sfDir, "part")
+      .select($"p_name", graft.functions.FlinkFunctions.hashCode($"p_name").as("hc"))
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getInt(1) == r.getString(0).hashCode))
+    // "*(n)" prefix marks a whole-stage-codegen stage containing our expression
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+  }
+
+  test("md5Hash31 is stable and within [0, 2^31)") {
+    import spark.implicits._
+    val r = Seq("hello").toDF("s").select(md5Hash31($"s")).collect().head.getLong(0)
+    // first 8 hex of md5("hello") = 5d41402a -> 1564557354 % 2147483647
+    assert(r == 1564557354L % 2147483647L)
+  }
+}

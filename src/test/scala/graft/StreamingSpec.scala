@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming harness tests — the analogue of the reference's operator harness
+  * tests (flink-table-planner-blink/.../runtime/harness/
+  * GroupAggregateHarnessTest.scala): drive a stateful operator with explicit
+  * elements and assert emitted results per batch. */
+class StreamingSpec extends GraftSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumble agg over MemoryStream matches expected windows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+      .select(unix_timestamp($"window.start").as("wstart"), $"event_type", $"cnt", $"total")
+    val q = df.writeStream.format("memory").queryName("mem_tumble")
+      .outputMode("complete").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "a", 1.0),
+      (ts("2024-01-01 00:02:00"), "a", 2.0),
+      (ts("2024-01-01 00:06:00"), "a", 4.0),
+      (ts("2024-01-01 00:01:30"), "b", 8.0))
+    q.processAllAvailable()
+    val rows = spark.table("mem_tumble").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val day = ts("2024-01-01 00:00:00").getTime / 1000
+    assert(rows == Set(
+      (day, "a", 2L, 3.0), (day + 300, "a", 1L, 4.0), (day, "b", 1L, 8.0)))
+    q.stop()
+  }
+
+  test("streaming dropDuplicates emits each key once across batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    val q = df.writeStream.format("memory").queryName("mem_dedup")
+      .outputMode("append").start()
+    mem.addData((1L, "x"), (1L, "x"), (2L, "y"))
+    q.processAllAvailable()
+    mem.addData((1L, "x"), (2L, "z")) // dup across batches + one new
+    q.processAllAvailable()
+    val rows = spark.table("mem_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "x"), (2L, "y"), (2L, "z")))
+    assert(spark.table("mem_dedup").count() == 3)
+    q.stop()
+  }
+
+  test("file-stream twins equal their batch counterparts") {
+    val streamRes = streaming.StreamingOps.qStreamTumble.run(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val batchRes = operators.TimeWindows.qWindowTumble.run(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamRes == batchRes)
+  }
+
+  test("watermark + append mode emits only closed windows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(sum($"value").as("total"))
+      .select(unix_timestamp($"window.start").as("wstart"), $"total")
+    val q = df.writeStream.format("memory").queryName("mem_wm")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:01:00"), 1.0))
+    q.processAllAvailable()
+    // watermark still at batch-1 max - 1min; first window not closed yet
+    assert(spark.table("mem_wm").count() == 0)
+    mem.addData((ts("2024-01-01 00:20:00"), 9.0)) // advances watermark past 00:05
+    q.processAllAvailable()
+    val rows = spark.table("mem_wm").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSet == Set((ts("2024-01-01 00:00:00").getTime / 1000, 1.0)))
+    q.stop()
+  }
+}
