@@ -19,7 +19,8 @@ object SparkEntry {
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
       operators.TextOps.all ++
-      streaming.StreamingOps.all
+      streaming.StreamingOps.all ++
+      streaming.StatefulOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

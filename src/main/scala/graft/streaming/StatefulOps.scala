@@ -1,0 +1,195 @@
+package graft.streaming
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming specials (reference §2 "real engineering" bucket):
+  * operators Spark lacks natively, built on flatMapGroupsWithState — the
+  * Spark analogue of the reference's KeyedProcessFunction
+  * (flink-streaming-java/.../functions/KeyedProcessFunction.java) with keyed
+  * state in Spark's StateStore instead of Flink state backends.
+  *
+  *  - streaming TopN            (reference operators/rank/AppendOnlyTopNFunction.java:48)
+  *  - dedup keep-last           (reference operators/deduplicate/DeduplicateKeepLastRowFunction.java)
+  *  - streaming OVER aggregate  (reference operators/over/RowTimeRowsUnboundedPrecedingFunction.java)
+  *  - temporal / as-of join     (reference operators/join/temporal/TemporalRowTimeJoinOperator.java:72)
+  *  - interval join             (built-in stream-stream join; reference
+  *                               operators/join/interval/RowTimeIntervalJoin.java)
+  *
+  * Scale design: state is strictly per-key and O(1)/O(N)-bounded (top-N list,
+  * last row, running sum, last version). Within each micro-batch, per-group
+  * input is sorted by the event-order key before folding — the micro-batch
+  * analogue of the reference's watermark-ordered timer firing.
+  */
+object StatefulOps {
+
+  // ---- typed rows kept in state / emitted (Long micros, encoder-friendly)
+  case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double, ts_us: Long)
+  case class TopItem(value: Double, event_id: Long)
+  case class TopState(items: List[TopItem])
+  case class TopOut(event_type: String, rn: Int, event_id: Long, value: Double)
+  case class LastState(event_id: Long, value: Double)
+  case class LastOut(user_id: Long, event_type: String, event_id: Long, value: Double)
+  case class SumState(total: Double)
+  case class OverOut(event_id: Long, user_id: Long, running_sum: Double)
+  case class SigState(value: Double)
+  case class Tagged(event_id: Long, user_id: Long, value: Double, ts_us: Long, is_sig: Int)
+  case class AsofOut(event_id: Long, last_signup_value: Option[Double])
+
+  private def events(s: SparkSession, dir: String) = {
+    import s.implicits._
+    StreamingOps.streamTable(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .as[Ev]
+  }
+
+  /** Streaming TopN: keep the per-key top-3 by (value desc, event_id) in
+    * state; emit the refreshed top list every batch (update mode). */
+  val qStreamTopN: Q = Q(
+    "q_stream_topn",
+    (s, dir) => {
+      import s.implicits._
+      val out = events(s, dir)
+        .groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (key: String, it: Iterator[Ev], state: GroupState[TopState]) =>
+            val cur = state.getOption.map(_.items).getOrElse(Nil)
+            val merged = (cur ++ it.map(e => TopItem(e.value, e.event_id)))
+              .sortBy(i => (-i.value, i.event_id)).take(3)
+            state.update(TopState(merged))
+            merged.zipWithIndex.map { case (i, idx) =>
+              TopOut(key, idx + 1, i.event_id, i.value)
+            }.iterator
+        }.toDF()
+      StreamingOps.runToMemory(s, out, "update", "graft_stream_topn")
+        .orderBy($"event_type", $"rn")
+    },
+    Some("""SELECT event_type, rn, event_id, value FROM (
+           |  SELECT event_type, CAST(row_number() OVER (PARTITION BY event_type
+           |           ORDER BY value DESC, event_id) AS INTEGER) AS rn,
+           |         event_id, value
+           |  FROM events) WHERE rn <= 3
+           |ORDER BY event_type, rn""".stripMargin))
+
+  /** Dedup keep-last per (user_id, event_type) — the variant Spark's
+    * streaming dropDuplicates cannot express (it keeps first). */
+  val qStreamDedupLast: Q = Q(
+    "q_stream_dedup_last",
+    (s, dir) => {
+      import s.implicits._
+      val out = events(s, dir)
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (key: (Long, String), it: Iterator[Ev], state: GroupState[LastState]) =>
+            val last = (state.getOption.map(s0 => Ev(s0.event_id, key._1, key._2, s0.value, 0L)) ++ it)
+              .maxBy(_.event_id)
+            state.update(LastState(last.event_id, last.value))
+            Iterator.single(LastOut(key._1, key._2, last.event_id, last.value))
+        }.toDF()
+      StreamingOps.runToMemory(s, out, "update", "graft_stream_dedup_last")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id, value FROM (
+           |  SELECT user_id, event_type, event_id, value,
+           |         row_number() OVER (PARTITION BY user_id, event_type
+           |                            ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn = 1
+           |ORDER BY user_id, event_type""".stripMargin))
+
+  /** Streaming OVER aggregate: per-row running sum per user, rows ordered by
+    * event_id (arrival order). Each input row is emitted exactly once with
+    * the running total — append mode. */
+  val qStreamOver: Q = Q(
+    "q_stream_over",
+    (s, dir) => {
+      import s.implicits._
+      val out = events(s, dir)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (key: Long, it: Iterator[Ev], state: GroupState[SumState]) =>
+            var total = state.getOption.map(_.total).getOrElse(0.0)
+            val outRows = it.toSeq.sortBy(_.event_id).map { e =>
+              total += e.value
+              OverOut(e.event_id, key, math.rint(total * 100) / 100)
+            }
+            state.update(SumState(total))
+            outRows.iterator
+        }.toDF()
+      StreamingOps.runToMemory(s, out, "append", "graft_stream_over")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
+  /** Streaming temporal (as-of) join: per user, state holds the latest signup
+    * value; purchases are joined against it. Within a batch, rows are
+    * processed in (ts, signup-first, event_id) order — matching
+    * FOR SYSTEM_TIME AS OF <= semantics. */
+  val qStreamAsof: Q = Q(
+    "q_stream_asof",
+    (s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val tagged = ev.filter(e => e.event_type == "signup" || e.event_type == "purchase")
+        .map(e => Tagged(e.event_id, e.user_id, e.value, e.ts_us,
+          if (e.event_type == "signup") 1 else 0))
+      val out = tagged
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (key: Long, it: Iterator[Tagged], state: GroupState[SigState]) =>
+            var sig: Option[Double] = state.getOption.map(_.value)
+            val res = it.toSeq
+              .sortBy(t => (t.ts_us, -t.is_sig, t.event_id))
+              .flatMap { t =>
+                if (t.is_sig == 1) { sig = Some(t.value); None }
+                else Some(AsofOut(t.event_id, sig))
+              }
+            sig.foreach(v => state.update(SigState(v)))
+            res.iterator
+        }.toDF()
+      StreamingOps.runToMemory(s, out, "append", "graft_stream_asof")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT a.event_id,
+           |  (SELECT arg_max(b.value, b.event_id)
+           |   FROM events b
+           |   WHERE b.user_id = a.user_id AND b.event_type = 'signup'
+           |     AND b.ts <= a.ts) AS last_signup_value
+           |FROM events a WHERE a.event_type = 'purchase'
+           |ORDER BY a.event_id""".stripMargin))
+
+  /** Stream-stream interval join (built-in; reference RowTimeIntervalJoin):
+    * purchase ⋈ same-user clicks in the preceding 10 minutes. Watermarks
+    * bound both sides' state. */
+  val qStreamIntervalJoin: Q = Q(
+    "q_stream_interval_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = StreamingOps.streamTable(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = ev.filter($"event_type" === "click")
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"))
+        .select($"p_id", $"c_id")
+      StreamingOps.runToMemory(s, joined, "append", "graft_stream_ij")
+        .orderBy($"p_id", $"c_id")
+    },
+    Some("""SELECT a.event_id AS p_id, b.event_id AS c_id
+           |FROM events a JOIN events b
+           |  ON a.user_id = b.user_id
+           | AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+           |WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+           |ORDER BY p_id, c_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    qStreamTopN, qStreamDedupLast, qStreamOver, qStreamAsof, qStreamIntervalJoin)
+}
