@@ -15,10 +15,13 @@ object SparkEntry {
   private val modules: Seq[Q] =
     operators.Relational.all ++
       operators.Scalars.all ++
+      operators.Scalars2.all ++
       operators.TimeWindows.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
       operators.TextOps.all ++
+      operators.Multimodal.all ++
+      cep.CepOps.all ++
       streaming.StreamingOps.all ++
       streaming.StatefulOps.all
 

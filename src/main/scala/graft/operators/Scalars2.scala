@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Second scalar/collection batch (reference §2.4–2.5): hashes, base64,
+  * radix conversion, regexp extraction, array/map constructors and
+  * higher-order functions, plus the UDF surface — a custom `Aggregator`
+  * (reference AggregateFunction.java:117) and a typed flatMap UDTF
+  * (reference TableFunction.java).
+  */
+object Scalars2 {
+
+  /** Hashes / encodings / conversions. Spark hex is uppercase, DuckDB lower
+    * — normalized with lower(); sha2-256 is lowercase hex on both. */
+  val qScalarHash: Q = Q(
+    "q_scalar_hash",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          md5($"p_name").as("h_md5"),
+          sha2($"p_name", 256).as("h_sha256"),
+          lower(hex($"p_brand")).as("h_hex"),
+          base64($"p_name".cast("binary")).as("h_b64"),
+          translate($"p_name", "aeiou", "AEIOU").as("tr"),
+          regexp_extract($"p_name", "([a-z]+)", 1).as("first_word"),
+          conv($"p_size".cast("string"), 10, 2).as("bin_size"),
+          conv($"p_size".cast("string"), 10, 16).as("hex_size"),
+          levenshtein($"p_name", $"p_brand").as("lev"),
+          substring_index($"p_name", " ", 1).as("head_tok"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256,
+           |  lower(hex(p_brand)) AS h_hex, to_base64(p_name::BLOB) AS h_b64,
+           |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+           |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           |  to_base(p_size, 2) AS bin_size, to_base(p_size, 16) AS hex_size,
+           |  CAST(levenshtein(p_name, p_brand) AS INTEGER) AS lev,
+           |  split_part(p_name, ' ', 1) AS head_tok
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  /** Array/map constructors + higher-order functions (reference §2.4
+    * collections: CARDINALITY, ARRAY, MAP, ELEMENT/AT; Spark HOFs replace the
+    * reference's codegen'd array operators). */
+  val qCollections: Q = Q(
+    "q_collections",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .select(
+          $"doc_id",
+          slice($"toks", 1, 3).as("first3"),
+          size($"toks").as("n"),
+          array_contains($"toks", "the").as("has_the"),
+          sort_array(slice($"toks", 1, 3)).as("sorted3"),
+          array_join(slice($"toks", 1, 3), "_").as("joined3"),
+          expr("aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)").as("tot_len"),
+          element_at(map_from_arrays(array(lit("a"), lit("b")),
+            array($"n_chars", $"n_chars" * 2)), "b").as("m_b"),
+          expr("try_element_at(filter(toks, x -> length(x) > 4), 1)").as("first_long"),
+          expr("exists(toks, x -> x = 'data')").as("has_data"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  t[1:3] AS first3,
+           |  CAST(len(t) AS INTEGER) AS n,
+           |  list_contains(t, 'the') AS has_the,
+           |  list_sort(t[1:3]) AS sorted3,
+           |  array_to_string(t[1:3], '_') AS joined3,
+           |  CAST(list_sum(list_transform(t, x -> length(x))) AS INTEGER) AS tot_len,
+           |  map(['a','b'], [n_chars, n_chars*2])['b'][1] AS m_b,
+           |  list_filter(t, x -> length(x) > 4)[1] AS first_long,
+           |  len(list_filter(t, x -> x = 'data')) > 0 AS has_data
+           |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Custom typed UDAF — reference AggregateFunction<T,ACC> (UDF surface
+    * §2.5): geometric mean via log-sum accumulator, merge-safe (works under
+    * partial aggregation across partitions). */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), a: Double): (Double, Long) =
+      (b._1 + math.log(a), b._2 + 1)
+    override def merge(b1: (Double, Long), b2: (Double, Long)): (Double, Long) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    override def finish(r: (Double, Long)): Double =
+      if (r._2 == 0) Double.NaN else math.exp(r._1 / r._2)
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val qUdafGeomean: Q = Q(
+    "q_udaf_geomean",
+    (s, dir) => {
+      import s.implicits._
+      val gm = udaf(GeoMean)
+      Tables.t(s, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg(round(gm(abs($"c_acctbal") + 1.0), 4).as("geo_bal"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""SELECT c_nationkey, round(exp(avg(ln(abs(c_acctbal) + 1.0))), 4) AS geo_bal
+           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  /** UDTF equivalent — reference TableFunction<T>: a typed flatMap emitting
+    * (doc_id, pos, token) per input row; the DataStream-side analogue of
+    * Correlate. */
+  val qUdtfFlatmap: Q = Q(
+    "q_udtf_flatmap",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.split(" ").iterator.zipWithIndex.map { case (tok, i) => (id, i, tok) }
+        }
+        .toDF("doc_id", "pos", "token")
+        .filter($"pos" < 10)
+        .orderBy($"doc_id", $"pos")
+    },
+    Some("""SELECT doc_id, CAST(s['p'] AS INTEGER) AS pos, s['tok'] AS token FROM (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(1, least(len(t), 10) + 1),
+           |                i -> {'p': i - 1, 'tok': t[i]})) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+           |ORDER BY doc_id, pos""".stripMargin))
+
+  val all: Seq[Q] = Seq(qScalarHash, qCollections, qUdafGeomean, qUdtfFlatmap)
+}
