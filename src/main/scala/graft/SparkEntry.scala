@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Multimodal.all ++
       cep.CepOps.all ++
       streaming.StreamingOps.all ++
-      streaming.StatefulOps.all
+      streaming.StatefulOps.all ++
+      dsl.DslOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -516,9 +516,70 @@ object Relational {
            |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
            |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin))
 
+  /** Correlated scalar subquery — exercises Catalyst decorrelation
+    * (reference FlinkSubQueryRemoveRule.scala / decorrelate phase,
+    * FlinkStreamProgram.scala:49–74). */
+  val qScalarSubquery: Q = Q(
+    "q_subquery_scalar",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders o
+              |WHERE o_totalprice > (SELECT avg(l_extendedprice) * 7
+              |                      FROM lineitem WHERE l_orderkey = o_orderkey)
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders o
+           |WHERE o_totalprice > (SELECT avg(l_extendedprice) * 7
+           |                      FROM lineitem WHERE l_orderkey = o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Five-way star join (TPC-H Q5 shape) — join-reorder + broadcast food. */
+  val qStarJoin: Q = Q(
+    "q_star_join",
+    (s, dir) => {
+      import s.implicits._
+      val l = Tables.t(s, dir, "lineitem")
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      val n = Tables.t(s, dir, "nation")
+      val r = Tables.t(s, dir, "region")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""SELECT r_name, n_name,
+           |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           |       count(*) AS cnt
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |     JOIN customer ON o_custkey = c_custkey
+           |     JOIN nation ON c_nationkey = n_nationkey
+           |     JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin))
+
+  /** Skew-split count-distinct (reference SplitAggregateRule.scala) through
+    * the explicit two-level operator; exact semantics, oracle = plain
+    * COUNT(DISTINCT). */
+  val qSplitCountDistinct: Q = Q(
+    "q_split_count_distinct",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.SplitDistinctAgg.splitCountDistinct(
+          Tables.t(s, dir, "orders"), Seq("o_orderstatus"), "o_custkey",
+          buckets = 16, resultName = "n_cust")
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qCalcFilter, qAggQ1, qJoinTopN, qBroadcastJoinAgg, qLeftOuter, qFullOuter,
     qSemiJoin, qAntiJoin, qCrossJoin, qUnionAll, qIntersect, qExcept, qDistinct,
     qRollup, qCube, qGroupingSets, qOverRows, qOverRank, qTopN, qDedupFirst,
-    qSortLimit, qCountDistinct, qListAgg, qFirstLast, qStats, qExplodeTokens)
+    qSortLimit, qCountDistinct, qListAgg, qFirstLast, qStats, qExplodeTokens,
+    qScalarSubquery, qStarJoin, qSplitCountDistinct)
 }

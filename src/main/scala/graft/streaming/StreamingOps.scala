@@ -99,5 +99,23 @@ object StreamingOps {
            |  FROM events)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(qStreamTumble, qStreamDedup, qStreamHop)
+  /** Streaming SESSION window (complete mode) — reference
+    * EventTimeSessionWindows + merging WindowOperator; Spark session_window
+    * merges sessions across micro-batches in state. */
+  val qStreamSession: Q = Q(
+    "q_stream_session",
+    (s, dir) => {
+      import s.implicits._
+      val agg = streamTable(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+        .select(
+          unix_timestamp($"session_window.start").as("sess_start"),
+          $"user_id", $"cnt", $"total")
+      runToMemory(s, agg, "complete", "graft_stream_session")
+        .orderBy($"user_id", $"sess_start")
+    },
+    graft.operators.TimeWindows.qWindowSession.oracle)
+
+  val all: Seq[Q] = Seq(qStreamTumble, qStreamDedup, qStreamHop, qStreamSession)
 }
