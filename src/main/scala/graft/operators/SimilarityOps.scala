@@ -20,17 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+
   private def withNorm(df: DataFrame, idAs: String, vecAs: String): DataFrame =
     df.select(
       col("vec_id").as(idAs),
-      expr("transform(embedding, x -> cast(x as double))").as(vecAs),
+      col("embedding").as(vecAs),
       col("label").as(s"${idAs}_label"))
-      .withColumn(s"${vecAs}_norm",
-        sqrt(expr(s"aggregate($vecAs, 0d, (acc, x) -> acc + x * x)")))
+      // norm computed once per row via the native codegen'd dot product;
+      // float elements widen exactly to double, matching the oracle's
+      // CAST(embedding AS DOUBLE[]) semantics bit-for-bit
+      .withColumn(s"${vecAs}_norm", sqrt(dotProduct(col(vecAs), col(vecAs))))
 
   private def cosine(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
-      (col(s"${a}_norm") * col(s"${b}_norm"))
+    dotProduct(col(a), col(b)) / (col(s"${a}_norm") * col(s"${b}_norm"))
 
   /** Brute-force cosine top-3 per query vector (self excluded). */
   val qCosineTopK: Q = Q(

@@ -42,6 +42,35 @@ class FunctionsSpec extends GraftSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
   }
 
+  test("native DotProduct matches the HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    import spark.implicits._
+    val e = Tables.t(spark, sfDir, "embeddings").limit(50)
+      .select($"vec_id", $"embedding")
+    val both = e.as("a").crossJoin(e.as("b"))
+      .select(
+        dotProduct(col("a.embedding"), col("b.embedding")).as("native"),
+        expr("""aggregate(
+                 zip_with(transform(a.embedding, x -> cast(x as double)),
+                          transform(b.embedding, x -> cast(x as double)),
+                          (x, y) -> x * y),
+                 0d, (acc, x) -> acc + x)""").as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(both.length == 2500)
+  }
+
+  test("DotProduct null-safety and codegen") {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f)))).toDF("a", "b")
+    val rows = df.select(dotProduct($"a", $"b")).collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("md5Hash31 is stable and within [0, 2^31)") {
     import spark.implicits._
     val r = Seq("hello").toDF("s").select(md5Hash31($"s")).collect().head.getLong(0)
