@@ -21,6 +21,7 @@ object SparkEntry {
       operators.SimilarityOps.all ++
       operators.TextOps.all ++
       operators.Multimodal.all ++
+      operators.LookupJoin.all ++
       cep.CepOps.all ++
       streaming.StreamingOps.all ++
       streaming.StatefulOps.all ++

@@ -131,5 +131,44 @@ object Scalars2 {
            |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
            |ORDER BY doc_id, pos""".stripMargin))
 
-  val all: Seq[Q] = Seq(qScalarHash, qCollections, qUdafGeomean, qUdtfFlatmap)
+  /** JSON access (reference §2.4 / events.props fixture is a JSON string). */
+  val qJsonExtract: Q = Q(
+    "q_json_extract",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "events")
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k_val"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** INITCAP / OVERLAY / STR_TO_MAP (reference SqlFunctionUtils) — DuckDB
+    * lacks all three, so the oracle reconstructs each from primitives. */
+  val qScalarStr3: Q = Q(
+    "q_scalar_str3",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "part")
+        .withColumn("kv", concat(lit("brand:"), $"p_brand", lit(",size:"), $"p_size".cast("string")))
+        .select(
+          $"p_partkey",
+          initcap($"p_name").as("ini"),
+          overlay($"p_name", lit("XX"), lit(2), lit(2)).as("ovl"),
+          element_at(expr("str_to_map(kv, ',', ':')"), "size").as("s2m"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+           |  array_to_string(list_transform(string_split(lower(p_name), ' '),
+           |    x -> upper(substr(x, 1, 1)) || substr(x, 2)), ' ') AS ini,
+           |  substr(p_name, 1, 1) || 'XX' || substr(p_name, 4) AS ovl,
+           |  map_from_entries(list_transform(
+           |    string_split('brand:' || p_brand || ',size:' || CAST(p_size AS VARCHAR), ','),
+           |    x -> {'k': split_part(x, ':', 1), 'v': split_part(x, ':', 2)}))['size'][1] AS s2m
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(qScalarHash, qCollections, qUdafGeomean, qUdtfFlatmap,
+    qJsonExtract, qScalarStr3)
 }

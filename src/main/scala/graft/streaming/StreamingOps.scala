@@ -117,5 +117,28 @@ object StreamingOps {
     },
     graft.operators.TimeWindows.qWindowSession.oracle)
 
-  val all: Seq[Q] = Seq(qStreamTumble, qStreamDedup, qStreamHop, qStreamSession)
+  /** Stream-static join (reference broadcast-state pattern,
+    * DataStream.java:416 / BroadcastProcessFunction.java:51): streaming
+    * events enriched against the static customer dim, then aggregated. The
+    * static side is re-planned per micro-batch — Spark's native analogue of
+    * broadcast state refresh. */
+  val qStreamStaticJoin: Q = Q(
+    "q_stream_static_join",
+    (s, dir) => {
+      import s.implicits._
+      val dim = graft.Tables.t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey")
+      val agg = streamTable(s, dir, "events")
+        .join(broadcast(dim), $"user_id" === $"c_custkey")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+      runToMemory(s, agg, "complete", "graft_stream_static")
+        .orderBy($"c_nationkey")
+    },
+    Some("""SELECT c_nationkey, count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(qStreamTumble, qStreamDedup, qStreamHop, qStreamSession,
+    qStreamStaticJoin)
 }
