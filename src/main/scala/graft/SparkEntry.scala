@@ -22,6 +22,7 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.Multimodal.all ++
       operators.LookupJoin.all ++
+      operators.SkewOps.all ++
       cep.CepOps.all ++
       streaming.StreamingOps.all ++
       streaming.StatefulOps.all ++

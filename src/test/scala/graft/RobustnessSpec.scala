@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** State-backend, recovery and physical-layout tests — the analogue of the
+  * reference's state/recovery e2e suites (run-nightly-tests.sh, RocksDB
+  * backend RocksDBStateBackend.java:127, checkpoint recovery). */
+class RobustnessSpec extends GraftSpec {
+
+  test("stateful agg runs on the RocksDB state store provider") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Int)]
+      val agg = mem.toDF().toDF("k", "v").groupBy($"k").agg(sum($"v").as("s"))
+      val q = agg.writeStream.format("memory").queryName("rocks_agg")
+        .outputMode("complete").start()
+      mem.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      mem.addData(("a", 10))
+      q.processAllAvailable()
+      val rows = spark.table("rocks_agg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("a" -> 11L, "b" -> 2L))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("checkpointed query recovers state across restart") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(String, Int)]
+    def start() = mem.toDF().toDF("k", "v")
+      .groupBy($"k").agg(sum($"v").as("s"))
+      .writeStream.format("memory").queryName("ckpt_agg")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    val q1 = start()
+    mem.addData(("a", 1), ("a", 2))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: state (a -> 3) must survive
+    mem.addData(("a", 4))
+    val q2 = start()
+    q2.processAllAvailable()
+    val rows = spark.table("ckpt_agg").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("a" -> 7L), s"state lost across restart: $rows")
+    q2.stop()
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = Files.createTempDirectory("graft_buckets").toString
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try bucketedJoinBody(wh)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  private def bucketedJoinBody(wh: String): Unit = {
+    import spark.implicits._
+    val orders = Tables.t(spark, sfDir, "orders")
+    val lineitem = Tables.t(spark, sfDir, "lineitem")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    lineitem.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("cnt"))
+    val phys = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: no Exchange below the join
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(phys).toList
+    assert(exchanges.length <= 1, s"expected at most the post-join agg exchange:\n$phys")
+    assert(phys.contains("SortMergeJoin") || phys.contains("ShuffledHashJoin"), phys)
+    // and results match the plain join
+    val expected = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+}
