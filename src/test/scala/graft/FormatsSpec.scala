@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Format coverage (reference §2.6 flink-formats: csv, json, parquet, orc) —
+  * write/read round-trips preserving values. */
+class FormatsSpec extends GraftSpec {
+
+  private def roundTrip(fmt: String): Unit = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(s"graft_$fmt").toString
+    val src = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    src.write.mode("overwrite").format(fmt)
+      .option("header", "true").save(s"$dir/orders")
+    val back = spark.read.format(fmt)
+      .option("header", "true").option("inferSchema", "true")
+      .load(s"$dir/orders")
+    assert(back.count() == src.count())
+    val a = src.orderBy($"o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    val b = back.orderBy(col("o_orderkey")).collect()
+      .map(r => (r.getAs[Number]("o_orderkey").longValue(),
+        r.getAs[String]("o_orderstatus"),
+        r.getAs[Number]("o_totalprice").doubleValue()))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("csv round-trip") { roundTrip("csv") }
+  test("json round-trip") { roundTrip("json") }
+  test("orc round-trip") { roundTrip("orc") }
+}
