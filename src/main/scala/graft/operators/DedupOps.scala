@@ -107,21 +107,28 @@ object DedupOps {
     * Banded 4x4 for LSH (see qMinhashLsh). Output: one row per (doc, band)
     * with the band signature — the LSH bucket key. */
   private val P31 = 2147483647L
+
+  /** Per-doc banded MinHash signatures. One shuffle (the shingle distinct +
+    * collect); the 16 permutation minima are computed per row with
+    * higher-order expressions instead of a 16x explode — at 100 TB that
+    * removes a full shuffle of #docs x #perms rows. */
   def minhashBands(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val perms = spark.range(16).select(
-      $"id".cast("int").as("i"),
-      (lit(2) * $"id" + 1).cast("long").as("a"),
-      (lit(1000003L) * $"id" + 12345L).%(P31).as("b"))
-    shingles(docs)
+    val hashed = shingles(docs)
       .withColumn("h", md5Hash31(col("sh")))
-      .crossJoin(broadcast(perms))
-      .groupBy($"doc_id", $"i")
-      .agg(min(($"a" * $"h" + $"b") % P31).as("mh"))
-      .groupBy($"doc_id", ($"i" / 4).cast("int").as("band"))
-      .agg(concat_ws("-",
-        transform(array_sort(collect_list(struct($"i", $"mh"))),
-          x => x.getField("mh").cast("string"))).as("sig"))
+      .groupBy($"doc_id")
+      .agg(collect_list($"h").as("hs"))
+    // sig_i = min over shingle hashes of (a_i*h + b_i) mod p, a_i=2i+1,
+    // b_i=(1000003*i+12345) mod p — identical math to the SQL oracle
+    def sig(i: Int): org.apache.spark.sql.Column = {
+      val a = 2L * i + 1
+      val b = (1000003L * i + 12345L) % P31
+      expr(s"array_min(transform(hs, x -> ($a * x + $b) % $P31))")
+    }
+    def bandSig(band: Int): org.apache.spark.sql.Column =
+      concat_ws("-", (4 * band until 4 * band + 4).map(i => sig(i).cast("string")): _*)
+    (0 until 4).foldLeft(hashed) { (df, b) => df.withColumn(s"sig$b", bandSig(b)) }
+      .selectExpr("doc_id", "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
   }
 
   /** MinHash+LSH candidate pairs: docs sharing any band signature. */
@@ -160,20 +167,25 @@ object DedupOps {
             |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** SimHash (32-bit) over token multiset: bit j set iff
-    * sum over tokens of (+1 if bit j of h(token) else -1) > 0. */
+    * sum over tokens of (+1 if bit j of h(token) else -1) > 0.
+    * Shape: md5 hashed ONCE per token (explode), then a single groupBy with
+    * 32 balance aggregates (partial agg map-side, one shuffle of 32 longs per
+    * doc) — the naive per-bit explode shuffles 32x the rows, and a pure
+    * HOF formulation re-evaluates the token hashes per bit after projection
+    * collapse. */
   def simhash(docs: DataFrame): DataFrame = {
-    docs
+    val hashed = docs
       .select(col("doc_id"),
         explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("tok"))
-      .withColumn("h", md5Hash31(col("tok")))
-      .select(col("doc_id"), col("h"),
-        explode(expr("sequence(0, 31)")).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("shiftright(h, cast(j as int)) & 1") === 1, 1)
-        .otherwise(-1)).as("bal"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("bal") > 0, expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L))
-        .as("simhash"))
+      .select(col("doc_id"), md5Hash31(col("tok")).as("h"))
+    val balAggs = (0 until 32).map(j =>
+      sum(expr(s"IF(shiftright(h, $j) & 1 = 1, 1L, -1L)")).as(s"bal$j"))
+    val simhashCol = (0 until 32)
+      .map(j => expr(s"IF(bal$j > 0, shiftleft(1L, $j), 0L)"))
+      .reduce(_ + _)
+    hashed.groupBy(col("doc_id"))
+      .agg(balAggs.head, balAggs.tail: _*)
+      .select(col("doc_id"), simhashCol.as("simhash"))
   }
 
   val qSimhash: Q = Q(

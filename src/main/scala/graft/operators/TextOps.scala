@@ -135,14 +135,18 @@ object TextOps {
     "q_doc_fingerprint",
     (s, dir) => {
       import s.implicits._
+      // per-row fold (no explode/shuffle): xor of position-weighted token
+      // hashes, identical math to the oracle's unnest formulation
       Tables.t(s, dir, "documents")
         .select($"doc_id",
-          posexplode(split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ")))
-        .select($"doc_id", $"pos",
-          graft.functions.FlinkFunctions.md5Hash31($"col").as("h"))
-        .withColumn("v", $"h" * (($"pos" % 61) + 1))
-        .groupBy($"doc_id")
-        .agg(expr("bit_xor(v)").as("fp"), count(lit(1)).as("n_tokens"))
+          split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("toks"))
+        .select($"doc_id",
+          expr("""aggregate(
+                 |  transform(sequence(0, size(toks) - 1), i ->
+                 |    (cast(conv(substring(md5(toks[i]), 1, 8), 16, 10) as bigint) % 2147483647)
+                 |    * ((i % 61) + 1)),
+                 |  0L, (acc, x) -> acc ^ x)""".stripMargin).as("fp"),
+          size($"toks").cast("long").as("n_tokens"))
         .orderBy($"doc_id")
     },
     Some("""WITH t AS (
