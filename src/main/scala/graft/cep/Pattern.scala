@@ -34,14 +34,14 @@ object Pattern {
   def begin[E](name: String)(pred: E => Boolean): Pattern[E] =
     Pattern(Vector(Step(name, pred, strict = true)))
 
-  /** Run the NFA over one key's events (must be pre-sorted by event time /
-    * order key). Returns completed matches as lists of matched events.
-    * SKIP_PAST_LAST_EVENT: after a match completes, in-flight runs are
-    * discarded and matching restarts after the closing event. */
-  def run[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long): Iterator[Vector[E]] = {
+  /** One NFA transition over a batch of events, starting from carried-over
+    * in-flight runs — the streaming building block (runs persist in
+    * GroupState across micro-batches). Returns (matches, surviving runs). */
+  def advance[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long,
+      initial: Vector[(Int, Long, Vector[E])])
+      : (Vector[Vector[E]], Vector[(Int, Long, Vector[E])]) = {
     val out = Vector.newBuilder[Vector[E]]
-    // in-flight runs: (next step index, first-event ts, matched so far)
-    var runs = Vector.empty[(Int, Long, Vector[E])]
+    var runs = initial
     events.foreach { e =>
       val t = tsOf(e)
       // prune expired runs
@@ -70,8 +70,15 @@ object Pattern {
         runs = Vector.empty // SKIP_PAST_LAST_EVENT
       }
     }
-    out.result().iterator
+    (out.result(), runs)
   }
+
+  /** Run the NFA over one key's events (must be pre-sorted by event time /
+    * order key). Returns completed matches as lists of matched events.
+    * SKIP_PAST_LAST_EVENT: after a match completes, in-flight runs are
+    * discarded and matching restarts after the closing event. */
+  def run[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long): Iterator[Vector[E]] =
+    advance(p, events, tsOf, Vector.empty)._1.iterator
 }
 
 /** CEP queries over the events fixture. */
@@ -137,6 +144,34 @@ object CepOps {
         .orderBy($"user_id", $"a_id")
     },
     None)
+
+  /** Streaming CEP: the same NFA with in-flight runs carried across
+    * micro-batches in GroupState (reference: the CEP NFA's SharedBuffer
+    * state, flink-cep/.../nfa/sharedbuffer/). Events inside a batch are
+    * processed in (ts, event_id) order; a partial match started in batch N
+    * completes in batch N+k. */
+  def streamingMatches[S](
+      ds: org.apache.spark.sql.Dataset[Ev],
+      pat: Pattern[Ev]): org.apache.spark.sql.Dataset[CepMatch] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev],
+         state: org.apache.spark.sql.streaming.GroupState[CepRuns]) =>
+          val carried = state.getOption.map(_.runs.map {
+            case (i, t0, evs) => (i, t0, evs.toVector)
+          }.toVector).getOrElse(Vector.empty)
+          val (matches, runs) = Pattern.advance(
+            pat, it.toSeq.sortBy(e => (e.ts_us, e.event_id)).iterator,
+            (_: Ev).ts_us, carried)
+          state.update(CepRuns(runs.map { case (i, t0, evs) => (i, t0, evs.toList) }.toList))
+          matches.map(m => CepMatch(uid, m.head.event_id, m.last.event_id)).iterator
+      }
+  }
+  case class CepRuns(runs: List[(Int, Long, List[Ev])])
 
   val all: Seq[Q] = Seq(qCepNext, qCepFollowedBy)
 }

@@ -190,6 +190,66 @@ object StatefulOps {
            |WHERE a.event_type = 'purchase' AND b.event_type = 'click'
            |ORDER BY p_id, c_id""".stripMargin))
 
+  // ---- temporal sort + TTL (library ops, harness-tested with MemoryStream)
+
+  case class EvT(event_id: Long, user_id: Long, value: Double, ts: java.sql.Timestamp)
+  case class SortBuf(evs: List[EvT])
+
+  /** Temporal (event-time) sort — reference StreamExecTemporalSort.scala /
+    * RowTimeSortOperator.java: buffer per key, release rows in ts order once
+    * the watermark has passed them. Input must carry a watermark on `ts`
+    * (withWatermark upstream); append mode. State is pruned to the
+    * not-yet-releasable suffix each batch. */
+  def temporalSort(ds: org.apache.spark.sql.Dataset[EvT]): org.apache.spark.sql.Dataset[EvT] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[EvT], state: GroupState[SortBuf]) =>
+          val buf = state.getOption.map(_.evs).getOrElse(Nil) ++ it
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, rest) = buf
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .partition(_.ts.getTime <= wmMs)
+          state.update(SortBuf(rest))
+          ready.iterator
+      }
+  }
+
+  case class SeenAt(firstTsMs: Long)
+
+  /** Keyed dedup with event-time TTL — reference StateTtlConfig.java:51 +
+    * DeduplicateKeepFirstRowFunction: a key's dedup state expires `ttlMs`
+    * after its first event (event time, driven by the watermark), after
+    * which the key may be emitted again. State cleanup via EventTimeTimeout
+    * — the Spark analogue of Flink's timer-based TTL cleanup. */
+  def dedupFirstWithTtl(ds: org.apache.spark.sql.Dataset[EvT], ttlMs: Long)
+      : org.apache.spark.sql.Dataset[EvT] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[EvT], state: GroupState[SeenAt]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // a group that receives data never gets a separate timeout
+            // invocation — apply watermark-based expiry inline too
+            if (state.exists &&
+              state.get.firstTsMs + ttlMs <= state.getCurrentWatermarkMs())
+              state.remove()
+            val first = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).headOption
+            if (state.exists) Iterator.empty
+            else first match {
+              case Some(e) =>
+                state.update(SeenAt(e.ts.getTime))
+                state.setTimeoutTimestamp(e.ts.getTime + ttlMs)
+                Iterator.single(e)
+              case None => Iterator.empty
+            }
+          }
+      }
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTopN, qStreamDedupLast, qStreamOver, qStreamAsof, qStreamIntervalJoin)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.StatefulOps.{temporalSort, dedupFirstWithTtl, EvT}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Harness tests for temporal sort + event-time TTL (reference
+  * RowTimeSortOperator / StateTtlConfig semantics). */
+class TemporalSortTtlSpec extends GraftSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("temporal sort releases watermark-complete rows in event-time order") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvT]
+    val sorted = temporalSort(
+      mem.toDS().withWatermark("ts", "0 seconds").as[EvT])
+    val q = sorted.toDF().writeStream.format("memory")
+      .queryName("tsort").outputMode("append").start()
+
+    // batch 1: out-of-order arrivals; watermark is still unset -> buffered
+    mem.addData(
+      EvT(3, 1L, 3.0, ts("2024-01-01 00:03:00")),
+      EvT(1, 1L, 1.0, ts("2024-01-01 00:01:00")),
+      EvT(2, 1L, 2.0, ts("2024-01-01 00:02:00")))
+    q.processAllAvailable()
+    // batch 2: watermark = 00:03 now; everything <= wm emits, sorted
+    mem.addData(EvT(9, 1L, 9.0, ts("2024-01-01 00:09:00")))
+    q.processAllAvailable()
+    val emitted = spark.table("tsort").collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(emitted == Seq(1L, 2L, 3L), s"expected ordered release, got $emitted")
+    q.stop()
+  }
+
+  test("dedup with event-time TTL re-admits a key after expiry") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvT]
+    val out = dedupFirstWithTtl(
+      mem.toDS().withWatermark("ts", "0 seconds").as[EvT], ttlMs = 60_000)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("ttl_dedup").outputMode("append").start()
+
+    // key 1 first seen at 00:00 -> emitted; dup at 00:00:30 -> suppressed
+    mem.addData(EvT(1, 1L, 1.0, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(EvT(2, 1L, 2.0, ts("2024-01-01 00:00:30")))
+    q.processAllAvailable()
+    // advance watermark past TTL (00:01) via another key, firing the timeout
+    mem.addData(EvT(3, 2L, 3.0, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // key 1 reappears after expiry -> emitted again
+    mem.addData(EvT(4, 1L, 4.0, ts("2024-01-01 00:06:00")))
+    q.processAllAvailable()
+    val emitted = spark.table("ttl_dedup").collect().map(_.getAs[Long]("event_id")).toSet
+    assert(emitted == Set(1L, 3L, 4L), s"got $emitted")
+    q.stop()
+  }
+
+  test("streaming CEP carries partial matches across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.Ev
+    val mem = MemoryStream[Ev]
+    val pat = cep.Pattern.begin[Ev]("a")(_.event_type == "A")
+      .followedBy("b")(_.event_type == "B")
+    val matches = cep.CepOps.streamingMatches(mem.toDS(), pat)
+    val q = matches.toDF().writeStream.format("memory")
+      .queryName("cep_stream").outputMode("append").start()
+
+    mem.addData(Ev(1, 7L, "A", 0.0, 1000000)) // partial match in batch 1
+    q.processAllAvailable()
+    assert(spark.table("cep_stream").count() == 0)
+    mem.addData(Ev(2, 7L, "X", 0.0, 2000000), Ev(3, 7L, "B", 0.0, 3000000))
+    q.processAllAvailable() // completes across the batch boundary
+    val rows = spark.table("cep_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((7L, 1L, 3L)))
+    q.stop()
+  }
+}
