@@ -500,6 +500,31 @@ object Relational {
            |       round(var_pop(l_quantity), 4) AS v_pop
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Correlation/covariance/percentile aggregates (reference §2.1 built-in
+    * agg functions; percentile = exact linear interpolation on both engines,
+    * the scale path would use approx_percentile). */
+  val qStats2: Q = Q(
+    "q_stats_agg2",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("cor"),
+          round(covar_pop($"l_quantity", $"l_extendedprice"), 4).as("cov_p"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("cov_s"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  round(corr(l_quantity, l_extendedprice), 6) AS cor,
+           |  round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+           |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+           |  round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+           |  round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** Correlate / UDTF lateral join — reference StreamExecCorrelate.scala +
     * CorrelateCodeGenerator.scala; Spark Generate (explode). */
   val qExplodeTokens: Q = Q(
@@ -580,6 +605,6 @@ object Relational {
     qCalcFilter, qAggQ1, qJoinTopN, qBroadcastJoinAgg, qLeftOuter, qFullOuter,
     qSemiJoin, qAntiJoin, qCrossJoin, qUnionAll, qIntersect, qExcept, qDistinct,
     qRollup, qCube, qGroupingSets, qOverRows, qOverRank, qTopN, qDedupFirst,
-    qSortLimit, qCountDistinct, qListAgg, qFirstLast, qStats, qExplodeTokens,
-    qScalarSubquery, qStarJoin, qSplitCountDistinct)
+    qSortLimit, qCountDistinct, qListAgg, qFirstLast, qStats, qStats2,
+    qExplodeTokens, qScalarSubquery, qStarJoin, qSplitCountDistinct)
 }
