@@ -73,7 +73,37 @@ object RelationalSql {
            |         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS wk_total
            |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** Conditional aggregation over a join (TPC-H Q12 shape). */
+  val qCaseSum: Q = sqlQ(
+    "q_case_sum",
+    """SELECT o_orderpriority,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+      |       CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS returned_value
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** Conditional ratio (TPC-H Q14 shape): share of revenue from small parts. */
+  val qCondRatio: Q = sqlQ(
+    "q_cond_ratio",
+    """SELECT round(
+      |         100.0 * sum(CASE WHEN p_type = 'SMALL' THEN l_extendedprice * (1 - l_discount)
+      |                          ELSE 0 END)
+      |         / sum(l_extendedprice * (1 - l_discount)), 6) AS small_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)
+
+  /** Avg-threshold anti-join (TPC-H Q22 shape): high-balance customers with
+    * no orders, vs the positive-balance average. */
+  val qQ22Shape: Q = sqlQ(
+    "q_q22_shape",
+    """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+
   val all: Seq[Q] = Seq(
     qHaving, qInSubquery, qNotInSubquery, qAggHavingSubquery, qUnionDistinct,
-    qOverRangeFrame)
+    qOverRangeFrame, qCaseSum, qCondRatio, qQ22Shape)
 }

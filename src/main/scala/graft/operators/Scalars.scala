@@ -178,8 +178,10 @@ object Scalars {
            |  coalesce(nullif(lang, 'en'), 'EN_DEFAULT') AS lang2
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** HASH_CODE via the native codegen expression (JVM-specific semantics, so
-    * no cross-engine oracle — driver records rows-only). */
+  /** HASH_CODE via the native codegen expression. The oracle reconstructs
+    * JVM String.hashCode (h = h*31 + c with int32 wraparound) with a
+    * list_reduce fold — valid because p_name is ASCII (code point == UTF-16
+    * unit). */
   val qHashCode: Q = Q(
     "q_hash_code",
     (s, dir) => {
@@ -188,7 +190,16 @@ object Scalars {
         .select($"p_partkey", graft.functions.FlinkFunctions.hashCode($"p_name").as("hc"))
         .orderBy($"p_partkey")
     },
-    None)
+    Some("""SELECT p_partkey,
+           |  CAST(CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS INTEGER) AS hc
+           |FROM (
+           |  SELECT p_partkey, list_reduce(
+           |    list_prepend(0::BIGINT,
+           |      list_transform(range(1, length(p_name) + 1),
+           |        i -> CAST(ascii(substr(p_name, CAST(i AS INTEGER), 1)) AS BIGINT))),
+           |    (acc, c) -> ((acc * 31 + c) % 4294967296 + 4294967296) % 4294967296) AS h
+           |  FROM part)
+           |ORDER BY p_partkey""".stripMargin))
 
   val all: Seq[Q] = Seq(
     qScalarStr, qScalarMath, qScalarTemporal, qCaseExpr, qFlinkFns, qHashCode)
