@@ -47,10 +47,11 @@ object SimilarityOps {
         .partitionBy($"qid").orderBy($"sim".desc, $"cid")
       qs.crossJoin(cs)
         .filter($"qid" =!= $"cid")
-        .withColumn("sim", round(cosine("qv", "cv"), 6))
+        // project the arrays away BEFORE the rank shuffle — only (qid, cid,
+        // sim) rows cross the exchange, not 2x64 floats per pair
+        .select($"qid", $"cid", round(cosine("qv", "cv"), 6).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
-        .select($"qid", $"cid", $"sim", $"rn")
         .orderBy($"qid", $"rn")
     },
     Some("""SELECT qid, cid, sim, rn FROM (
@@ -78,10 +79,9 @@ object SimilarityOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"sim".desc, $"cid")
       qs.join(cs, $"qid_label" === $"cid_label" && $"qid" =!= $"cid")
-        .withColumn("sim", round(cosine("qv", "cv"), 6))
+        .select($"qid", $"cid", round(cosine("qv", "cv"), 6).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
-        .select($"qid", $"cid", $"sim", $"rn")
         .orderBy($"qid", $"rn")
     },
     Some("""SELECT qid, cid, sim, rn FROM (

@@ -139,6 +139,22 @@ object StreamingOps {
            |FROM events JOIN customer ON user_id = c_custkey
            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
 
+  /** Streaming Calc (stateless project+filter, append mode) — reference
+    * StreamExecCalc.scala; the no-state fast path. */
+  val qStreamCalc: Q = Q(
+    "q_stream_calc",
+    (s, dir) => {
+      import s.implicits._
+      val calc = streamTable(s, dir, "events")
+        .filter($"value" > 400.0 && $"event_type" === "purchase")
+        .select($"event_id", $"user_id", round($"value" * 1.1, 4).as("adj"))
+      runToMemory(s, calc, "append", "graft_stream_calc")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, round(value * 1.1, 4) AS adj
+           |FROM events WHERE value > 400.0 AND event_type = 'purchase'
+           |ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumble, qStreamDedup, qStreamHop, qStreamSession,
-    qStreamStaticJoin)
+    qStreamStaticJoin, qStreamCalc)
 }
