@@ -252,5 +252,59 @@ object DedupOps {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
            |ORDER BY doc_a, doc_b""".stripMargin))
 
-  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qSimhashPairs)
+  /** Banded SimHash near-dup (the scale path): split the 32-bit signature
+    * into 8 chunks of 4 bits; by pigeonhole, any pair with hamming distance
+    * <= 7 shares at least one chunk, so an equi-join on (chunk_idx, chunk
+    * value) finds all hd<=6 candidates without the O(n^2) self-join — then
+    * the exact hamming filter verifies. Same output as q_simhash_pairs. */
+  val qSimhashBanded: Q = Q(
+    "q_simhash_banded",
+    (s, dir) => {
+      import s.implicits._
+      val sh = simhash(Tables.t(s, dir, "documents")).cache()
+      val chunks = sh.select($"doc_id", $"simhash",
+        explode(expr(
+          "transform(sequence(0, 7), c -> named_struct('c', c, 'v', shiftright(simhash, c * 4) & 15))"))
+          .as("ch"))
+        .select($"doc_id", $"simhash", $"ch.c".as("c"), $"ch.v".as("v"))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("cast(bit_count(a.simhash ^ b.simhash) as int)").as("hd"))
+        .distinct()
+        .filter($"hd" <= 6)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT doc_id,
+           |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483647 AS h
+           |  FROM toks),
+           |bits AS (
+           |  SELECT doc_id, j,
+           |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+           |  FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS j) r
+           |  GROUP BY 1, 2),
+           |sh AS (
+           |  SELECT doc_id,
+           |         CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+           |  FROM bits GROUP BY 1),
+           |chunks AS (
+           |  SELECT doc_id, simhash, c, (simhash >> (c * 4)) & 15 AS v
+           |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS c) r)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+           |FROM chunks a JOIN chunks b
+           |  ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY doc_a, doc_b""".stripMargin))
+
+  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash,
+    qSimhashPairs, qSimhashBanded)
 }

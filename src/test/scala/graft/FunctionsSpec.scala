@@ -71,6 +71,18 @@ class FunctionsSpec extends GraftSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("native expressions callable from SQL after registration") {
+    org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT hash_code('hello world') AS hc,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |       round(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cs
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == "hello world".hashCode)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 1.0)
+  }
+
   test("md5Hash31 is stable and within [0, 2^31)") {
     import spark.implicits._
     val r = Seq("hello").toDF("s").select(md5Hash31($"s")).collect().head.getLong(0)

@@ -61,6 +61,14 @@ class LlmOpsSpec extends GraftSpec {
     joined.foreach(r => assert(r.getLong(1) == 1L))
   }
 
+  test("banded simhash finds exactly the same hd<=6 pairs as the full self-join") {
+    val full = operators.DedupOps.qSimhashPairs.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = operators.DedupOps.qSimhashBanded.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == full, s"missing=${full -- banded} extra=${banded -- full}")
+  }
+
   test("lang_id scores are deterministic and pred is one of the four langs") {
     val rows = operators.TextOps.qLangId.run(spark, sfDir).collect()
     assert(rows.map(_.getAs[String]("pred")).toSet.subsetOf(Set("en", "de", "es", "fr")))
