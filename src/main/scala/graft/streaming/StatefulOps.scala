@@ -190,6 +190,43 @@ object StatefulOps {
            |WHERE a.event_type = 'purchase' AND b.event_type = 'click'
            |ORDER BY p_id, c_id""".stripMargin))
 
+  // ---- changelog TopN (explicit row_kind output)
+
+  case class TopChange(event_type: String, row_kind: String, rn: Int,
+      event_id: Long, value: Double)
+
+  /** Streaming TopN emitting an explicit changelog — the reference's
+    * retraction stream made visible (RowKind.java:27 +I/-U/+U/-D;
+    * RetractableTopNFunction.java). Spark's update mode only carries the
+    * condensed +U view, so operators feeding downstream consumers that need
+    * retractions materialize a row_kind column, exactly as SURVEY §1.2 plans.
+    * Per batch and key: diff of old vs new top-3 by rank position. */
+  def topNChangelog(ds: org.apache.spark.sql.Dataset[Ev])
+      : org.apache.spark.sql.Dataset[TopChange] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Ev], state: GroupState[TopState]) =>
+          val old = state.getOption.map(_.items).getOrElse(Nil)
+          val merged = (old ++ it.map(e => TopItem(e.value, e.event_id)))
+            .sortBy(i => (-i.value, i.event_id)).take(3)
+          state.update(TopState(merged))
+          (0 until math.max(old.size, merged.size)).iterator.flatMap { r =>
+            (old.lift(r), merged.lift(r)) match {
+              case (None, Some(n)) =>
+                Seq(TopChange(key, "+I", r + 1, n.event_id, n.value))
+              case (Some(o), Some(n)) if o != n =>
+                Seq(TopChange(key, "-U", r + 1, o.event_id, o.value),
+                  TopChange(key, "+U", r + 1, n.event_id, n.value))
+              case (Some(o), None) =>
+                Seq(TopChange(key, "-D", r + 1, o.event_id, o.value))
+              case _ => Nil
+            }
+          }
+      }
+  }
+
   // ---- temporal sort + TTL (library ops, harness-tested with MemoryStream)
 
   case class EvT(event_id: Long, user_id: Long, value: Double, ts: java.sql.Timestamp)

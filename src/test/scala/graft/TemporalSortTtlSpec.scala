@@ -60,6 +60,33 @@ class TemporalSortTtlSpec extends GraftSpec {
     q.stop()
   }
 
+  test("changelog TopN emits +I/-U/+U retraction rows across batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{Ev, topNChangelog}
+    val mem = MemoryStream[Ev]
+    val q = topNChangelog(mem.toDS()).toDF().writeStream.format("memory")
+      .queryName("topn_changelog").outputMode("append").start()
+
+    mem.addData(Ev(1, 1L, "t", 10.0, 1), Ev(2, 1L, "t", 20.0, 2))
+    q.processAllAvailable()
+    // batch 1: two inserts, ranked 20 > 10
+    val b1 = spark.table("topn_changelog").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(b1 == Set(("+I", 1, 2L), ("+I", 2, 1L)))
+
+    mem.addData(Ev(3, 1L, "t", 30.0, 3)) // new leader: ranks 1,2 change, 3 inserted
+    q.processAllAvailable()
+    val all = spark.table("topn_changelog").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(all == b1 ++ Set(
+      ("-U", 1, 2L), ("+U", 1, 3L),
+      ("-U", 2, 1L), ("+U", 2, 2L),
+      ("+I", 3, 1L)))
+    q.stop()
+  }
+
   test("streaming CEP carries partial matches across micro-batches") {
     val sparkS = spark
     import sparkS.implicits._
