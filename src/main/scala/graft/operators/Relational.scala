@@ -500,6 +500,23 @@ object Relational {
            |       round(var_pop(l_quantity), 4) AS v_pop
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Approximate aggregates — the 100 TB scale path for distinct counts and
+    * quantiles (HLL++ / KLL-style sketches; algorithm-specific results, so
+    * rows-only driver check; tolerance vs exact is asserted in
+    * PartitionPruningSpec). */
+  val qApprox: Q = Q(
+    "q_approx_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          approx_count_distinct($"o_custkey", 0.02).as("approx_cust"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"))
+        .orderBy($"o_orderstatus")
+    },
+    None)
+
   /** Correlation/covariance/percentile aggregates (reference §2.1 built-in
     * agg functions; percentile = exact linear interpolation on both engines,
     * the scale path would use approx_percentile). */
@@ -606,5 +623,5 @@ object Relational {
     qSemiJoin, qAntiJoin, qCrossJoin, qUnionAll, qIntersect, qExcept, qDistinct,
     qRollup, qCube, qGroupingSets, qOverRows, qOverRank, qTopN, qDedupFirst,
     qSortLimit, qCountDistinct, qListAgg, qFirstLast, qStats, qStats2,
-    qExplodeTokens, qScalarSubquery, qStarJoin, qSplitCountDistinct)
+    qApprox, qExplodeTokens, qScalarSubquery, qStarJoin, qSplitCountDistinct)
 }
