@@ -167,6 +167,23 @@ object Relational {
            |  ON c.nk = s.nk
            |ORDER BY nationkey""".stripMargin))
 
+  /** RIGHT OUTER join — reference FlinkJoinType.RIGHT. */
+  val qRightOuter: Q = Q(
+    "q_right_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey", "right")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          round(coalesce(max($"o_totalprice"), lit(0.0)), 2).as("max_order"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+           |       round(coalesce(max(o_totalprice), 0), 2) AS max_order
+           |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin))
+
   /** LEFT SEMI join (EXISTS) — reference StreamingSemiAntiJoinOperator.java /
     * HashJoinType.SEMI. */
   val qSemiJoin: Q = Q(
@@ -620,7 +637,8 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qCalcFilter, qAggQ1, qJoinTopN, qBroadcastJoinAgg, qLeftOuter, qFullOuter,
-    qSemiJoin, qAntiJoin, qCrossJoin, qUnionAll, qIntersect, qExcept, qDistinct,
+    qRightOuter, qSemiJoin, qAntiJoin, qCrossJoin, qUnionAll, qIntersect,
+    qExcept, qDistinct,
     qRollup, qCube, qGroupingSets, qOverRows, qOverRank, qTopN, qDedupFirst,
     qSortLimit, qCountDistinct, qListAgg, qFirstLast, qStats, qStats2,
     qApprox, qExplodeTokens, qScalarSubquery, qStarJoin, qSplitCountDistinct)

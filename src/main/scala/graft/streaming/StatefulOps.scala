@@ -50,7 +50,7 @@ object StatefulOps {
     * state; emit the refreshed top list every batch (update mode). */
   val qStreamTopN: Q = Q(
     "q_stream_topn",
-    (s, dir) => {
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       val out = events(s, dir)
         .groupByKey(_.event_type)
@@ -78,7 +78,7 @@ object StatefulOps {
     * streaming dropDuplicates cannot express (it keeps first). */
   val qStreamDedupLast: Q = Q(
     "q_stream_dedup_last",
-    (s, dir) => {
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       val out = events(s, dir)
         .groupByKey(e => (e.user_id, e.event_type))
@@ -104,7 +104,7 @@ object StatefulOps {
     * the running total — append mode. */
   val qStreamOver: Q = Q(
     "q_stream_over",
-    (s, dir) => {
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       val out = events(s, dir)
         .groupByKey(_.user_id)
@@ -132,7 +132,7 @@ object StatefulOps {
     * FOR SYSTEM_TIME AS OF <= semantics. */
   val qStreamAsof: Q = Q(
     "q_stream_asof",
-    (s, dir) => {
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       val ev = events(s, dir)
       val tagged = ev.filter(e => e.event_type == "signup" || e.event_type == "purchase")
@@ -168,7 +168,7 @@ object StatefulOps {
     * bound both sides' state. */
   val qStreamIntervalJoin: Q = Q(
     "q_stream_interval_join",
-    (s, dir) => {
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       val ev = StreamingOps.streamTable(s, dir, "events")
       val p = ev.filter($"event_type" === "purchase")

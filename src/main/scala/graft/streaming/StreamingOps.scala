@@ -29,6 +29,18 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(s"$dir/{$name}.parquet"))
   }
 
+  /** Size state partitions to the keyed cardinality for the duration of a
+    * query start. Stateful operators pay a per-state-partition cost every
+    * micro-batch (store open/commit), so a low-cardinality keyed op wants far
+    * fewer partitions than the session default — and a 100 TB one wants more;
+    * this is the knob. The session conf is restored afterwards (the running
+    * query keeps the value it was planned with). */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return the materialized result. */
   def runToMemory(spark: SparkSession, stream: DataFrame, mode: String, name: String): DataFrame = {
