@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Exact money sum: per-element cast to DECIMAL(18,s) (the element value is
+    * exactly representable at s decimals, so the cast merely snaps off double
+    * noise), decimal-exact summation, final cast back to double (the sums
+    * stay under 2^53 units). Immune to the summation-order ulp drift that
+    * breaks round(sum(double), s) parity at large magnitudes — at sf0.1 a
+    * 2.8e9-magnitude sum already accumulates ~1e-4 of float error, past the
+    * round-4 boundary. Mirrors CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE)
+    * in the oracle. */
+  private[operators] def moneySum(e: org.apache.spark.sql.Column, scale: Int) =
+    sum(e.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
+
   /** Calc (fused project+filter) — reference StreamExecCalc.scala /
     * BatchExecCalc.scala + CalcCodeGenerator.scala; here a single
     * whole-stage-codegen'd Project+Filter whose predicate reaches the parquet
@@ -59,10 +70,10 @@ object Relational {
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 6).as("sum_charge"),
+          moneySum($"l_quantity", 2).as("sum_qty"),
+          moneySum($"l_extendedprice", 2).as("sum_base_price"),
+          moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+          moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("sum_charge"),
           round(avg($"l_quantity"), 6).as("avg_qty"),
           round(avg($"l_extendedprice"), 6).as("avg_price"),
           round(avg($"l_discount"), 6).as("avg_disc"),
@@ -70,10 +81,10 @@ object Relational {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           |       round(sum(l_quantity), 2) AS sum_qty,
-           |       round(sum(l_extendedprice), 2) AS sum_base_price,
-           |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            |       round(avg(l_quantity), 6) AS avg_qty,
            |       round(avg(l_extendedprice), 6) AS avg_price,
            |       round(avg(l_discount), 6) AS avg_disc,
@@ -96,13 +107,13 @@ object Relational {
       broadcast(c).join(o, $"c_custkey" === $"o_custkey")
         .join(l, $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_orderkey", $"o_orderdate")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+        .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
         .select($"o_orderkey", to_date($"o_orderdate").as("order_date"), $"revenue")
         .orderBy($"revenue".desc, $"o_orderkey")
         .limit(10)
     },
     Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-           |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
            |FROM customer JOIN orders ON c_custkey = o_custkey
            |              JOIN lineitem ON o_orderkey = l_orderkey
            |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
@@ -120,11 +131,11 @@ object Relational {
         .groupBy($"p_brand")
         .agg(
           count(lit(1)).as("cnt"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+          moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
         .orderBy($"p_brand")
     },
     Some("""SELECT p_brand, count(*) AS cnt,
-           |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
@@ -292,10 +303,10 @@ object Relational {
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .rollup($"r_name", $"n_name")
-        .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("cnt"), moneySum($"o_totalprice", 2).as("total"))
         .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
     },
-    Some("""SELECT r_name, n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    Some("""SELECT r_name, n_name, count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |            JOIN nation ON c_nationkey = n_nationkey
            |            JOIN region ON n_regionkey = r_regionkey
@@ -607,12 +618,12 @@ object Relational {
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+        .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy($"r_name", $"n_name")
     },
     Some("""SELECT r_name, n_name,
-           |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            |       count(*) AS cnt
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |     JOIN customer ON o_custkey = c_custkey

@@ -46,11 +46,11 @@ object SkewOps {
       saltedJoin(l, sup, $"l_suppkey", $"s_suppkey", salt = 8)
         .groupBy($"s_nationkey")
         .agg(count(lit(1)).as("cnt"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+          graft.operators.Relational.moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
         .orderBy($"s_nationkey")
     },
     Some("""SELECT s_nationkey, count(*) AS cnt,
-           |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
