@@ -35,7 +35,10 @@ object SimilarityOps {
   private def cosine(a: String, b: String): org.apache.spark.sql.Column =
     dotProduct(col(a), col(b)) / (col(s"${a}_norm") * col(s"${b}_norm"))
 
-  /** Brute-force cosine top-3 per query vector (self excluded). */
+  /** Brute-force cosine top-3 per query vector (self excluded). Ranking via
+    * the bounded TopKAggregator: partial aggregation keeps only 3 leaders per
+    * query per map task, so the exchange carries leaderboards instead of the
+    * full N^2 similarity relation (the window formulation shuffles it all). */
   val qCosineTopK: Q = Q(
     "q_cosine_topk",
     (s, dir) => {
@@ -43,15 +46,18 @@ object SimilarityOps {
       val e = Tables.t(s, dir, "embeddings")
       val qs = withNorm(e, "qid", "qv")
       val cs = withNorm(e, "cid", "cv")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"qid").orderBy($"sim".desc, $"cid")
+      val topk = udaf(new TopKAggregator(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
       qs.crossJoin(cs)
         .filter($"qid" =!= $"cid")
-        // project the arrays away BEFORE the rank shuffle — only (qid, cid,
-        // sim) rows cross the exchange, not 2x64 floats per pair
         .select($"qid", $"cid", round(cosine("qv", "cv"), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
+        .groupBy($"qid")
+        .agg(topk($"sim", $"cid").as("top"))
+        .select($"qid", posexplode($"top"))
+        .select($"qid", col("col._2").as("cid"), col("col._1").as("sim"),
+          ($"pos" + 1).cast("int").as("rn"))
         .orderBy($"qid", $"rn")
     },
     Some("""SELECT qid, cid, sim, rn FROM (
