@@ -159,6 +159,62 @@ object TimeWindows {
            |FROM events a WHERE a.event_type = 'purchase'
            |ORDER BY a.event_id""".stripMargin))
 
+  /** Window join — reference JoinedStreams (`join(...).where(...).window(...)`,
+    * flink-streaming-java/.../datastream/JoinedStreams.java): pairs of events
+    * from two streams landing in the same tumbling window with equal keys.
+    * Expressed as an equi-join on (window bucket, key) — co-partitioned, no
+    * range condition needed. */
+  val qWindowJoin: Q = Q(
+    "q_window_join",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.t(s, dir, "events")
+        .withColumn("wstart", unix_timestamp(window($"ts", "15 minutes").getField("start")))
+      val views = e.filter($"event_type" === "view")
+        .select($"wstart", $"user_id", $"event_id".as("v_id"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"wstart".as("p_wstart"), $"user_id".as("p_user"), $"event_id".as("p_id"))
+      views.join(purchases,
+          $"wstart" === $"p_wstart" && $"user_id" === $"p_user")
+        .select($"wstart", $"user_id", $"v_id", $"p_id")
+        .orderBy($"wstart", $"user_id", $"v_id", $"p_id")
+    },
+    Some("""SELECT a.wstart AS wstart, a.user_id AS user_id,
+           |       a.event_id AS v_id, b.event_id AS p_id
+           |FROM (SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS wstart,
+           |             user_id, event_id FROM events WHERE event_type = 'view') a
+           |JOIN (SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS wstart,
+           |             user_id, event_id FROM events WHERE event_type = 'purchase') b
+           |  ON a.wstart = b.wstart AND a.user_id = b.user_id
+           |ORDER BY a.wstart, a.user_id, v_id, p_id""".stripMargin))
+
+  /** Table aggregate (UDTAF) — reference GroupTableAggFunction.java /
+    * TableAggregateFunction.java:115: an aggregate emitting MULTIPLE rows per
+    * group (top-2 leaderboard), via flatMapGroups. */
+  val qTableAgg: Q = Q(
+    "q_table_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "events")
+        .select($"event_type", $"event_id", $"value")
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (key: String, it: Iterator[(String, Long, Double)]) =>
+          it.toSeq.sortBy(e => (-e._3, e._2)).take(2).zipWithIndex.map {
+            case ((_, id, v), i) => (key, i + 1, id, v)
+          }.iterator
+        }
+        .toDF("event_type", "rn", "event_id", "value")
+        .orderBy($"event_type", $"rn")
+    },
+    Some("""SELECT event_type, rn, event_id, value FROM (
+           |  SELECT event_type, CAST(row_number() OVER (PARTITION BY event_type
+           |           ORDER BY value DESC, event_id) AS INTEGER) AS rn,
+           |         event_id, value
+           |  FROM events) WHERE rn <= 2
+           |ORDER BY event_type, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    qWindowTumble, qWindowHop, qWindowSession, qIntervalJoin, qAsOfJoin)
+    qWindowTumble, qWindowHop, qWindowSession, qIntervalJoin, qAsOfJoin,
+    qWindowJoin, qTableAgg)
 }
