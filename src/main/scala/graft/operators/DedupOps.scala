@@ -305,6 +305,68 @@ object DedupOps {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
            |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Dedup clusters: connected components over the MinHash-LSH candidate
+    * graph via iterative min-label propagation (IterateOps driver loop —
+    * reference DataSet.iterateDelta workloads; Gelly-style CC), then keeper =
+    * min doc_id per component. The full near-dup pipeline: shingle ->
+    * signature -> LSH bucket -> candidate edges -> components -> keeper.
+    * Oracle: recursive CTE transitive closure over the same edges. */
+  val qDedupClusters: Q = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.t(s, dir, "documents").select($"doc_id")
+      val bands = minhashBands(s, Tables.t(s, dir, "documents"))
+      val edges = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+        .cache()
+      val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+      val labels0 = docs.select($"doc_id".as("node"), $"doc_id".as("label"))
+      val labels = graft.operators.IterateOps.iterate(labels0, maxIter = 10)(
+        step = { ls =>
+          val viaEdge = sym.join(ls.withColumnRenamed("node", "src2"), $"src" === $"src2")
+            .select($"dst".as("node"), $"label")
+          ls.union(viaEdge).groupBy($"node").agg(min($"label").as("label"))
+        })
+      labels.select($"node".as("doc_id"), $"label".as("cluster"),
+          ($"node" === $"label").as("is_keeper"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            |hashed AS (
+            |  SELECT doc_id,
+            |         CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS h
+            |  FROM sh_rel),
+            |perms AS (
+            |  SELECT i, CAST(2*i + 1 AS BIGINT) AS a,
+            |         CAST(1000003*i + 12345 AS BIGINT) % 2147483647 AS b
+            |  FROM (SELECT unnest(range(16)) AS i)),
+            |sigs AS (
+            |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+            |  FROM hashed CROSS JOIN perms GROUP BY 1, 2),
+            |bands AS (
+            |  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+            |         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+            |  FROM sigs GROUP BY 1, 2),
+            |edges AS (
+            |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+            |r(a, b) AS (
+            |  SELECT src, dst FROM sym
+            |  UNION
+            |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src)
+            |SELECT d.doc_id,
+            |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster,
+            |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id AS is_keeper
+            |FROM documents d LEFT JOIN r ON r.a = d.doc_id
+            |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash,
-    qSimhashPairs, qSimhashBanded)
+    qSimhashPairs, qSimhashBanded, qDedupClusters)
 }
