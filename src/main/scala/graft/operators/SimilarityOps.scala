@@ -126,5 +126,94 @@ object SimilarityOps {
            |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
            |ORDER BY vec_a, vec_b""".stripMargin))
 
-  val all: Seq[Q] = Seq(qCosineTopK, qCosineTopKBucketed, qEmbedNearDup)
+  /** Per-cell centroids — the IVF "training" step (elementwise mean per
+    * coarse cell): posexplode to (cell, dim, component), partial-agg mean per
+    * (cell, dim), reassemble. At 100 TB this is one shuffle of
+    * #cells x #dims doubles — independent of corpus size thanks to map-side
+    * partial aggregation. */
+  val qEmbedCentroids: Q = Q(
+    "q_embed_centroids",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "embeddings")
+        .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
+        .groupBy($"label", $"pos")
+        .agg(round(avg($"col"), 6).as("c"), count(lit(1)).as("n"))
+        .orderBy($"label", $"pos")
+    },
+    Some("""SELECT label, CAST(d - 1 AS INTEGER) AS pos,
+           |       round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c,
+           |       count(*) AS n
+           |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+           |GROUP BY label, d ORDER BY label, pos""".stripMargin))
+
+  /** Full IVF ANN: (1) centroid per coarse cell (rounded to 6 so both engines
+    * share identical centroid values), (2) assign every vector to its
+    * nearest centroid by cosine, (3) top-3 search restricted to the assigned
+    * cell. Probing more cells = joining against the top-P assignment ranks
+    * instead of rank 1 — the standard recall knob. The centroid table is tiny
+    * (cells x dims) and broadcast; search is an equi-join on the cell id. */
+  val qAnnIvf: Q = Q(
+    "q_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.t(s, dir, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("dvec"))
+        .withColumn("dnorm", sqrt(dotProduct($"dvec", $"dvec")))
+      val cents = Tables.t(s, dir, "embeddings")
+        .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
+        .groupBy($"label", $"pos").agg(round(avg($"col"), 6).as("c"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cvec"))
+        .withColumn("cnorm", sqrt(dotProduct($"cvec", $"cvec")))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"csim".desc, $"label")
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter($"arn" === 1)
+        .select($"vec_id", $"label".as("cell"), $"dvec", $"dnorm")
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"sim".desc, $"cid")
+      assigned.select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
+        .join(assigned.select($"vec_id".as("cid"), $"cell", $"dvec".as("cv"), $"dnorm".as("cn")),
+          Seq("cell"))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotProduct($"qv", $"cv") / ($"qn" * $"cn"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter($"rn" <= 3)
+        .orderBy($"qid", $"rn")
+    },
+    Some("""WITH cent0 AS (
+           |  SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+           |  GROUP BY label, d),
+           |cents AS (SELECT label, list(c ORDER BY d) AS cvec FROM cent0 GROUP BY label),
+           |assign0 AS (
+           |  SELECT e.vec_id, c.label,
+           |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assigned AS (
+           |  SELECT vec_id, label AS cell FROM (
+           |    SELECT vec_id, label,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, label) AS arn
+           |    FROM assign0) WHERE arn = 1),
+           |sims AS (
+           |  SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+           |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+           |  FROM assigned qa JOIN assigned ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+           |       JOIN embeddings a ON a.vec_id = qa.vec_id
+           |       JOIN embeddings b ON b.vec_id = ca.vec_id)
+           |SELECT qid, cid, sim, rn FROM (
+           |  SELECT qid, cid, sim,
+           |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+           |  FROM sims) WHERE rn <= 3
+           |ORDER BY qid, rn""".stripMargin))
+
+  val all: Seq[Q] = Seq(qCosineTopK, qCosineTopKBucketed, qEmbedNearDup,
+    qEmbedCentroids, qAnnIvf)
 }
