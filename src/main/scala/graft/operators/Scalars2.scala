@@ -169,6 +169,36 @@ object Scalars2 {
            |    x -> {'k': split_part(x, ':', 1), 'v': split_part(x, ':', 2)}))['size'][1] AS s2m
            |FROM part ORDER BY p_partkey""".stripMargin))
 
+  /** PARSE_URL (reference SqlFunctionUtils.parseUrl) over well-formed URLs
+    * constructed from columns; DuckDB mirrors with regexp extraction. */
+  val qParseUrl: Q = Q(
+    "q_parse_url",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://"), $"source", lit(".example.com/docs/"),
+            $"doc_id".cast("string"), lit("?lang="), $"lang"))
+        .select(
+          $"doc_id",
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH u AS (
+           |  SELECT doc_id,
+           |         'https://' || source || '.example.com/docs/' ||
+           |         CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+           |  regexp_extract(url, '^([a-z]+)://', 1) AS proto
+           |FROM u ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarHash, qCollections, qUdafGeomean, qUdtfFlatmap,
-    qJsonExtract, qScalarStr3)
+    qJsonExtract, qScalarStr3, qParseUrl)
 }
