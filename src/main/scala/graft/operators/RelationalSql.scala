@@ -103,7 +103,32 @@ object RelationalSql {
       |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 
+  /** N-ary union (reference StreamExecUnion is n-ary). */
+  val qUnionMulti: Q = sqlQ(
+    "q_union_multi",
+    """SELECT nationkey, count(*) AS cnt FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL SELECT s_nationkey FROM supplier
+      |  UNION ALL SELECT n_nationkey FROM nation
+      |  UNION ALL SELECT r_regionkey FROM region)
+      |GROUP BY nationkey ORDER BY nationkey""".stripMargin)
+
+  /** Window navigation functions: first/last/nth_value + cume_dist
+    * (reference FlinkSqlOperatorTable rank family). */
+  val qOverNavigation: Q = sqlQ(
+    "q_over_navigation",
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+      |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
   val all: Seq[Q] = Seq(
     qHaving, qInSubquery, qNotInSubquery, qAggHavingSubquery, qUnionDistinct,
-    qOverRangeFrame, qCaseSum, qCondRatio, qQ22Shape)
+    qOverRangeFrame, qCaseSum, qCondRatio, qQ22Shape, qUnionMulti, qOverNavigation)
 }
