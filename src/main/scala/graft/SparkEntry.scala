@@ -41,4 +41,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Deliberately-O(n^2) oracle baselines for the banded/bucketed scale
+    * paths. They stay in `queries` (the correctness gate needs them) but the
+    * bench reports them separately — a 100 TB deployment runs the banded
+    * variants (q_simhash_banded, q_cosine_topk_bucketed, q_ann_ivf,
+    * q_ngram_jaccard_capped) instead. */
+  val calibrationQueries: Set[String] =
+    Set("q_cosine_topk", "q_simhash_pairs", "q_ngram_jaccard")
 }

@@ -21,18 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Normalized text + distinct word-3-gram shingles per document. */
-  def shingles(docs: DataFrame): DataFrame = {
+  /** Normalized text + distinct word-3-gram shingles per document.
+    *
+    * `maxDf` caps the document frequency: shingles present in more than
+    * `maxDf` docs are dropped (the "stop-shingle" guard). At 100 TB a single
+    * shingle shared by 1M docs turns the downstream equi-join into a 10^12
+    * pair blowup on one reducer; the cap bounds every shingle's contribution
+    * to maxDf^2 pairs. Costs one extra shuffle by `sh` — which the
+    * downstream join needs anyway, so AQE reuses the partitioning. The
+    * default (no cap) is exact, for oracle baselines. */
+  def shingles(docs: DataFrame, maxDf: Long = Long.MaxValue): DataFrame = {
     val toks = docs.select(
       col("doc_id"),
       split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").as("toks"))
-    toks.select(
+    val base = toks.select(
         col("doc_id"),
         explode(
           when(size(col("toks")) >= 3,
             expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
             .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
       .distinct()
+    if (maxDf == Long.MaxValue) base
+    else base
+      .withColumn("__df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
   }
 
   /** DuckDB fragment producing the identical (doc_id, sh) shingle relation. */
@@ -73,27 +87,60 @@ object DedupOps {
     * oracle. */
   val qNgramJaccard: Q = Q(
     "q_ngram_jaccard",
-    (s, dir) => {
-      import s.implicits._
-      val sh = shingles(Tables.t(s, dir, "documents")).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-        .withColumn("jac", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
-        .filter($"jac" >= 0.5)
-        .select($"doc_a", $"doc_b", $"jac")
-        .orderBy($"doc_a", $"doc_b")
-    },
+    (s, dir) => jaccardPairs(shingles(Tables.t(s, dir, "documents")), 0.5),
     Some(s"""WITH $shinglesSql,
             |sizes AS (SELECT doc_id, count(*) AS n FROM sh_rel GROUP BY 1),
             |inter AS (
             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
             |  FROM sh_rel a JOIN sh_rel b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT doc_a, doc_b,
+            |       round(inter / (sa.n + sb.n - inter), 6) AS jac
+            |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+            |           JOIN sizes sb ON sb.doc_id = doc_b
+            |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** Jaccard pairs over a given shingle relation (shared by the exact and
+    * df-capped variants): |A∩B| via shingle-key equi-join, sizes via one
+    * groupBy — the shuffle key is the shingle, never a cross join. */
+  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val cached = sh.cache()
+    val sizes = cached.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cached.as("a")
+      .join(cached.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** df-cap used by the capped scale-path query and its oracle (must agree). */
+  val CappedMaxDf = 50L
+
+  /** The 100 TB path: n-gram Jaccard over df-capped shingles. Semantics are
+    * Jaccard over the CAPPED sets (sizes counted after the cap), mirrored
+    * exactly in the oracle; the cap bounds any shingle's pair fanout to
+    * CappedMaxDf^2 regardless of corpus size. q_ngram_jaccard (exact, no
+    * cap) remains as the calibration baseline. */
+  val qNgramJaccardCapped: Q = Q(
+    "q_ngram_jaccard_capped",
+    (s, dir) =>
+      jaccardPairs(shingles(Tables.t(s, dir, "documents"), CappedMaxDf), 0.5),
+    Some(s"""WITH $shinglesSql,
+            |sh_cap AS (
+            |  SELECT doc_id, sh FROM (
+            |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh_rel)
+            |  WHERE df <= $CappedMaxDf),
+            |sizes AS (SELECT doc_id, count(*) AS n FROM sh_cap GROUP BY 1),
+            |inter AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            |  FROM sh_cap a JOIN sh_cap b ON a.sh = b.sh AND a.doc_id < b.doc_id
             |  GROUP BY 1, 2)
             |SELECT doc_a, doc_b,
             |       round(inter / (sa.n + sb.n - inter), 6) AS jac
@@ -375,6 +422,6 @@ object DedupOps {
             |FROM documents d LEFT JOIN r ON r.a = d.doc_id
             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash,
-    qSimhashPairs, qSimhashBanded, qDedupClusters)
+  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qNgramJaccardCapped,
+    qMinhashLsh, qSimhash, qSimhashPairs, qSimhashBanded, qDedupClusters)
 }

@@ -1,45 +1,89 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lookup join — per-record point lookup into an external table (reference
   * StreamExecLookupJoin.scala, runtime operators/join/lookup/
   * LookupJoinRunner.java / AsyncLookupJoinRunner.java).
   *
-  * Pattern: mapPartitions with one "connection" opened per partition and
-  * per-partition caching — the shape a JDBC/HTTP/KV lookup needs at scale
-  * (amortized connection cost, bounded concurrent connections = #partitions).
-  * Here the external system is stubbed by a broadcast snapshot of the dim
-  * table; a real deployment swaps `LookupConnection` for a client without
-  * touching the operator plumbing. When the dim table is small and local,
-  * prefer a plain broadcast join (Spark fuses it into the scan stage) — this
-  * operator exists for dims that only offer point reads.
+  * Two shapes, chosen by what the dimension side supports:
+  *
+  *  - Snapshot available (the common case): a plain `broadcast()` left join.
+  *    Catalyst fuses it into the probe side's scan stage — no shuffle, no
+  *    driver materialization (the broadcast is built executor-side from the
+  *    dim scan). This is `q_lookup_join`.
+  *
+  *  - Point reads only (KV store / JDBC / HTTP backends that cannot hand
+  *    over a snapshot): [[lookupJoinPointReads]] — mapPartitions with one
+  *    connection per partition and a bounded LRU cache, so connection count
+  *    = #partitions and memory is capped regardless of dim cardinality.
+  *    Nothing is ever collected to the driver.
   */
 object LookupJoin {
 
-  /** Stub connection: point-lookup API over a snapshot. */
-  final class LookupConnection(snapshot: Map[Long, String]) {
-    var lookups = 0L
-    def get(key: Long): Option[String] = { lookups += 1; snapshot.get(key) }
+  /** Point-read backend SPI — a real deployment implements `get` against
+    * its KV/JDBC/HTTP client; opened once per partition. */
+  trait LookupBackend extends Serializable {
+    def get(key: Long): Option[String]
     def close(): Unit = ()
   }
 
+  /** Bounded LRU over a point-read backend (access-ordered LinkedHashMap). */
+  final class CachedBackend(underlying: LookupBackend, capacity: Int) {
+    var hits = 0L
+    var misses = 0L
+    private val cache =
+      new java.util.LinkedHashMap[Long, Option[String]](capacity, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, Option[String]]): Boolean =
+          size() > capacity
+      }
+    def get(key: Long): Option[String] = {
+      val cached = cache.get(key)
+      if (cached != null) { hits += 1; cached }
+      else {
+        misses += 1
+        val v = underlying.get(key)
+        cache.put(key, v)
+        v
+      }
+    }
+  }
+
+  /** Lookup join against a point-read-only backend: one connection + one
+    * bounded LRU per partition. `backendFactory` runs on the executor (it
+    * must construct the client there — never capture driver-side data). */
+  def lookupJoinPointReads(
+      probe: Dataset[(Long, Long)],
+      backendFactory: () => LookupBackend,
+      cacheCapacity: Int = 10000): Dataset[(Long, Option[String])] = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    probe.mapPartitions { it =>
+      val conn = backendFactory()          // opened once per partition
+      val cached = new CachedBackend(conn, cacheCapacity)
+      new Iterator[(Long, Option[String])] {
+        override def hasNext: Boolean = { val h = it.hasNext; if (!h) conn.close(); h }
+        override def next(): (Long, Option[String]) = {
+          val (eid, key) = it.next(); (eid, cached.get(key))
+        }
+      }
+    }
+  }
+
+  /** Snapshot lookup join: the dim is joined via broadcast — built
+    * executor-side, never materialized on the driver. */
   val qLookupJoin: Q = Q(
     "q_lookup_join",
     (s, dir) => {
       import s.implicits._
-      val dim = Tables.t(s, dir, "customer")
-        .select($"c_custkey", $"c_name").as[(Long, String)]
-        .collect().toMap
-      val dimBc = s.sparkContext.broadcast(dim)
+      val dim = Tables.t(s, dir, "customer").select($"c_custkey", $"c_name")
       Tables.t(s, dir, "events")
-        .select($"event_id", $"user_id").as[(Long, Long)]
-        .mapPartitions { it =>
-          val conn = new LookupConnection(dimBc.value) // opened once per partition
-          it.map { case (eid, uid) => (eid, conn.get(uid).orNull) }
-        }
-        .toDF("event_id", "c_name")
+        .select($"event_id", $"user_id")
+        .join(broadcast(dim), $"user_id" === $"c_custkey", "left")
+        .select($"event_id", $"c_name")
         .orderBy($"event_id")
     },
     Some("""SELECT event_id, c_name

@@ -19,19 +19,19 @@ import org.apache.spark.sql.functions._
 object SkewOps {
 
   /** Equi-join with salted keys: `left` (large, possibly skewed) joins
-    * `right` (small enough to replicate) on `leftKey == rightKey`. */
+    * `right` (small enough to replicate) on `leftKey == rightKey`. The
+    * build-side replication is an explode over a literal 0..salt-1 array —
+    * pure projection, no join node — so the whole plan stays a single
+    * equi-join on (key, salt). */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column, salt: Int): DataFrame = {
     val saltedLeft = left.withColumn("__salt", (rand(seed = 7) * salt).cast("int"))
-    val replicas = right.crossJoin(
-      spark_range_df(right.sparkSession, salt).withColumnRenamed("id", "__salt"))
+    val replicas = right.withColumn("__salt",
+      explode(lit((0 until salt).toArray)))
     saltedLeft.join(replicas,
       leftKey === rightKey && saltedLeft("__salt") === replicas("__salt"))
       .drop("__salt")
   }
-
-  private def spark_range_df(s: org.apache.spark.sql.SparkSession, n: Int) =
-    s.range(n).toDF()
 
   /** Oracle-checked query: salted join of lineitem (probe) with the 25-row
     * nation-keyed customer counts (build), aggregated back — result must be

@@ -97,7 +97,10 @@ object SplitDistinctAggRule extends Rule[LogicalPlan] {
         val gAttrs = gAliases.map(_.toAttribute)
         var pIdx = -1
         val finalAggs: Seq[NamedExpression] = aggExprs.map { ne =>
-          val rewritten = ne.transform {
+          // transformUp: the replacement wraps the merged AggregateExpression
+          // in Cast/Coalesce, and transformDown would descend into that
+          // wrapper and re-match it (double-advancing the partial index)
+          val rewritten = ne.transformUp {
             case e: Expression if grouping.exists(_.semanticEquals(e)) =>
               gAttrs(grouping.indexWhere(_.semanticEquals(e)))
             case ae: AggregateExpression =>
@@ -108,9 +111,25 @@ object SplitDistinctAggRule extends Rule[LogicalPlan] {
               val merged =
                 if (ae.isDistinct) Sum(pAttr)
                 else mergeFn(ae.aggregateFunction, pAttr).get
-              ae.copy(aggregateFunction = merged, isDistinct = false)
+              val mergedAe = ae.copy(aggregateFunction = merged, isDistinct = false)
+              // keep the rewrite type-transparent: Sum over Decimal partials
+              // widens precision again, and Sum of a Count partial is nullable
+              // where Count is not — cast/coalesce back to the original type
+              val typed: Expression =
+                if (mergedAe.dataType == ae.dataType) mergedAe
+                else Cast(mergedAe, ae.dataType)
+              ae.aggregateFunction match {
+                case _: Count => Coalesce(Seq(typed, Literal(0L, ae.dataType)))
+                case _ => typed
+              }
           }
-          rewritten.asInstanceOf[NamedExpression]
+          // a bare grouping attribute at the top level was just replaced by the
+          // fresh __gN attr — alias it back to the original name AND exprId so
+          // parent operators (Sort/Project/Filter) keep resolving
+          rewritten match {
+            case out: NamedExpression if out.exprId == ne.exprId => out
+            case other => Alias(other, ne.name)(exprId = ne.exprId)
+          }
         }
         Aggregate(gAttrs, finalAggs, l1)
     }

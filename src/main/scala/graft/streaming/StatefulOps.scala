@@ -113,7 +113,10 @@ object StatefulOps {
             var total = state.getOption.map(_.total).getOrElse(0.0)
             val outRows = it.toSeq.sortBy(_.event_id).map { e =>
               total += e.value
-              OverOut(e.event_id, key, math.rint(total * 100) / 100)
+              // HALF_UP to match both the oracle's round() and Spark's
+              // (math.rint is half-even and flips .xx5 boundaries)
+              OverOut(e.event_id, key,
+                BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
             }
             state.update(SumState(total))
             outRows.iterator

@@ -42,7 +42,13 @@ object StreamingOps {
   }
 
   /** Run a streaming DataFrame to completion into an in-memory table and
-    * return the materialized result. */
+    * return the materialized result.
+    *
+    * The memory sink APPENDS each batch's rows even in update mode (no
+    * keyed upsert), so an update-mode result is only the final answer when
+    * exactly one data-carrying micro-batch ran. That holds for the
+    * single-file fixtures here; assert it so a future multi-file fixture
+    * (or maxFilesPerTrigger) fails loudly instead of returning stale rows. */
   def runToMemory(spark: SparkSession, stream: DataFrame, mode: String, name: String): DataFrame = {
     val q = stream.writeStream
       .format("memory")
@@ -51,6 +57,12 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (mode == "update") {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"memory sink appends per batch in update mode; query '$name' ran " +
+          s"$dataBatches data batches — upsert by key (UpsertSink) instead")
+    }
     spark.table(name)
   }
 

@@ -24,27 +24,43 @@ object UpsertSink {
     def snapshot(): Map[Seq[Any], Seq[Any]]
   }
 
-  /** In-memory reference store (driver-side; tests + small dims). */
-  final class InMemoryStore extends KeyedStore {
-    private val m = new java.util.concurrent.ConcurrentHashMap[Seq[Any], Seq[Any]]()
-    override def put(key: Seq[Any], row: Seq[Any]): Unit = m.put(key, row)
+  /** In-memory reference store. The handle carries only an id; the backing
+    * map is a JVM-static registry, so `put` from a foreachPartition task
+    * lands in the same table the driver snapshots — the honest local-mode
+    * analogue of executors writing straight to an external KV store. */
+  final class InMemoryStore(
+      id: String = java.util.UUID.randomUUID().toString) extends KeyedStore {
+    override def put(key: Seq[Any], row: Seq[Any]): Unit =
+      InMemoryStore.table(id).put(key, row)
     override def snapshot(): Map[Seq[Any], Seq[Any]] = {
       import scala.jdk.CollectionConverters._
-      m.asScala.toMap
+      InMemoryStore.table(id).asScala.toMap
     }
   }
 
-  /** Attach an upsert-merging foreachBatch to an update-mode streaming DF. */
+  object InMemoryStore {
+    private val stores = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[Seq[Any], Seq[Any]]]()
+    private def table(id: String) =
+      stores.computeIfAbsent(id, _ =>
+        new java.util.concurrent.ConcurrentHashMap[Seq[Any], Seq[Any]]())
+  }
+
+  /** Attach an upsert-merging foreachBatch to an update-mode streaming DF.
+    * Rows are written from the EXECUTORS via foreachPartition — the driver
+    * never sees data, so the sink scales with per-partition churn, not
+    * batch size. The store must accept concurrent puts (external KV stores
+    * do; InMemoryStore uses a concurrent map). */
   def foreachBatchUpsert(df: DataFrame, keyCols: Seq[String], store: KeyedStore)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val cols = df.columns.toSeq
     val keyIdx = keyCols.map(cols.indexOf)
     df.writeStream.outputMode("update").foreachBatch { (batch: DataFrame, _: Long) =>
-      // collect is per-batch UPDATED keys only (update mode), not the full
-      // state — bounded by churn, not table size
-      batch.collect().foreach { r =>
-        val row = r.toSeq
-        store.put(keyIdx.map(row), row)
+      batch.foreachPartition { it: Iterator[Row] =>
+        it.foreach { r =>
+          val row = r.toSeq
+          store.put(keyIdx.map(row), row)
+        }
       }
     }
   }

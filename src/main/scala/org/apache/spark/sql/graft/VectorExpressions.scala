@@ -33,15 +33,22 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // mismatched lengths or null elements yield NULL, matching the oracle's
+  // refusal to produce a value (DuckDB errors on length mismatch) rather
+  // than a silently-truncated similarity
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -58,12 +65,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

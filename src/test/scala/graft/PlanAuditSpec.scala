@@ -44,4 +44,28 @@ class PlanAuditSpec extends GraftSpec {
     val p = phys(operators.Relational.qTopN)
     assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
   }
+
+  test("no unbounded cross/nested-loop join in any scale-path query plan") {
+    // every non-calibration batch query must avoid CartesianProduct and
+    // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
+    // (q_cross_join is a deliberate 5x5 dims cross; the stream queries
+    // can't be explained without starting them.)
+    val exempt = SparkEntry.calibrationQueries ++ Set("q_cross_join")
+    // IVF assignment cross-joins every vector against the CENTROID table —
+    // O(N x #cells) with a constant-size broadcast build side; that
+    // broadcast NLJ is the correct plan, a hash shuffle would be pure cost
+    val broadcastNljOk = Set("q_ann_ivf")
+    val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
+      operators.DedupOps.all ++ operators.SimilarityOps.all ++
+      operators.TextOps.all ++ operators.LookupJoin.all ++
+      operators.SkewOps.all ++ operators.TimeWindows.all)
+      .filterNot(q => exempt.contains(q.name))
+    val offenders = batchQs.flatMap { q =>
+      val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      val bad = p.contains("CartesianProduct") ||
+        (p.contains("BroadcastNestedLoopJoin") && !broadcastNljOk.contains(q.name))
+      if (bad) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"unbounded join shapes in: $offenders")
+  }
 }

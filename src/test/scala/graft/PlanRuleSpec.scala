@@ -48,6 +48,40 @@ class PlanRuleSpec extends GraftSpec {
     assert(got == expected)
   }
 
+  test("rewritten aggregate keeps resolving under parent operators") {
+    import spark.implicits._
+    withRule {
+      // Sort + Project + Filter above the aggregate — each references the
+      // original grouping/aggregate attributes, so the rewrite must keep
+      // their names and exprIds stable
+      val got = Tables.t(spark, sfDir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(countDistinct($"o_custkey").as("n_cust"),
+          round(sum($"o_totalprice"), 2).as("total"))
+        .filter($"n_cust" > 0)
+        .select($"o_orderstatus", $"n_cust", $"total")
+        .orderBy($"o_orderstatus")
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty)
+      val statuses = got.map(_.head.asInstanceOf[String])
+      assert(statuses == statuses.sorted)
+    }
+  }
+
+  test("rewrite is type-transparent (schema matches unrewritten plan)") {
+    import spark.implicits._
+    def q = Tables.t(spark, sfDir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_cust"),
+        count(lit(1)).as("cnt"),
+        sum($"o_totalprice").as("total"))
+    val plainSchema = q.schema
+    val splitSchema = withRule(q.schema)
+    assert(splitSchema.map(f => (f.name, f.dataType)) ==
+      plainSchema.map(f => (f.name, f.dataType)),
+      s"type drift:\n$splitSchema\nvs\n$plainSchema")
+  }
+
   test("rule stays off by default and for unsupported shapes") {
     import spark.implicits._
     SplitDistinctAggRule.install(spark)
