@@ -16,8 +16,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // ms precision keeps the single JSON line compact (98 entries must
-    // survive any line-length cap on the driver side)
-    def fmt(v: Double): String = f"$v%.3f"
+    // survive any line-length cap on the driver side); Locale.ROOT so a
+    // comma-decimal default locale can't corrupt the JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // calibration queries are deliberately-O(n^2) oracle baselines for the
@@ -26,9 +28,12 @@ object Bench {
     val (calib, scale) = results.partition { case (k, _) =>
       SparkEntry.calibrationQueries.contains(k)
     }
-    val total = if (scale.nonEmpty) scale.map(_._2).sum else 0.0
+    // "value" stays the all-queries grand total (round-over-round
+    // comparable); scale_total/calibration_total are the split views
+    val scaleTotal = if (scale.nonEmpty) scale.map(_._2).sum else 0.0
     val calibTotal = if (calib.nonEmpty) calib.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+    println(s"""{"metric":"total","value":${fmt(scaleTotal + calibTotal)},"unit":"sec",""" +
+      s""""scale_total":${fmt(scaleTotal)},""" +
       s""""queries":${obj(scale)},"calibration":${obj(calib)},""" +
       s""""calibration_total":${fmt(calibTotal)},"sf":"$sfDir"}""")
     spark.stop()

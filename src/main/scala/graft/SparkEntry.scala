@@ -25,6 +25,7 @@ object SparkEntry {
       operators.LookupJoin.all ++
       operators.SkewOps.all ++
       cep.CepOps.all ++
+      cep.MatchRecognize.all ++
       streaming.StreamingOps.all ++
       streaming.StatefulOps.all ++
       dsl.DslOps.all

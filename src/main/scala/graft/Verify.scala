@@ -15,8 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // local-iteration filter (driver never sets this): comma-separated names
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // local-iteration filter (driver never sets this): comma-separated names.
+    // Loud + fail-fast so a stray env var can't silently narrow the gate.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val known = names.intersect(SparkEntry.queries.keySet)
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY active — running ${known.size} " +
+        s"of ${SparkEntry.queries.size} queries (filter: ${names.mkString(",")})")
+      require(known.nonEmpty,
+        s"SPARK_GRAFT_ONLY matched zero queries: ${names.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -1,0 +1,227 @@
+package graft.cep
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** MATCH_RECOGNIZE SQL-text surface compiled onto the [[Pattern]] NFA
+  * (reference: flink-table/flink-table-planner-blink/.../physical/stream/
+  * StreamExecMatch.scala:68, which compiles Calcite's MATCH_RECOGNIZE rel
+  * into the CEP NFA; SQL parser surface flink-sql-parser).
+  *
+  * Supported grammar (standard SQL:2016 row pattern recognition subset):
+  * {{{
+  *   PARTITION BY <col> ORDER BY <col>
+  *   MEASURES <m> AS <alias> [, ...]        -- m: S.col | FIRST(S.col)
+  *                                          --    | LAST(S.col) | COUNT(S.*)
+  *   [ONE ROW PER MATCH]
+  *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW]
+  *   PATTERN ( S [+|*|?|{n}|{n,m}] ... )    -- quantifier not on last symbol
+  *   DEFINE S AS <col> <op> <lit> [AND ...] [, ...]
+  * }}}
+  *
+  * Semantics follow the SQL standard: rows are consumed contiguously (strict
+  * contiguity everywhere, including inside quantified symbols), quantifiers
+  * are greedy, undefined symbols match any row, bare `S.col` in MEASURES uses
+  * final-LAST navigation, output is ONE ROW PER MATCH. A quantifier on the
+  * final symbol is rejected (maximal-munch at partition end would need an
+  * end-of-input flush the streaming NFA deliberately does not do).
+  *
+  * Scale: partitions are processed independently after a single hash shuffle
+  * on the partition key; per-partition work is linear in rows × in-flight
+  * runs, same bound as the Pattern NFA.
+  */
+object MatchRecognize {
+
+  private final case class Measure(alias: String, dt: DataType,
+      eval: PMatch[(Long, Row)] => Any)
+
+  private val SpecR =
+    ("(?i)PARTITION BY (\\w+) ORDER BY (\\w+) MEASURES (.+?) " +
+     "(?:ONE ROW PER MATCH )?(?:AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW) )?" +
+     "PATTERN \\( *(.+?) *\\) DEFINE (.+)").r
+  private val MeasureR =
+    "(?i)(?:(FIRST|LAST)\\((\\w+)\\.(\\w+)\\)|COUNT\\((\\w+)\\.\\*\\)|(\\w+)\\.(\\w+)) AS (\\w+)".r
+  private val SymR = "(\\w+)(\\+|\\*|\\?|\\{(\\d+)(?:,(\\d+))?\\})?".r
+  private val TermR = "(\\w+) *(=|<>|!=|<=|>=|<|>) *(.+)".r
+
+  private def compileTerm(t: String, schema: StructType): Row => Boolean = t.trim match {
+    case TermR(col, op, lit0) =>
+      val idx = schema.fieldIndex(col)
+      val lit = lit0.trim
+      if (lit.startsWith("'")) {
+        val v = lit.stripPrefix("'").stripSuffix("'")
+        val cmp: Int => Boolean = opFn(op)
+        r => !r.isNullAt(idx) && cmp(r.get(idx).toString.compareTo(v))
+      } else {
+        val v = lit.toDouble
+        val cmp: Int => Boolean = opFn(op)
+        r => !r.isNullAt(idx) &&
+          cmp(java.lang.Double.compare(r.get(idx).asInstanceOf[Number].doubleValue(), v))
+      }
+    case other => throw new IllegalArgumentException(s"unparseable DEFINE term: $other")
+  }
+
+  private def opFn(op: String): Int => Boolean = op match {
+    case "="          => _ == 0
+    case "<>" | "!=" => _ != 0
+    case "<"          => _ < 0
+    case "<="         => _ <= 0
+    case ">"          => _ > 0
+    case ">="         => _ >= 0
+  }
+
+  private def compileCond(cond: String, schema: StructType): Row => Boolean = {
+    val terms = cond.split("(?i) AND ").map(compileTerm(_, schema))
+    r => terms.forall(_(r))
+  }
+
+  private def sortKey(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case t: java.sql.Timestamp => t.getTime.toDouble
+    case d: java.sql.Date => d.getTime.toDouble
+    case other => throw new IllegalArgumentException(
+      s"ORDER BY column must be numeric or temporal, got: ${other.getClass}")
+  }
+
+  def matchRecognize(df: DataFrame, spec: String): DataFrame = {
+    val schema = df.schema
+    val norm = spec.replaceAll("\\s+", " ").trim
+    val (pCol, oCol, measuresTxt, skipTxt, patTxt, defineTxt) = norm match {
+      case SpecR(p, o, m, sk, pt, d) => (p, o, m, Option(sk), pt, d)
+      case _ => throw new IllegalArgumentException(s"unparseable MATCH_RECOGNIZE spec: $norm")
+    }
+    val pIdx = schema.fieldIndex(pCol)
+    val oIdx = schema.fieldIndex(oCol)
+
+    val defines: Map[String, Row => Boolean] =
+      defineTxt.split(",").map(_.trim).map { d =>
+        val Array(sym, cond) = d.split("(?i) AS ", 2)
+        sym.trim.toUpperCase -> compileCond(cond, schema)
+      }.toMap
+
+    // all-strict steps (SQL rows are contiguous); quantifiers greedy per SQL
+    val symbols = patTxt.split(" ").filter(_.nonEmpty)
+    val steps: Vector[Step[(Long, Row)]] = symbols.toVector.zipWithIndex.map {
+      case (SymR(sym, quant, qn, qm), i) =>
+        val isLast = i == symbols.length - 1
+        if (quant != null && isLast) throw new IllegalArgumentException(
+          s"quantifier on the final pattern symbol ($sym$quant) is not supported")
+        val pred0 = defines.getOrElse(sym.toUpperCase, (_: Row) => true)
+        val pred: ((Long, Row)) => Boolean = e => pred0(e._2)
+        val (min, max) = quant match {
+          case null => (1, 1)
+          case "+"  => (1, Int.MaxValue)
+          case "*"  => (0, Int.MaxValue)
+          case "?"  => (0, 1)
+          case _    =>
+            val lo = qn.toInt
+            (lo, if (qm != null) qm.toInt else lo)
+        }
+        Step[(Long, Row)](sym.toUpperCase, pred, strict = true,
+          minTimes = min, maxTimes = max, innerStrict = true,
+          greedy = quant != null)
+      case (other, _) => throw new IllegalArgumentException(s"bad pattern symbol: $other")
+    }
+    val afterMatch = skipTxt.map(_.toUpperCase) match {
+      case Some("SKIP TO NEXT ROW") => AfterMatch.SkipToNext
+      case _                        => AfterMatch.SkipPastLastEvent
+    }
+    val pattern = Pattern(steps, None, afterMatch)
+
+    val measures: Vector[Measure] = measuresTxt.split(",").map(_.trim).map {
+      case MeasureR(nav, s1, c1, cntSym, s2, c2, alias) =>
+        if (cntSym != null)
+          Measure(alias, LongType,
+            m => m.eventsFor(cntSym.toUpperCase).size.toLong)
+        else {
+          val (sym, col) = if (nav != null) (s1, c1) else (s2, c2)
+          val idx = schema.fieldIndex(col)
+          val first = nav != null && nav.equalsIgnoreCase("FIRST")
+          Measure(alias, schema(idx).dataType, m => {
+            val evs = m.eventsFor(sym.toUpperCase)
+            if (evs.isEmpty) null
+            else if (first) evs.head._2.get(idx)
+            else evs.last._2.get(idx)  // bare S.col = final LAST navigation
+          })
+        }
+      case other => throw new IllegalArgumentException(s"unparseable measure: $other")
+    }.toVector
+
+    val outSchema = StructType(
+      StructField(pCol, schema(pIdx).dataType) +:
+        measures.map(m => StructField(m.alias, m.dt, nullable = true)))
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupByKey(r => String.valueOf(r.get(pIdx)))
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val rows = it.toVector.sortBy(r => sortKey(r.get(oIdx)))
+        val indexed = rows.zipWithIndex.map { case (r, i) => (i.toLong, r) }
+        val partVal = rows.head.get(pIdx)
+        val ord: ((Long, Row)) => Long = _._1
+        Pattern.run[(Long, Row)](pattern, indexed.iterator, ord, ord)
+          .map(m => Row.fromSeq(partVal +: measures.map(_.eval(m))))
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** PATTERN (A B C): three contiguous rows with distinct DEFINE predicates —
+    * the canonical MATCH_RECOGNIZE smoke query. Overlapping candidates are
+    * type-impossible, so the lead()-chain rewrite is an exact oracle. */
+  val qMatchRecognizeSeq: Q = Q(
+    "q_match_recognize_seq",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events").select("user_id", "event_id", "event_type")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES A.event_id AS a_id, B.event_id AS b_id, C.event_id AS c_id
+          |ONE ROW PER MATCH
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (A B C)
+          |DEFINE A AS event_type = 'signup', B AS event_type = 'view',
+          |       C AS event_type = 'purchase'""".stripMargin)
+        .orderBy("user_id", "a_id")
+    },
+    Some("""SELECT user_id, a_id, b_id, c_id FROM (
+           |  SELECT user_id, event_id AS a_id, event_type AS t0,
+           |         lead(event_id) OVER w AS b_id, lead(event_type) OVER w AS t1,
+           |         lead(event_id, 2) OVER w AS c_id, lead(event_type, 2) OVER w AS t2
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |WHERE t0 = 'signup' AND t1 = 'view' AND t2 = 'purchase'
+           |ORDER BY user_id, a_id""".stripMargin))
+
+  /** PATTERN (A+ B): greedy quantifier + FIRST/LAST/COUNT navigation in
+    * MEASURES. Same islands oracle as q_cep_oneormore. */
+  val qMatchRecognizePlus: Q = Q(
+    "q_match_recognize_plus",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events").select("user_id", "event_id", "event_type")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES FIRST(A.event_id) AS a_first, LAST(A.event_id) AS a_last,
+          |         COUNT(A.*) AS n_views, B.event_id AS b_id
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (A+ B)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'purchase'""".stripMargin)
+        .orderBy("user_id", "b_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           |  FROM events),
+           |v AS (
+           |  SELECT user_id, event_id, rn,
+           |         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           |  FROM e WHERE event_type = 'view'),
+           |g AS (
+           |  SELECT user_id, grp, min(event_id) AS a_first, max(event_id) AS a_last,
+           |         max(rn) AS max_rn, count(*) AS n_views
+           |  FROM v GROUP BY user_id, grp)
+           |SELECT p.user_id, g.a_first, g.a_last, g.n_views, p.event_id AS b_id
+           |FROM e p JOIN g ON g.user_id = p.user_id AND g.max_rn = p.rn - 1
+           |WHERE p.event_type = 'purchase'
+           |ORDER BY p.user_id, b_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qMatchRecognizeSeq, qMatchRecognizePlus)
+}

@@ -2,83 +2,291 @@ package graft.cep
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** CEP / MATCH_RECOGNIZE core (reference: flink-libraries/flink-cep/src/main/
   * java/org/apache/flink/cep/pattern/Pattern.java — begin:129, where:156,
-  * next:262, followedBy:291, within:245 — and the NFA in flink-cep/.../nfa/;
-  * SQL surface StreamExecMatch.scala:68).
+  * next:262, followedBy:291, within:245, times:129, oneOrMore:186,
+  * optional:161, notNext:278, notFollowedBy:305, until:221, greedy:173;
+  * quantifiers Quantifier.java; skip strategies nfa/aftermatch/
+  * AfterMatchSkipStrategy.java; SQL surface StreamExecMatch.scala:68).
   *
-  * A deliberately small, Spark-first NFA: patterns are sequences of named,
-  * predicated steps with strict (`next`) or relaxed (`followedBy`) contiguity
-  * and an optional `within` time bound. Execution is per-key over
-  * event-ordered input — `mapGroups`-style in batch, `flatMapGroupsWithState`
-  * in streaming (partial-run state carries across micro-batches). After-match
-  * strategy is SKIP_PAST_LAST_EVENT (the reference default for streams).
+  * A Spark-first NFA: patterns are sequences of named steps, each carrying a
+  * predicate, a contiguity mode (strict `next` / relaxed `followedBy`), a
+  * quantifier (`times`/`oneOrMore`/`timesOrMore`/`optional`), an optional
+  * `until` stop condition, and negative variants (`notNext`/`notFollowedBy`).
+  * Execution is per-key over event-ordered input — `flatMapGroups` in batch,
+  * `flatMapGroupsWithState` in streaming (in-flight runs carry across
+  * micro-batches). After-match strategies: NO_SKIP, SKIP_TO_NEXT,
+  * SKIP_PAST_LAST_EVENT (default), SKIP_TO_FIRST/LAST(name).
   *
-  * Scale: state per key is the set of in-flight partial runs, bounded by
-  * pattern length × (within-window event count); `within` prunes runs so
-  * state cannot grow unboundedly on hot keys.
+  * Scale: state per key is the set of in-flight partial runs, deduplicated
+  * structurally and bounded by pattern length × (within-window event count);
+  * `within` prunes runs so state cannot grow unboundedly on hot keys.
+  *
+  * Documented simplifications vs the reference NFA:
+  *  - relaxed contiguity never skips an event the active step could consume
+  *    (Flink's `followedBy`; `followedByAny`/`allowCombinations` are not
+  *    modeled);
+  *  - `greedy` keeps, per start event, only the longest match completing on a
+  *    given event (Flink restricts greedy similarly and also rejects it on
+  *    the final pattern element — so do we);
+  *  - a negative step must be followed by a positive, non-optional step.
   */
-final case class Step[E](name: String, pred: E => Boolean, strict: Boolean)
+final case class Step[E](
+    name: String,
+    pred: E => Boolean,
+    strict: Boolean,
+    minTimes: Int = 1,
+    maxTimes: Int = 1,
+    innerStrict: Boolean = false,
+    greedy: Boolean = false,
+    until: Option[E => Boolean] = None,
+    negative: Boolean = false)
 
-final case class Pattern[E](steps: Vector[Step[E]], withinUs: Option[Long] = None) {
+sealed trait AfterMatch extends Serializable
+object AfterMatch {
+  case object NoSkip extends AfterMatch
+  case object SkipToNext extends AfterMatch
+  case object SkipPastLastEvent extends AfterMatch
+  final case class SkipToFirst(name: String) extends AfterMatch
+  final case class SkipToLast(name: String) extends AfterMatch
+}
+
+/** A completed match: events in consumption order, labeled with their step. */
+final case class PMatch[E](labeled: Vector[(String, E)], startOrd: Long) {
+  def events: Vector[E] = labeled.map(_._2)
+  def apply(i: Int): E = labeled(i)._2
+  def head: E = labeled.head._2
+  def last: E = labeled.last._2
+  def size: Int = labeled.size
+  def map[B](f: E => B): Vector[B] = events.map(f)
+  def eventsFor(name: String): Vector[E] =
+    labeled.collect { case (n, e) if n == name => e }
+}
+
+final case class Pattern[E](
+    steps: Vector[Step[E]],
+    withinUs: Option[Long] = None,
+    afterMatch: AfterMatch = AfterMatch.SkipPastLastEvent) {
+
+  private def mod(f: Step[E] => Step[E]): Pattern[E] =
+    copy(steps = steps.init :+ f(steps.last))
+
   def next(name: String)(pred: E => Boolean): Pattern[E] =
     copy(steps = steps :+ Step(name, pred, strict = true))
   def followedBy(name: String)(pred: E => Boolean): Pattern[E] =
     copy(steps = steps :+ Step(name, pred, strict = false))
+  /** The event immediately after the previous step must NOT match `pred`. */
+  def notNext(name: String)(pred: E => Boolean): Pattern[E] =
+    copy(steps = steps :+ Step(name, pred, strict = true, negative = true))
+  /** No event between the previous step and the next accepted step may
+    * match `pred` (the run dies if one does). */
+  def notFollowedBy(name: String)(pred: E => Boolean): Pattern[E] =
+    copy(steps = steps :+ Step(name, pred, strict = false, negative = true))
+
+  def times(n: Int): Pattern[E] = mod(_.copy(minTimes = n, maxTimes = n))
+  def times(min: Int, max: Int): Pattern[E] =
+    mod(_.copy(minTimes = min, maxTimes = max))
+  def oneOrMore: Pattern[E] = mod(_.copy(minTimes = 1, maxTimes = Int.MaxValue))
+  def timesOrMore(n: Int): Pattern[E] =
+    mod(_.copy(minTimes = n, maxTimes = Int.MaxValue))
+  def optional: Pattern[E] = mod(_.copy(minTimes = 0))
+  def greedy: Pattern[E] = mod(_.copy(greedy = true))
+  /** Loop iterations must be adjacent (Flink `consecutive()`); default is
+    * relaxed internal contiguity. */
+  def consecutive: Pattern[E] = mod(_.copy(innerStrict = true))
+  /** OR-extend the last step's predicate (Flink `Pattern#or`). */
+  def or(pred2: E => Boolean): Pattern[E] =
+    mod(s => { val p0 = s.pred; s.copy(pred = e => p0(e) || pred2(e)) })
+  /** AND-extend the last step's predicate (Flink `Pattern#where` chaining). */
+  def where(pred2: E => Boolean): Pattern[E] =
+    mod(s => { val p0 = s.pred; s.copy(pred = e => p0(e) && pred2(e)) })
+  /** Stop accepting loop iterations once `pred` matches (Flink `until`). */
+  def until(pred: E => Boolean): Pattern[E] = mod(_.copy(until = Some(pred)))
   def within(us: Long): Pattern[E] = copy(withinUs = Some(us))
+  def afterMatchSkip(s: AfterMatch): Pattern[E] = copy(afterMatch = s)
 }
 
 object Pattern {
   def begin[E](name: String)(pred: E => Boolean): Pattern[E] =
     Pattern(Vector(Step(name, pred, strict = true)))
 
-  /** One NFA transition over a batch of events, starting from carried-over
+  /** An in-flight partial run. `step`/`cnt` = current NFA state (cnt events
+    * consumed by the current step); `gap` = at least one event has passed
+    * un-consumed since the last consume (blocks strict-contiguity takes);
+    * `acc` = consumed events labeled by step index. */
+  final case class Run[E](step: Int, cnt: Int, startOrd: Long, startTs: Long,
+      gap: Boolean, acc: Vector[(Int, E)])
+
+  private def validate[E](p: Pattern[E]): Unit = {
+    require(p.steps.nonEmpty, "empty pattern")
+    require(!p.steps.head.negative, "pattern cannot begin with a negative step")
+    require(!p.steps.last.negative, "pattern cannot end with a negative step")
+    require(!p.steps.last.greedy,
+      "greedy is not applicable to the last element of a pattern")
+    p.steps.zipWithIndex.foreach { case (s, i) =>
+      if (s.negative) {
+        require(s.minTimes == 1 && s.maxTimes == 1,
+          "negative steps cannot be quantified")
+        val n = p.steps(i + 1)
+        require(!n.negative && n.minTimes >= 1,
+          "a negative step must be followed by a positive non-optional step")
+      }
+      require(s.minTimes <= s.maxTimes && s.maxTimes >= 1, s"bad quantifier on ${s.name}")
+    }
+  }
+
+  /** Epsilon closure: states reachable without consuming — advance past steps
+    * whose min count is satisfied. Negative steps block the chain (they are
+    * resolved by events); the terminal state is index == steps.length. */
+  private def closure[E](p: Pattern[E], step: Int, cnt: Int): Vector[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    var i = step; var c = cnt
+    out += ((i, c))
+    while (i < p.steps.length && !p.steps(i).negative && c >= p.steps(i).minTimes) {
+      i += 1; c = 0
+      out += ((i, c))
+    }
+    out.result()
+  }
+
+  private def reachesEnd[E](p: Pattern[E], step: Int, cnt: Int): Boolean =
+    closure(p, step, cnt).last._1 == p.steps.length
+
+  /** Offer event `e` to run `r`: returns (newRun, consumedThisEvent) pairs
+    * for every nondeterministic branch that stays alive. */
+  private def offer[E](p: Pattern[E], r: Run[E], e: E): Vector[(Run[E], Boolean)] = {
+    val len = p.steps.length
+    val out = Vector.newBuilder[(Run[E], Boolean)]
+
+    // consume/survive decision at one positive state
+    def positive(i: Int, c: Int, gap: Boolean, acc: Vector[(Int, E)]): Unit = {
+      val st = p.steps(i)
+      val contiguous = if (c == 0) st.strict else st.innerStrict
+      val takeOk = c < st.maxTimes && (!contiguous || !gap) &&
+        st.until.forall(u => !u(e)) && st.pred(e)
+      if (takeOk)
+        out += ((Run(i, c + 1, r.startOrd, r.startTs, gap = false, acc :+ ((i, e))), true))
+      else if (c < st.maxTimes && !contiguous)
+        out += ((Run(i, c, r.startOrd, r.startTs, gap = true, acc), false))
+      // strict miss (or count exhausted): this branch dies
+    }
+
+    closure(p, r.step, r.cnt).foreach { case (i, c) =>
+      if (i < len) {
+        val st = p.steps(i)
+        if (!st.negative) positive(i, c, r.gap, r.acc)
+        else if (!st.pred(e)) {
+          if (st.strict) {
+            // notNext: only meaningful on the event directly after the
+            // previous consume; once resolved, `e` is offered to the next
+            // step under that step's own contiguity
+            if (!r.gap) positive(i + 1, 0, gap = false, r.acc)
+          } else {
+            // notFollowedBy: keep watching, and `e` may start the next step
+            val nst = p.steps(i + 1)
+            if (nst.until.forall(u => !u(e)) && nst.pred(e))
+              out += ((Run(i + 1, 1, r.startOrd, r.startTs, gap = false,
+                r.acc :+ ((i + 1, e))), true))
+            else
+              out += ((Run(i, 0, r.startOrd, r.startTs, gap = true, r.acc), false))
+          }
+        }
+        // negative predicate matched: branch dies
+      }
+    }
+    out.result()
+  }
+
+  /** One NFA pass over a batch of events, starting from carried-over
     * in-flight runs — the streaming building block (runs persist in
     * GroupState across micro-batches). Returns (matches, surviving runs). */
   def advance[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long,
-      initial: Vector[(Int, Long, Vector[E])])
-      : (Vector[Vector[E]], Vector[(Int, Long, Vector[E])]) = {
-    val out = Vector.newBuilder[Vector[E]]
+      ordOf: E => Long, initial: Vector[Run[E]])
+      : (Vector[PMatch[E]], Vector[Run[E]]) = {
+    validate(p)
+    val matches = Vector.newBuilder[PMatch[E]]
     var runs = initial
+    val anyGreedy = p.steps.exists(_.greedy)
+
     events.foreach { e =>
-      val t = tsOf(e)
-      // prune expired runs
-      runs = runs.filter { case (_, t0, _) =>
-        p.withinUs.forall(w => t - t0 <= w)
+      val t = tsOf(e); val o = ordOf(e)
+      // prune expired runs before processing
+      runs = runs.filter(r => p.withinUs.forall(w => t - r.startTs <= w))
+
+      val produced = Vector.newBuilder[(Run[E], Boolean)]
+      runs.foreach(r => produced ++= offer(p, r, e))
+      // a new run may begin at every event; keep it only if it consumed
+      produced ++= offer(p, Run(0, 0, o, t, gap = false, Vector.empty), e)
+        .filter(_._2)
+
+      val producedV = produced.result()
+      var next = producedV.map(_._1).distinct
+      var completed = producedV.collect {
+        case (r, true) if reachesEnd(p, r.step, r.cnt) =>
+          (r, PMatch(r.acc.map { case (i, ev) => (p.steps(i).name, ev) }, r.startOrd))
+      }.distinctBy(_._2.labeled)
+
+      // greedy: per start event keep only the longest match closing here
+      if (anyGreedy && completed.nonEmpty)
+        completed = completed.groupBy(_._2.startOrd).values
+          .map(_.maxBy(_._2.size)).toVector
+
+      // after-match skip: process completions earliest-start (longest) first
+      val ordered = completed.sortBy { case (_, m) => (m.startOrd, -m.size) }
+      p.afterMatch match {
+        case AfterMatch.NoSkip =>
+          ordered.foreach { case (_, m) => matches += m }
+        case AfterMatch.SkipToNext =>
+          var emittedStarts = Set.empty[Long]
+          ordered.foreach { case (_, m) =>
+            if (!emittedStarts.contains(m.startOrd)) {
+              emittedStarts += m.startOrd
+              matches += m
+            }
+          }
+          next = next.filterNot(r => emittedStarts.contains(r.startOrd))
+        case AfterMatch.SkipPastLastEvent =>
+          ordered.headOption.foreach { case (_, m) =>
+            matches += m
+            next = Vector.empty // all in-flight runs started at or before `e`
+          }
+        case AfterMatch.SkipToFirst(name) =>
+          var bound = Long.MinValue
+          ordered.foreach { case (_, m) =>
+            if (m.startOrd >= bound) {
+              matches += m
+              val named = m.eventsFor(name)
+              if (named.nonEmpty) bound = bound.max(ordOf(named.head))
+            }
+          }
+          if (bound > Long.MinValue) next = next.filter(_.startOrd >= bound)
+        case AfterMatch.SkipToLast(name) =>
+          var bound = Long.MinValue
+          ordered.foreach { case (_, m) =>
+            if (m.startOrd >= bound) {
+              matches += m
+              val named = m.eventsFor(name)
+              if (named.nonEmpty) bound = bound.max(ordOf(named.last))
+            }
+          }
+          if (bound > Long.MinValue) next = next.filter(_.startOrd >= bound)
       }
-      var completed: Option[Vector[E]] = None
-      val advanced = Vector.newBuilder[(Int, Long, Vector[E])]
-      runs.foreach { case (i, t0, acc) =>
-        val step = p.steps(i)
-        if (step.pred(e)) {
-          if (i + 1 == p.steps.length) {
-            if (completed.isEmpty) completed = Some(acc :+ e)
-          } else advanced += ((i + 1, t0, acc :+ e))
-        } else if (!step.strict) advanced += ((i, t0, acc)) // relaxed: skip event
-        // strict miss: run dies
-      }
-      runs = advanced.result()
-      // a new run may begin at every event
-      if (p.steps.head.pred(e)) {
-        if (p.steps.length == 1) { if (completed.isEmpty) completed = Some(Vector(e)) }
-        else runs = runs :+ ((1, t, Vector(e)))
-      }
-      completed.foreach { m =>
-        out += m
-        runs = Vector.empty // SKIP_PAST_LAST_EVENT
-      }
+      runs = next
     }
-    (out.result(), runs)
+    (matches.result(), runs)
   }
 
   /** Run the NFA over one key's events (must be pre-sorted by event time /
-    * order key). Returns completed matches as lists of matched events.
-    * SKIP_PAST_LAST_EVENT: after a match completes, in-flight runs are
-    * discarded and matching restarts after the closing event. */
-  def run[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long): Iterator[Vector[E]] =
-    advance(p, events, tsOf, Vector.empty)._1.iterator
+    * order key). Returns completed matches. */
+  def run[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long,
+      ordOf: E => Long): Iterator[PMatch[E]] =
+    advance(p, events, tsOf, ordOf, Vector.empty)._1.iterator
+
+  /** Convenience overload: the timestamp doubles as the order key (fine when
+    * timestamps are unique per key, as in the specs/fixtures). */
+  def run[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long): Iterator[PMatch[E]] =
+    run(p, events, tsOf, tsOf)
 }
 
 /** CEP queries over the events fixture. */
@@ -86,7 +294,10 @@ object CepOps {
   import graft.streaming.StatefulOps.Ev
 
   case class CepMatch(user_id: Long, a_id: Long, b_id: Long)
-  case class RunsState(runs: List[(Int, Long, List[Long])]) // for streaming carry-over
+  case class CepMatch3(user_id: Long, a1_id: Long, a2_id: Long, b_id: Long)
+  case class CepMatchOpt(user_id: Long, a_id: Long, b_id: Option[Long], c_id: Long)
+  case class CepLoopMatch(user_id: Long, a_first: Long, a_last: Long,
+      b_id: Long, n_views: Long)
 
   private def evSorted(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
@@ -94,6 +305,20 @@ object CepOps {
       .select($"event_id", $"user_id", $"event_type", $"value",
         unix_micros($"ts").as("ts_us"))
       .as[Ev]
+  }
+
+  private def runPat[M <: Product : org.apache.spark.sql.Encoder](
+      s: org.apache.spark.sql.SparkSession, dir: String, pat: Pattern[Ev])(
+      mk: (Long, PMatch[Ev]) => Iterator[M]) = {
+    import s.implicits._
+    evSorted(s, dir)
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+        Pattern.run(pat, it.toSeq.sortBy(_.event_id).iterator,
+            (_: Ev).ts_us, (_: Ev).event_id)
+          .flatMap(m => mk(uid, m))
+      }
+      .toDF()
   }
 
   /** Strict-contiguity two-step pattern, batch: a `view` immediately followed
@@ -106,13 +331,8 @@ object CepOps {
       import s.implicits._
       val pat = Pattern.begin[Ev]("a")(_.event_type == "view")
         .next("b")(_.event_type == "purchase")
-      evSorted(s, dir)
-        .groupByKey(_.user_id)
-        .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
-          Pattern.run(pat, it.toSeq.sortBy(_.event_id).iterator, (_: Ev).ts_us)
-            .map(m => CepMatch(uid, m(0).event_id, m(1).event_id))
-        }
-        .toDF()
+      runPat[CepMatch](s, dir, pat)((uid, m) =>
+        Iterator.single(CepMatch(uid, m(0).event_id, m(1).event_id)))
         .orderBy($"user_id", $"a_id")
     },
     Some("""SELECT user_id, a_id, b_id FROM (
@@ -134,23 +354,163 @@ object CepOps {
       val pat = Pattern.begin[Ev]("a")(_.event_type == "signup")
         .followedBy("b")(_.event_type == "purchase")
         .within(2L * 3600 * 1000000)
-      evSorted(s, dir)
-        .groupByKey(_.user_id)
-        .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
-          Pattern.run(pat, it.toSeq.sortBy(_.event_id).iterator, (_: Ev).ts_us)
-            .map(m => CepMatch(uid, m(0).event_id, m(1).event_id))
-        }
-        .toDF()
+      runPat[CepMatch](s, dir, pat)((uid, m) =>
+        Iterator.single(CepMatch(uid, m(0).event_id, m(1).event_id)))
         .orderBy($"user_id", $"a_id")
     },
     None)
+
+  /** `times(2).consecutive` + strict close: exactly two adjacent views then
+    * an immediate purchase — reference Pattern.times (Pattern.java:129) with
+    * strict internal contiguity (consecutive, Pattern.java:203). Overlapping
+    * candidates are impossible for this shape, so the lead()-chain rewrite is
+    * an exact oracle. */
+  val qCepTimes: Q = Q(
+    "q_cep_times",
+    (s, dir) => {
+      import s.implicits._
+      val pat = Pattern.begin[Ev]("a")(_.event_type == "view")
+        .times(2).consecutive
+        .next("b")(_.event_type == "purchase")
+      runPat[CepMatch3](s, dir, pat) { (uid, m) =>
+        val as = m.eventsFor("a")
+        Iterator.single(CepMatch3(uid, as(0).event_id, as(1).event_id,
+          m.eventsFor("b").head.event_id))
+      }.orderBy($"user_id", $"a1_id")
+    },
+    Some("""SELECT user_id, a1_id, a2_id, b_id FROM (
+           |  SELECT user_id, event_id AS a1_id, event_type AS t0,
+           |         lead(event_id) OVER w AS a2_id, lead(event_type) OVER w AS t1,
+           |         lead(event_id, 2) OVER w AS b_id, lead(event_type, 2) OVER w AS t2
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |WHERE t0 = 'view' AND t1 = 'view' AND t2 = 'purchase'
+           |ORDER BY user_id, a1_id""".stripMargin))
+
+  /** `oneOrMore.consecutive.greedy`: a maximal run of adjacent views closed
+    * by an immediate purchase (reference Pattern.oneOrMore:186 + greedy:173).
+    * Oracle: gaps-and-islands — consecutive view runs whose next row is a
+    * purchase. */
+  val qCepOneOrMore: Q = Q(
+    "q_cep_oneormore",
+    (s, dir) => {
+      import s.implicits._
+      val pat = Pattern.begin[Ev]("a")(_.event_type == "view")
+        .oneOrMore.consecutive.greedy
+        .next("b")(_.event_type == "purchase")
+      runPat[CepLoopMatch](s, dir, pat) { (uid, m) =>
+        val as = m.eventsFor("a")
+        Iterator.single(CepLoopMatch(uid, as.head.event_id, as.last.event_id,
+          m.eventsFor("b").head.event_id, as.size.toLong))
+      }.orderBy($"user_id", $"b_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           |  FROM events),
+           |v AS (
+           |  SELECT user_id, event_id, rn,
+           |         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           |  FROM e WHERE event_type = 'view'),
+           |g AS (
+           |  SELECT user_id, grp, min(event_id) AS a_first, max(event_id) AS a_last,
+           |         max(rn) AS max_rn, count(*) AS n_views
+           |  FROM v GROUP BY user_id, grp)
+           |SELECT p.user_id, g.a_first, g.a_last, p.event_id AS b_id, g.n_views
+           |FROM e p JOIN g ON g.user_id = p.user_id AND g.max_rn = p.rn - 1
+           |WHERE p.event_type = 'purchase'
+           |ORDER BY p.user_id, b_id""".stripMargin))
+
+  /** `optional` quantifier: signup, optionally one view, then an immediate
+    * purchase (A B? C, all strict). */
+  val qCepOptional: Q = Q(
+    "q_cep_optional",
+    (s, dir) => {
+      import s.implicits._
+      val pat = Pattern.begin[Ev]("a")(_.event_type == "signup")
+        .next("b")(_.event_type == "view").optional
+        .next("c")(_.event_type == "purchase")
+      runPat[CepMatchOpt](s, dir, pat) { (uid, m) =>
+        Iterator.single(CepMatchOpt(uid, m.eventsFor("a").head.event_id,
+          m.eventsFor("b").headOption.map(_.event_id),
+          m.eventsFor("c").head.event_id))
+      }.orderBy($"user_id", $"a_id")
+    },
+    Some("""SELECT user_id, a_id,
+           |       CASE WHEN t1 = 'purchase' THEN NULL ELSE n1 END AS b_id,
+           |       CASE WHEN t1 = 'purchase' THEN n1 ELSE n2 END AS c_id
+           |FROM (
+           |  SELECT user_id, event_id AS a_id, event_type AS t0,
+           |         lead(event_id) OVER w AS n1, lead(event_type) OVER w AS t1,
+           |         lead(event_id, 2) OVER w AS n2, lead(event_type, 2) OVER w AS t2
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |WHERE t0 = 'signup'
+           |  AND (t1 = 'purchase' OR (t1 = 'view' AND t2 = 'purchase'))
+           |ORDER BY user_id, a_id""".stripMargin))
+
+  /** `notNext`: signup whose immediately-following event is NOT a view, then
+    * the first later purchase (reference Pattern.notNext:278). NO_SKIP so
+    * every signup is judged independently — which is exactly what the SQL
+    * rewrite computes. */
+  val qCepNotNext: Q = Q(
+    "q_cep_not_next",
+    (s, dir) => {
+      import s.implicits._
+      val pat = Pattern.begin[Ev]("a")(_.event_type == "signup")
+        .notNext("x")(_.event_type == "view")
+        .followedBy("b")(_.event_type == "purchase")
+        .afterMatchSkip(AfterMatch.NoSkip)
+      runPat[CepMatch](s, dir, pat)((uid, m) =>
+        Iterator.single(CepMatch(uid, m.eventsFor("a").head.event_id,
+          m.eventsFor("b").head.event_id)))
+        .orderBy($"user_id", $"a_id")
+    },
+    Some("""SELECT user_id, a_id, b_id FROM (
+           |  SELECT s.user_id, s.a_id,
+           |         (SELECT min(p.event_id) FROM events p
+           |          WHERE p.user_id = s.user_id AND p.event_id > s.a_id
+           |            AND p.event_type = 'purchase') AS b_id
+           |  FROM (
+           |    SELECT user_id, event_id AS a_id, event_type AS t0,
+           |           lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS t1
+           |    FROM events) s
+           |  WHERE s.t0 = 'signup' AND s.t1 IS NOT NULL AND s.t1 <> 'view')
+           |WHERE b_id IS NOT NULL
+           |ORDER BY user_id, a_id""".stripMargin))
+
+  /** `notFollowedBy`: signup then a purchase with NO view in between — the
+    * run dies the moment a view arrives (reference Pattern.notFollowedBy:305).
+    * NO_SKIP: each signup judged independently, matching the SQL rewrite
+    * ("first view-or-purchase after the signup is a purchase"). */
+  val qCepNotFollowed: Q = Q(
+    "q_cep_not_followed",
+    (s, dir) => {
+      import s.implicits._
+      val pat = Pattern.begin[Ev]("a")(_.event_type == "signup")
+        .notFollowedBy("x")(_.event_type == "view")
+        .followedBy("b")(_.event_type == "purchase")
+        .afterMatchSkip(AfterMatch.NoSkip)
+      runPat[CepMatch](s, dir, pat)((uid, m) =>
+        Iterator.single(CepMatch(uid, m.eventsFor("a").head.event_id,
+          m.eventsFor("b").head.event_id)))
+        .orderBy($"user_id", $"a_id")
+    },
+    Some("""SELECT n.user_id, n.a_id, n.nxt AS b_id
+           |FROM (
+           |  SELECT s.user_id, s.event_id AS a_id,
+           |         (SELECT min(e.event_id) FROM events e
+           |          WHERE e.user_id = s.user_id AND e.event_id > s.event_id
+           |            AND e.event_type IN ('view', 'purchase')) AS nxt
+           |  FROM events s WHERE s.event_type = 'signup') n
+           |JOIN events x ON x.user_id = n.user_id AND x.event_id = n.nxt
+           |WHERE x.event_type = 'purchase'
+           |ORDER BY n.user_id, n.a_id""".stripMargin))
 
   /** Streaming CEP: the same NFA with in-flight runs carried across
     * micro-batches in GroupState (reference: the CEP NFA's SharedBuffer
     * state, flink-cep/.../nfa/sharedbuffer/). Events inside a batch are
     * processed in (ts, event_id) order; a partial match started in batch N
     * completes in batch N+k. */
-  def streamingMatches[S](
+  def streamingMatches(
       ds: org.apache.spark.sql.Dataset[Ev],
       pat: Pattern[Ev]): org.apache.spark.sql.Dataset[CepMatch] = {
     val spark = ds.sparkSession
@@ -162,16 +522,18 @@ object CepOps {
         (uid: Long, it: Iterator[Ev],
          state: org.apache.spark.sql.streaming.GroupState[CepRuns]) =>
           val carried = state.getOption.map(_.runs.map {
-            case (i, t0, evs) => (i, t0, evs.toVector)
+            case (i, c, so, t0, g, evs) => Pattern.Run(i, c, so, t0, g, evs.toVector)
           }.toVector).getOrElse(Vector.empty)
           val (matches, runs) = Pattern.advance(
             pat, it.toSeq.sortBy(e => (e.ts_us, e.event_id)).iterator,
-            (_: Ev).ts_us, carried)
-          state.update(CepRuns(runs.map { case (i, t0, evs) => (i, t0, evs.toList) }.toList))
+            (_: Ev).ts_us, (_: Ev).event_id, carried)
+          state.update(CepRuns(runs.map(r =>
+            (r.step, r.cnt, r.startOrd, r.startTs, r.gap, r.acc.toList)).toList))
           matches.map(m => CepMatch(uid, m.head.event_id, m.last.event_id)).iterator
       }
   }
-  case class CepRuns(runs: List[(Int, Long, List[Ev])])
+  case class CepRuns(runs: List[(Int, Int, Long, Long, Boolean, List[(Int, Ev)])])
 
-  val all: Seq[Q] = Seq(qCepNext, qCepFollowedBy)
+  val all: Seq[Q] = Seq(qCepNext, qCepFollowedBy, qCepTimes, qCepOneOrMore,
+    qCepOptional, qCepNotNext, qCepNotFollowed)
 }

@@ -63,13 +63,14 @@ object LookupJoin {
     import spark.implicits._
     probe.mapPartitions { it =>
       val conn = backendFactory()          // opened once per partition
+      // close exactly once at task completion — covers early exit (limit/
+      // take), task failure, and non-idempotent backend close
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; conn.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val cached = new CachedBackend(conn, cacheCapacity)
-      new Iterator[(Long, Option[String])] {
-        override def hasNext: Boolean = { val h = it.hasNext; if (!h) conn.close(); h }
-        override def next(): (Long, Option[String]) = {
-          val (eid, key) = it.next(); (eid, cached.get(key))
-        }
-      }
+      it.map { case (eid, key) => (eid, cached.get(key)) }
     }
   }
 

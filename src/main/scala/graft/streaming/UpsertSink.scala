@@ -36,6 +36,9 @@ object UpsertSink {
       import scala.jdk.CollectionConverters._
       InMemoryStore.table(id).asScala.toMap
     }
+    /** Drop this store's registry entry (the static map otherwise pins it
+      * for the JVM lifetime). Call when the test/query is done. */
+    def close(): Unit = InMemoryStore.stores.remove(id)
   }
 
   object InMemoryStore {
@@ -55,6 +58,16 @@ object UpsertSink {
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val cols = df.columns.toSeq
     val keyIdx = keyCols.map(cols.indexOf)
+    // InMemoryStore's static registry is per-JVM: on a real cluster the
+    // executors' writes would be invisible to the driver's snapshot().
+    // Enforce the local-mode-only contract instead of just documenting it.
+    store match {
+      case _: InMemoryStore =>
+        require(df.sparkSession.sparkContext.master.startsWith("local"),
+          "InMemoryStore is local-mode only: executor JVMs on a cluster " +
+          "would write to registries the driver cannot snapshot")
+      case _ => ()
+    }
     df.writeStream.outputMode("update").foreachBatch { (batch: DataFrame, _: Long) =>
       batch.foreachPartition { it: Iterator[Row] =>
         it.foreach { r =>

@@ -66,3 +66,171 @@ class CepSpec extends GraftSpec {
     assert(nfa == sql)
   }
 }
+
+/** Quantifier / negative-pattern / skip-strategy coverage for the extended
+  * NFA (reference flink-cep Pattern.java:129-305, Quantifier.java,
+  * aftermatch/AfterMatchSkipStrategy.java). */
+class CepQuantifierSpec extends GraftSpec {
+  import graft.cep.{AfterMatch, Pattern}
+  import graft.streaming.StatefulOps.Ev
+
+  private def ev(id: Long, tpe: String): Ev = Ev(id, 1L, tpe, 0.0, id * 1000000)
+  private def ids(m: graft.cep.PMatch[Ev]): Vector[Long] = m.map(_.event_id)
+
+  test("times(n) requires exactly n loop iterations") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").times(2).consecutive
+      .next("b")(_.event_type == "B")
+    val m = Pattern.run(p, Seq(ev(1, "A"), ev(2, "A"), ev(3, "B")).iterator,
+      (_: Ev).ts_us).toList
+    assert(m.map(ids) == List(Vector(1L, 2L, 3L)))
+    // only one A: no match
+    assert(Pattern.run(p, Seq(ev(1, "A"), ev(2, "B")).iterator, (_: Ev).ts_us).isEmpty)
+  }
+
+  test("times(min,max) matches any count in range") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").times(1, 2).consecutive
+      .next("b")(_.event_type == "B")
+    val m2 = Pattern.run(p, Seq(ev(1, "A"), ev(2, "A"), ev(3, "B")).iterator,
+      (_: Ev).ts_us).toList
+    // longest-start-first under SKIP_PAST_LAST: both As consumed
+    assert(m2.map(ids) == List(Vector(1L, 2L, 3L)))
+    val m1 = Pattern.run(p, Seq(ev(1, "A"), ev(2, "B")).iterator, (_: Ev).ts_us).toList
+    assert(m1.map(ids) == List(Vector(1L, 2L)))
+    // three As: only the last two fit max=2 for the earliest surviving run
+    val m3 = Pattern.run(p, Seq(ev(1, "A"), ev(2, "A"), ev(3, "A"), ev(4, "B")).iterator,
+      (_: Ev).ts_us).toList
+    assert(m3.map(ids) == List(Vector(2L, 3L, 4L)))
+  }
+
+  test("oneOrMore greedy takes the maximal consecutive run") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").oneOrMore.consecutive.greedy
+      .next("b")(_.event_type == "B")
+    val m = Pattern.run(p,
+      Seq(ev(1, "A"), ev(2, "A"), ev(3, "A"), ev(4, "B")).iterator, (_: Ev).ts_us).toList
+    assert(m.map(ids) == List(Vector(1L, 2L, 3L, 4L)))
+  }
+
+  test("timesOrMore enforces the minimum") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").timesOrMore(3).consecutive
+      .next("b")(_.event_type == "B")
+    assert(Pattern.run(p, Seq(ev(1, "A"), ev(2, "A"), ev(3, "B")).iterator,
+      (_: Ev).ts_us).isEmpty)
+    val m = Pattern.run(p,
+      Seq(ev(1, "A"), ev(2, "A"), ev(3, "A"), ev(4, "B")).iterator, (_: Ev).ts_us).toList
+    assert(m.map(ids) == List(Vector(1L, 2L, 3L, 4L)))
+  }
+
+  test("optional step may be absent or present") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A")
+      .next("b")(_.event_type == "B").optional
+      .next("c")(_.event_type == "C")
+    val withB = Pattern.run(p, Seq(ev(1, "A"), ev(2, "B"), ev(3, "C")).iterator,
+      (_: Ev).ts_us).toList
+    assert(withB.map(ids) == List(Vector(1L, 2L, 3L)))
+    val withoutB = Pattern.run(p, Seq(ev(1, "A"), ev(2, "C")).iterator,
+      (_: Ev).ts_us).toList
+    assert(withoutB.map(ids) == List(Vector(1L, 2L)))
+    // an intervening non-B non-C kills the strict chain
+    assert(Pattern.run(p, Seq(ev(1, "A"), ev(2, "X"), ev(3, "C")).iterator,
+      (_: Ev).ts_us).isEmpty)
+  }
+
+  test("or() extends the step predicate") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").or(_.event_type == "A2")
+      .next("b")(_.event_type == "B")
+    val m = Pattern.run(p, Seq(ev(1, "A2"), ev(2, "B")).iterator, (_: Ev).ts_us).toList
+    assert(m.map(ids) == List(Vector(1L, 2L)))
+  }
+
+  test("until() stops the loop accepting further events") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").oneOrMore.consecutive
+      .until(_.value > 100)
+      .next("b")(_.event_type == "B")
+    val events = Seq(ev(1, "A"), Ev(2, 1L, "A", 200.0, 2000000), ev(3, "B"))
+    // second A hits until → loop closes at one event; strict next B fails on
+    // the A at t=2 → no match survives
+    assert(Pattern.run(p, events.iterator, (_: Ev).ts_us).isEmpty)
+  }
+
+  test("notNext rejects when the immediate successor matches") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A")
+      .notNext("x")(_.event_type == "X")
+      .followedBy("b")(_.event_type == "B")
+      .afterMatchSkip(AfterMatch.NoSkip)
+    assert(Pattern.run(p, Seq(ev(1, "A"), ev(2, "X"), ev(3, "B")).iterator,
+      (_: Ev).ts_us).isEmpty)
+    val ok = Pattern.run(p, Seq(ev(1, "A"), ev(2, "Y"), ev(3, "B")).iterator,
+      (_: Ev).ts_us).toList
+    assert(ok.map(ids) == List(Vector(1L, 3L)))
+    // the non-X successor may itself be B
+    val direct = Pattern.run(p, Seq(ev(1, "A"), ev(2, "B")).iterator, (_: Ev).ts_us).toList
+    assert(direct.map(ids) == List(Vector(1L, 2L)))
+  }
+
+  test("notFollowedBy kills the run on any intervening match") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A")
+      .notFollowedBy("x")(_.event_type == "X")
+      .followedBy("b")(_.event_type == "B")
+      .afterMatchSkip(AfterMatch.NoSkip)
+    assert(Pattern.run(p, Seq(ev(1, "A"), ev(2, "Y"), ev(3, "X"), ev(4, "B")).iterator,
+      (_: Ev).ts_us).isEmpty)
+    val ok = Pattern.run(p, Seq(ev(1, "A"), ev(2, "Y"), ev(3, "B")).iterator,
+      (_: Ev).ts_us).toList
+    assert(ok.map(ids) == List(Vector(1L, 3L)))
+  }
+
+  test("NO_SKIP emits overlapping matches; SKIP_TO_NEXT dedupes per start") {
+    val base = Pattern.begin[Ev]("a")(_.event_type == "A")
+      .followedBy("b")(_.event_type == "B")
+    // A1 A2 B: NoSkip → (A1,B) and (A2,B); SkipToNext → both too (distinct
+    // starts); SkipPastLast → only (A1,B)
+    val events = Seq(ev(1, "A"), ev(2, "A"), ev(3, "B"))
+    val noSkip = Pattern.run(base.afterMatchSkip(AfterMatch.NoSkip),
+      events.iterator, (_: Ev).ts_us).toList
+    assert(noSkip.map(ids).toSet == Set(Vector(1L, 3L), Vector(2L, 3L)))
+    val toNext = Pattern.run(base.afterMatchSkip(AfterMatch.SkipToNext),
+      events.iterator, (_: Ev).ts_us).toList
+    assert(toNext.map(ids).toSet == Set(Vector(1L, 3L), Vector(2L, 3L)))
+    val pastLast = Pattern.run(base, events.iterator, (_: Ev).ts_us).toList
+    assert(pastLast.map(ids) == List(Vector(1L, 3L)))
+  }
+
+  test("SKIP_TO_FIRST resumes at the first event of the named step") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").oneOrMore.consecutive
+      .next("b")(_.event_type == "B")
+      .afterMatchSkip(AfterMatch.SkipToFirst("b"))
+    // A A B: emit the (A,A,B) match; runs started before B are pruned
+    val m = Pattern.run(p, Seq(ev(1, "A"), ev(2, "A"), ev(3, "B")).iterator,
+      (_: Ev).ts_us).toList
+    assert(m.nonEmpty && m.head.eventsFor("b").map(_.event_id) == Vector(3L))
+  }
+
+  test("greedy on the last pattern element is rejected") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").oneOrMore.greedy
+    intercept[IllegalArgumentException] {
+      Pattern.run(p, Seq(ev(1, "A")).iterator, (_: Ev).ts_us).toList
+    }
+  }
+
+  test("streaming carry-over preserves quantified runs across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val pat = Pattern.begin[Ev]("a")(_.event_type == "A").times(2).consecutive
+      .next("b")(_.event_type == "B")
+    val q = graft.cep.CepOps.streamingMatches(mem.toDS(), pat)
+      .writeStream.format("memory").queryName("cep_quant_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, "A"))           // batch 1: partial run (1 of 2 As)
+      q.processAllAvailable()
+      mem.addData(ev(2, "A"))           // batch 2: run advances to 2 As
+      q.processAllAvailable()
+      mem.addData(ev(3, "B"))           // batch 3: completes
+      q.processAllAvailable()
+      val rows = spark.table("cep_quant_stream").collect().map(_.toSeq).toList
+      assert(rows == List(Seq(1L, 1L, 3L)))
+    } finally q.stop()
+  }
+}
