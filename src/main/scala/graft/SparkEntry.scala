@@ -24,9 +24,11 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.LookupJoin.all ++
       operators.SkewOps.all ++
+      operators.TriggerWindows.all ++
       cep.CepOps.all ++
       cep.MatchRecognize.all ++
       streaming.StreamingOps.all ++
+      streaming.ChangelogJoin.all ++
       streaming.StatefulOps.all ++
       dsl.DslOps.all
 

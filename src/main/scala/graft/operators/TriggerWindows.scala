@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Custom window triggers + evictors — reference flink-streaming-java/.../api/
+  * windowing/triggers/ (CountTrigger.java, DeltaTrigger.java,
+  * PurgingTrigger.java) and evictors/ (CountEvictor.java, DeltaEvictor.java,
+  * TimeEvictor.java), driving a GlobalWindows-style keyed buffer exactly like
+  * the reference's WindowOperator with a custom trigger.
+  *
+  * The op is one flatMapGroupsWithState (works identically in batch and
+  * micro-batch streaming): per key it buffers elements, consults the trigger
+  * on each element, applies the evictor at fire time, and emits one row per
+  * firing. Flink's sliding count window IS this composition —
+  * `countWindow(size, slide)` = GlobalWindows + CountTrigger(slide) +
+  * CountEvictor(size) (flink-streaming-java KeyedStream.countWindow) — so
+  * [[countWindow]] below is the verbatim mapping.
+  *
+  * Scale: per-key state is the element buffer, bounded by
+  * (evictor size + trigger period) after each fire — the same bound the
+  * reference's evicting window state has. Keys shuffle once; no other
+  * exchange.
+  */
+object TriggerWindows {
+
+  sealed trait TriggerResult
+  object TriggerResult {
+    case object Continue extends TriggerResult
+    case object Fire extends TriggerResult
+    case object FireAndPurge extends TriggerResult
+    case object Purge extends TriggerResult
+  }
+
+  /** Decides, per element, whether the window fires. `sinceFire` counts
+    * elements since the last firing; `lastFired` is the element that caused
+    * it (the DeltaTrigger datum). */
+  trait Trigger[E] extends Serializable {
+    def onElement(e: E, sinceFire: Long, lastFired: Option[E]): TriggerResult
+  }
+
+  /** Fire every `n` elements (reference CountTrigger.java:36). */
+  final case class CountTrigger[E](n: Long) extends Trigger[E] {
+    override def onElement(e: E, sinceFire: Long, lastFired: Option[E]): TriggerResult =
+      if (sinceFire >= n) TriggerResult.Fire else TriggerResult.Continue
+  }
+
+  /** Fire when `delta(lastFired, current) > threshold` (reference
+    * DeltaTrigger.java:40); the first element always fires to seed the
+    * datum, matching the reference's null-state behavior. */
+  final case class DeltaTrigger[E](threshold: Double, delta: (E, E) => Double)
+      extends Trigger[E] {
+    override def onElement(e: E, sinceFire: Long, lastFired: Option[E]): TriggerResult =
+      lastFired match {
+        case Some(lf) =>
+          if (delta(lf, e) > threshold) TriggerResult.Fire else TriggerResult.Continue
+        case None => TriggerResult.Fire
+      }
+  }
+
+  /** Wrap a trigger so every FIRE purges the window (reference
+    * PurgingTrigger.java:33). */
+  final case class PurgingTrigger[E](inner: Trigger[E]) extends Trigger[E] {
+    override def onElement(e: E, sinceFire: Long, lastFired: Option[E]): TriggerResult =
+      inner.onElement(e, sinceFire, lastFired) match {
+        case TriggerResult.Fire => TriggerResult.FireAndPurge
+        case r => r
+      }
+  }
+
+  /** Trims the buffer before emission (reference Evictor.java evictBefore). */
+  trait Evictor[E] extends Serializable {
+    def evict(buffer: Seq[E]): Seq[E]
+  }
+
+  /** Keep the newest `keep` elements (reference CountEvictor.java:48). */
+  final case class CountEvictor[E](keep: Int) extends Evictor[E] {
+    override def evict(buffer: Seq[E]): Seq[E] = buffer.takeRight(keep)
+  }
+
+  /** Keep elements within `spanMs` of the newest (reference
+    * TimeEvictor.java:51). */
+  final case class TimeEvictor[E](spanMs: Long, tsOf: E => Long) extends Evictor[E] {
+    override def evict(buffer: Seq[E]): Seq[E] = {
+      if (buffer.isEmpty) buffer
+      else {
+        val maxTs = buffer.map(tsOf).max
+        buffer.filter(e => tsOf(e) >= maxTs - spanMs)
+      }
+    }
+  }
+
+  /** Drop elements whose delta to the newest exceeds `threshold` (reference
+    * DeltaEvictor.java:47). */
+  final case class DeltaEvictor[E](threshold: Double, delta: (E, E) => Double)
+      extends Evictor[E] {
+    override def evict(buffer: Seq[E]): Seq[E] =
+      buffer.lastOption.fold(buffer)(newest =>
+        buffer.filter(e => delta(e, newest) < threshold))
+  }
+
+  final case class WinState[E](buf: List[E], sinceFire: Long, total: Long,
+      lastFired: Option[E])
+
+  /** The windowing operator: keyed global window + trigger (+ evictor).
+    * `emit(key, windowElements, totalSeen)` builds one output row per fire.
+    * Elements are processed in `orderOf` order within each invocation. */
+  def triggeredWindow[K, E, O](ds: Dataset[E])(keyOf: E => K, orderOf: E => Long)(
+      trigger: Trigger[E], evictor: Option[Evictor[E]])(
+      emit: (K, Seq[E], Long) => O)(
+      implicit ek: Encoder[K], es: Encoder[WinState[E]], eo: Encoder[O]): Dataset[O] =
+    ds.groupByKey(keyOf)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[E],
+         state: org.apache.spark.sql.streaming.GroupState[WinState[E]]) =>
+          var st = state.getOption.getOrElse(WinState[E](Nil, 0L, 0L, None))
+          val out = Seq.newBuilder[O]
+          it.toSeq.sortBy(orderOf).foreach { e =>
+            // buffer is kept reversed (prepend); restored to arrival order
+            // at fire time
+            var buf = e :: st.buf
+            var since = st.sinceFire + 1
+            val total = st.total + 1
+            var lastFired = st.lastFired
+            trigger.onElement(e, since, lastFired) match {
+              case TriggerResult.Continue => ()
+              case TriggerResult.Fire =>
+                val window = evictor.fold(buf.reverse: Seq[E])(_.evict(buf.reverse))
+                out += emit(key, window, total)
+                // state keeps only the evicted window — the bounded-buffer
+                // invariant that makes count-sliding windows O(size) state
+                buf = window.reverse.toList
+                since = 0L
+                lastFired = Some(e)
+              case TriggerResult.FireAndPurge =>
+                val window = evictor.fold(buf.reverse: Seq[E])(_.evict(buf.reverse))
+                out += emit(key, window, total)
+                buf = Nil
+                since = 0L
+                lastFired = Some(e)
+              case TriggerResult.Purge =>
+                buf = Nil
+                since = 0L
+            }
+            st = WinState(buf, since, total, lastFired)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+
+  /** Flink's `countWindow(size, slide)` — sliding count window (reference
+    * KeyedStream.java countWindow → GlobalWindows + CountTrigger(slide) +
+    * CountEvictor(size), also CountSlidingWindowAssigner in the blink
+    * runtime). */
+  def countWindow[K, E, O](ds: Dataset[E])(keyOf: E => K, orderOf: E => Long)(
+      size: Int, slide: Int)(emit: (K, Seq[E], Long) => O)(
+      implicit ek: Encoder[K], es: Encoder[WinState[E]], eo: Encoder[O]): Dataset[O] =
+    triggeredWindow(ds)(keyOf, orderOf)(
+      CountTrigger[E](slide), Some(CountEvictor[E](size)))(emit)
+
+  // ---- oracle query
+
+  case class EvRow(event_id: Long, user_id: Long, value: Double)
+  case class CountWinOut(user_id: Long, fire_at: Long, avg10: Double)
+
+  /** Sliding count window per user: every 5th event, average of the last 10
+    * — CountTrigger(5) + CountEvictor(10). The oracle is the ROWS-frame
+    * window average sampled at every 5th row. */
+  val qCountTriggerWindow: Q = Q(
+    "q_count_trigger_window",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value").as[EvRow]
+      countWindow[Long, EvRow, CountWinOut](ev)(_.user_id, _.event_id)(10, 5) {
+        (uid, window, total) =>
+          val avg = window.map(_.value).sum / window.size
+          CountWinOut(uid, total,
+            BigDecimal(avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF().orderBy($"user_id", $"fire_at")
+    },
+    Some("""SELECT user_id, rn AS fire_at,
+           |       round(avg(value) OVER (PARTITION BY user_id ORDER BY rn
+           |         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS avg10
+           |FROM (SELECT user_id, value,
+           |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           |      FROM events)
+           |QUALIFY rn % 5 = 0
+           |ORDER BY user_id, fire_at""".stripMargin))
+
+  // ---- dynamic-gap session windows
+
+  case class SessEv(user_id: Long, ts_us: Long, value: Double, gap_us: Long)
+  case class SessOut(sess_start: Long, user_id: Long, cnt: Long, total: Double)
+
+  /** Dynamic-gap session windows — reference
+    * DynamicEventTimeSessionWindows.java:43 (per-element
+    * SessionWindowTimeGapExtractor): each element extends its session by its
+    * OWN gap (here: purchases keep sessions alive 30 min, everything else
+    * 10 min). A new session starts when an element's ts reaches the running
+    * max session end. Oracle: cumulative-max gaps-and-islands. */
+  val qSessionDynamic: Q = Q(
+    "q_session_dynamic",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.t(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"value",
+          when($"event_type" === "purchase", 30L * 60 * 1000000)
+            .otherwise(10L * 60 * 1000000).as("gap_us"))
+        .as[SessEv]
+      ev.groupByKey(_.user_id)
+        .flatMapGroups { (uid: Long, it: Iterator[SessEv]) =>
+          val sorted = it.toSeq.sortBy(_.ts_us)
+          val out = Seq.newBuilder[SessOut]
+          var curEnd = Long.MinValue
+          var start = 0L; var cnt = 0L; var total = 0.0
+          def close(): Unit = if (cnt > 0) {
+            out += SessOut(start / 1000000, uid, cnt,
+              BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          sorted.foreach { e =>
+            if (e.ts_us >= curEnd) { // window end is exclusive
+              close()
+              start = e.ts_us; cnt = 0L; total = 0.0
+              curEnd = Long.MinValue
+            }
+            cnt += 1
+            total += e.value
+            curEnd = math.max(curEnd, e.ts_us + e.gap_us)
+          }
+          close()
+          out.result().iterator
+        }
+        .toDF().orderBy($"user_id", $"sess_start")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, ts, value,
+           |         CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+           |              ELSE INTERVAL 10 MINUTE END AS gap
+           |  FROM events),
+           |b AS (
+           |  SELECT user_id, ts, value,
+           |         CASE WHEN max(ts + gap) OVER w IS NULL
+           |              OR max(ts + gap) OVER w <= ts THEN 1 ELSE 0 END AS brk
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |s AS (
+           |  SELECT user_id, ts, value,
+           |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                        ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM b)
+           |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start, user_id,
+           |       count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM s GROUP BY user_id, sid
+           |ORDER BY user_id, sess_start""".stripMargin))
+
+  val all: Seq[Q] = Seq(qCountTriggerWindow, qSessionDynamic)
+}

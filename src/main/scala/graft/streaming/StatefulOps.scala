@@ -238,22 +238,28 @@ object StatefulOps {
   /** Temporal (event-time) sort — reference StreamExecTemporalSort.scala /
     * RowTimeSortOperator.java: buffer per key, release rows in ts order once
     * the watermark has passed them. Input must carry a watermark on `ts`
-    * (withWatermark upstream); append mode. State is pruned to the
-    * not-yet-releasable suffix each batch. */
+    * (withWatermark upstream); append mode.
+    *
+    * Built on [[TimerOps.processWithTimers]]: each buffered row registers an
+    * event-time timer at its own timestamp (exactly the reference operator's
+    * registerEventTimeTimer in RowTimeSortOperator.java:88), so buffered
+    * rows are released when the WATERMARK passes them — even if this key
+    * never receives another row (the NoTimeout version only released on new
+    * per-key data). Timers fire in timestamp order, so so does the output. */
   def temporalSort(ds: org.apache.spark.sql.Dataset[EvT]): org.apache.spark.sql.Dataset[EvT] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, it: Iterator[EvT], state: GroupState[SortBuf]) =>
-          val buf = state.getOption.map(_.evs).getOrElse(Nil) ++ it
-          val wmMs = state.getCurrentWatermarkMs()
-          val (ready, rest) = buf
-            .sortBy(e => (e.ts.getTime, e.event_id))
-            .partition(_.ts.getTime <= wmMs)
-          state.update(SortBuf(rest))
-          ready.iterator
-      }
+    TimerOps.processWithTimers[Long, EvT, SortBuf, EvT](ds)(_.user_id, _.event_id)(
+      onElement = (_, e, st, ctx) => {
+        ctx.registerTimer(e.ts.getTime)
+        (Some(SortBuf(e :: st.map(_.evs).getOrElse(Nil))), Nil)
+      },
+      onTimer = (_, t, st, _) => {
+        val buf = st.map(_.evs).getOrElse(Nil)
+        val (ready, rest) = buf.partition(_.ts.getTime <= t)
+        (if (rest.isEmpty) None else Some(SortBuf(rest)),
+          ready.sortBy(e => (e.ts.getTime, e.event_id)))
+      })
   }
 
   case class SeenAt(firstTsMs: Long)
@@ -261,33 +267,26 @@ object StatefulOps {
   /** Keyed dedup with event-time TTL — reference StateTtlConfig.java:51 +
     * DeduplicateKeepFirstRowFunction: a key's dedup state expires `ttlMs`
     * after its first event (event time, driven by the watermark), after
-    * which the key may be emitted again. State cleanup via EventTimeTimeout
-    * — the Spark analogue of Flink's timer-based TTL cleanup. */
+    * which the key may be emitted again.
+    *
+    * Built on [[TimerOps.processWithTimers]]: the TTL is an event-time timer
+    * that clears the seen-marker when it fires. Because due timers fire
+    * BEFORE the batch's elements, a key that reappears in the same batch the
+    * watermark passed its expiry is correctly re-admitted — the inline
+    * expiry check the NoTimeout version needed is gone. */
   def dedupFirstWithTtl(ds: org.apache.spark.sql.Dataset[EvT], ttlMs: Long)
       : org.apache.spark.sql.Dataset[EvT] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: Long, it: Iterator[EvT], state: GroupState[SeenAt]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // a group that receives data never gets a separate timeout
-            // invocation — apply watermark-based expiry inline too
-            if (state.exists &&
-              state.get.firstTsMs + ttlMs <= state.getCurrentWatermarkMs())
-              state.remove()
-            val first = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).headOption
-            if (state.exists) Iterator.empty
-            else first match {
-              case Some(e) =>
-                state.update(SeenAt(e.ts.getTime))
-                state.setTimeoutTimestamp(e.ts.getTime + ttlMs)
-                Iterator.single(e)
-              case None => Iterator.empty
-            }
-          }
-      }
+    TimerOps.processWithTimers[Long, EvT, SeenAt, EvT](ds)(
+      _.user_id, e => e.ts.getTime * 1000000 + e.event_id)(
+      onElement = (_, e, st, ctx) => st match {
+        case Some(_) => (st, Nil) // within TTL: suppress
+        case None =>
+          ctx.registerTimer(e.ts.getTime + ttlMs)
+          (Some(SeenAt(e.ts.getTime)), Seq(e))
+      },
+      onTimer = (_, _, _, _) => (None, Nil)) // TTL expired: forget the key
   }
 
   val all: Seq[Q] = Seq(
