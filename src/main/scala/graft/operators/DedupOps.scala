@@ -373,20 +373,23 @@ object DedupOps {
         .cache()
       val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
       val labels0 = docs.select($"doc_id".as("node"), $"doc_id".as("label"))
-      // labels only decrease, so an unchanged label-sum is an exact fixpoint
-      // test (one cheap scalar agg per round vs. 10 blind join rounds)
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(sum($"label")).collect().head.getLong(0)
-      // checkpoint every round: keeps lineage flat so the convergence sums
-      // don't recompute the whole chain
-      val labels = graft.operators.IterateOps.iterate(labels0, maxIter = 20,
-        checkpointEvery = 1)(
-        step = { ls =>
-          val viaEdge = sym.join(ls.withColumnRenamed("node", "src2"), $"src" === $"src2")
-            .select($"dst".as("node"), $"label")
-          ls.union(viaEdge).groupBy($"node").agg(min($"label").as("label"))
-        },
-        converged = (prev, next) => labelSum(prev) == labelSum(next))
+      // Delta (workset) iteration — reference DataSet.iterateDelta:1179:
+      // each round propagates labels only FROM nodes that just improved
+      // (the frontier), updates only nodes that improve, and terminates on
+      // an empty frontier. vs the bulk version: per-round work is
+      // O(frontier ⋈ edges) not O(all nodes ⋈ edges), and convergence falls
+      // out of the workset — no label-sum fixpoint probes.
+      val labels = graft.operators.IterateOps.iterateDelta(
+        labels0, labels0, Seq("node"), maxIter = 20) { (solution, workset) =>
+        val cand = sym
+          .join(workset.withColumnRenamed("node", "src2"), $"src" === $"src2")
+          .select($"dst".as("node"), $"label")
+          .groupBy($"node").agg(min($"label").as("cand"))
+        val delta = cand.join(solution, "node")
+          .where($"cand" < $"label")
+          .select($"node", $"cand".as("label"))
+        (delta, delta)
+      }
       labels.select($"node".as("doc_id"), $"label".as("cluster"),
           ($"node" === $"label").as("is_keeper"))
         .orderBy($"doc_id")

@@ -74,6 +74,27 @@ object LookupJoin {
     }
   }
 
+  /** JDBC-connector-shaped point-read backend over a local key,value CSV —
+    * the zero-egress stand-in for the reference's JDBC lookup source
+    * (flink-connectors/flink-connector-jdbc/.../JdbcRowDataLookupFunction
+    * .java: open a connection per task, point-SELECT per key, LRU cache).
+    * `open` loads the file executor-side (the embedded-table case); a real
+    * JDBC backend implements the same two methods with a Connection +
+    * PreparedStatement and changes nothing else in [[lookupJoinPointReads]]. */
+  final class CsvFileBackend(path: String) extends LookupBackend {
+    @transient private lazy val table: Map[Long, String] = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().map { line =>
+        val Array(k, v) = line.split(",", 2)
+        k.trim.toLong -> v
+      }.toMap
+      finally src.close()
+    }
+    @volatile var closed = false
+    override def get(key: Long): Option[String] = table.get(key)
+    override def close(): Unit = closed = true
+  }
+
   /** Snapshot lookup join: the dim is joined via broadcast — built
     * executor-side, never materialized on the driver. */
   val qLookupJoin: Q = Q(
