@@ -44,5 +44,62 @@ object DslOps {
            |       count(*) AS cnt, round(sum(value), 2) AS total
            |FROM events GROUP BY 1, 2 ORDER BY user_id, tag""".stripMargin))
 
-  val all: Seq[Q] = Seq(qDslWordcount, qDslSplitUnion)
+  /** connect + keyed CoProcessFunction (reference DataStream#connect:236,
+    * CoProcessFunction.java): signups and purchases as two typed inputs
+    * sharing per-user state (last signup value); purchases emit enriched.
+    * Same semantics as the as-of join — which is the SQL oracle. */
+  val qCoprocessEnrich: Q = Q(
+    "q_coprocess_enrich",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          unix_micros($"ts").as("ts_us"))
+        .as[(Long, Long, String, Double, Long)]
+      val signups = GraftStream(ev.filter(_._3 == "signup"))
+      val purchases = GraftStream(ev.filter(_._3 == "purchase"))
+      // signup-before-purchase on ties: order key doubles ts and uses the
+      // low bit for input side, mirroring the as-of (<=) tie-break
+      signups.connect(purchases)
+        .keyedCoProcess[Long, Double, (Long, Option[Double])](
+          _._2, _._2, a => a._5 * 2, b => b._5 * 2 + 1)(
+          onLeft = (_, a, _) => (Some(a._4), Nil),
+          onRight = (_, b, st) => (st, Seq((b._1, st))))
+        .toDF("event_id", "last_signup_value")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT a.event_id,
+           |  (SELECT arg_max(b.value, b.event_id)
+           |   FROM events b
+           |   WHERE b.user_id = a.user_id AND b.event_type = 'signup'
+           |     AND b.ts <= a.ts) AS last_signup_value
+           |FROM events a WHERE a.event_type = 'purchase'
+           |ORDER BY a.event_id""".stripMargin))
+
+  /** partitionCustom (reference DataStream#partitionCustom:412): rows are
+    * physically placed on the partition the user function names; the oracle
+    * checks the observed per-partition counts equal the function's own
+    * distribution — proof the placement was honored. */
+  val qPartitionCustom: Q = Q(
+    "q_partition_custom",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.t(s, dir, "events")
+        .select($"user_id").as[Long]
+      GraftStream(ev)
+        .partitionCustom(8, u => (u % 8).toInt)
+        .ds.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          it.map(_ => pid)
+        }
+        .toDF("pid")
+        .groupBy($"pid").agg(count(lit(1)).as("cnt"))
+        .select($"pid".cast("int").as("pid"), $"cnt")
+        .orderBy($"pid")
+    },
+    Some("""SELECT CAST(user_id % 8 AS INTEGER) AS pid, count(*) AS cnt
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(qDslWordcount, qDslSplitUnion, qCoprocessEnrich,
+    qPartitionCustom)
 }

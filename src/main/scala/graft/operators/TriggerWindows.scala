@@ -190,6 +190,53 @@ object TriggerWindows {
            |QUALIFY rn % 5 = 0
            |ORDER BY user_id, fire_at""".stripMargin))
 
+  // ---- continuous event-time trigger (early fire)
+
+  case class CetWin(start: Long, cnt: Long, total: Double)
+  case class CetState(wins: List[CetWin])
+  case class CetOut(key: Long, window_start: Long, cnt: Long, total: Double,
+      is_final: Boolean)
+
+  /** ContinuousEventTimeTrigger (reference ContinuousEventTimeTrigger.java:
+    * 39): an accumulating tumbling event-time window that ALSO fires every
+    * `intervalMs` of event time as the watermark advances — partial results
+    * before the window's final fire (the early-fire half of the reference's
+    * early/late firing support, SURVEY §2.1). Built on the multi-timer
+    * service: every window registers its end timer; interval boundaries
+    * re-register themselves while any window is live. Emits
+    * (key, window_start, agg, is_final); the window's state is purged on
+    * its final fire. */
+  def continuousEventTimeWindow(
+      ds: Dataset[graft.streaming.StatefulOps.EvT],
+      windowMs: Long, intervalMs: Long): Dataset[CetOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    graft.streaming.TimerOps.processWithTimers[Long,
+        graft.streaming.StatefulOps.EvT, CetState, CetOut](ds)(
+      _.user_id, _.event_id)(
+      onElement = (_, e, st, ctx) => {
+        val ts = e.ts.getTime
+        val ws = ts - java.lang.Math.floorMod(ts, windowMs)
+        val wins = st.map(_.wins).getOrElse(Nil)
+        val cur = wins.find(_.start == ws).getOrElse(CetWin(ws, 0L, 0.0))
+        val upd = CetWin(ws, cur.cnt + 1, cur.total + e.value)
+        ctx.registerTimer(ws + windowMs) // final fire
+        val nextBoundary = ts - java.lang.Math.floorMod(ts, intervalMs) + intervalMs
+        if (nextBoundary < ws + windowMs) ctx.registerTimer(nextBoundary)
+        (Some(CetState(upd :: wins.filterNot(_.start == ws))), Nil)
+      },
+      onTimer = (k, t, st, ctx) => {
+        val wins = st.map(_.wins).getOrElse(Nil)
+        val (closed, live) = wins.partition(w => w.start + windowMs <= t)
+        val finals = closed.sortBy(_.start)
+          .map(w => CetOut(k, w.start / 1000, w.cnt, w.total, is_final = true))
+        val partials = live.filter(_.start <= t).sortBy(_.start)
+          .map(w => CetOut(k, w.start / 1000, w.cnt, w.total, is_final = false))
+        if (live.nonEmpty) ctx.registerTimer(t + intervalMs)
+        (if (live.isEmpty) None else Some(CetState(live)), finals ++ partials)
+      })
+  }
+
   // ---- dynamic-gap session windows
 
   case class SessEv(user_id: Long, ts_us: Long, value: Double, gap_us: Long)

@@ -19,4 +19,32 @@ object GraftDdl {
       .withWatermark(tsCol, delay)
       .createOrReplaceTempView(viewName)
   }
+
+  private val DdlR =
+    ("(?is)CREATE TABLE (\\w+)\\s*\\((?:.*?,)?\\s*WATERMARK FOR (\\w+) AS " +
+     "\\2 - INTERVAL '(\\d+)' (SECOND|MINUTE|HOUR|DAY)S?\\s*\\)\\s*" +
+     "WITH \\((.*)\\)\\s*;?\\s*").r
+  private val OptR = "'([^']+)'\\s*=\\s*'([^']*)'".r
+
+  /** The reference's DDL text surface (flink-sql-parser SqlCreateTable.java:
+    * 56): parse `CREATE TABLE name (…, WATERMARK FOR ts AS ts - INTERVAL 'n'
+    * UNIT) WITH ('path' = dir, 'table' = fixture)` and register `name` as a
+    * watermarked streaming temp view queryable via `spark.sql`. Column
+    * definitions before the WATERMARK clause are accepted and ignored — the
+    * parquet fixture's schema is authoritative (schema-on-read; the
+    * reference validates declared columns against the connector instead).
+    * Returns the registered view name. */
+  def executeDdl(spark: SparkSession, ddl: String): String = ddl.trim match {
+    case DdlR(name, tsCol, n, unit, optsTxt) =>
+      val opts = OptR.findAllMatchIn(optsTxt)
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      val dir = opts.getOrElse("path",
+        throw new IllegalArgumentException("WITH option 'path' is required"))
+      val table = opts.getOrElse("table", name)
+      createStreamView(spark, dir, table, name, tsCol,
+        s"$n ${unit.toLowerCase}s")
+      name
+    case other => throw new IllegalArgumentException(
+      s"unparseable DDL (expected CREATE TABLE … WATERMARK FOR … WITH (…)): $other")
+  }
 }

@@ -23,3 +23,27 @@ class GraftDdlSpec extends GraftSpec {
     q.stop()
   }
 }
+
+/** SQL-text DDL surface: the Flink-shaped CREATE TABLE … WATERMARK FOR …
+  * WITH (…) statement parses into a watermarked streaming view. */
+class GraftDdlTextSpec extends GraftSpec {
+  test("CREATE TABLE DDL with WATERMARK clause registers a streaming view") {
+    val name = graft.streaming.GraftDdl.executeDdl(spark,
+      s"""CREATE TABLE events_ddl (
+         |  event_id BIGINT,
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$sfDir', 'table' = 'events');""".stripMargin)
+    assert(name == "events_ddl")
+    val df = spark.table("events_ddl")
+    assert(df.isStreaming)
+    assert(df.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+    assert(df.columns.contains("event_id")) // fixture schema is authoritative
+  }
+
+  test("malformed DDL is rejected with a parse error") {
+    intercept[IllegalArgumentException] {
+      graft.streaming.GraftDdl.executeDdl(spark, "CREATE TABLE x (a INT)")
+    }
+  }
+}

@@ -102,3 +102,48 @@ class TriggerWindowSpec extends GraftSpec {
     q.stop()
   }
 }
+
+/** ContinuousEventTimeTrigger: partial (early) fires at event-time intervals
+  * before the window's final fire. */
+class ContinuousTriggerSpec extends GraftSpec {
+  import graft.streaming.StatefulOps.EvT
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("early fires accumulate, final fire closes and purges the window") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EvT]
+    // 10-minute window, 2-minute early-fire interval
+    val out = graft.operators.TriggerWindows.continuousEventTimeWindow(
+      mem.toDS().withWatermark("ts", "0 seconds").as[EvT],
+      windowMs = 600000, intervalMs = 120000)
+    val q = out.toDF().writeStream.format("memory").queryName("cet_win")
+      .outputMode("append").start()
+
+    def rows(): Seq[(Long, Long, Double, Boolean)] =
+      spark.table("cet_win").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("cnt"), r.getAs[Double]("total"),
+          r.getAs[Boolean]("is_final"))).toSeq
+
+    mem.addData(EvT(1, 1L, 1.0, ts("2024-01-01 00:00:30")),
+      EvT(2, 1L, 2.0, ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    // watermark -> 00:02 boundary not passed yet (wm = 00:01)
+    mem.addData(EvT(3, 2L, 9.0, ts("2024-01-01 00:03:00")))
+    q.processAllAvailable()
+    // wm = 00:03 >= 00:02 boundary: early fire for key 1 with cnt=2
+    assert(rows().contains((1L, 2L, 3.0, false)))
+    assert(!rows().exists(r => r._1 == 1L && r._4)) // no final yet
+    mem.addData(EvT(4, 1L, 4.0, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // wm = 00:05: another early fire including the new element
+    assert(rows().filter(r => r._1 == 1L && !r._4).map(_._2).max == 3L)
+    mem.addData(EvT(5, 2L, 1.0, ts("2024-01-01 00:12:00")))
+    q.processAllAvailable()
+    // wm = 00:12 > window end 00:10: final fire, full aggregate
+    assert(rows().contains((1L, 3L, 7.0, true)))
+    q.stop()
+  }
+}
