@@ -172,6 +172,13 @@ object TriggerWindows {
     "q_count_trigger_window",
     (s, dir) => {
       import s.implicits._
+      // kryo for the generic nested state type: TypeTag-based encoder
+      // derivation for WinState[EvRow] costs ~5 s of driver-side
+      // scala-reflect; the state is engine-internal (never user-visible),
+      // so an opaque binary encoding — same stance as the reference's
+      // serialized state backends — is strictly better
+      implicit val winStateEnc: Encoder[WinState[EvRow]] =
+        org.apache.spark.sql.Encoders.kryo[WinState[EvRow]]
       val ev = Tables.t(s, dir, "events")
         .select($"event_id", $"user_id", $"value").as[EvRow]
       countWindow[Long, EvRow, CountWinOut](ev)(_.user_id, _.event_id)(10, 5) {
