@@ -41,7 +41,8 @@ object MatchRecognize {
      "(?:ONE ROW PER MATCH )?(?:AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW) )?" +
      "PATTERN \\( *(.+?) *\\) DEFINE (.+)").r
   private val MeasureR =
-    "(?i)(?:(FIRST|LAST)\\((\\w+)\\.(\\w+)\\)|COUNT\\((\\w+)\\.\\*\\)|(\\w+)\\.(\\w+)) AS (\\w+)".r
+    ("(?i)(?:(FIRST|LAST|SUM|AVG|MIN|MAX)\\((\\w+)\\.(\\w+)\\)" +
+     "|COUNT\\((\\w+)\\.\\*\\)|(\\w+)\\.(\\w+)) AS (\\w+)").r
   private val SymR = "(\\w+)(\\+|\\*|\\?|\\{(\\d+)(?:,(\\d+))?\\})?".r
   private val TermR = "(\\w+) *(=|<>|!=|<=|>=|<|>) *(.+)".r
 
@@ -137,12 +138,23 @@ object MatchRecognize {
         else {
           val (sym, col) = if (nav != null) (s1, c1) else (s2, c2)
           val idx = schema.fieldIndex(col)
-          val first = nav != null && nav.equalsIgnoreCase("FIRST")
-          Measure(alias, schema(idx).dataType, m => {
+          val fn = if (nav == null) "LAST" else nav.toUpperCase
+          def num(r: Row): Double = r.get(idx).asInstanceOf[Number].doubleValue()
+          val dt = fn match {
+            case "SUM" | "AVG" => DoubleType
+            case _ => schema(idx).dataType
+          }
+          Measure(alias, dt, m => {
             val evs = m.eventsFor(sym.toUpperCase)
             if (evs.isEmpty) null
-            else if (first) evs.head._2.get(idx)
-            else evs.last._2.get(idx)  // bare S.col = final LAST navigation
+            else fn match {
+              case "FIRST" => evs.head._2.get(idx)
+              case "LAST"  => evs.last._2.get(idx) // bare S.col = final LAST
+              case "SUM"   => evs.map(e => num(e._2)).sum
+              case "AVG"   => evs.map(e => num(e._2)).sum / evs.size
+              case "MIN"   => evs.minBy(e => num(e._2))._2.get(idx)
+              case "MAX"   => evs.maxBy(e => num(e._2))._2.get(idx)
+            }
           })
         }
       case other => throw new IllegalArgumentException(s"unparseable measure: $other")

@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   * structurally and bounded by pattern length × (within-window event count);
   * `within` prunes runs so state cannot grow unboundedly on hot keys.
   *
+  * Contiguity modes: strict (`next`), relaxed (`followedBy` — skips only
+  * events the active step cannot consume), and non-deterministic
+  * (`followedByAny` / `allowCombinations` — matchable events may also be
+  * skipped, yielding every combination).
+  *
   * Documented simplifications vs the reference NFA:
-  *  - relaxed contiguity never skips an event the active step could consume
-  *    (Flink's `followedBy`; `followedByAny`/`allowCombinations` are not
-  *    modeled);
   *  - `greedy` keeps, per start event, only the longest match completing on a
   *    given event (Flink restricts greedy similarly and also rejects it on
   *    the final pattern element — so do we);
@@ -41,7 +43,9 @@ final case class Step[E](
     innerStrict: Boolean = false,
     greedy: Boolean = false,
     until: Option[E => Boolean] = None,
-    negative: Boolean = false)
+    negative: Boolean = false,
+    anyMatch: Boolean = false,      // followedByAny: skip even matchable events
+    combinations: Boolean = false)  // allowCombinations: ditto inside the loop
 
 sealed trait AfterMatch extends Serializable
 object AfterMatch {
@@ -76,6 +80,11 @@ final case class Pattern[E](
     copy(steps = steps :+ Step(name, pred, strict = true))
   def followedBy(name: String)(pred: E => Boolean): Pattern[E] =
     copy(steps = steps :+ Step(name, pred, strict = false))
+  /** Relaxed NON-DETERMINISTIC contiguity (reference Pattern#followedByAny:
+    * 318): matchable events may also be skipped, yielding every combination
+    * — "A followedByAny B" on A B1 B2 matches (A,B1) AND (A,B2). */
+  def followedByAny(name: String)(pred: E => Boolean): Pattern[E] =
+    copy(steps = steps :+ Step(name, pred, strict = false, anyMatch = true))
   /** The event immediately after the previous step must NOT match `pred`. */
   def notNext(name: String)(pred: E => Boolean): Pattern[E] =
     copy(steps = steps :+ Step(name, pred, strict = true, negative = true))
@@ -95,6 +104,10 @@ final case class Pattern[E](
   /** Loop iterations must be adjacent (Flink `consecutive()`); default is
     * relaxed internal contiguity. */
   def consecutive: Pattern[E] = mod(_.copy(innerStrict = true))
+  /** Non-deterministic internal contiguity for the looping step (reference
+    * Quantifier#allowCombinations / Pattern#allowCombinations:254): loop
+    * iterations may also skip matchable events, yielding all combinations. */
+  def allowCombinations: Pattern[E] = mod(_.copy(combinations = true))
   /** OR-extend the last step's predicate (Flink `Pattern#or`). */
   def or(pred2: E => Boolean): Pattern[E] =
     mod(s => { val p0 = s.pred; s.copy(pred = e => p0(e) || pred2(e)) })
@@ -163,11 +176,14 @@ object Pattern {
     def positive(i: Int, c: Int, gap: Boolean, acc: Vector[(Int, E)]): Unit = {
       val st = p.steps(i)
       val contiguous = if (c == 0) st.strict else st.innerStrict
+      val nondet = if (c == 0) st.anyMatch else st.combinations
       val takeOk = c < st.maxTimes && (!contiguous || !gap) &&
         st.until.forall(u => !u(e)) && st.pred(e)
       if (takeOk)
         out += ((Run(i, c + 1, r.startOrd, r.startTs, gap = false, acc :+ ((i, e))), true))
-      else if (c < st.maxTimes && !contiguous)
+      // survive without consuming: always possible on a relaxed non-match;
+      // under non-deterministic contiguity also BESIDE a successful take
+      if (c < st.maxTimes && !contiguous && (!takeOk || nondet))
         out += ((Run(i, c, r.startOrd, r.startTs, gap = true, acc), false))
       // strict miss (or count exhausted): this branch dies
     }

@@ -234,3 +234,60 @@ class CepQuantifierSpec extends GraftSpec {
     } finally q.stop()
   }
 }
+
+/** Non-deterministic contiguity (followedByAny / allowCombinations) and
+  * MATCH_RECOGNIZE aggregate measures. */
+class CepNondetSpec extends GraftSpec {
+  import graft.cep.{AfterMatch, Pattern}
+  import graft.streaming.StatefulOps.Ev
+
+  private def ev(id: Long, tpe: String, v: Double = 0.0): Ev =
+    Ev(id, 1L, tpe, v, id * 1000000)
+  private def ids(m: graft.cep.PMatch[Ev]): Vector[Long] = m.map(_.event_id)
+
+  test("followedByAny matches every later candidate, followedBy only the first") {
+    val any = Pattern.begin[Ev]("a")(_.event_type == "A")
+      .followedByAny("b")(_.event_type == "B")
+      .afterMatchSkip(AfterMatch.NoSkip)
+    val events = Seq(ev(1, "A"), ev(2, "B"), ev(3, "B"))
+    val m = Pattern.run(any, events.iterator, (_: Ev).ts_us).toList
+    assert(m.map(ids).toSet == Set(Vector(1L, 2L), Vector(1L, 3L)))
+    val one = Pattern.begin[Ev]("a")(_.event_type == "A")
+      .followedBy("b")(_.event_type == "B")
+      .afterMatchSkip(AfterMatch.NoSkip)
+    assert(Pattern.run(one, events.iterator, (_: Ev).ts_us).toList.map(ids)
+      == List(Vector(1L, 2L)))
+  }
+
+  test("allowCombinations yields all loop subsets ending at the close") {
+    // close with followedBy: a branch that skipped A2 has last-consumed A1,
+    // so a strict next("b") could never take B3 (same semantics as Flink)
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").oneOrMore.allowCombinations
+      .followedBy("b")(_.event_type == "B")
+      .afterMatchSkip(AfterMatch.NoSkip)
+    val events = Seq(ev(1, "A"), ev(2, "A"), ev(3, "B"))
+    val m = Pattern.run(p, events.iterator, (_: Ev).ts_us).toList
+    // combinations: {1,2}, {1}, {2} all close at B
+    assert(m.map(ids).toSet ==
+      Set(Vector(1L, 2L, 3L), Vector(1L, 3L), Vector(2L, 3L)))
+  }
+
+  test("MATCH_RECOGNIZE aggregate measures SUM/AVG/MIN/MAX") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      (1L, 1L, "view", 10.0), (1L, 2L, "view", 30.0), (1L, 3L, "purchase", 5.0))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val out = graft.cep.MatchRecognize.matchRecognize(df,
+      """PARTITION BY user_id ORDER BY event_id
+        |MEASURES SUM(A.value) AS sum_v, AVG(A.value) AS avg_v,
+        |         MIN(A.event_id) AS min_id, MAX(A.event_id) AS max_id
+        |PATTERN (A+ B)
+        |DEFINE A AS event_type = 'view', B AS event_type = 'purchase'""".stripMargin)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(1) == 40.0 && r.getDouble(2) == 20.0)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L)
+  }
+}
