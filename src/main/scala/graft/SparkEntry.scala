@@ -23,6 +23,7 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.Multimodal.all ++
       operators.LookupJoin.all ++
+      operators.CoGroupOps.all ++
       operators.SkewOps.all ++
       operators.TriggerWindows.all ++
       cep.CepOps.all ++

@@ -79,7 +79,15 @@ object KafkaLog {
     * Offsets are inclusive lower bounds, Kafka-style. */
   def readBatch(spark: SparkSession, dir: String, topic: String,
       startingOffsets: Map[Int, Long] = Map.empty): DataFrame = {
-    val df = spark.read.schema(schema).parquet(topicDir(dir, topic) + "/segment=*")
+    // expand segments ourselves: handing Spark the `segment=*` glob makes
+    // resolveRelation probe the literal glob string as a path first, which
+    // logs a spurious FileNotFoundException before globbing succeeds
+    val base = new org.apache.hadoop.fs.Path(topicDir(dir, topic))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segments = fs.globStatus(new org.apache.hadoop.fs.Path(base, "segment=*"))
+      .map(_.getPath.toString)
+    require(segments.nonEmpty, s"no segments under ${topicDir(dir, topic)}")
+    val df = spark.read.schema(schema).parquet(segments.toIndexedSeq: _*)
     if (startingOffsets.isEmpty) df
     else {
       val cond = startingOffsets.map { case (p, o) =>

@@ -289,6 +289,46 @@ object StatefulOps {
       onTimer = (_, _, _, _) => (None, Nil)) // TTL expired: forget the key
   }
 
+  /** Streaming temporal sort as an oracle-checked query: watermark delay 0
+    * so the final no-data micro-batch's watermark (= max event time) releases
+    * every buffered row through the timer service — output is the full event
+    * set, each row emitted exactly once in per-key timestamp order. */
+  val qStreamTemporalSort: Q = Q(
+    "q_stream_temporal_sort",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      val in = StreamingOps.streamTable(s, dir, "events")
+        .withWatermark("ts", "0 seconds")
+        .select($"event_id", $"user_id", $"value", $"ts").as[EvT]
+      val out = temporalSort(in).toDF()
+        .select($"event_id", $"user_id", $"value", unix_micros($"ts").as("ts_us"))
+      StreamingOps.runToMemory(s, out, "append", "graft_stream_temporal_sort")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, value,
+           |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Changelog TopN as an oracle-checked query: over a single data batch the
+    * emitted changelog is exactly the +I rows of the final per-type top-3
+    * (multi-batch retraction sequences are covered by ChangelogJoinSpec /
+    * TemporalSortTtlSpec). */
+  val qChangelogTopN: Q = Q(
+    "q_changelog_topn",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      val out = topNChangelog(events(s, dir)).toDF()
+      StreamingOps.runToMemory(s, out, "append", "graft_changelog_topn")
+        .orderBy($"event_type", $"rn")
+    },
+    Some("""SELECT event_type, '+I' AS row_kind,
+           |       CAST(row_number() OVER (PARTITION BY event_type
+           |         ORDER BY value DESC, event_id) AS INTEGER) AS rn,
+           |       event_id, value
+           |FROM events QUALIFY rn <= 3
+           |ORDER BY event_type, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    qStreamTopN, qStreamDedupLast, qStreamOver, qStreamAsof, qStreamIntervalJoin)
+    qStreamTopN, qStreamDedupLast, qStreamOver, qStreamAsof, qStreamIntervalJoin,
+    qStreamTemporalSort, qChangelogTopN)
 }
