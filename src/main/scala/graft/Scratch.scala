@@ -32,6 +32,14 @@ object Scratch {
           .select(graft.functions.FlinkFunctions.md5Hash31(col("tok")).as("h")).count())
         time("simhash raw #1")(operators.DedupOps.simhash(docs).count())
         time("simhash raw #2")(operators.DedupOps.simhash(docs).count())
+      case "stream" =>
+        def trio(tag: String): Unit = {
+          time(s"q_stream_tumble$tag")(SparkEntry.queries("q_stream_tumble")(spark, sfDir).count())
+          time(s"q_stream_topn$tag")(SparkEntry.queries("q_stream_topn")(spark, sfDir).count())
+          time(s"q_stream_session$tag")(SparkEntry.queries("q_stream_session")(spark, sfDir).count())
+        }
+        trio("#1")
+        trio("#2")
       case "clusters" =>
         time("q_minhash_lsh")(SparkEntry.queries("q_minhash_lsh")(spark, sfDir).count())
         time("q_dedup_clusters")(SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count())

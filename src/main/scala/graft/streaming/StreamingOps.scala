@@ -50,13 +50,23 @@ object StreamingOps {
     * single-file fixtures here; assert it so a future multi-file fixture
     * (or maxFilesPerTrigger) fails loudly instead of returning stale rows. */
   def runToMemory(spark: SparkSession, stream: DataFrame, mode: String, name: String): DataFrame = {
+    // fresh per-run checkpoint dir on tmpfs when available: the offset/commit
+    // logs and state snapshots are fsynced every micro-batch, and these
+    // replay-a-bounded-fixture queries never need durable recovery — on a
+    // disk-backed /tmp the fsyncs are a measurable slice of query startup
+    val ckptBase =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+      else sys.props("java.io.tmpdir") + "/graft-ckpt"
+    val ckpt = s"$ckptBase/$name-${java.util.UUID.randomUUID()}"
     val q = stream.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     if (mode == "update") {
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       require(dataBatches <= 1,
