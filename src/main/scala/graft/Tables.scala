@@ -29,11 +29,26 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), (SparkSession, DataFrame)]()
+
   /** Normalized read: ns-precision columns become TimestampType (µs,
-    * truncated — floor, so second-level bucketing is unaffected). */
+    * truncated — floor, so second-level bucketing is unaffected).
+    *
+    * The resolved DataFrame is memoized per (session, dir, table): a fresh
+    * `spark.read.parquet` re-lists the directory and re-reads footers for
+    * schema on every call, and a 110-query run touches each table dozens of
+    * times. Reusing the plan keeps the resolved FileIndex (and its partition
+    * listing) warm — the same reason a long-lived service holds its catalog's
+    * resolved tables instead of re-resolving per query. Plans are immutable,
+    * so sharing one DataFrame across queries is safe. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = raw(spark, dir, name)
-    normalize(name, df)
+    // drop entries of stopped sessions: their plans are unusable, and an
+    // identityHashCode reused by a new session must not hit a stale slot
+    tableCache.values.removeIf(_._1.sparkContext.isStopped)
+    tableCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => (spark, normalize(name, raw(spark, dir, name))))._2
   }
 
   def normalize(name: String, df: DataFrame): DataFrame =
