@@ -220,15 +220,44 @@ object Pattern {
   def advance[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long,
       ordOf: E => Long, initial: Vector[Run[E]])
       : (Vector[PMatch[E]], Vector[Run[E]]) = {
+    val (m, r, _) = advanceFull(p, events, tsOf, ordOf, initial, endOfInput = false)
+    (m, r)
+  }
+
+  /** [[advance]] plus the TIMEOUT SIDE: partial runs pruned because their
+    * `within` window expired are returned as partial matches (reference
+    * PatternStream.select with a PatternTimeoutFunction + timeout OutputTag,
+    * flink-cep/.../PatternTimeoutFunction.java). With `endOfInput` the
+    * bounded-input watermark is +∞, so every surviving partial run of a
+    * `within` pattern times out too (a streaming caller passes false and
+    * carries survivors to the next batch). */
+  def advanceFull[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long,
+      ordOf: E => Long, initial: Vector[Run[E]], endOfInput: Boolean)
+      : (Vector[PMatch[E]], Vector[Run[E]], Vector[PMatch[E]]) = {
     validate(p)
     val matches = Vector.newBuilder[PMatch[E]]
+    val timeouts = Vector.newBuilder[PMatch[E]]
+    def timeOut(rs: Iterable[Run[E]]): Unit =
+      rs.foreach { r =>
+        // only PARTIAL runs time out: a run whose state epsilon-reaches the
+        // terminal state already emitted its match (it may linger one event
+        // as a spent NoSkip branch — that is not a timeout)
+        if (r.acc.nonEmpty && !reachesEnd(p, r.step, r.cnt))
+          timeouts += PMatch(r.acc.map { case (i, ev) => (p.steps(i).name, ev) },
+            r.startOrd)
+      }
     var runs = initial
     val anyGreedy = p.steps.exists(_.greedy)
 
     events.foreach { e =>
       val t = tsOf(e); val o = ordOf(e)
-      // prune expired runs before processing
-      runs = runs.filter(r => p.withinUs.forall(w => t - r.startTs <= w))
+      // prune expired runs before processing; the pruned partials ARE the
+      // pattern's timeout side
+      p.withinUs.foreach { w =>
+        val (expired, alive) = runs.partition(r => t - r.startTs > w)
+        timeOut(expired)
+        runs = alive
+      }
 
       val produced = Vector.newBuilder[(Run[E], Boolean)]
       runs.foreach(r => produced ++= offer(p, r, e))
@@ -290,7 +319,12 @@ object Pattern {
       }
       runs = next
     }
-    (matches.result(), runs)
+    if (endOfInput && p.withinUs.isDefined) {
+      // bounded input: final watermark = +∞, all surviving partials expire
+      timeOut(runs)
+      runs = Vector.empty
+    }
+    (matches.result(), runs, timeouts.result().distinctBy(_.labeled))
   }
 
   /** Run the NFA over one key's events (must be pre-sorted by event time /
@@ -303,6 +337,14 @@ object Pattern {
     * timestamps are unique per key, as in the specs/fixtures). */
   def run[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long): Iterator[PMatch[E]] =
     run(p, events, tsOf, tsOf)
+
+  /** Bounded run returning (completed matches, timed-out partial matches). */
+  def runWithTimeouts[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long,
+      ordOf: E => Long): (Vector[PMatch[E]], Vector[PMatch[E]]) = {
+    val (m, _, to) = advanceFull(p, events, tsOf, ordOf, Vector.empty,
+      endOfInput = true)
+    (m, to)
+  }
 }
 
 /** CEP queries over the events fixture. */
@@ -521,6 +563,40 @@ object CepOps {
            |WHERE x.event_type = 'purchase'
            |ORDER BY n.user_id, n.a_id""".stripMargin))
 
+  case class CepTimeoutRow(user_id: Long, a_id: Long)
+
+  /** Timeout side output (reference PatternTimeoutFunction + OutputTag):
+    * signups with NO purchase within 2 hours — the pattern's completed side
+    * is q_cep_followed_by; this query emits the runs that EXPIRED instead.
+    * NO_SKIP so each signup is judged independently; event time is monotone
+    * per user in event_id order (fixture property), so the SQL rewrite
+    * ("no purchase within the window after the signup") is exact. */
+  val qCepTimeout: Q = Q(
+    "q_cep_timeout",
+    (s, dir) => {
+      import s.implicits._
+      val pat = Pattern.begin[Ev]("a")(_.event_type == "signup")
+        .followedBy("b")(_.event_type == "purchase")
+        .within(2L * 3600 * 1000000)
+        .afterMatchSkip(AfterMatch.NoSkip)
+      evSorted(s, dir)
+        .groupByKey(_.user_id)
+        .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+          val (_, tos) = Pattern.runWithTimeouts(pat,
+            it.toSeq.sortBy(_.event_id).iterator, (_: Ev).ts_us, (_: Ev).event_id)
+          tos.iterator.map(m => CepTimeoutRow(uid, m.head.event_id))
+        }
+        .toDF().orderBy($"user_id", $"a_id")
+    },
+    Some("""SELECT s.user_id, s.event_id AS a_id
+           |FROM events s
+           |WHERE s.event_type = 'signup' AND NOT EXISTS (
+           |  SELECT 1 FROM events p
+           |  WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+           |    AND p.event_id > s.event_id
+           |    AND epoch_us(p.ts) - epoch_us(s.ts) <= 7200000000)
+           |ORDER BY s.user_id, a_id""".stripMargin))
+
   /** Streaming CEP: the same NFA with in-flight runs carried across
     * micro-batches in GroupState (reference: the CEP NFA's SharedBuffer
     * state, flink-cep/.../nfa/sharedbuffer/). Events inside a batch are
@@ -551,5 +627,5 @@ object CepOps {
   case class CepRuns(runs: List[(Int, Int, Long, Long, Boolean, List[(Int, Ev)])])
 
   val all: Seq[Q] = Seq(qCepNext, qCepFollowedBy, qCepTimes, qCepOneOrMore,
-    qCepOptional, qCepNotNext, qCepNotFollowed)
+    qCepOptional, qCepNotNext, qCepNotFollowed, qCepTimeout)
 }

@@ -272,6 +272,24 @@ class CepNondetSpec extends GraftSpec {
       Set(Vector(1L, 2L, 3L), Vector(1L, 3L), Vector(2L, 3L)))
   }
 
+  test("runWithTimeouts: expired partials emitted, completed runs are not") {
+    val pat = Pattern.begin[Ev]("a")(_.event_type == "S")
+      .followedBy("b")(_.event_type == "P")
+      .within(2000000) // 2 s in µs
+      .afterMatchSkip(AfterMatch.NoSkip)
+    def at(id: Long, tpe: String, tsUs: Long): Ev = Ev(id, 1L, tpe, 0.0, tsUs)
+    val events = Seq(
+      at(1, "S", 0),        // completes via P@1.5s
+      at(2, "P", 1500000),
+      at(3, "S", 2000000),  // times out: no P within 2s (pruned by X@4.5s)
+      at(4, "X", 4500000),
+      at(5, "S", 5000000))  // times out at end of input
+    val (matches, timeouts) = Pattern.runWithTimeouts(
+      pat, events.iterator, (_: Ev).ts_us, (_: Ev).event_id)
+    assert(matches.map(m => (m.head.event_id, m.last.event_id)) == Vector((1L, 2L)))
+    assert(timeouts.map(_.head.event_id).sorted == Vector(3L, 5L))
+  }
+
   test("MATCH_RECOGNIZE aggregate measures SUM/AVG/MIN/MAX") {
     val sparkS = spark
     import sparkS.implicits._
