@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
 object MatchRecognize {
 
   private final case class Measure(alias: String, dt: DataType,
-      eval: PMatch[(Long, Row)] => Any)
+      eval: (PMatch[(Long, Row)], Long) => Any)
 
   private val SpecR =
     ("(?i)PARTITION BY (\\w+) ORDER BY (\\w+) MEASURES (.+?) " +
@@ -42,7 +42,8 @@ object MatchRecognize {
      "PATTERN \\( *(.+?) *\\) DEFINE (.+)").r
   private val MeasureR =
     ("(?i)(?:(FIRST|LAST|SUM|AVG|MIN|MAX)\\((\\w+)\\.(\\w+)\\)" +
-     "|COUNT\\((\\w+)\\.\\*\\)|(\\w+)\\.(\\w+)) AS (\\w+)").r
+     "|COUNT\\((\\w+)\\.\\*\\)|(MATCH_NUMBER|CLASSIFIER)\\(\\)" +
+     "|(\\w+)\\.(\\w+)) AS (\\w+)").r
   private val SymR = "(\\w+)(\\+|\\*|\\?|\\{(\\d+)(?:,(\\d+))?\\})?".r
   private val TermR = "(\\w+) *(=|<>|!=|<=|>=|<|>) *(.+)".r
 
@@ -131,10 +132,16 @@ object MatchRecognize {
     val pattern = Pattern(steps, None, afterMatch)
 
     val measures: Vector[Measure] = measuresTxt.split(",").map(_.trim).map {
-      case MeasureR(nav, s1, c1, cntSym, s2, c2, alias) =>
+      case MeasureR(nav, s1, c1, cntSym, fn0, s2, c2, alias) =>
         if (cntSym != null)
           Measure(alias, LongType,
-            m => m.eventsFor(cntSym.toUpperCase).size.toLong)
+            (m, _) => m.eventsFor(cntSym.toUpperCase).size.toLong)
+        else if (fn0 != null && fn0.equalsIgnoreCase("MATCH_NUMBER"))
+          // sequential match ordinal within the partition (SQL:2016 R020)
+          Measure(alias, LongType, (_, n) => n)
+        else if (fn0 != null && fn0.equalsIgnoreCase("CLASSIFIER"))
+          // ONE ROW PER MATCH: the label of the match's final row
+          Measure(alias, StringType, (m, _) => m.labeled.last._1)
         else {
           val (sym, col) = if (nav != null) (s1, c1) else (s2, c2)
           val idx = schema.fieldIndex(col)
@@ -144,7 +151,7 @@ object MatchRecognize {
             case "SUM" | "AVG" => DoubleType
             case _ => schema(idx).dataType
           }
-          Measure(alias, dt, m => {
+          Measure(alias, dt, (m, _) => {
             val evs = m.eventsFor(sym.toUpperCase)
             if (evs.isEmpty) null
             else fn match {
@@ -173,7 +180,10 @@ object MatchRecognize {
         val partVal = rows.head.get(pIdx)
         val ord: ((Long, Row)) => Long = _._1
         Pattern.run[(Long, Row)](pattern, indexed.iterator, ord, ord)
-          .map(m => Row.fromSeq(partVal +: measures.map(_.eval(m))))
+          .zipWithIndex
+          .map { case (m, i) =>
+            Row.fromSeq(partVal +: measures.map(_.eval(m, i + 1L)))
+          }
       }(Encoders.row(outSchema))
       .toDF()
   }
@@ -235,5 +245,35 @@ object MatchRecognize {
            |WHERE p.event_type = 'purchase'
            |ORDER BY p.user_id, b_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qMatchRecognizeSeq, qMatchRecognizePlus)
+  /** MATCH_NUMBER() + CLASSIFIER() measures (SQL:2016 R020/R030): the match
+    * ordinal within its partition and the final row's symbol. PATTERN (A B)
+    * strict adjacent pairs cannot overlap, so the lead() rewrite with a
+    * row_number() over the matched pairs is an exact oracle. */
+  val qMatchRecognizeMeasures: Q = Q(
+    "q_match_recognize_measures",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events").select("user_id", "event_id", "event_type")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+          |         A.event_id AS a_id, B.event_id AS b_id
+          |ONE ROW PER MATCH
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (A B)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'purchase'""".stripMargin)
+        .orderBy("user_id", "a_id")
+    },
+    Some("""SELECT user_id,
+           |       row_number() OVER (PARTITION BY user_id ORDER BY a_id) AS mn,
+           |       'B' AS cls, a_id, b_id
+           |FROM (
+           |  SELECT user_id, event_id AS a_id, event_type,
+           |         lead(event_id) OVER w AS b_id,
+           |         lead(event_type) OVER w AS b_type
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |WHERE event_type = 'view' AND b_type = 'purchase'
+           |ORDER BY user_id, a_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qMatchRecognizeSeq, qMatchRecognizePlus,
+    qMatchRecognizeMeasures)
 }

@@ -199,6 +199,70 @@ object Scalars2 {
            |  regexp_extract(url, '^([a-z]+)://', 1) AS proto
            |FROM u ORDER BY doc_id""".stripMargin))
 
+  /** Math batch 2 (reference FlinkSqlOperatorTable BIN/PI/RADIANS/COT/
+    * LOG2/CBRT/TRUNCATE family): radix/trig/root scalars with exact DuckDB
+    * twins. factorial is exact on both sides for 0..20 (long range). */
+  val qScalarMath2: Q = Q(
+    "q_scalar_math2",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_linenumber" <= 4)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          bin($"l_orderkey").as("okey_bin"),
+          round(lit(Math.PI) * $"l_discount", 6).as("pi_disc"),
+          round(radians($"l_quantity"), 6).as("qty_rad"),
+          round(lit(1.0) / tan($"l_tax" + 1.0), 6).as("cot_tax"),
+          round(log2($"l_quantity"), 6).as("qty_log2"),
+          round(cbrt($"l_extendedprice"), 6).as("price_cbrt"),
+          factorial($"l_linenumber").as("ln_fact"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, bin(l_orderkey) AS okey_bin,
+           |  round(pi() * l_discount, 6) AS pi_disc,
+           |  round(radians(l_quantity), 6) AS qty_rad,
+           |  round(cot(l_tax + 1.0), 6) AS cot_tax,
+           |  round(log2(l_quantity), 6) AS qty_log2,
+           |  round(cbrt(l_extendedprice), 6) AS price_cbrt,
+           |  CAST(factorial(CAST(l_linenumber AS INTEGER)) AS BIGINT) AS ln_fact
+           |FROM lineitem WHERE l_linenumber <= 4
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Temporal batch 2 (reference TIMESTAMPADD/TIMESTAMPDIFF/QUARTER/
+    * WEEK/DAYOFYEAR): boundary-aligned midnight timestamps make Spark's
+    * interval semantics and DuckDB's boundary-count date_diff agree. */
+  val qScalarTemporal2: Q = Q(
+    "q_scalar_temporal2",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          quarter($"o_orderdate").as("q"),
+          weekofyear($"o_orderdate").as("woy"),
+          dayofyear($"o_orderdate").as("doy"),
+          // o_orderdate reads as TIMESTAMP_NTZ; the session runs UTC, so the
+          // cast to instant-typed TIMESTAMP is the identity mapping
+          unix_micros(expr("timestampadd(HOUR, 3, o_orderdate)").cast("timestamp"))
+            .as("plus3h_us"),
+          expr("timestampdiff(MINUTE, timestamp'1995-01-01 00:00:00', o_orderdate)")
+            .as("min_since_95"),
+          make_date(year($"o_orderdate"), month($"o_orderdate"),
+            dayofmonth($"o_orderdate")).as("md"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+           |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           |  CAST(epoch_us(o_orderdate + INTERVAL 3 HOUR) AS BIGINT) AS plus3h_us,
+           |  date_diff('minute', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS min_since_95,
+           |  make_date(CAST(year(o_orderdate) AS BIGINT),
+           |            CAST(month(o_orderdate) AS BIGINT),
+           |            CAST(day(o_orderdate) AS BIGINT)) AS md
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarHash, qCollections, qUdafGeomean, qUdtfFlatmap,
-    qJsonExtract, qScalarStr3, qParseUrl)
+    qJsonExtract, qScalarStr3, qParseUrl, qScalarMath2, qScalarTemporal2)
 }

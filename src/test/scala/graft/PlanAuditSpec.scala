@@ -45,6 +45,36 @@ class PlanAuditSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
   }
 
+  test("q_simhash_banded: first-intact-bucket filter, no distinct re-shuffle") {
+    // the LSH candidate join must NOT be followed by a HashAggregate-based
+    // distinct: each pair leaves the join exactly once (first intact bucket)
+    val df = operators.DedupOps.qSimhashBanded.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val joinPos = p.indexOf("Join")
+    assert(joinPos >= 0, p)
+    // no aggregate ABOVE the join (plan prints top-down: earlier = higher)
+    assert(!p.substring(0, joinPos).contains("HashAggregate"),
+      s"distinct aggregate above the candidate join:\n$p")
+  }
+
+  test("q_cogroup: one co-partitioned shuffle per side, no broadcast") {
+    val df = operators.CoGroupOps.qCoGroup.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CoGroup"), p)
+    // both inputs hash-shuffled on the key once — the reference CoGroup shape
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_kafka_roundtrip: scan reads only the projected log columns") {
+    val df = operators.CoGroupOps.qKafkaRoundtrip.run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("ts#"), s"ts column not pruned from the log read:\n$p")
+  }
+
   test("no unbounded cross/nested-loop join in any scale-path query plan") {
     // every non-calibration batch query must avoid CartesianProduct and
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
