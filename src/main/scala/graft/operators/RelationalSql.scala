@@ -128,7 +128,21 @@ object RelationalSql {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin)
 
+  /** GROUPING / GROUPING_ID over ROLLUP (reference FlinkSqlOperatorTable
+    * GROUPING/GROUPING_ID + DecomposeGroupingSetsRule): the Expand-generated
+    * grouping-set id surfaced to SQL. Identical text runs on both engines. */
+  val qGroupingId: Q = sqlQ(
+    "q_grouping_id",
+    """SELECT c_nationkey, c_mktsegment,
+      |       CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat,
+      |       CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+      |       CAST(GROUPING_ID(c_nationkey, c_mktsegment) AS BIGINT) AS gid,
+      |       count(*) AS cnt
+      |FROM customer GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+      |ORDER BY gid, c_nationkey, c_mktsegment""".stripMargin)
+
   val all: Seq[Q] = Seq(
     qHaving, qInSubquery, qNotInSubquery, qAggHavingSubquery, qUnionDistinct,
-    qOverRangeFrame, qCaseSum, qCondRatio, qQ22Shape, qUnionMulti, qOverNavigation)
+    qOverRangeFrame, qCaseSum, qCondRatio, qQ22Shape, qUnionMulti, qOverNavigation,
+    qGroupingId)
 }

@@ -199,6 +199,32 @@ object Scalars2 {
            |  regexp_extract(url, '^([a-z]+)://', 1) AS proto
            |FROM u ORDER BY doc_id""".stripMargin))
 
+  /** String batch 4 (reference FlinkSqlOperatorTable LOCATE/POSITION/
+    * ENCODE/DECODE/FROM_BASE64/NULLIF + ROW constructor with DOT access):
+    * the encode→base64→decode roundtrip exercises both codecs; the struct
+    * column is built then field-accessed, mirroring ROW(...).field. */
+  val qScalarStr4: Q = Q(
+    "q_scalar_str4",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          locate("a", $"p_name").as("loc_a"),
+          locate("PROMO", $"p_type").as("pos_promo"),
+          decode(unbase64(base64(encode($"p_name", "UTF-8"))), "UTF-8").as("rt"),
+          expr("nullif(p_size, 5)").as("nz_size"),
+          struct($"p_partkey".as("k"), $"p_brand".as("b")).getField("b").as("row_b"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+           |  CAST(strpos(p_name, 'a') AS INTEGER) AS loc_a,
+           |  CAST(position('PROMO' IN p_type) AS INTEGER) AS pos_promo,
+           |  CAST(from_base64(to_base64(encode(p_name))) AS VARCHAR) AS rt,
+           |  nullif(p_size, 5) AS nz_size,
+           |  struct_pack(k := p_partkey, b := p_brand).b AS row_b
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
   /** Math batch 2 (reference FlinkSqlOperatorTable BIN/PI/RADIANS/COT/
     * LOG2/CBRT/TRUNCATE family): radix/trig/root scalars with exact DuckDB
     * twins. factorial is exact on both sides for 0..20 (long range). */
@@ -264,5 +290,5 @@ object Scalars2 {
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Q] = Seq(qScalarHash, qCollections, qUdafGeomean, qUdtfFlatmap,
-    qJsonExtract, qScalarStr3, qParseUrl, qScalarMath2, qScalarTemporal2)
+    qJsonExtract, qScalarStr3, qParseUrl, qScalarMath2, qScalarTemporal2, qScalarStr4)
 }
