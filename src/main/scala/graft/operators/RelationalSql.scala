@@ -141,8 +141,52 @@ object RelationalSql {
       |FROM customer GROUP BY ROLLUP(c_nationkey, c_mktsegment)
       |ORDER BY gid, c_nationkey, c_mktsegment""".stripMargin)
 
+  /** TPC-H Q3 (shipping priority): 3-way join, filtered both sides of the
+    * date, grouped revenue, top-10. The date column is cast to DATE so the
+    * output schema is engine-portable. */
+  val qTpchQ3: Q = sqlQ(
+    "q_tpch_q3",
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, odate, l_orderkey LIMIT 10""".stripMargin)
+
+  /** TPC-H Q5 (local supplier volume): 6-way join through region; the two
+    * tiny dims broadcast, the fact joins shuffle on their keys. */
+  val qTpchQ5: Q = sqlQ(
+    "q_tpch_q5",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON l_orderkey = o_orderkey
+      |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |              JOIN nation ON s_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by lost revenue. */
+  val qTpchQ10: Q = sqlQ(
+    "q_tpch_q10",
+    """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       round(c_acctbal, 2) AS acctbal, n_name
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON l_orderkey = o_orderkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+
   val all: Seq[Q] = Seq(
     qHaving, qInSubquery, qNotInSubquery, qAggHavingSubquery, qUnionDistinct,
     qOverRangeFrame, qCaseSum, qCondRatio, qQ22Shape, qUnionMulti, qOverNavigation,
-    qGroupingId)
+    qGroupingId, qTpchQ3, qTpchQ5, qTpchQ10)
 }

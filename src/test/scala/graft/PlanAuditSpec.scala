@@ -75,6 +75,12 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("ts#"), s"ts column not pruned from the log read:\n$p")
   }
 
+  test("q_tpch_q5: six-way join broadcasts the tiny dims, no cartesian") {
+    val p = phys(operators.RelationalSql.qTpchQ5)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p) // nation + region
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no unbounded cross/nested-loop join in any scale-path query plan") {
     // every non-calibration batch query must avoid CartesianProduct and
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
