@@ -105,5 +105,25 @@ object CoGroupOps {
     Some("""SELECT event_id, user_id FROM events
            |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qCoGroup, qAsyncLookup, qKafkaRoundtrip)
+  /** CSV sink→source roundtrip (reference writeAsCsv / CsvTableSource — the
+    * reference's own TPC-DS harness registers all 24 tables as CSV sources):
+    * write the supplier dim as headered CSV, read it back with an explicit
+    * schema, aggregate. Exercises quoting/precision fidelity end-to-end. */
+  val qCsvRoundtrip: Q = Q(
+    "q_csv_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      val src = Tables.t(s, dir, "supplier")
+      src.write.mode("overwrite").option("header", "true").csv(csvDir)
+      s.read.schema(src.schema).option("header", "true").csv(csvDir)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum($"s_acctbal"), 2).as("bal"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+           |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(qCoGroup, qAsyncLookup, qKafkaRoundtrip, qCsvRoundtrip)
 }
