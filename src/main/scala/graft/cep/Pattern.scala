@@ -45,7 +45,15 @@ final case class Step[E](
     until: Option[E => Boolean] = None,
     negative: Boolean = false,
     anyMatch: Boolean = false,      // followedByAny: skip even matchable events
-    combinations: Boolean = false)  // allowCombinations: ditto inside the loop
+    combinations: Boolean = false,  // allowCombinations: ditto inside the loop
+    iterPred: Option[(E, MatchCtx[E]) => Boolean] = None) // iterative condition
+
+/** Read view of a run's consumed-so-far events, passed to iterative
+  * conditions (reference IterativeCondition.Context#getEventsForPattern,
+  * flink-cep/.../pattern/conditions/IterativeCondition.java:75). */
+trait MatchCtx[E] {
+  def eventsFor(name: String): Vector[E]
+}
 
 sealed trait AfterMatch extends Serializable
 object AfterMatch {
@@ -114,6 +122,16 @@ final case class Pattern[E](
   /** AND-extend the last step's predicate (Flink `Pattern#where` chaining). */
   def where(pred2: E => Boolean): Pattern[E] =
     mod(s => { val p0 = s.pred; s.copy(pred = e => p0(e) && pred2(e)) })
+  /** AND-extend the last step with an ITERATIVE condition — the predicate
+    * sees the run's previously-consumed events by step name (reference
+    * IterativeCondition, e.g. "take this B only if its value exceeds the
+    * first A's"). Chained calls AND together. */
+  def whereWith(pred2: (E, MatchCtx[E]) => Boolean): Pattern[E] =
+    mod { s =>
+      val p0 = s.iterPred
+      s.copy(iterPred = Some((e, ctx) =>
+        p0.forall(f => f(e, ctx)) && pred2(e, ctx)))
+    }
   /** Stop accepting loop iterations once `pred` matches (Flink `until`). */
   def until(pred: E => Boolean): Pattern[E] = mod(_.copy(until = Some(pred)))
   def within(us: Long): Pattern[E] = copy(withinUs = Some(us))
@@ -177,8 +195,13 @@ object Pattern {
       val st = p.steps(i)
       val contiguous = if (c == 0) st.strict else st.innerStrict
       val nondet = if (c == 0) st.anyMatch else st.combinations
+      lazy val ctx: MatchCtx[E] = new MatchCtx[E] {
+        override def eventsFor(name: String): Vector[E] =
+          acc.collect { case (si, ev) if p.steps(si).name == name => ev }
+      }
       val takeOk = c < st.maxTimes && (!contiguous || !gap) &&
-        st.until.forall(u => !u(e)) && st.pred(e)
+        st.until.forall(u => !u(e)) && st.pred(e) &&
+        st.iterPred.forall(f => f(e, ctx))
       if (takeOk)
         out += ((Run(i, c + 1, r.startOrd, r.startTs, gap = false, acc :+ ((i, e))), true))
       // survive without consuming: always possible on a relaxed non-match;
@@ -201,7 +224,12 @@ object Pattern {
           } else {
             // notFollowedBy: keep watching, and `e` may start the next step
             val nst = p.steps(i + 1)
-            if (nst.until.forall(u => !u(e)) && nst.pred(e))
+            lazy val nctx: MatchCtx[E] = new MatchCtx[E] {
+              override def eventsFor(name: String): Vector[E] =
+                r.acc.collect { case (si, ev) if p.steps(si).name == name => ev }
+            }
+            if (nst.until.forall(u => !u(e)) && nst.pred(e) &&
+                nst.iterPred.forall(f => f(e, nctx)))
               out += ((Run(i + 1, 1, r.startOrd, r.startTs, gap = false,
                 r.acc :+ ((i + 1, e))), true))
             else
@@ -563,6 +591,40 @@ object CepOps {
            |WHERE x.event_type = 'purchase'
            |ORDER BY n.user_id, n.a_id""".stripMargin))
 
+  case class CepIterRow(user_id: Long, a_id: Long, b_id: Long)
+
+  /** Iterative condition (reference IterativeCondition.java:75): the first
+    * later purchase whose value EXCEEDS the matched signup's value — the
+    * B-step predicate reads the run's consumed A event via the match
+    * context. NO_SKIP judges every signup independently, which is exactly
+    * the correlated-subquery rewrite. */
+  val qCepIterative: Q = Q(
+    "q_cep_iterative",
+    (s, dir) => {
+      import s.implicits._
+      val pat = Pattern.begin[Ev]("a")(_.event_type == "signup")
+        .followedBy("b")(_.event_type == "purchase")
+        .whereWith((e, ctx) => e.value > ctx.eventsFor("a").head.value)
+        .afterMatchSkip(AfterMatch.NoSkip)
+      evSorted(s, dir)
+        .groupByKey(_.user_id)
+        .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+          Pattern.run(pat, it.toSeq.sortBy(_.event_id).iterator,
+              (_: Ev).ts_us, (_: Ev).event_id)
+            .map(m => CepIterRow(uid, m.eventsFor("a").head.event_id,
+              m.eventsFor("b").head.event_id))
+        }
+        .toDF().orderBy($"user_id", $"a_id")
+    },
+    Some("""SELECT user_id, a_id, b_id FROM (
+           |  SELECT s.user_id, s.event_id AS a_id,
+           |         (SELECT min(p.event_id) FROM events p
+           |          WHERE p.user_id = s.user_id AND p.event_id > s.event_id
+           |            AND p.event_type = 'purchase' AND p.value > s.value) AS b_id
+           |  FROM events s WHERE s.event_type = 'signup')
+           |WHERE b_id IS NOT NULL
+           |ORDER BY user_id, a_id""".stripMargin))
+
   case class CepTimeoutRow(user_id: Long, a_id: Long)
 
   /** Timeout side output (reference PatternTimeoutFunction + OutputTag):
@@ -627,5 +689,5 @@ object CepOps {
   case class CepRuns(runs: List[(Int, Int, Long, Long, Boolean, List[(Int, Ev)])])
 
   val all: Seq[Q] = Seq(qCepNext, qCepFollowedBy, qCepTimes, qCepOneOrMore,
-    qCepOptional, qCepNotNext, qCepNotFollowed, qCepTimeout)
+    qCepOptional, qCepNotNext, qCepNotFollowed, qCepTimeout, qCepIterative)
 }

@@ -290,6 +290,21 @@ class CepNondetSpec extends GraftSpec {
     assert(timeouts.map(_.head.event_id).sorted == Vector(3L, 5L))
   }
 
+  test("whereWith iterative condition sees the run's consumed events") {
+    // rising loop: each additional A must exceed the PREVIOUS A's value
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A")
+      .oneOrMore.consecutive.greedy
+      .whereWith((e, ctx) =>
+        ctx.eventsFor("a").lastOption.forall(_.value < e.value))
+      .next("b")(_.event_type == "B")
+      .afterMatchSkip(AfterMatch.NoSkip)
+    def at(id: Long, tpe: String, v: Double): Ev = Ev(id, 1L, tpe, v, id * 1000)
+    // values 1,3,2: the run 1<3 breaks at 2; run [2] then closes at B
+    val events = Seq(at(1, "A", 1), at(2, "A", 3), at(3, "A", 2), at(4, "B", 0))
+    val m = Pattern.run(p, events.iterator, (_: Ev).ts_us).toList
+    assert(m.map(x => ids(x)).toSet == Set(Vector(3L, 4L)))
+  }
+
   test("MATCH_RECOGNIZE aggregate measures SUM/AVG/MIN/MAX") {
     val sparkS = spark
     import sparkS.implicits._
