@@ -38,7 +38,8 @@ object MatchRecognize {
 
   private val SpecR =
     ("(?i)PARTITION BY (\\w+) ORDER BY (\\w+) MEASURES (.+?) " +
-     "(?:ONE ROW PER MATCH )?(?:AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW) )?" +
+     "(?:(ONE ROW|ALL ROWS) PER MATCH )?" +
+     "(?:AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW) )?" +
      "PATTERN \\( *(.+?) *\\) DEFINE (.+)").r
   private val MeasureR =
     ("(?i)(?:(FIRST|LAST|SUM|AVG|MIN|MAX)\\((\\w+)\\.(\\w+)\\)" +
@@ -89,10 +90,11 @@ object MatchRecognize {
   def matchRecognize(df: DataFrame, spec: String): DataFrame = {
     val schema = df.schema
     val norm = spec.replaceAll("\\s+", " ").trim
-    val (pCol, oCol, measuresTxt, skipTxt, patTxt, defineTxt) = norm match {
-      case SpecR(p, o, m, sk, pt, d) => (p, o, m, Option(sk), pt, d)
+    val (pCol, oCol, measuresTxt, rowsMode, skipTxt, patTxt, defineTxt) = norm match {
+      case SpecR(p, o, m, rm, sk, pt, d) => (p, o, m, Option(rm), Option(sk), pt, d)
       case _ => throw new IllegalArgumentException(s"unparseable MATCH_RECOGNIZE spec: $norm")
     }
+    val allRows = rowsMode.exists(_.equalsIgnoreCase("ALL ROWS"))
     val pIdx = schema.fieldIndex(pCol)
     val oIdx = schema.fieldIndex(oCol)
 
@@ -167,9 +169,19 @@ object MatchRecognize {
       case other => throw new IllegalArgumentException(s"unparseable measure: $other")
     }.toVector
 
-    val outSchema = StructType(
-      StructField(pCol, schema(pIdx).dataType) +:
-        measures.map(m => StructField(m.alias, m.dt, nullable = true)))
+    // ONE ROW PER MATCH: partition key + FINAL measures, one row per match.
+    // ALL ROWS PER MATCH (SQL:2016): every matched input row is emitted with
+    // RUNNING measure semantics — measures see the match's rows up to and
+    // including the current one, so CLASSIFIER() is the row's own symbol and
+    // aggregates/navigation are running values.
+    val outSchema =
+      if (allRows)
+        StructType(schema.fields.toSeq ++
+          measures.map(m => StructField(m.alias, m.dt, nullable = true)))
+      else
+        StructType(
+          StructField(pCol, schema(pIdx).dataType) +:
+            measures.map(m => StructField(m.alias, m.dt, nullable = true)))
 
     val spark = df.sparkSession
     import spark.implicits._
@@ -181,8 +193,16 @@ object MatchRecognize {
         val ord: ((Long, Row)) => Long = _._1
         Pattern.run[(Long, Row)](pattern, indexed.iterator, ord, ord)
           .zipWithIndex
-          .map { case (m, i) =>
-            Row.fromSeq(partVal +: measures.map(_.eval(m, i + 1L)))
+          .flatMap { case (m, i) =>
+            val mn = i + 1L
+            if (allRows)
+              m.labeled.indices.iterator.map { k =>
+                val prefix = PMatch(m.labeled.take(k + 1), m.startOrd)
+                Row.fromSeq(m.labeled(k)._2._2.toSeq ++
+                  measures.map(_.eval(prefix, mn)))
+              }
+            else
+              Iterator.single(Row.fromSeq(partVal +: measures.map(_.eval(m, mn))))
           }
       }(Encoders.row(outSchema))
       .toDF()
@@ -274,6 +294,42 @@ object MatchRecognize {
            |WHERE event_type = 'view' AND b_type = 'purchase'
            |ORDER BY user_id, a_id""".stripMargin))
 
+  /** ALL ROWS PER MATCH (SQL:2016 R010): both rows of each (view, purchase)
+    * pair are emitted, CLASSIFIER() labels each row with its own symbol and
+    * SUM runs — the oracle reconstructs the expansion as a UNION ALL of the
+    * A-rows and B-rows of the matched pairs. */
+  val qMatchRecognizeAllRows: Q = Q(
+    "q_match_recognize_all_rows",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "value")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+          |         SUM(A.value) AS run_a_sum
+          |ALL ROWS PER MATCH
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (A B)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'purchase'""".stripMargin)
+        .selectExpr("user_id", "event_id", "mn", "cls", "round(run_a_sum, 2) AS run_a_sum")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT user_id, a_id, b_id, a_value,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY a_id) AS mn
+           |  FROM (
+           |    SELECT user_id, event_id AS a_id, value AS a_value, event_type,
+           |           lead(event_id) OVER w AS b_id,
+           |           lead(event_type) OVER w AS b_type
+           |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |  WHERE event_type = 'view' AND b_type = 'purchase')
+           |SELECT user_id, a_id AS event_id, mn, 'A' AS cls,
+           |       round(a_value, 2) AS run_a_sum FROM pairs
+           |UNION ALL
+           |SELECT user_id, b_id AS event_id, mn, 'B' AS cls,
+           |       round(a_value, 2) AS run_a_sum FROM pairs
+           |ORDER BY user_id, event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qMatchRecognizeSeq, qMatchRecognizePlus,
-    qMatchRecognizeMeasures)
+    qMatchRecognizeMeasures, qMatchRecognizeAllRows)
 }
