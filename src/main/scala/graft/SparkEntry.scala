@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.LookupJoin.all ++
       operators.CoGroupOps.all ++
+      operators.SketchOps.all ++
       operators.SkewOps.all ++
       operators.TriggerWindows.all ++
       cep.CepOps.all ++
