@@ -289,6 +289,35 @@ object Scalars2 {
            |            CAST(day(o_orderdate) AS BIGINT)) AS md
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** CONVERT_TZ + TEMPORAL_OVERLAPS (reference FlinkSqlOperatorTable
+    * CONVERT_TZ / TEMPORAL_OVERLAPS): instant → America/New_York wall time
+    * (DST-correct on both engines via IANA tzdata), and the interval-overlap
+    * predicate against a fixed range. */
+  val qConvertTz: Q = Q(
+    "q_convert_tz",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "events")
+        .select(
+          $"event_id",
+          date_format(from_utc_timestamp($"ts", "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("ny_wall"),
+          // TEMPORAL_OVERLAPS((ts, ts+1h), (fixed, fixed+1h))
+          ($"ts" < to_timestamp(lit("2024-01-01 13:00:00")) &&
+            to_timestamp(lit("2024-01-01 12:00:00")) <
+              ($"ts" + expr("INTERVAL 1 HOUR"))).as("overlaps_noon"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+           |  strftime(timezone('America/New_York',
+           |           timezone('UTC', CAST(ts AS TIMESTAMP))),
+           |           '%Y-%m-%d %H:%M:%S') AS ny_wall,
+           |  (CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 13:00:00'
+           |   AND TIMESTAMP '2024-01-01 12:00:00'
+           |       < CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR) AS overlaps_noon
+           |FROM events ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarHash, qCollections, qUdafGeomean, qUdtfFlatmap,
-    qJsonExtract, qScalarStr3, qParseUrl, qScalarMath2, qScalarTemporal2, qScalarStr4)
+    qJsonExtract, qScalarStr3, qParseUrl, qScalarMath2, qScalarTemporal2,
+    qScalarStr4, qConvertTz)
 }
