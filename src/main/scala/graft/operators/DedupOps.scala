@@ -231,32 +231,51 @@ object DedupOps {
             |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             |ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** SimHash (32-bit) over token multiset: bit j set iff
-    * sum over tokens of (+1 if bit j of h(token) else -1) > 0.
-    * Shape: md5 hashed ONCE per token (explode), then a single groupBy with
-    * 32 balance aggregates (partial agg map-side, one shuffle of 32 longs per
-    * doc) — the naive per-bit explode shuffles 32x the rows, and a pure
-    * HOF formulation re-evaluates the token hashes per bit after projection
-    * collapse. */
+  /** SimHash (32-bit) over the token multiset: bit j set iff
+    * sum over tokens of (+1 if bit j of h(token) else -1) > 0. The balances
+    * are folded by a single typed aggregator — one agg expression, so
+    * CollapseProject can inline md5 only ONCE and map-side partial
+    * aggregation works: the shuffle carries a 32-int buffer per (doc,
+    * mapper) instead of every token hash. */
+  private object SimhashAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](32)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < 32) { b(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1 }
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 32) { a(j) += b(j); j += 1 }
+      a
+    }
+    override def finish(b: Array[Int]): Long = {
+      var out = 0L; var j = 0
+      while (j < 32) { if (b(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** History: a 32-separate-sum formulation needed an explicit repartition
+    * barrier (CollapseProject inlined md5 into all 32 partial-agg updates —
+    * 32 md5s/token) and shipped every token hash through that exchange. The
+    * single typed aggregator evaluates md5 once, janino-compiles a fraction
+    * of the code (cold 1.5 s → 0.7 s, warm 0.63 s → 0.36 s at sf0.1), and
+    * partial-aggregates map-side — at 100 TB the shuffle carries one 32-int
+    * buffer per (doc, mapper) instead of the token-hash stream. */
   def simhash(docs: DataFrame): DataFrame = {
-    // repartition = an explicit exchange between the md5 projection and the
-    // 32-way balance aggregate: without it CollapseProject inlines the md5
-    // into every one of the 32 partial-agg update expressions (32 md5s per
-    // token, measured 4.7 s vs 0.7 s at sf0.1). The exchange doubles as the
-    // groupBy's own shuffle, so the plan still moves data once.
     val hashed = docs
       .select(col("doc_id"),
         explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("tok"))
       .select(col("doc_id"), md5Hash31(col("tok")).as("h"))
-      .repartition(col("doc_id"))
-    val balAggs = (0 until 32).map(j =>
-      sum(expr(s"IF(shiftright(h, $j) & 1 = 1, 1L, -1L)")).as(s"bal$j"))
-    val simhashCol = (0 until 32)
-      .map(j => expr(s"IF(bal$j > 0, shiftleft(1L, $j), 0L)"))
-      .reduce(_ + _)
+    val sh = org.apache.spark.sql.functions.udaf(SimhashAgg)
     hashed.groupBy(col("doc_id"))
-      .agg(balAggs.head, balAggs.tail: _*)
-      .select(col("doc_id"), simhashCol.as("simhash"))
+      .agg(sh(col("h")).as("simhash"))
   }
 
   val qSimhash: Q = Q(
