@@ -32,6 +32,22 @@ object Scratch {
           .select(graft.functions.FlinkFunctions.md5Hash31(col("tok")).as("h")).count())
         time("simhash raw #1")(operators.DedupOps.simhash(docs).count())
         time("simhash raw #2")(operators.DedupOps.simhash(docs).count())
+      case "streamprof" =>
+        import org.apache.spark.sql.functions._
+        val t0 = System.nanoTime()
+        val agg = streaming.StreamingOps.streamTable(spark, sfDir, "events")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val q = agg.writeStream.format("memory").queryName("sprof")
+          .outputMode("complete")
+          .option("checkpointLocation", s"/dev/shm/graft-ckpt/sprof-${System.nanoTime()}")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        println(f"[scratch] total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        q.recentProgress.foreach { p =>
+          println(s"[scratch] batch ${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}")
+        }
       case "stream" =>
         def trio(tag: String): Unit = {
           time(s"q_stream_tumble$tag")(SparkEntry.queries("q_stream_tumble")(spark, sfDir).count())

@@ -185,8 +185,18 @@ object RelationalSql {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
 
+  /** SQL query hint (reference: Flink 1.11 table/query hints, FlinkHints /
+    * OptionsHintTest): /*+ BROADCAST */ forces the build side. DuckDB reads
+    * the hint as a plain block comment, so the text is engine-portable;
+    * `PlanAuditSpec` asserts the hint actually produced a broadcast join. */
+  val qHintBroadcast: Q = sqlQ(
+    "q_hint_broadcast",
+    """SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin)
+
   val all: Seq[Q] = Seq(
     qHaving, qInSubquery, qNotInSubquery, qAggHavingSubquery, qUnionDistinct,
     qOverRangeFrame, qCaseSum, qCondRatio, qQ22Shape, qUnionMulti, qOverNavigation,
-    qGroupingId, qTpchQ3, qTpchQ5, qTpchQ10)
+    qGroupingId, qTpchQ3, qTpchQ5, qTpchQ10, qHintBroadcast)
 }

@@ -214,7 +214,27 @@ object TimeWindows {
            |  FROM events) WHERE rn <= 2
            |ORDER BY event_type, rn""".stripMargin))
 
+  /** TUMBLE with a window OFFSET — reference TumblingEventTimeWindows
+    * .of(size, offset) (assigners/TumblingEventTimeWindows.java:116): window
+    * boundaries shifted by 90 s, e.g. [1:30, 6:30) instead of [0:00, 5:00).
+    * Spark's `window()` fourth argument (startTime) is the same knob. */
+  val qWindowOffset: Q = Q(
+    "q_window_offset",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "events")
+        .groupBy(window($"ts", "5 minutes", "5 minutes", "90 seconds"), $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          unix_timestamp($"window.start").as("wstart"),
+          $"event_type", $"cnt")
+        .orderBy($"wstart", $"event_type")
+    },
+    Some("""SELECT CAST(floor((epoch(ts) - 90) / 300) * 300 + 90 AS BIGINT) AS wstart,
+           |       event_type, count(*) AS cnt
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qWindowTumble, qWindowHop, qWindowSession, qIntervalJoin, qAsOfJoin,
-    qWindowJoin, qTableAgg)
+    qWindowJoin, qTableAgg, qWindowOffset)
 }

@@ -81,6 +81,11 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_hint_broadcast: the SQL hint forces a broadcast join") {
+    val p = phys(operators.RelationalSql.qHintBroadcast)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no unbounded cross/nested-loop join in any scale-path query plan") {
     // every non-calibration batch query must avoid CartesianProduct and
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
