@@ -48,7 +48,8 @@ object IterateOps {
       initialSolution: DataFrame,
       initialWorkset: DataFrame,
       keyCols: Seq[String],
-      maxIter: Int)(
+      maxIter: Int,
+      checkpointEvery: Int = 2)(
       step: (DataFrame, DataFrame) => (DataFrame, DataFrame)): DataFrame = {
     var solution = initialSolution.localCheckpoint(eager = true)
     var workset = initialWorkset.localCheckpoint(eager = true)
@@ -60,7 +61,11 @@ object IterateOps {
       solution = solution
         .join(d.select(keyCols.head, keyCols.tail: _*), keyCols, "left_anti")
         .unionByName(d.select(solution.columns.map(d.col): _*))
-        .localCheckpoint(eager = true)
+      // materializing the upserted solution is one extra job per round; a
+      // bounded un-checkpointed suffix (depth <= checkpointEvery) keeps the
+      // lineage flat enough while halving the per-round barrier count
+      if ((i + 1) % checkpointEvery == 0)
+        solution = solution.localCheckpoint(eager = true)
       workset =
         if (nextWorkset eq delta) d else nextWorkset.localCheckpoint(eager = true)
       i += 1
