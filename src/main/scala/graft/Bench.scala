@@ -15,6 +15,8 @@ object Bench {
     // phantom ~4.5 s on an arbitrary query per round)
     Tables.t(spark, sfDir, "events").count()
     Tables.t(spark, sfDir, "lineitem").count()
+    Tables.t(spark, sfDir, "documents").count()
+    Tables.t(spark, sfDir, "embeddings").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -21,6 +21,8 @@ object GraftSqlFunctions {
     reg.createOrReplaceTempFunction(
       "dot_product", (e: Seq[Expression]) => DotProduct(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "proctime", (_: Seq[Expression]) => ProcTimeExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "cosine_similarity", (e: Seq[Expression]) => {
         Divide(DotProduct(e(0), e(1)),
           Multiply(Sqrt(DotProduct(e(0), e(0))), Sqrt(DotProduct(e(1), e(1)))))

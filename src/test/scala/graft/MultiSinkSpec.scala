@@ -47,3 +47,23 @@ class MultiSinkSpec extends GraftSpec {
     } finally q.stop()
   }
 }
+
+/** PROCTIME() expression semantics. */
+class ProcTimeSpec extends GraftSpec {
+  test("proctime is per-record wall clock, never constant-folded") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val before = System.currentTimeMillis()
+    val df = spark.range(1000).toDF("i")
+      .withColumn("pt", org.apache.spark.sql.graft.ProcTime.proctime())
+    val vals = df.select(org.apache.spark.sql.functions.unix_millis($"pt"))
+      .as[Long].collect()
+    val after = System.currentTimeMillis()
+    assert(vals.forall(v => v >= before && v <= after), (vals.min, before, after))
+    // nondeterministic: survives in the optimized plan (not folded to literal)
+    assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("proctime"))
+    // SQL surface
+    org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
+    assert(spark.sql("SELECT proctime() AS pt").collect().length == 1)
+  }
+}
