@@ -688,6 +688,42 @@ object CepOps {
   }
   case class CepRuns(runs: List[(Int, Int, Long, Long, Boolean, List[(Int, Ev)])])
 
+  case class CepStreamOut(user_id: Long, a_id: Long, b_id: Long,
+      is_timeout: Boolean)
+
+  /** Streaming CEP with the TIMEOUT SIDE interleaved (reference
+    * PatternStream.select(timeoutTag, PatternTimeoutFunction, ...)): matched
+    * runs emit (a, b, is_timeout=false); partial runs whose `within` window
+    * expires mid-stream emit (a, a, is_timeout=true). In-flight runs still
+    * carry across micro-batches; expiry is driven by later events arriving
+    * for the key, exactly like the batch NFA's prune. */
+  def streamingMatchesWithTimeouts(
+      ds: org.apache.spark.sql.Dataset[Ev],
+      pat: Pattern[Ev]): org.apache.spark.sql.Dataset[CepStreamOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev],
+         state: org.apache.spark.sql.streaming.GroupState[CepRuns]) =>
+          val carried = state.getOption.map(_.runs.map {
+            case (i, c, so, t0, g, evs) => Pattern.Run(i, c, so, t0, g, evs.toVector)
+          }.toVector).getOrElse(Vector.empty)
+          val (matches, runs, timeouts) = Pattern.advanceFull(
+            pat, it.toSeq.sortBy(e => (e.ts_us, e.event_id)).iterator,
+            (_: Ev).ts_us, (_: Ev).event_id, carried, endOfInput = false)
+          state.update(CepRuns(runs.map(r =>
+            (r.step, r.cnt, r.startOrd, r.startTs, r.gap, r.acc.toList)).toList))
+          (matches.map(m =>
+             CepStreamOut(uid, m.head.event_id, m.last.event_id, is_timeout = false)) ++
+           timeouts.map(t =>
+             CepStreamOut(uid, t.head.event_id, t.head.event_id, is_timeout = true))
+          ).iterator
+      }
+  }
+
   val all: Seq[Q] = Seq(qCepNext, qCepFollowedBy, qCepTimes, qCepOneOrMore,
     qCepOptional, qCepNotNext, qCepNotFollowed, qCepTimeout, qCepIterative)
 }

@@ -290,6 +290,34 @@ class CepNondetSpec extends GraftSpec {
     assert(timeouts.map(_.head.event_id).sorted == Vector(3L, 5L))
   }
 
+  test("streaming CEP emits timeouts for runs whose window expires mid-stream") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    def at(id: Long, tpe: String, tsUs: Long): Ev = Ev(id, 1L, tpe, 0.0, tsUs)
+    val pat = Pattern.begin[Ev]("a")(_.event_type == "S")
+      .followedBy("b")(_.event_type == "P")
+      .within(2000000)
+      .afterMatchSkip(AfterMatch.NoSkip)
+    val q = graft.cep.CepOps.streamingMatchesWithTimeouts(mem.toDS(), pat)
+      .writeStream.format("memory").queryName("cep_to_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(at(1, "S", 0))            // batch 1: in-flight run
+      q.processAllAvailable()
+      mem.addData(at(2, "P", 1000000))      // batch 2: completes (1,2)
+      q.processAllAvailable()
+      mem.addData(at(3, "S", 1500000))      // batch 3: new in-flight run
+      q.processAllAvailable()
+      mem.addData(at(4, "X", 4000000))      // batch 4: expires run 3 -> timeout
+      q.processAllAvailable()
+      val rows = spark.table("cep_to_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(rows == Set((1L, 2L, false), (3L, 3L, true)))
+    } finally q.stop()
+  }
+
   test("whereWith iterative condition sees the run's consumed events") {
     // rising loop: each additional A must exceed the PREVIOUS A's value
     val p = Pattern.begin[Ev]("a")(_.event_type == "A")
