@@ -125,5 +125,30 @@ object CoGroupOps {
     Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
            |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(qCoGroup, qAsyncLookup, qKafkaRoundtrip, qCsvRoundtrip)
+  /** Partitioned layout + partition pruning, end to end: write events
+    * date-partitioned (the 100 TB layout), read back with a partition
+    * predicate — only the matching directories are listed/scanned
+    * (`PartitionPruningSpec` asserts the PartitionFilters; this query checks
+    * the ANSWER against the unpartitioned oracle). */
+  val qPartitionedScan: Q = Q(
+    "q_partitioned_scan",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val pDir = s"${System.getProperty("java.io.tmpdir")}/graft_events_part"
+      Tables.t(s, dir, "events")
+        .withColumn("day", to_date($"ts"))
+        .write.mode("overwrite").partitionBy("day").parquet(pDir)
+      s.read.parquet(pDir)
+        .where($"day" === lit(java.sql.Date.valueOf("2024-01-01")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(qCoGroup, qAsyncLookup, qKafkaRoundtrip, qCsvRoundtrip,
+    qPartitionedScan)
 }
