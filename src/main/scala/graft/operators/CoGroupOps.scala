@@ -125,6 +125,32 @@ object CoGroupOps {
     Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
            |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
+  /** Upsert-kafka composition (reference: Kafka sink + upsert semantics —
+    * the compacted-topic contract where the latest record per key wins):
+    * every event written as a keyed record, then the consumer reconstructs
+    * the upsert view as max-offset-per-key. Offsets within a partition are
+    * ordered by (key, value), and the value embeds a zero-padded event_id,
+    * so max-by-offset is exactly keep-last. */
+  val qUpsertKafka: Q = Q(
+    "q_upsert_kafka",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val logDir = s"${System.getProperty("java.io.tmpdir")}/graft_kafka_upsert"
+      val records = Tables.t(s, dir, "events")
+        .select($"user_id".cast("string").as("key"),
+          format_string("%012d", $"event_id").as("value"), $"ts")
+      KafkaLog.writeBatch(records, logDir, "user_updates", numPartitions = 4, batchId = 0L)
+      KafkaLog.readBatch(s, logDir, "user_updates")
+        .groupBy($"key")
+        .agg(max_by($"value", $"offset").as("value")) // log compaction
+        .select($"key".cast("long").as("user_id"),
+          $"value".cast("long").as("last_event_id"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, max(event_id) AS last_event_id
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   /** Partitioned layout + partition pruning, end to end: write events
     * date-partitioned (the 100 TB layout), read back with a partition
     * predicate — only the matching directories are listed/scanned
@@ -150,5 +176,5 @@ object CoGroupOps {
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   val all: Seq[Q] = Seq(qCoGroup, qAsyncLookup, qKafkaRoundtrip, qCsvRoundtrip,
-    qPartitionedScan)
+    qPartitionedScan, qUpsertKafka)
 }

@@ -195,8 +195,52 @@ object RelationalSql {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin)
 
+  /** TPC-H Q7 (volume shipping): supplier nation ⋈ customer nation pairs in
+    * either direction, yearly revenue. Self-joined nation dims broadcast. */
+  val qTpchQ7: Q = sqlQ(
+    "q_tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |         l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |                JOIN orders ON o_orderkey = l_orderkey
+      |                JOIN customer ON c_custkey = o_custkey
+      |                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  /** TPC-H Q8 (national market share): share of one nation's volume within
+    * a region's market per year — conditional-sum ratio over a 7-way join. */
+  val qTpchQ8: Q = sqlQ(
+    "q_tpch_q8",
+    """SELECT o_year,
+      |       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+      |             / sum(volume), 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         l_extendedprice * (1 - l_discount) AS volume,
+      |         n2.n_name AS nation
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |            JOIN supplier ON s_suppkey = l_suppkey
+      |            JOIN orders ON l_orderkey = o_orderkey
+      |            JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |            JOIN region ON n1.n_regionkey = r_regionkey
+      |            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'AMERICA' AND p_type = 'SMALL'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin)
+
   val all: Seq[Q] = Seq(
     qHaving, qInSubquery, qNotInSubquery, qAggHavingSubquery, qUnionDistinct,
     qOverRangeFrame, qCaseSum, qCondRatio, qQ22Shape, qUnionMulti, qOverNavigation,
-    qGroupingId, qTpchQ3, qTpchQ5, qTpchQ10, qHintBroadcast)
+    qGroupingId, qTpchQ3, qTpchQ5, qTpchQ10, qHintBroadcast, qTpchQ7, qTpchQ8)
 }
