@@ -266,6 +266,32 @@ object Relational {
     Some("""SELECT c_nationkey AS nationkey FROM customer
            |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin))
 
+  /** INTERSECT ALL — reference RewriteIntersectAllRule.scala (multiplicity
+    * = min of the two sides' counts, rewritten to a counted join). */
+  val qIntersectAll: Q = Q(
+    "q_intersect_all",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+        .intersectAll(Tables.t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+           |INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin))
+
+  /** EXCEPT ALL — reference RewriteMinusAllRule.scala (multiplicity =
+    * left count minus right count, floored at zero). */
+  val qExceptAll: Q = Q(
+    "q_except_all",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+        .exceptAll(Tables.t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+           |EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin))
+
   /** EXCEPT — reference ReplaceMinusWithAntiJoinRule.scala. */
   val qExcept: Q = Q(
     "q_except",
@@ -649,7 +675,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qCalcFilter, qAggQ1, qJoinTopN, qBroadcastJoinAgg, qLeftOuter, qFullOuter,
     qRightOuter, qSemiJoin, qAntiJoin, qCrossJoin, qUnionAll, qIntersect,
-    qExcept, qDistinct,
+    qExcept, qIntersectAll, qExceptAll, qDistinct,
     qRollup, qCube, qGroupingSets, qOverRows, qOverRank, qTopN, qDedupFirst,
     qSortLimit, qCountDistinct, qListAgg, qFirstLast, qStats, qStats2,
     qApprox, qExplodeTokens, qScalarSubquery, qStarJoin, qSplitCountDistinct)
