@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,9 +23,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // ms precision keeps the single JSON line compact (98 entries must
-    // survive any line-length cap on the driver side); Locale.ROOT so a
-    // comma-decimal default locale can't corrupt the JSON
+    // Locale.ROOT so a comma-decimal default locale can't corrupt the JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(m: Iterable[(String, Double)]): String =
@@ -39,10 +38,30 @@ object Bench {
     // comparable); scale_total/calibration_total are the split views
     val scaleTotal = if (scale.nonEmpty) scale.map(_._2).sum else 0.0
     val calibTotal = if (calib.nonEmpty) calib.map(_._2).sum else 0.0
+    // Full per-query map goes to a FILE: the harness keeps only the last
+    // ~2000 bytes of stdout, and a 138-entry JSON line (~4 KB) truncated at
+    // the front is unparseable — exactly what happened to BENCH_r01..r03.
+    // The stdout line carries the totals plus the slowest queries and is
+    // sized to survive the tail buffer; BENCH_FULL.json has everything.
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(scaleTotal + calibTotal)},"unit":"sec",""" +
+        s""""scale_total":${fmt(scaleTotal)},""" +
+        s""""queries":${obj(scale)},"calibration":${obj(calib)},""" +
+        s""""calibration_total":${fmt(calibTotal)},"n_queries":${results.size},"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // cwd not writable: stdout line still stands
+    val budget = 1500 // bytes for the slowest-queries object on the one-line report
+    val slowest = scale.toSeq.sortBy(-_._2)
+      .foldLeft(Vector.empty[(String, Double)] -> 0) { case ((acc, len), (k, v)) =>
+        val entryLen = k.length + 12
+        if (len + entryLen > budget) (acc, len) else (acc :+ (k -> v), len + entryLen)
+      }._1
     println(s"""{"metric":"total","value":${fmt(scaleTotal + calibTotal)},"unit":"sec",""" +
-      s""""scale_total":${fmt(scaleTotal)},""" +
-      s""""queries":${obj(scale)},"calibration":${obj(calib)},""" +
-      s""""calibration_total":${fmt(calibTotal)},"sf":"$sfDir"}""")
+      s""""scale_total":${fmt(scaleTotal)},"calibration_total":${fmt(calibTotal)},""" +
+      s""""n_queries":${results.size},"detail":"BENCH_FULL.json",""" +
+      s""""queries":${obj(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,6 +59,19 @@ object Tables {
   /** Register all tables as temp views (for spark.sql-based operators). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Scratch directory for queries that write-then-read an intermediate
+    * layout (file-backed Kafka log, partitioned parquet, CSV roundtrip).
+    * Prefers tmpfs: these artifacts are recreated per run and never need to
+    * survive the JVM, while a disk-backed /tmp under concurrent writer load
+    * turns an 0.3 s write into a double-digit outlier (observed in BENCH_r03:
+    * q_partitioned_scan 13.3 s on the driver vs 1.3 s locally). */
+  def scratch(sub: String): String = {
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-scratch"
+      else System.getProperty("java.io.tmpdir") + "/graft-scratch"
+    s"$base/$sub"
+  }
 }
 
 /** One engine query: the Spark implementation + (optionally) an equivalent

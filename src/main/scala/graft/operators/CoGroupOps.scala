@@ -91,7 +91,7 @@ object CoGroupOps {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val logDir = s"${System.getProperty("java.io.tmpdir")}/graft_kafka_rt"
+      val logDir = Tables.scratch("kafka_rt")
       val records = Tables.t(s, dir, "events")
         .where($"event_type" === "purchase")
         .select($"event_id".cast("string").as("key"),
@@ -114,7 +114,7 @@ object CoGroupOps {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      val csvDir = Tables.scratch("csv_rt")
       val src = Tables.t(s, dir, "supplier")
       src.write.mode("overwrite").option("header", "true").csv(csvDir)
       s.read.schema(src.schema).option("header", "true").csv(csvDir)
@@ -136,7 +136,7 @@ object CoGroupOps {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val logDir = s"${System.getProperty("java.io.tmpdir")}/graft_kafka_upsert"
+      val logDir = Tables.scratch("kafka_upsert")
       val records = Tables.t(s, dir, "events")
         .select($"user_id".cast("string").as("key"),
           format_string("%012d", $"event_id").as("value"), $"ts")
@@ -161,9 +161,14 @@ object CoGroupOps {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val pDir = s"${System.getProperty("java.io.tmpdir")}/graft_events_part"
+      val pDir = Tables.scratch("events_part")
       Tables.t(s, dir, "events")
         .withColumn("day", to_date($"ts"))
+        // cluster rows by partition value before the partitioned write:
+        // without it every task opens a writer per day it happens to see
+        // (tasks x days small files — the classic 100 TB layout mistake);
+        // with it each day is written by exactly one task
+        .repartition($"day")
         .write.mode("overwrite").partitionBy("day").parquet(pDir)
       s.read.parquet(pDir)
         .where($"day" === lit(java.sql.Date.valueOf("2024-01-01")))

@@ -169,12 +169,18 @@ object SimilarityOps {
         .withColumn("cnorm", sqrt(dotProduct($"cvec", $"cvec")))
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy($"vec_id").orderBy($"csim".desc, $"label")
+      // persisted: the search below self-joins `assigned`, and without the
+      // cache Catalyst recomputes the whole train+assign subplan (centroid
+      // agg, broadcast, window) once per join side — the assignment table is
+      // #vectors x (id, cell, vec) and is exactly what a real IVF index
+      // stores, so materializing it is the honest physical analogue
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("csim",
           round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6))
         .withColumn("arn", row_number().over(wAssign))
         .filter($"arn" === 1)
         .select($"vec_id", $"label".as("cell"), $"dvec", $"dnorm")
+        .persist()
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"sim".desc, $"cid")
       assigned.select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
