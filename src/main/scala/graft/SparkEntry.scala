@@ -15,6 +15,7 @@ object SparkEntry {
   private val modules: Seq[Q] =
     operators.Relational.all ++
       operators.RelationalSql.all ++
+      operators.TpchSql.all ++
       operators.Scalars.all ++
       operators.Scalars2.all ++
       operators.TimeWindows.all ++

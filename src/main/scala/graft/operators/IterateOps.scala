@@ -44,12 +44,22 @@ object IterateOps {
     * bulk CC needed two full-size scalar aggregations per round). Both
     * solution and workset are localCheckpoint-ed every round to keep lineage
     * flat, matching the reference's iteration-aware scheduling. */
+  /** Thrown when [[iterateDelta]] hits maxIter with a non-empty workset:
+    * the fixpoint was NOT reached and the solution set is mid-iteration
+    * state. Carries the surviving workset size for the error message. */
+  final class NonConvergedException(val rounds: Int, val worksetSize: Long)
+    extends IllegalStateException(
+      s"iterateDelta did not converge: workset still has $worksetSize rows " +
+        s"after $rounds rounds — raise maxIter or use a structurally-bounded " +
+        s"algorithm (e.g. large-star/small-star for connected components)")
+
   def iterateDelta(
       initialSolution: DataFrame,
       initialWorkset: DataFrame,
       keyCols: Seq[String],
       maxIter: Int,
-      checkpointEvery: Int = 2)(
+      checkpointEvery: Int = 2,
+      failOnMaxIter: Boolean = true)(
       step: (DataFrame, DataFrame) => (DataFrame, DataFrame)): DataFrame = {
     var solution = initialSolution.localCheckpoint(eager = true)
     var workset = initialWorkset.localCheckpoint(eager = true)
@@ -69,6 +79,17 @@ object IterateOps {
       workset =
         if (nextWorkset eq delta) d else nextWorkset.localCheckpoint(eager = true)
       i += 1
+    }
+    // A silently-truncated iteration is worse than a failed one: with a
+    // component of diameter > maxIter (chained near-dups at 100 TB scale)
+    // the labels would be WRONG with no signal. Fail loudly by default;
+    // callers that want partial results opt out and get a log line.
+    if (i == maxIter && !workset.isEmpty) {
+      val n = workset.count()
+      if (failOnMaxIter) throw new NonConvergedException(i, n)
+      else System.err.println(
+        s"[iterateDelta] WARNING: converged=false — $n workset rows remain " +
+          s"after $i rounds; solution set is mid-iteration state")
     }
     solution
   }
