@@ -431,8 +431,13 @@ object CepOps {
 
   /** Relaxed-contiguity (followedBy) + within: signup followed by a purchase
     * within 2 hours, skipping unrelated events in between; after-match skips
-    * past the purchase. No simple SQL rewrite exists (overlap suppression is
-    * inherently stateful) — covered by unit tests instead of an oracle. */
+    * past the purchase. No single-pass SQL rewrite exists (overlap
+    * suppression is inherently stateful), but SKIP_PAST_LAST_EVENT *is*
+    * expressible as a per-user recursive chain: each match = the first
+    * purchase after the previous match's end that still has a live (≤ 2 h
+    * old, unconsumed) signup before it, paired with the EARLIEST such signup
+    * — exactly the NFA's earliest-start-first emission + clear-all-runs.
+    * The DuckDB oracle replays that chain with a recursive CTE. */
   val qCepFollowedBy: Q = Q(
     "q_cep_followed_by",
     (s, dir) => {
@@ -444,7 +449,28 @@ object CepOps {
         Iterator.single(CepMatch(uid, m(0).event_id, m(1).event_id)))
         .orderBy($"user_id", $"a_id")
     },
-    None)
+    Some("""WITH RECURSIVE m AS (
+           |  SELECT user_id, CAST(-1 AS BIGINT) AS a_id, CAST(-1 AS BIGINT) AS b_id
+           |  FROM (SELECT DISTINCT user_id FROM events)
+           |  UNION ALL
+           |  SELECT m.user_id, nxt.a_id, nxt.b_id
+           |  FROM m, LATERAL (
+           |    SELECT p.event_id AS b_id,
+           |           (SELECT min(s.event_id) FROM events s
+           |            WHERE s.user_id = m.user_id AND s.event_type = 'signup'
+           |              AND s.event_id > m.b_id AND s.event_id < p.event_id
+           |              AND epoch_us(p.ts) - epoch_us(s.ts) <= 7200000000) AS a_id
+           |    FROM events p
+           |    WHERE p.user_id = m.user_id AND p.event_type = 'purchase'
+           |      AND p.event_id > m.b_id
+           |      AND EXISTS (SELECT 1 FROM events s
+           |                  WHERE s.user_id = m.user_id AND s.event_type = 'signup'
+           |                    AND s.event_id > m.b_id AND s.event_id < p.event_id
+           |                    AND epoch_us(p.ts) - epoch_us(s.ts) <= 7200000000)
+           |    ORDER BY p.event_id LIMIT 1) nxt
+           |)
+           |SELECT user_id, a_id, b_id FROM m WHERE a_id >= 0
+           |ORDER BY user_id, a_id""".stripMargin))
 
   /** `times(2).consecutive` + strict close: exactly two adjacent views then
     * an immediate purchase — reference Pattern.times (Pattern.java:129) with

@@ -555,21 +555,69 @@ object Relational {
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Approximate aggregates — the 100 TB scale path for distinct counts and
-    * quantiles (HLL++ / KLL-style sketches; algorithm-specific results, so
-    * rows-only driver check; tolerance vs exact is asserted in
-    * PartitionPruningSpec). */
+    * quantiles. Spark's native sketches (approx_count_distinct = HLL++,
+    * approx_percentile = KLL-style) are algorithm-specific and not
+    * reproducible cross-engine, so this query uses the engine's DETERMINISTIC
+    * sketch pair instead (SketchOps KMV precedent), which a DuckDB oracle
+    * reproduces bit-for-bit:
+    *   - distinct customers per status: KMV(k=64) over a fixed md5-derived
+    *     hash — mergeable (k smallest survive partial agg), estimate
+    *     (k-1)/normalized kth minimum;
+    *   - median totalprice per status: exact interpolated percentile over a
+    *     deterministic 20% hash-sample of orders (hash(o_orderkey) % 5 = 0)
+    *     — the fixed-sample quantile sketch.
+    * PartitionPruningSpec asserts both estimates' tolerance vs exact. */
   val qApprox: Q = Q(
     "q_approx_agg",
     (s, dir) => {
       import s.implicits._
-      Tables.t(s, dir, "orders")
+      val k = 64
+      val p31 = 2147483647L
+      val o = Tables.t(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderstatus").orderBy($"h")
+      val kmv = o
+        .select($"o_orderstatus",
+          graft.functions.FlinkFunctions.md5Hash31($"o_custkey".cast("string")).as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k)
         .groupBy($"o_orderstatus")
-        .agg(
-          approx_count_distinct($"o_custkey", 0.02).as("approx_cust"),
-          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"))
-        .orderBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_min"), max($"h").as("kth"))
+        .select($"o_orderstatus",
+          when($"n_min" < k, $"n_min")
+            .otherwise(round(lit((k - 1).toDouble) * p31 / $"kth"))
+            .cast("long").as("approx_cust"))
+      val p50 = o
+        .filter(graft.functions.FlinkFunctions.md5Hash31($"o_orderkey".cast("string")) % 5 === 0)
+        .groupBy($"o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("approx_p50"))
+      kmv.join(p50, Seq("o_orderstatus")).orderBy($"o_orderstatus")
     },
-    None)
+    Some("""WITH hashed AS (
+           |  SELECT DISTINCT o_orderstatus AS st,
+           |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+           |      % 2147483647 AS h
+           |  FROM orders),
+           |ranked AS (
+           |  SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS rn
+           |  FROM hashed),
+           |kmv AS (
+           |  SELECT st, count(*) AS n_min, max(h) AS kth
+           |  FROM ranked WHERE rn <= 64 GROUP BY st),
+           |p50 AS (
+           |  SELECT o_orderstatus AS st,
+           |         round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS approx_p50
+           |  FROM orders
+           |  WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+           |          % 2147483647 % 5 = 0
+           |  GROUP BY o_orderstatus)
+           |SELECT kmv.st AS o_orderstatus,
+           |       CAST(CASE WHEN n_min < 64 THEN n_min
+           |                 ELSE round(63.0 * 2147483647 / kth) END AS BIGINT) AS approx_cust,
+           |       approx_p50
+           |FROM kmv JOIN p50 ON kmv.st = p50.st
+           |ORDER BY o_orderstatus""".stripMargin))
 
   /** Correlation/covariance/percentile aggregates (reference §2.1 built-in
     * agg functions; percentile = exact linear interpolation on both engines,
