@@ -262,6 +262,70 @@ object StatefulOps {
       })
   }
 
+  case class RangeBuf(evs: List[EvT])
+  case class RangeOut(event_id: Long, user_id: Long, range_sum: Double)
+
+  /** Streaming OVER with a time-RANGE bounded-preceding frame — reference
+    * operators/over/RowTimeRangeBoundedPrecedingFunction.java:1: for each
+    * row, once the watermark passes its timestamp, emit the aggregate over
+    * the key's rows in [ts − range, ts] (inclusive both ends = SQL
+    * `RANGE BETWEEN <range> PRECEDING AND CURRENT ROW`, peers included).
+    *
+    * Built on [[TimerOps.processWithTimers]], two timers per buffered row:
+    *  - an EMIT timer at the row's own timestamp (fires when the watermark
+    *    guarantees every frame member has arrived — rows with smaller ts
+    *    that would arrive later are below the watermark and dropped),
+    *  - an EVICT timer at ts + range (the row has left every possible
+    *    future frame; the buffer shrinks as the watermark advances even if
+    *    the key never sees another row — the reference's cleanup timer).
+    *
+    * Frame math is in MICROSECONDS (event timestamps carry µs precision;
+    * ms-truncated frames would disagree with a µs-precision oracle at the
+    * boundaries). Timers are ms-granular like the watermark itself: the EMIT
+    * timer is the row's floor-ms timestamp (Spark's watermark is the µs max
+    * event time truncated down to ms, so a rounded-UP timer would never fire
+    * for the stream's last row); the EVICT timer is floor-ms + 1 of the
+    * frame-exit point so it fires strictly after the row left every frame.
+    *
+    * State per key = rows inside the trailing `range` window + 2 timers per
+    * row — the same bound as the reference operator's MapState<ts, rows>. */
+  def overRangePreceding(ds: org.apache.spark.sql.Dataset[EvT], rangeUs: Long)
+      : org.apache.spark.sql.Dataset[RangeOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    TimerOps.processWithTimers[Long, EvT, RangeBuf, RangeOut](ds)(_.user_id, _.event_id)(
+      onElement = (_, e, st, ctx) => {
+        ctx.registerTimer(e.ts.getTime)
+        ctx.registerTimer(math.floorDiv(usOf(e.ts) + rangeUs, 1000L) + 1)
+        (Some(RangeBuf(e :: st.map(_.evs).getOrElse(Nil))), Nil)
+      },
+      onTimer = (key, t, st, ctx) => {
+        val buf = st.map(_.evs).getOrElse(Nil)
+        val due = buf.filter(x => x.ts.getTime == t)
+          .sortBy(x => (usOf(x.ts), x.event_id))
+        val out = due.map { e =>
+          val us = usOf(e.ts)
+          // deterministic accumulation order (ts, event_id) — a List built
+          // by arrival-order prepend would sum in nondeterministic order
+          val s = buf.filter(x => usOf(x.ts) >= us - rangeUs && usOf(x.ts) <= us)
+            .sortBy(x => (usOf(x.ts), x.event_id)).map(_.value).sum
+          RangeOut(e.event_id, key,
+            BigDecimal(s).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        // evict emitted rows that can no longer appear in any frame: not in
+        // a still-buffered unemitted row's frame, and every future arrival
+        // is above the watermark
+        val (emitted, pending) = buf.partition(x => x.ts.getTime <= t)
+        val minPendingUs = pending.map(x => usOf(x.ts)).minOption.getOrElse(Long.MaxValue)
+        val wmUs = ctx.watermarkMs * 1000
+        val keep = pending ++ emitted.filter(x =>
+          usOf(x.ts) + rangeUs >= minPendingUs || usOf(x.ts) + rangeUs >= wmUs)
+        (if (keep.isEmpty) None else Some(RangeBuf(keep)), out)
+      })
+  }
+
   case class SeenAt(firstTsMs: Long)
 
   /** Keyed dedup with event-time TTL — reference StateTtlConfig.java:51 +
@@ -309,6 +373,28 @@ object StatefulOps {
            |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Streaming time-RANGE bounded OVER as an oracle-checked query: trailing
+    * 1-hour sum of `value` per user — "sum over the preceding hour per row",
+    * the most common streaming-OVER shape. Watermark delay 0, so the final
+    * no-data micro-batch emits every row; the oracle is the literal SQL
+    * RANGE frame. */
+  val qStreamOverRange: Q = Q(
+    "q_stream_over_range",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      val in = StreamingOps.streamTable(s, dir, "events")
+        .withWatermark("ts", "0 seconds")
+        .select($"event_id", $"user_id", $"value", $"ts").as[EvT]
+      val out = overRangePreceding(in, rangeUs = 3600L * 1000000).toDF()
+      StreamingOps.runToMemory(s, out, "append", "graft_stream_over_range")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+           |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+           |         AS range_sum
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
   /** Changelog TopN as an oracle-checked query: over a single data batch the
     * emitted changelog is exactly the +I rows of the final per-type top-3
     * (multi-batch retraction sequences are covered by ChangelogJoinSpec /
@@ -330,5 +416,5 @@ object StatefulOps {
 
   val all: Seq[Q] = Seq(
     qStreamTopN, qStreamDedupLast, qStreamOver, qStreamAsof, qStreamIntervalJoin,
-    qStreamTemporalSort, qChangelogTopN)
+    qStreamTemporalSort, qChangelogTopN, qStreamOverRange)
 }

@@ -60,6 +60,50 @@ class TemporalSortTtlSpec extends GraftSpec {
     q.stop()
   }
 
+  test("time-RANGE bounded OVER emits per-row trailing sums and state shrinks with the watermark") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.overRangePreceding
+    val mem = MemoryStream[EvT]
+    val out = overRangePreceding(
+      mem.toDS().withWatermark("ts", "0 seconds").as[EvT],
+      rangeUs = 60L * 1000000) // 1-minute trailing frame
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("over_range").outputMode("append").start()
+
+    // key 1: rows at 00:00:00 / 00:00:30 / 00:01:45; the watermark is one
+    // batch behind, so emission needs a later batch to advance it
+    mem.addData(
+      EvT(1, 1L, 10.0, ts("2024-01-01 00:00:00")),
+      EvT(2, 1L, 5.0, ts("2024-01-01 00:00:30")),
+      EvT(3, 1L, 2.0, ts("2024-01-01 00:01:45")))
+    q.processAllAvailable()
+    // each batch advances the watermark to the PREVIOUS batch's max event
+    // time (wm updates at batch end), so emission lags one batch
+    mem.addData(EvT(9, 2L, 1.0, ts("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    mem.addData(EvT(10, 2L, 1.0, ts("2024-01-01 00:20:00")))
+    q.processAllAvailable()
+    mem.addData(EvT(11, 2L, 1.0, ts("2024-01-01 00:30:00")))
+    q.processAllAvailable()
+    val got = spark.table("over_range").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // frames: id1 = {10}; id2 = {10, 5} (both within 1 min); id3 = {2}
+    // (frame [00:00:45, 00:01:45] excludes both earlier rows); id9/id10
+    // are each alone in their trailing minute
+    val expected = Map(1L -> 10.0, 2L -> 15.0, 3L -> 2.0, 9L -> 1.0, 10L -> 1.0)
+    assert(expected.forall { case (k, v) => got.get(k).contains(v) }, s"got $got")
+
+    // watermark (>= 00:20) is far past every key-1 row + range: key 1's
+    // buffer drained via evict timers and its state entry was REMOVED;
+    // key 2 still has pending timers, so exactly 1 state row remains
+    val numRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(numRows == 1L,
+      s"expected only key 2's state row to survive watermark-driven eviction, got $numRows")
+    q.stop()
+  }
+
   test("changelog TopN emits +I/-U/+U retraction rows across batches") {
     val sparkS = spark
     import sparkS.implicits._
