@@ -491,6 +491,33 @@ object DedupOps {
             |FROM documents d LEFT JOIN r ON r.a = d.doc_id
             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
 
+  /** Dedup clusters via large-star/small-star CC ([[ConnectedComponents]])
+    * — the structurally-bounded twin of [[qDedupClusters]]: same LSH
+    * candidate edges, same component-min labels, same oracle, but O(log n)
+    * rounds regardless of component diameter (label propagation is
+    * O(diameter), which the iterateDelta maxIter guard turns into a hard
+    * error on chained near-dups). This is the plan a 100 TB corpus runs. */
+  val qDedupClustersStar: Q = Q(
+    "q_dedup_clusters_star",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.t(s, dir, "documents").select($"doc_id")
+      val bands = minhashBandsM(s, dir)
+      val edges = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      ConnectedComponents
+        .componentsStar(docs.select($"doc_id".as("node")), edges)
+        .select($"node".as("doc_id"), $"label".as("cluster"),
+          ($"node" === $"label").as("is_keeper"))
+        .orderBy($"doc_id")
+    },
+    qDedupClusters.oracle)
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qNgramJaccardCapped,
-    qMinhashLsh, qSimhash, qSimhashPairs, qSimhashBanded, qDedupClusters)
+    qMinhashLsh, qSimhash, qSimhashPairs, qSimhashBanded, qDedupClusters,
+    qDedupClustersStar)
 }

@@ -326,6 +326,66 @@ object StatefulOps {
       })
   }
 
+  /** Streaming OVER with a ROWS bounded-preceding frame — reference
+    * operators/over/RowTimeRowsBoundedPrecedingFunction.java: per row, once
+    * the watermark passes its timestamp, emit the aggregate over the last
+    * `nRows` rows up to and including it in total (ts, event_id) order
+    * (SQL `ROWS BETWEEN nRows-1 PRECEDING AND CURRENT ROW`).
+    *
+    * State per key is structurally bounded: after each firing only the
+    * nRows−1 most recent EMITTED rows are retained (exactly the rows any
+    * future row's frame can still reference — the reference operator's
+    * retract-when-full List<RowData> state), plus rows still awaiting their
+    * emit timer. Unlike the RANGE variant no evict timers are needed: the
+    * bound is by count, enforced at every firing. */
+  def overRowsPreceding(ds: org.apache.spark.sql.Dataset[EvT], nRows: Int)
+      : org.apache.spark.sql.Dataset[RangeOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    TimerOps.processWithTimers[Long, EvT, RangeBuf, RangeOut](ds)(_.user_id, _.event_id)(
+      onElement = (_, e, st, ctx) => {
+        ctx.registerTimer(e.ts.getTime)
+        (Some(RangeBuf(e :: st.map(_.evs).getOrElse(Nil))), Nil)
+      },
+      onTimer = (key, t, st, _) => {
+        val buf = st.map(_.evs).getOrElse(Nil)
+        val ordered = buf.sortBy(x => (usOf(x.ts), x.event_id))
+        val due = ordered.filter(_.ts.getTime == t)
+        val out = due.map { e =>
+          val eUs = usOf(e.ts)
+          val upTo = ordered.takeWhile(x =>
+            usOf(x.ts) < eUs || (usOf(x.ts) == eUs && x.event_id <= e.event_id))
+          RangeOut(e.event_id, key,
+            BigDecimal(upTo.takeRight(nRows).map(_.value).sum)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        val (emitted, pending) = ordered.partition(_.ts.getTime <= t)
+        val keep = emitted.takeRight(nRows - 1) ++ pending
+        (if (keep.isEmpty) None else Some(RangeBuf(keep)), out)
+      })
+  }
+
+  /** ROWS bounded-preceding OVER as an oracle-checked query: sum of the
+    * last 3 values per user in (ts, event_id) order — the tie-broken total
+    * order makes the SQL ROWS frame deterministic cross-engine. */
+  val qStreamOverRows: Q = Q(
+    "q_stream_over_rows",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      val in = StreamingOps.streamTable(s, dir, "events")
+        .withWatermark("ts", "0 seconds")
+        .select($"event_id", $"user_id", $"value", $"ts").as[EvT]
+      val out = overRowsPreceding(in, nRows = 3).toDF()
+      StreamingOps.runToMemory(s, out, "append", "graft_stream_over_rows")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS range_sum
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
   case class SeenAt(firstTsMs: Long)
 
   /** Keyed dedup with event-time TTL — reference StateTtlConfig.java:51 +
@@ -416,5 +476,5 @@ object StatefulOps {
 
   val all: Seq[Q] = Seq(
     qStreamTopN, qStreamDedupLast, qStreamOver, qStreamAsof, qStreamIntervalJoin,
-    qStreamTemporalSort, qChangelogTopN, qStreamOverRange)
+    qStreamTemporalSort, qChangelogTopN, qStreamOverRange, qStreamOverRows)
 }

@@ -86,6 +86,20 @@ class PlanAuditSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_tpch_q18: HAVING subquery decorrelates to a semi join, no cartesian") {
+    val p = phys(operators.TpchSql.qTpchQ18)
+    assert(p.contains("LeftSemi"), s"IN-subquery not decorrelated to semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_tpch_q21: EXISTS/NOT EXISTS become semi + anti joins, nation broadcast") {
+    val p = phys(operators.TpchSql.qTpchQ21)
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"tiny nation dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no unbounded cross/nested-loop join in any scale-path query plan") {
     // every non-calibration batch query must avoid CartesianProduct and
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
@@ -97,6 +111,7 @@ class PlanAuditSpec extends GraftSpec {
     // broadcast NLJ is the correct plan, a hash shuffle would be pure cost
     val broadcastNljOk = Set("q_ann_ivf")
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
+      operators.TpchSql.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++
       operators.TextOps.all ++ operators.LookupJoin.all ++
       operators.SkewOps.all ++ operators.TimeWindows.all)
