@@ -162,5 +162,39 @@ object TextOps {
            |SELECT doc_id, bit_xor(v) AS fp, count(*) AS n_tokens
            |FROM x GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint)
+  /** Deterministic stratified train/val/test split — the assignment a
+    * training-data pipeline must be able to REPRODUCE run-over-run and
+    * engine-over-engine: split = fixed md5-derived hash of doc_id mod 100
+    * (80/10/10), never a random() (nondeterministic, partition-order
+    * dependent, and irreproducible across engines). Stratification check =
+    * per (lang, source, split) counts + char mass; at 100 TB the same
+    * expression tags each row in-place with zero shuffles — the groupBy
+    * here is only the audit view. */
+  val qStratifiedSplit: Q = Q(
+    "q_stratified_split",
+    (s, dir) => {
+      import s.implicits._
+      val bucket = graft.functions.FlinkFunctions
+        .md5Hash31($"doc_id".cast("string")) % 100
+      Tables.t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy($"lang", $"source", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+        .orderBy($"lang", $"source", $"split")
+    },
+    Some("""SELECT lang, source, split, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM (
+           |  SELECT lang, source, n_chars,
+           |         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM (SELECT lang, source, n_chars,
+           |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |            % 2147483647 % 100 AS h
+           |        FROM documents))
+           |GROUP BY lang, source, split ORDER BY lang, source, split""".stripMargin))
+
+  val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
+    qStratifiedSplit)
 }
