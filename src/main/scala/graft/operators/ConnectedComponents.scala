@@ -66,13 +66,27 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // cheap per-round fingerprint: one aggregate job vs two except jobs.
+    // A CHANGED fingerprint proves non-convergence exactly; only a STABLE
+    // fingerprint pays the exact set-equality confirmation (so a collision
+    // can never declare a false fixpoint — it only costs one extra probe)
+    def fp(df: DataFrame): (Long, Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v")),
+        sum(col("u") * col("v") % 1000000007L)).head()
+      def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (g(0), g(1), g(2), g(3))
+    }
+    var curFp = fp(e)
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextFp = fp(next)
       // both sides are distinct canonical pair-sets: fixpoint = set equality
-      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      converged = nextFp == curFp &&
+        next.except(e).isEmpty && e.except(next).isEmpty
       e = next
+      curFp = nextFp
       i += 1
     }
     if (!converged) throw new IterateOps.NonConvergedException(i, e.count())
