@@ -57,6 +57,48 @@ class StreamingSpec extends GraftSpec {
     q.stop()
   }
 
+  test("session windows merge across micro-batches when a bridging event arrives") {
+    // reference MergingWindowSet semantics (WindowOperator.java session
+    // merging): two OPEN sessions of one key must fuse into one when a
+    // later batch delivers an event inside both gaps
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    // 10-minute watermark delay: both fragment sessions must still be OPEN
+    // when the bridge arrives (with delay 0 the lagged watermark closes the
+    // first fragment and drops the bridge as late data — verified)
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "1 minute"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp($"session_window.start").as("s"),
+        unix_timestamp($"session_window.end").as("e"), $"user_id", $"cnt")
+    val q = df.writeStream.format("memory").queryName("mem_session_merge")
+      .outputMode("append").start()
+    // batch 1: two events 90 s apart -> two separate open sessions
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (ts("2024-01-01 00:01:30"), 1L, 1.0))
+    q.processAllAvailable()
+    // batch 2: a bridge at 00:00:45 (within 1 min of both) merges them
+    mem.addData((ts("2024-01-01 00:00:45"), 1L, 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past the merged session's end to close it
+    mem.addData((ts("2024-01-01 01:00:00"), 2L, 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 02:00:00"), 2L, 1.0))
+    q.processAllAvailable()
+    val base = ts("2024-01-01 00:00:00").getTime / 1000
+    val key1 = spark.table("mem_session_merge").collect()
+      .filter(_.getLong(2) == 1L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // ONE merged session [00:00:00, 00:02:30) with all 3 events — not the
+    // two fragments batch 1 opened
+    assert(key1 == Set((base, base + 150, 3L)), s"got $key1")
+    q.stop()
+  }
+
   test("file-stream twins equal their batch counterparts") {
     val streamRes = streaming.StreamingOps.qStreamTumble.run(spark, sfDir)
       .collect().map(_.toSeq).toSet
