@@ -100,6 +100,16 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_tpch_q15: the revenue aggregate is materialized once, not re-scanned") {
+    // Spark inlines the twice-consumed CTE and reuses neither the exchange
+    // nor the subquery across the scalar-subquery boundary — the Spark side
+    // materializes instead; the FINAL plan must not scan lineitem at all
+    val df = operators.TpchSql.qTpchQ15.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("lineitem"), s"fact table re-scanned:\n$p")
+  }
+
   test("no unbounded cross/nested-loop join in any scale-path query plan") {
     // every non-calibration batch query must avoid CartesianProduct and
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
