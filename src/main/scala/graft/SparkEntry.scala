@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.all ++
       operators.RelationalSql.all ++
       operators.TpchSql.all ++
+      operators.TemporalSql.all ++
       operators.Scalars.all ++
       operators.Scalars2.all ++
       operators.TimeWindows.all ++
