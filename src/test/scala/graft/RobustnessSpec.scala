@@ -64,6 +64,46 @@ class RobustnessSpec extends GraftSpec {
     q2.stop()
   }
 
+  test("timer-service operator state (buffer + timers) survives restart") {
+    // overRangePreceding keeps a TimerState(buffer, timer list) per key;
+    // rows buffered before a crash must still produce correct frames after
+    // recovery from the checkpoint
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{overRangePreceding, EvT}
+    val ckpt = Files.createTempDirectory("graft_ckpt_timers").toString
+    val out = Files.createTempDirectory("graft_ckpt_timers_out").toString
+    val mem = MemoryStream[EvT]
+    // parquet sink: the memory sink refuses append-mode recovery
+    def start() = overRangePreceding(
+      mem.toDS().withWatermark("ts", "0 seconds").as[EvT],
+      rangeUs = 60L * 1000000).toDF()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts30 = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+    val q1 = start()
+    mem.addData(EvT(1, 1L, 10.0, ts0), EvT(2, 1L, 5.0, ts30))
+    q1.processAllAvailable() // watermark unset: both rows only BUFFERED
+    q1.stop()
+
+    // restart; a later row advances the watermark and releases the
+    // pre-restart buffer — id2's frame must still contain id1's value
+    val q2 = start()
+    mem.addData(EvT(3, 1L, 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+    q2.processAllAvailable()
+    mem.addData(EvT(4, 1L, 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:20:00")))
+    q2.processAllAvailable()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.get(1L).contains(10.0) && got.get(2L).contains(15.0),
+      s"buffered rows lost or frames wrong after restart: $got")
+    q2.stop()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_buckets").toString
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
