@@ -317,7 +317,53 @@ object Scalars2 {
            |       < CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR) AS overlaps_noon
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Hyperbolics (reference FlinkSqlOperatorTable SINH/COSH/TANH): DuckDB
+    * has no hyperbolic functions, so the oracle computes them from exp()
+    * — identities exact to well under the rounded 6 decimals. */
+  val qScalarMath3: Q = Q(
+    "q_scalar_math3",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          round(sinh($"l_discount"), 6).as("sh"),
+          round(cosh($"l_discount"), 6).as("ch"),
+          round(tanh($"l_discount"), 6).as("th"),
+          round(sinh($"l_tax") + cosh($"l_tax"), 6).as("exp_tax"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sh,
+           |  round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS ch,
+           |  round((exp(l_discount) - exp(-l_discount))
+           |        / (exp(l_discount) + exp(-l_discount)), 6) AS th,
+           |  round(exp(l_tax), 6) AS exp_tax
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Char-set trims + FROM_UNIXTIME (reference LTRIM/RTRIM two-arg forms and
+    * FROM_UNIXTIME; Spark session tz is UTC in the gate, matched by
+    * formatting DuckDB's naive epoch timestamp). */
+  val qScalarStr5: Q = Q(
+    "q_scalar_str5",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          expr("ltrim('PB', p_brand)").as("brand_ltrim"),
+          expr("rtrim('0123456789', p_brand)").as("brand_rtrim"),
+          from_unixtime($"p_partkey" + 1700000000L).as("fake_ts"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+           |  ltrim(p_brand, 'PB') AS brand_ltrim,
+           |  rtrim(p_brand, '0123456789') AS brand_rtrim,
+           |  strftime(make_timestamp((p_partkey + 1700000000) * 1000000),
+           |           '%Y-%m-%d %H:%M:%S') AS fake_ts
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarHash, qCollections, qUdafGeomean, qUdtfFlatmap,
     qJsonExtract, qScalarStr3, qParseUrl, qScalarMath2, qScalarTemporal2,
-    qScalarStr4, qConvertTz)
+    qScalarStr4, qConvertTz, qScalarMath3, qScalarStr5)
 }

@@ -89,4 +89,23 @@ class FunctionsSpec extends GraftSpec {
     // first 8 hex of md5("hello") = 5d41402a -> 1564557354 % 2147483647
     assert(r == 1564557354L % 2147483647L)
   }
+
+  test("sha family matches published known-answer vectors") {
+    // reference FlinkSqlOperatorTable SHA1/SHA224/SHA384/SHA512 — DuckDB
+    // ships only sha256, so these widths are checked against the NIST
+    // known-answer vectors for "abc" instead of an oracle query
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{sha1, sha2}
+    val r = Seq("abc").toDF("s")
+      .select(sha1($"s"), sha2($"s", 224), sha2($"s", 384), sha2($"s", 512))
+      .collect().head
+    assert(r.getString(0) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(1) == "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    assert(r.getString(2) ==
+      "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed" +
+      "8086072ba1e7cc2358baeca134c825a7")
+    assert(r.getString(3) ==
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+      "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
+  }
 }
