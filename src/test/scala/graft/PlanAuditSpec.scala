@@ -100,6 +100,15 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_tpch_q6: all three predicates reach the parquet scan") {
+    val p = phys(operators.TpchSql.qTpchQ6)
+    assert(p.contains("PushedFilters:"), p)
+    val pushed = p.substring(p.indexOf("PushedFilters:"))
+      .linesIterator.next()
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed to scan: $pushed"))
+  }
+
   test("q_tpch_q15: the revenue aggregate is materialized once, not re-scanned") {
     // Spark inlines the twice-consumed CTE and reuses neither the exchange
     // nor the subquery across the scalar-subquery boundary — the Spark side
