@@ -34,6 +34,8 @@ object SparkEntry {
       streaming.StreamingOps.all ++
       streaming.ChangelogJoin.all ++
       streaming.StatefulOps.all ++
+      streaming.IterateStream.all ++
+      streaming.QueryableState.all ++
       dsl.DslOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming iteration with a feedback edge (reference DataStream#iterate
+  * flink-streaming-java/.../datastream/DataStream.java:520 +
+  * IterativeStream#closeWith — the body's output rows selected by the
+  * feedback condition re-enter the body's input; the rest leave the loop).
+  *
+  * Structured Streaming has no feedback edge in the dataflow graph, so the
+  * loop is closed through storage: the body runs per micro-batch, feedback
+  * rows are appended as new files to the SOURCE directory (the file-stream
+  * source picks them up in the next listing), and exit rows are appended to
+  * the output directory. One feedback hop therefore costs one micro-batch —
+  * the micro-batch analogue of the reference's per-record feedback channel,
+  * with the same at-least-one-pass-per-round semantics its synchronous
+  * superstep degenerates to.
+  *
+  * Scale posture: feedback state lives in files, not executor memory, so loop
+  * width is unbounded; each round is a full linear pass over the shrinking
+  * frontier (rows leave the loop as soon as the condition releases them).
+  * At 100 TB the same layout holds — the feedback dir is an object-store
+  * prefix and rounds are self-compacting because emitted rows never return.
+  */
+object IterateStream {
+
+  /** Run `body` over seed ∪ feedback until the feedback edge drains.
+    *
+    * @param body     transformation applied to every micro-batch (the loop body)
+    * @param feedback rows of `body`'s output satisfying this re-enter the loop;
+    *                 all others are emitted
+    * @return the bounded DataFrame of all emitted (non-feedback) rows
+    */
+  def iterate(
+      spark: SparkSession,
+      seed: DataFrame,
+      body: DataFrame => DataFrame,
+      feedback: Column,
+      name: String): DataFrame = {
+    val base = Tables.scratch(s"iterate/$name-${java.util.UUID.randomUUID()}")
+    val srcDir = s"$base/loop"
+    val outDir = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    seed.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(seed.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stepped = body(batch).persist()
+        try {
+          // Empty-guard: an append of a 0-row DataFrame still creates a part
+          // file, which the file source would list as NEW data next batch —
+          // i.e. the loop would tail-chase its own empty writes forever.
+          val fb = stepped.filter(feedback)
+          if (!fb.isEmpty) fb.write.mode("append").parquet(srcDir)
+          val out = stepped.filter(!feedback)
+          if (!out.isEmpty) out.write.mode("append").parquet(outDir)
+        } finally { stepped.unpersist(); () }
+      }
+      .start()
+    try {
+      // processAllAvailable blocks until the source has nothing new — and
+      // feedback files written during batch N ARE new for batch N+1, so this
+      // returns exactly when a round produces no feedback (loop converged).
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
+  /** q_stream_iterate: iterated halving over lineitem quantities — each row
+    * loops ⌊log₂ q⌋ rounds through the feedback edge before exiting with its
+    * round count. Chosen because the oracle is exactly expressible as a
+    * recursive CTE with the same per-round step, so the feedback plumbing
+    * (not just the arithmetic) is what the hash check certifies.
+    */
+  val qStreamIterate: Q = Q(
+    "q_stream_iterate",
+    (s, dir) => {
+      val seed = Tables.t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"),
+          floor(col("l_quantity")).cast("long").as("n"),
+          lit(0).as("iters"))
+      val body = (df: DataFrame) =>
+        df.select(
+          col("ok"), col("ln"),
+          when(col("n") > 1, floor(col("n") / 2).cast("long")).otherwise(col("n")).as("n"),
+          when(col("n") > 1, col("iters") + 1).otherwise(col("iters")).as("iters"))
+      iterate(s, seed, body, col("n") > 1, "halving")
+    },
+    Some("""WITH RECURSIVE it AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
+      FROM lineitem
+      UNION ALL
+      SELECT ok, ln, n // 2, iters + 1 FROM it WHERE n > 1
+    )
+    SELECT ok, ln, n, iters FROM it WHERE n <= 1"""))
+
+  val all: Seq[Q] = Seq(qStreamIterate)
+}
