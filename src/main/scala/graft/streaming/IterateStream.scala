@@ -54,10 +54,11 @@ object IterateStream {
           // Empty-guard: an append of a 0-row DataFrame still creates a part
           // file, which the file source would list as NEW data next batch —
           // i.e. the loop would tail-chase its own empty writes forever.
+          // (Only the feedback side needs the guard — empty part files in the
+          // OUTPUT dir are harmless, so don't spend a job checking.)
           val fb = stepped.filter(feedback)
           if (!fb.isEmpty) fb.write.mode("append").parquet(srcDir)
-          val out = stepped.filter(!feedback)
-          if (!out.isEmpty) out.write.mode("append").parquet(outDir)
+          stepped.filter(!feedback).write.mode("append").parquet(outDir)
         } finally { stepped.unpersist(); () }
       }
       .start()

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** State backend swap (reference flink-state-backends/ — MemoryStateBackend
+  * vs RocksDBStateBackend chosen per job): Spark's analogue is the state
+  * store provider. The default HDFSBackedStateStoreProvider is the in-heap
+  * backend; RocksDBStateStoreProvider (built into Spark) is the
+  * spill-to-native-store backend a 100 TB streaming job runs, keeping state
+  * off-heap and bounded-memory per partition. Same query, same results —
+  * the backend is a conf, exactly as in the reference. */
+class StateBackendSpec extends GraftSpec {
+
+  test("rocksdb state store: stateful agg matches default-backend result, state is queryable") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Tables.scratch(s"rocksdb-spec/${java.util.UUID.randomUUID()}")
+      val ckpt = s"$base/ckpt"
+      val in = streaming.StreamingOps.streamTable(spark, sfDir, "events")
+      val agg = in.withWatermark("ts", "0 seconds")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val q = agg.writeStream.format("memory").queryName("rocksdb_agg")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("rocksdb_agg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exp = Tables.t(spark, sfDir, "events").groupBy($"event_type")
+        .agg(count(lit(1))).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exp)
+      // the state data source reads RocksDB checkpoints the same way
+      val ss = streaming.QueryableState.stateOf(spark, ckpt)
+      assert(ss.count() == exp.size.toLong)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
