@@ -397,11 +397,14 @@ object CepOps {
       s: org.apache.spark.sql.SparkSession, dir: String, pat: Pattern[Ev])(
       mk: (Long, PMatch[Ev]) => Iterator[M]) = {
     import s.implicits._
+    // flatMapSortedGroups = secondary sort: event order rides the shuffle's
+    // in-partition sort, so the NFA consumes each key's rows as a lazy
+    // iterator — no per-key materialization, memory bounded by live runs
+    // (the `within` horizon), not by key fanout.
     evSorted(s, dir)
       .groupByKey(_.user_id)
-      .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
-        Pattern.run(pat, it.toSeq.sortBy(_.event_id).iterator,
-            (_: Ev).ts_us, (_: Ev).event_id)
+      .flatMapSortedGroups($"event_id") { (uid: Long, it: Iterator[Ev]) =>
+        Pattern.run(pat, it, (_: Ev).ts_us, (_: Ev).event_id)
           .flatMap(m => mk(uid, m))
       }
       .toDF()
@@ -634,9 +637,8 @@ object CepOps {
         .afterMatchSkip(AfterMatch.NoSkip)
       evSorted(s, dir)
         .groupByKey(_.user_id)
-        .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
-          Pattern.run(pat, it.toSeq.sortBy(_.event_id).iterator,
-              (_: Ev).ts_us, (_: Ev).event_id)
+        .flatMapSortedGroups($"event_id") { (uid: Long, it: Iterator[Ev]) =>
+          Pattern.run(pat, it, (_: Ev).ts_us, (_: Ev).event_id)
             .map(m => CepIterRow(uid, m.eventsFor("a").head.event_id,
               m.eventsFor("b").head.event_id))
         }
@@ -669,9 +671,9 @@ object CepOps {
         .afterMatchSkip(AfterMatch.NoSkip)
       evSorted(s, dir)
         .groupByKey(_.user_id)
-        .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+        .flatMapSortedGroups($"event_id") { (uid: Long, it: Iterator[Ev]) =>
           val (_, tos) = Pattern.runWithTimeouts(pat,
-            it.toSeq.sortBy(_.event_id).iterator, (_: Ev).ts_us, (_: Ev).event_id)
+            it, (_: Ev).ts_us, (_: Ev).event_id)
           tos.iterator.map(m => CepTimeoutRow(uid, m.head.event_id))
         }
         .toDF().orderBy($"user_id", $"a_id")

@@ -199,10 +199,13 @@ object TimeWindows {
         .select($"event_type", $"event_id", $"value")
         .as[(String, Long, Double)]
         .groupByKey(_._1)
-        .flatMapGroups { (key: String, it: Iterator[(String, Long, Double)]) =>
-          it.toSeq.sortBy(e => (-e._3, e._2)).take(2).zipWithIndex.map {
-            case ((_, id, v), i) => (key, i + 1, id, v)
-          }.iterator
+        // secondary sort in the shuffle + bounded take: the UDTAF emits its
+        // top-2 from a lazy sorted iterator, never holding the group
+        .flatMapSortedGroups($"value".desc, $"event_id") {
+          (key: String, it: Iterator[(String, Long, Double)]) =>
+            it.take(2).zipWithIndex.map {
+              case ((_, id, v), i) => (key, i + 1, id, v)
+            }
         }
         .toDF("event_type", "rn", "event_id", "value")
         .orderBy($"event_type", $"rn")
