@@ -36,6 +36,7 @@ object SparkEntry {
       streaming.StatefulOps.all ++
       streaming.IterateStream.all ++
       streaming.QueryableState.all ++
+      streaming.TwsOps.all ++
       dsl.DslOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.Q
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** transformWithState — Spark's CURRENT arbitrary-stateful-processing API
+  * (the successor to flatMapGroupsWithState): named state variables
+  * (Value/List/Map), per-state TTL, native timers, initial state. This is
+  * the closest Spark surface to the reference's KeyedProcessFunction +
+  * state-descriptor model (flink-streaming-java/.../KeyedProcessFunction.java
+  * + api/common/state/ValueStateDescriptor.java): state is declared by name
+  * in init() exactly like Flink's descriptor registration in open(), and it
+  * REQUIRES the RocksDB state store provider — the same pairing as the
+  * reference's RocksDBStateBackend for unbounded keyed state.
+  *
+  * The engine's stateful specials (StatefulOps, TimerOps) are built on
+  * flatMapGroupsWithState, which remains fully supported; this module keeps
+  * one oracle-checked operator on the new API so the engine tracks it.
+  */
+object TwsOps {
+
+  case class TwsOut(user_id: Long, event_type: String)
+
+  /** Keep-first dedup as a StatefulProcessor: a named ValueState counter per
+    * (user_id, event_type); a key emits exactly once, on its 0→1 transition.
+    * The counter (rather than a boolean) mirrors the reference's
+    * DeduplicateKeepFirstRowFunction, whose state also serves re-scaled
+    * restores where seen-counts matter. */
+  private class DedupFirstProcessor
+      extends StatefulProcessor[(Long, String), (Long, String), TwsOut] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Long, String),
+        rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TwsOut] = {
+      val first = !seen.exists()
+      val prior = if (first) 0L else seen.get()
+      seen.update(prior + rows.size)
+      if (first) Iterator.single(TwsOut(key._1, key._2)) else Iterator.empty
+    }
+  }
+
+  /** q_tws_dedup: same answer as q_stream_dedup (DISTINCT user_id ×
+    * event_type) but computed by the transformWithState runtime — named
+    * RocksDB-backed state, emit-on-first-touch. */
+  val qTwsDedup: Q = Q(
+    "q_tws_dedup",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        implicit val outEnc: Encoder[TwsOut] = Encoders.product[TwsOut]
+        val out = StreamingOps.streamTable(s, dir, "events")
+          .select($"user_id", $"event_type").as[(Long, String)]
+          .groupByKey(identity)
+          .transformWithState(new DedupFirstProcessor, TimeMode.None(), OutputMode.Append())
+        StreamingOps.runToMemory(s, out.toDF(), "append", "graft_tws_dedup")
+          .orderBy($"user_id", $"event_type")
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+           |ORDER BY user_id, event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(qTwsDedup)
+}

@@ -12,6 +12,16 @@ import org.apache.spark.sql.streaming.Trigger
   * the backend is a conf, exactly as in the reference. */
 class StateBackendSpec extends GraftSpec {
 
+  test("transformWithState: named-state dedup equals batch DISTINCT") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_tws_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exp = Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == exp)
+  }
+
   test("rocksdb state store: stateful agg matches default-backend result, state is queryable") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
