@@ -16,6 +16,7 @@ object Bench {
     // phantom ~4.5 s on an arbitrary query per round)
     Tables.t(spark, sfDir, "events").count()
     Tables.t(spark, sfDir, "lineitem").count()
+    Tables.t(spark, sfDir, "orders").count()
     Tables.t(spark, sfDir, "documents").count()
     Tables.t(spark, sfDir, "embeddings").count()
     // family-level warm-up, so per-query deltas across rounds reflect plan

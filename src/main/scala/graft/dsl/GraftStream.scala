@@ -70,6 +70,18 @@ final class GraftStream[T](val ds: Dataset[T]) extends AnyVal {
     * this stream with another ahead of a keyed CoProcessFunction. */
   def connect[B](other: GraftStream[B]): GraftConnectedStreams[T, B] =
     new GraftConnectedStreams(ds, other.ds)
+
+  /** iterate + closeWith (reference DataStream#iterate:520): run `body` with
+    * a feedback edge — output rows satisfying `feedbackCond` re-enter the
+    * body until the edge drains. Bounded inputs; the loop is closed through
+    * a file-backed feedback source, one round per micro-batch
+    * (`streaming/IterateStream`). */
+  def iterate(body: Dataset[T] => Dataset[T], feedbackCond: Column,
+      name: String = "dsl", maxRounds: Int = 1000)(
+      implicit e: Encoder[T]): GraftStream[T] =
+    new GraftStream(graft.streaming.IterateStream.iterate(
+      ds.sparkSession, ds.toDF(), df => body(df.as[T]).toDF(),
+      feedbackCond, name, maxRounds).as[T])
 }
 
 /** ConnectedStreams (reference ConnectedStreams.java / CoProcessFunction

@@ -38,12 +38,14 @@ object IterateStream {
       seed: DataFrame,
       body: DataFrame => DataFrame,
       feedback: Column,
-      name: String): DataFrame = {
+      name: String,
+      maxRounds: Int = 1000): DataFrame = {
     val base = Tables.scratch(s"iterate/$name-${java.util.UUID.randomUUID()}")
     val srcDir = s"$base/loop"
     val outDir = s"$base/out"
     val ckpt = s"$base/ckpt"
     seed.write.mode("overwrite").parquet(srcDir)
+    var rounds = 0 // foreachBatch runs on the driver; plain var is safe
     val stream = spark.readStream.schema(seed.schema).parquet(srcDir)
     val q = stream.writeStream
       .outputMode("append")
@@ -57,7 +59,18 @@ object IterateStream {
           // (Only the feedback side needs the guard — empty part files in the
           // OUTPUT dir are harmless, so don't spend a job checking.)
           val fb = stepped.filter(feedback)
-          if (!fb.isEmpty) fb.write.mode("append").parquet(srcDir)
+          if (!fb.isEmpty) {
+            // Non-drain guard (same contract as IterateOps.iterateDelta's
+            // NonConvergedException): a feedback edge that never empties
+            // would otherwise block processAllAvailable forever.
+            rounds += 1
+            if (rounds > maxRounds)
+              throw new IllegalStateException(
+                s"streaming iterate '$name' did not drain: feedback still " +
+                  s"non-empty after $maxRounds rounds — raise maxRounds or " +
+                  "fix the loop body so rows eventually leave the feedback edge")
+            fb.write.mode("append").parquet(srcDir)
+          }
           stepped.filter(!feedback).write.mode("append").parquet(outDir)
         } finally { stepped.unpersist(); () }
       }

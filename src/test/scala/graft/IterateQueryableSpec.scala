@@ -25,6 +25,30 @@ class IterateQueryableSpec extends GraftSpec {
     assert(out == Map(1L -> ((1L, 0)), 2L -> ((1L, 2)), 3L -> ((1L, 5))))
   }
 
+  test("streaming iterate: non-draining feedback edge fails loudly at maxRounds") {
+    import spark.implicits._
+    val seed = Seq((1L, 8L)).toDF("id", "n").withColumn("iters", lit(0))
+    val body = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("id"), col("n"), (col("iters") + 1).as("iters")) // n never shrinks
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      streaming.IterateStream
+        .iterate(spark, seed, body, col("n") > 1, "nodrain", maxRounds = 3)
+        .count()
+    }
+    assert(ex.getMessage.contains("did not drain")
+      || Option(ex.getCause).exists(_.getMessage.contains("did not drain")))
+  }
+
+  test("DSL iterate: typed feedback loop via GraftStream") {
+    import spark.implicits._
+    val out = dsl.GraftStream(Seq((1L, 9L, 0)).toDS())
+      .iterate(ds => ds.map { case (id, n, it) =>
+        if (n > 1) (id, n / 2, it + 1) else (id, n, it)
+      }, col("_2") > 1, "dslspec")
+      .ds.collect()
+    assert(out.toSeq == Seq((1L, 1L, 3))) // 9→4→2→1
+  }
+
   test("queryable state: snapshot equals the batch aggregate, point query prunes") {
     import spark.implicits._
     val df = SparkEntry.queries("q_queryable_state")(spark, sfDir)
