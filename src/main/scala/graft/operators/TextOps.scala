@@ -195,6 +195,33 @@ object TextOps {
            |        FROM documents))
            |GROUP BY lang, source, split ORDER BY lang, source, split""".stripMargin))
 
+  /** Benchmark decontamination: flag training docs sharing word-3-grams with
+    * a probe set (in production: the eval benchmarks' n-grams; here: the
+    * corpus' own top-5 shingles so the probes deterministically hit). The
+    * 100 TB shape is exactly this plan — the probe set is tiny and
+    * BROADCAST, the shingle relation is linear in the corpus and reuses the
+    * session-materialized signature store shared with the dedup family. */
+  val qContamination: Q = Q(
+    "q_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val sh = Materialized.of(s, s"shingles:$dir")(
+        DedupOps.shingles(Tables.t(s, dir, "documents")))
+      val probes = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"sh").limit(5).select($"sh")
+      sh.join(broadcast(probes), "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${DedupOps.shinglesSql},
+            |probes AS (
+            |  SELECT sh FROM (
+            |    SELECT sh, count(*) AS df FROM sh_rel
+            |    GROUP BY sh ORDER BY df DESC, sh LIMIT 5))
+            |SELECT doc_id, count(*) AS n_hits
+            |FROM sh_rel JOIN probes USING (sh)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qStratifiedSplit)
+    qStratifiedSplit, qContamination)
 }
