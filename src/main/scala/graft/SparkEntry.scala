@@ -17,6 +17,7 @@ object SparkEntry {
       operators.RelationalSql.all ++
       operators.TpchSql.all ++
       operators.TemporalSql.all ++
+      operators.GroupWindowSql.all ++
       operators.Scalars.all ++
       operators.Scalars2.all ++
       operators.TimeWindows.all ++

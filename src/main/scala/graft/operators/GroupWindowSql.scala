@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Flink group-window SQL surface (reference FlinkSqlOperatorTable.java:778–826
+  * — TUMBLE/HOP/SESSION group windows + their `_START`/`_END` auxiliary
+  * functions; planner `StreamExecGroupWindowAggregate.scala:44`): recognizes
+  * the reference's `GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)` syntax and
+  * lowers it onto Spark's native `window()` / `session_window()` table
+  * expressions — so the whole query stays inside Catalyst (codegen'd window
+  * assignment, partial aggregation, AQE), exactly like a hand-written
+  * DataFrame window aggregate.
+  *
+  * Arg order note: Flink is HOP(time, slide, size); Spark is
+  * window(time, size, slide) — the rewrite swaps them.
+  */
+object GroupWindowSql {
+
+  private val Units = Map(
+    "SECOND" -> "seconds", "MINUTE" -> "minutes",
+    "HOUR" -> "hours", "DAY" -> "days")
+
+  private val IntervalRe =
+    """(?i)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)""".r
+
+  private def dur(interval: String): String = interval match {
+    case IntervalRe(n, u) => s"$n ${Units(u.toUpperCase)}"
+    case other => throw new IllegalArgumentException(
+      s"unsupported interval literal: $other")
+  }
+
+  private val I = """INTERVAL\s+'\d+'\s+(?:SECOND|MINUTE|HOUR|DAY)"""
+  private val Col = """([a-zA-Z_][\w.]*)"""
+
+  // auxiliaries first (TUMBLE_START would otherwise match the bare TUMBLE)
+  private val TumbleAux = s"""(?i)TUMBLE_(START|END)\\(\\s*$Col\\s*,\\s*$I\\s*\\)""".r
+  private val HopAux = s"""(?i)HOP_(START|END)\\(\\s*$Col\\s*,\\s*$I\\s*,\\s*$I\\s*\\)""".r
+  private val SessionAux = s"""(?i)SESSION_(START|END)\\(\\s*$Col\\s*,\\s*$I\\s*\\)""".r
+  private val Tumble = s"""(?i)TUMBLE\\(\\s*$Col\\s*,\\s*($I)\\s*\\)""".r
+  private val Hop = s"""(?i)HOP\\(\\s*$Col\\s*,\\s*($I)\\s*,\\s*($I)\\s*\\)""".r
+  private val Session = s"""(?i)SESSION\\(\\s*$Col\\s*,\\s*($I)\\s*\\)""".r
+
+  /** Rewrite reference group-window SQL text into Spark SQL. */
+  def rewrite(sql: String): String = {
+    var out = sql
+    out = TumbleAux.replaceAllIn(out, m => s"window.${m.group(1).toLowerCase}")
+    out = HopAux.replaceAllIn(out, m => s"window.${m.group(1).toLowerCase}")
+    out = SessionAux.replaceAllIn(out, m => s"session_window.${m.group(1).toLowerCase}")
+    out = Tumble.replaceAllIn(out, m => s"window(${m.group(1)}, '${dur(m.group(2))}')")
+    // Flink HOP(time, slide, size) -> Spark window(time, size, slide)
+    out = Hop.replaceAllIn(out,
+      m => s"window(${m.group(1)}, '${dur(m.group(3))}', '${dur(m.group(2))}')")
+    out = Session.replaceAllIn(out, m => s"session_window(${m.group(1)}, '${dur(m.group(2))}')")
+    out
+  }
+
+  def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(rewrite(sql))
+  }
+
+  /** q_group_window_sql: the reference's TUMBLE syntax verbatim; same answer
+    * as q_window_tumble (shared oracle shape). */
+  val qTumbleSql: Q = Q(
+    "q_group_window_sql",
+    (s, dir) => run(s, dir,
+      """SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '5' MINUTE)) AS wstart,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), event_type
+        |ORDER BY wstart, event_type""".stripMargin),
+    Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS wstart,
+           |       event_type, count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** q_group_window_sql_hop: HOP with the Flink slide-before-size arg order. */
+  val qHopSql: Q = Q(
+    "q_group_window_sql_hop",
+    (s, dir) => run(s, dir,
+      """SELECT unix_timestamp(HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)) AS wstart,
+        |       event_type, count(*) AS cnt
+        |FROM events
+        |GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE), event_type
+        |ORDER BY wstart, event_type""".stripMargin),
+    Some("""SELECT wstart, event_type, count(*) AS cnt
+           |FROM (
+           |  SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+           |                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS wstart,
+           |         event_type
+           |  FROM events)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** q_group_window_sql_session: SESSION gap windows via session_window. */
+  val qSessionSql: Q = Q(
+    "q_group_window_sql_session",
+    (s, dir) => run(s, dir,
+      """SELECT unix_timestamp(SESSION_START(ts, INTERVAL '30' MINUTE)) AS sess_start,
+        |       user_id, count(*) AS cnt, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+        |ORDER BY user_id, sess_start""".stripMargin),
+    Some("""WITH g AS (
+           |  SELECT user_id, ts, value,
+           |         CASE WHEN lag(ts) OVER w IS NULL
+           |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+           |              THEN 1 ELSE 0 END AS brk
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |sess AS (
+           |  SELECT user_id, ts, value,
+           |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                        ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g)
+           |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start, user_id,
+           |       count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin))
+
+  val all: Seq[Q] = Seq(qTumbleSql, qHopSql, qSessionSql)
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.GroupWindowSql.rewrite
+
+/** Group-window SQL lowering (reference FlinkSqlOperatorTable TUMBLE/HOP/
+  * SESSION + auxiliaries) — rewrite-level checks; end-to-end answers are
+  * oracle-gated (q_group_window_sql*). */
+class GroupWindowSqlSpec extends GraftSpec {
+
+  test("TUMBLE lowers to window(), auxiliaries to window.start/end") {
+    val out = rewrite(
+      "SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE), TUMBLE_END(ts, INTERVAL '5' MINUTE) " +
+        "FROM e GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)")
+    assert(out ==
+      "SELECT window.start, window.end FROM e GROUP BY window(ts, '5 minutes')")
+  }
+
+  test("HOP swaps Flink slide-size order into Spark size-slide") {
+    val out = rewrite("GROUP BY HOP(ts, INTERVAL '1' MINUTE, INTERVAL '10' MINUTE)")
+    assert(out == "GROUP BY window(ts, '10 minutes', '1 minutes')")
+  }
+
+  test("SESSION lowers to session_window; unrecognized spec passes through") {
+    assert(rewrite("GROUP BY SESSION(ts, INTERVAL '30' MINUTE)") ==
+      "GROUP BY session_window(ts, '30 minutes')")
+    // an unsupported unit is left for spark.sql to reject (unknown TUMBLE
+    // function) rather than silently partially rewritten
+    val untouched = "GROUP BY TUMBLE(ts, INTERVAL '1' YEAR)"
+    assert(rewrite(untouched) == untouched)
+  }
+}
