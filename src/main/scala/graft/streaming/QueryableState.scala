@@ -25,11 +25,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object QueryableState {
 
-  /** Snapshot of an operator's keyed state at the last committed batch. */
-  def stateOf(spark: SparkSession, checkpoint: String, operatorId: Int = 0): DataFrame =
-    spark.read.format("statestore")
+  /** Snapshot of an operator's keyed state at the last committed batch.
+    * `stateVar` selects a named transformWithState variable (fMGWS state
+    * lives in the single default store and needs no name). */
+  def stateOf(spark: SparkSession, checkpoint: String, operatorId: Int = 0,
+      stateVar: Option[String] = None): DataFrame = {
+    val r = spark.read.format("statestore")
       .option("operatorId", operatorId.toString)
-      .load(checkpoint)
+    stateVar.foreach(v => r.option("stateVarName", v))
+    r.load(checkpoint)
+  }
 
   /** Point query: live state rows for one key — the QueryableStateClient
     * `getKvState(jobId, name, key)` analogue as a filtered distributed read. */

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Savepoint export + restore (reference checkpoint/savepoint/): state of a
+  * finished query is exported through the statestore source and seeds a NEW
+  * query via StatefulProcessorWithInitialState — counts continue exactly
+  * where the first job stopped. */
+class SavepointSpec extends GraftSpec {
+
+  test("savepoint: export state, seed a new query, totals continue seamlessly") {
+    import spark.implicits._
+    val base = Tables.scratch(s"savepoint-spec/${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+      .write.parquet(s"$base/in1")
+    Seq(("a", 10L), ("c", 7L)).toDF("k", "v")
+      .write.parquet(s"$base/in2")
+    def src(d: String) = spark.readStream.schema("k string, v long").parquet(d)
+
+    // job 1: fresh state
+    val empty = spark.emptyDataset[(String, Long)]
+    streaming.Savepoint.runCounts(spark, src(s"$base/in1"), empty,
+      s"$base/ckpt1", "sp_phase1")
+
+    // export the savepoint
+    streaming.Savepoint.`export`(spark, s"$base/ckpt1",
+      s"$base/savepoint", Some("total"))(
+      _.select(col("key.value").as("k"), col("value.value").as("total")))
+
+    // job 2: NEW checkpoint, state seeded from the savepoint file
+    val initial = spark.read.parquet(s"$base/savepoint").as[(String, Long)]
+    streaming.Savepoint.runCounts(spark, src(s"$base/in2"), initial,
+      s"$base/ckpt2", "sp_phase2")
+    val finalState = streaming.QueryableState
+      .stateOf(spark, s"$base/ckpt2", stateVar = Some("total"))
+      .select(col("key.value"), col("value.value"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 1+2 then +10 = 13; b: 5 untouched in job 2; c: fresh 7
+    assert(finalState == Map("a" -> 13L, "b" -> 5L, "c" -> 7L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+}
