@@ -50,29 +50,51 @@ object IterateStream {
     val q = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val stepped = body(batch).persist()
-        try {
-          // Empty-guard: an append of a 0-row DataFrame still creates a part
-          // file, which the file source would list as NEW data next batch —
-          // i.e. the loop would tail-chase its own empty writes forever.
-          // (Only the feedback side needs the guard — empty part files in the
-          // OUTPUT dir are harmless, so don't spend a job checking.)
-          val fb = stepped.filter(feedback)
-          if (!fb.isEmpty) {
-            // Non-drain guard (same contract as IterateOps.iterateDelta's
-            // NonConvergedException): a feedback edge that never empties
-            // would otherwise block processAllAvailable forever.
-            rounds += 1
-            if (rounds > maxRounds)
-              throw new IllegalStateException(
-                s"streaming iterate '$name' did not drain: feedback still " +
-                  s"non-empty after $maxRounds rounds — raise maxRounds or " +
-                  "fix the loop body so rows eventually leave the feedback edge")
-            fb.write.mode("append").parquet(srcDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // ONE job per round: the step output is written once, partitioned by
+        // the feedback flag; routing to the loop vs the output is then pure
+        // filesystem renames (same-device moves, no Spark job). partitionBy
+        // keeps __fb out of the data files, so moved files match seed.schema.
+        // A null feedback condition routes to the exit (coalesce false).
+        val staged = s"$base/stage/round-$batchId"
+        body(batch)
+          .withColumn("__fb", coalesce(feedback, lit(false)))
+          .write.partitionBy("__fb").parquet(staged)
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        def moveInto(fromSub: String, to: String): Boolean = {
+          val from = Paths.get(staged, fromSub)
+          if (!Files.isDirectory(from)) false
+          else {
+            Files.createDirectories(Paths.get(to))
+            val it = Files.list(from).iterator()
+            var moved = false
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getFileName.toString.startsWith("part-")) {
+                Files.move(f, Paths.get(to, f.getFileName.toString),
+                  StandardCopyOption.ATOMIC_MOVE)
+                moved = true
+              }
+            }
+            moved
           }
-          stepped.filter(!feedback).write.mode("append").parquet(outDir)
-        } finally { stepped.unpersist(); () }
+        }
+        // Empty rounds write no part files, so a drained feedback edge moves
+        // nothing into the source dir and the loop terminates — the
+        // empty-append tail-chase is structurally impossible here.
+        val fedBack = moveInto("__fb=true", srcDir)
+        moveInto("__fb=false", outDir)
+        if (fedBack) {
+          // Non-drain guard (same contract as IterateOps.iterateDelta's
+          // NonConvergedException): a feedback edge that never empties
+          // would otherwise block processAllAvailable forever.
+          rounds += 1
+          if (rounds > maxRounds)
+            throw new IllegalStateException(
+              s"streaming iterate '$name' did not drain: feedback still " +
+                s"non-empty after $maxRounds rounds — raise maxRounds or " +
+                "fix the loop body so rows eventually leave the feedback edge")
+        }
       }
       .start()
     try {
@@ -81,7 +103,10 @@ object IterateStream {
       // returns exactly when a round produces no feedback (loop converged).
       q.processAllAvailable()
     } finally q.stop()
-    spark.read.parquet(outDir)
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(outDir)))
+      spark.read.schema(seed.schema).parquet(outDir)
+    else // every row fed back until maxRounds=∞ convergence emitted nothing
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], seed.schema)
   }
 
   /** q_stream_iterate: iterated halving over lineitem quantities — each row
