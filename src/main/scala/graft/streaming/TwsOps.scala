@@ -45,6 +45,36 @@ object TwsOps {
     }
   }
 
+  /** Native event-time timers on the new API (reference
+    * KeyedProcessFunction#onTimer + InternalTimerService): each key
+    * registers a timer 1 ms past its first event; when the watermark passes
+    * it, handleExpiredTimer emits a timeout row — the session-timeout /
+    * TTL-eviction shape without any hand-built timer heap. Used by
+    * StateBackendSpec; exercised across ≥2 micro-batches so registration
+    * and expiry happen in different batches. */
+  class FirstEventTimeout
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      if (!armed.exists()) {
+        val firstTsMs = rows.map(_._2).min
+        getHandle.registerTimer(firstTsMs + 1)
+        armed.update(firstTsMs)
+      } else rows.foreach(_ => ()) // drain
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long)] =
+      Iterator.single((key, expiredTimerInfo.getExpiryTimeInMs))
+  }
+
   /** q_tws_dedup: same answer as q_stream_dedup (DISTINCT user_id ×
     * event_type) but computed by the transformWithState runtime — named
     * RocksDB-backed state, emit-on-first-touch. */

@@ -22,6 +22,48 @@ class StateBackendSpec extends GraftSpec {
     assert(got == exp)
   }
 
+  test("transformWithState: native event-time timer fires when the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Tables.scratch(s"tws-timer/${java.util.UUID.randomUUID()}")
+      // two files + maxFilesPerTrigger=1 => timer registration (batch 0) and
+      // expiry (batch 1, after the watermark advances past t0+1ms) are in
+      // DIFFERENT micro-batches, like a real session timeout
+      val t0 = 1700000000000L
+      Seq((1L, t0), (2L, t0 + 500)).toDF("k", "ts_ms")
+        .write.parquet(s"$base/in/f0")
+      Seq((1L, t0 + 60000)).toDF("k", "ts_ms")
+        .write.parquet(s"$base/in/f1")
+      val out = spark.readStream.schema("k long, ts_ms long")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .withColumn("ts", timestamp_millis($"ts_ms"))
+        .withWatermark("ts", "0 seconds")
+        .select($"k", $"ts_ms").as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new streaming.TwsOps.FirstEventTimeout,
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = out.toDF("k", "fired_at").writeStream
+        .format("memory").queryName("tws_timer").outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fired = spark.table("tws_timer").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // both keys' timers (t0+1, t0+501) expire once the watermark reaches
+      // t0+60000 from the second file
+      assert(fired == Map(1L -> (t0 + 1), 2L -> (t0 + 501)))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("rocksdb state store: stateful agg matches default-backend result, state is queryable") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
