@@ -130,7 +130,9 @@ class PlanAuditSpec extends GraftSpec {
     // broadcast NLJ is the correct plan, a hash shuffle would be pure cost
     val broadcastNljOk = Set("q_ann_ivf")
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
-      operators.TpchSql.all ++
+      operators.TpchSql.all ++ operators.TemporalSql.all ++
+      operators.GroupWindowSql.all ++ operators.SketchOps.all ++
+      operators.CoGroupOps.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++
       operators.TextOps.all ++ operators.LookupJoin.all ++
       operators.SkewOps.all ++ operators.TimeWindows.all)
