@@ -39,4 +39,28 @@ class SavepointSpec extends GraftSpec {
     assert(finalState == Map("a" -> 13L, "b" -> 5L, "c" -> 7L))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("checkpoint time travel: state readable at an older committed batch") {
+    import spark.implicits._
+    val base = Tables.scratch(s"timetravel-spec/${java.util.UUID.randomUUID()}")
+    // coalesce(1): one file per fixture so maxFilesPerTrigger=1 maps each
+    // fixture to exactly one committed batch
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$base/in/f0")
+    Seq(("a", 10L)).toDF("k", "v").coalesce(1).write.parquet(s"$base/in/f1")
+    // maxFilesPerTrigger=1 => two committed batches with different state
+    val in = spark.readStream.schema("k string, v long")
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+    streaming.Savepoint.runCounts(spark, in,
+      spark.emptyDataset[(String, Long)], s"$base/ckpt", "tt_sink")
+    def at(batch: Int) = spark.read.format("statestore")
+      .option("stateVarName", "total").option("batchId", batch.toString)
+      .load(s"$base/ckpt")
+      .select(col("key.value"), col("value.value"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the per-batch file order under a glob is lexicographic (f0 then f1)
+    assert(at(0) == Map("a" -> 1L, "b" -> 2L))
+    assert(at(1) == Map("a" -> 11L, "b" -> 2L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
