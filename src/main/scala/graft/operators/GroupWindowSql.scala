@@ -115,5 +115,28 @@ object GroupWindowSql {
            |       count(*) AS cnt, round(sum(value), 2) AS total
            |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin))
 
-  val all: Seq[Q] = Seq(qTumbleSql, qHopSql, qSessionSql)
+  /** q_group_window_sql_stream: the same TUMBLE text against a STREAMING
+    * view — the reference's primary mode for group windows. The rewritten
+    * SQL plans a streaming window aggregate (complete mode over the bounded
+    * replay), bit-identical to the batch twin's oracle. */
+  val qTumbleSqlStream: Q = Q(
+    "q_group_window_sql_stream",
+    (s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamingOps.streamTable(s, dir, "events")
+        .createOrReplaceTempView("events_stream")
+      val agg = s.sql(rewrite(
+        """SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '5' MINUTE)) AS wstart,
+          |       event_type, count(*) AS cnt, round(sum(value), 2) AS total
+          |FROM events_stream
+          |GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), event_type""".stripMargin))
+      graft.streaming.StreamingOps
+        .runToMemory(s, agg, "complete", "graft_gw_sql_stream")
+        .orderBy($"wstart", $"event_type")
+    },
+    Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS wstart,
+           |       event_type, count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(qTumbleSql, qHopSql, qSessionSql, qTumbleSqlStream)
 }

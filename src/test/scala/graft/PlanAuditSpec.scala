@@ -119,6 +119,14 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("lineitem"), s"fact table re-scanned:\n$p")
   }
 
+  test("q_tpch_q17: correlated scalar avg subquery decorrelates to agg + join") {
+    val p = phys(operators.TpchSql.qTpchQ17)
+    // the per-part avg must become a grouped aggregate joined back on
+    // p_partkey — not a per-row re-executed subquery or a cartesian
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no unbounded cross/nested-loop join in any scale-path query plan") {
     // every non-calibration batch query must avoid CartesianProduct and
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
