@@ -136,11 +136,49 @@ final case class Pattern[E](
   def until(pred: E => Boolean): Pattern[E] = mod(_.copy(until = Some(pred)))
   def within(us: Long): Pattern[E] = copy(withinUs = Some(us))
   def afterMatchSkip(s: AfterMatch): Pattern[E] = copy(afterMatch = s)
+
+  /** Append a GROUP sequence repeated `n` times (reference GroupPattern.java
+    * — `followedBy(Pattern).times(n)`): bounded repetition by NFA expansion,
+    * inlining the group's steps n times. Step names are kept verbatim, so
+    * `eventsFor(name)` accumulates across repetitions exactly like the
+    * reference's getEventsForPattern on a quantified group. Repetition
+    * boundaries (and the joint to the preceding step) use relaxed
+    * contiguity unless `consecutive` (Flink's `consecutive()` on the
+    * group). Unbounded group quantifiers (`oneOrMore` on a group) are not
+    * supported — expansion is bounded by construction; use `times`. */
+  def followedByGroup(group: Pattern[E], n: Int,
+      consecutive: Boolean = false): Pattern[E] = {
+    require(n >= 1, "group repetition must be >= 1")
+    require(group.withinUs.isEmpty && group.steps.nonEmpty,
+      "group must be a plain step sequence (apply within/afterMatch on the outer pattern)")
+    val copies = Vector.tabulate(n) { k =>
+      group.steps.zipWithIndex.map { case (s, j) =>
+        // joint INTO the group (copy 0): relaxed — that's the followedBy
+        // combinator's strategy; boundaries BETWEEN repetitions (copy k>0):
+        // strict only under `consecutive`, matching Flink's consecutive()
+        // on a quantified group. Interior steps keep their own contiguity.
+        if (j == 0) s.copy(strict = k > 0 && consecutive) else s
+      }
+    }.flatten
+    copy(steps = steps ++ copies)
+  }
 }
 
 object Pattern {
   def begin[E](name: String)(pred: E => Boolean): Pattern[E] =
     Pattern(Vector(Step(name, pred, strict = true)))
+
+  /** Start a pattern with a quantified GROUP (reference
+    * `Pattern.begin(Pattern)` → GroupPattern.java): the group sequence
+    * repeated `n` times via bounded expansion; see
+    * [[Pattern.followedByGroup]] for the contiguity/labeling contract. */
+  def beginGroup[E](group: Pattern[E], n: Int,
+      consecutive: Boolean = false): Pattern[E] = {
+    val expanded = Pattern(Vector.empty[Step[E]])
+      .followedByGroup(group, n, consecutive)
+    // the very first step anchors the run; contiguity before it is moot
+    expanded.copy(steps = expanded.steps.head.copy(strict = true) +: expanded.steps.tail)
+  }
 
   /** An in-flight partial run. `step`/`cnt` = current NFA state (cnt events
     * consumed by the current step); `gap` = at least one event has passed
@@ -752,6 +790,62 @@ object CepOps {
       }
   }
 
+  case class CepGroupRow(user_id: Long, v1_id: Long, c1_id: Long,
+      v2_id: Long, c2_id: Long)
+
+  /** Quantified GROUP pattern (reference GroupPattern.java —
+    * `Pattern.begin(view next click).times(2).consecutive()`): the sequence
+    * (view, click) repeated twice with strict contiguity throughout, via
+    * bounded NFA expansion. SkipPastLastEvent makes matches non-overlapping
+    * earliest-first; the oracle finds all strict 4-chains with lead() and
+    * replays the greedy non-overlap selection with a recursive CTE. */
+  val qCepGroup: Q = Q(
+    "q_cep_group",
+    (s, dir) => {
+      import s.implicits._
+      val grp = Pattern.begin[Ev]("v")(_.event_type == "view")
+        .next("c")(_.event_type == "click")
+      val pat = Pattern.beginGroup(grp, 2, consecutive = true)
+      evSorted(s, dir)
+        .groupByKey(_.user_id)
+        .flatMapSortedGroups($"event_id") { (uid: Long, it: Iterator[Ev]) =>
+          Pattern.run(pat, it, (_: Ev).ts_us, (_: Ev).event_id).map { m =>
+            val vs = m.eventsFor("v"); val cs = m.eventsFor("c")
+            CepGroupRow(uid, vs(0).event_id, cs(0).event_id,
+              vs(1).event_id, cs(1).event_id)
+          }
+        }
+        .toDF().orderBy($"user_id", $"v1_id")
+    },
+    Some("""WITH RECURSIVE cand AS (
+           |  SELECT user_id, event_id AS v1_id, c1_id, v2_id, c2_id
+           |  FROM (SELECT user_id, event_id, event_type,
+           |               lead(event_type, 1) OVER w AS ty1,
+           |               lead(event_id, 1) OVER w AS c1_id,
+           |               lead(event_type, 2) OVER w AS ty2,
+           |               lead(event_id, 2) OVER w AS v2_id,
+           |               lead(event_type, 3) OVER w AS ty3,
+           |               lead(event_id, 3) OVER w AS c2_id
+           |        FROM events
+           |        WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |  WHERE event_type = 'view' AND ty1 = 'click'
+           |    AND ty2 = 'view' AND ty3 = 'click'),
+           |m AS (
+           |  SELECT user_id, CAST(-1 AS BIGINT) AS v1_id,
+           |         CAST(-1 AS BIGINT) AS c1_id, CAST(-1 AS BIGINT) AS v2_id,
+           |         CAST(-1 AS BIGINT) AS c2_id
+           |  FROM (SELECT DISTINCT user_id FROM events)
+           |  UNION ALL
+           |  SELECT m.user_id, nxt.v1_id, nxt.c1_id, nxt.v2_id, nxt.c2_id
+           |  FROM m, LATERAL (
+           |    SELECT c.v1_id, c.c1_id, c.v2_id, c.c2_id
+           |    FROM cand c
+           |    WHERE c.user_id = m.user_id AND c.v1_id > m.c2_id
+           |    ORDER BY c.v1_id LIMIT 1) nxt)
+           |SELECT user_id, v1_id, c1_id, v2_id, c2_id FROM m
+           |WHERE v1_id >= 0 ORDER BY user_id, v1_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qCepNext, qCepFollowedBy, qCepTimes, qCepOneOrMore,
-    qCepOptional, qCepNotNext, qCepNotFollowed, qCepTimeout, qCepIterative)
+    qCepOptional, qCepNotNext, qCepNotFollowed, qCepTimeout, qCepIterative,
+    qCepGroup)
 }

@@ -352,3 +352,40 @@ class CepNondetSpec extends GraftSpec {
     assert(r.getLong(3) == 1L && r.getLong(4) == 2L)
   }
 }
+
+/** Quantified group patterns (reference GroupPattern.java) via bounded
+  * expansion. */
+class CepGroupSpec extends GraftSpec {
+  import graft.cep.Pattern
+  import graft.streaming.StatefulOps.Ev
+
+  private def ev(id: Long, tpe: String): Ev = Ev(id, 1L, tpe, 0.0, id * 1000000)
+  private val grp = Pattern.begin[Ev]("a")(_.event_type == "A")
+    .next("b")(_.event_type == "B")
+
+  test("consecutive group x2 matches only the full adjacent chain") {
+    val p = Pattern.beginGroup(grp, 2, consecutive = true)
+    val events = Seq(ev(1, "A"), ev(2, "B"), ev(3, "A"), ev(4, "B"), ev(5, "A"))
+    val m = Pattern.run(p, events.iterator, (_: Ev).ts_us).toList
+    assert(m.map(_.map(_.event_id)) == List(Vector(1L, 2L, 3L, 4L)))
+    // eventsFor accumulates across repetitions, like getEventsForPattern
+    assert(m.head.eventsFor("a").map(_.event_id) == Vector(1L, 3L))
+    assert(m.head.eventsFor("b").map(_.event_id) == Vector(2L, 4L))
+  }
+
+  test("relaxed repetition boundary skips events between group copies") {
+    val p = Pattern.beginGroup(grp, 2) // boundaries relaxed by default
+    val events = Seq(ev(1, "A"), ev(2, "B"), ev(3, "X"), ev(4, "A"), ev(5, "B"))
+    val m = Pattern.run(p, events.iterator, (_: Ev).ts_us).toList
+    assert(m.map(_.map(_.event_id)) == List(Vector(1L, 2L, 4L, 5L)))
+  }
+
+  test("followedByGroup appends a quantified group after a step") {
+    val p = Pattern.begin[Ev]("s")(_.event_type == "S")
+      .followedByGroup(grp, 2, consecutive = true)
+    val events = Seq(ev(1, "S"), ev(2, "X"), ev(3, "A"), ev(4, "B"),
+      ev(5, "A"), ev(6, "B"))
+    val m = Pattern.run(p, events.iterator, (_: Ev).ts_us).toList
+    assert(m.map(_.map(_.event_id)) == List(Vector(1L, 3L, 4L, 5L, 6L)))
+  }
+}
