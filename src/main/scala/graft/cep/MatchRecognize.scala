@@ -104,8 +104,16 @@ object MatchRecognize {
         sym.trim.toUpperCase -> compileCond(cond, schema)
       }.toMap
 
+    // Group quantifiers `(A B){n}` (SQL:2016 R010 grouped pattern; reference
+    // GroupPattern.java): MATCH_RECOGNIZE rows are strictly contiguous, so
+    // bounded repetition is exactly textual expansion before tokenizing —
+    // symbol names stay verbatim and measures/COUNT accumulate across
+    // repetitions, like the Pattern-API beginGroup expansion.
+    val GroupR = """\(\s*([A-Za-z_][A-Za-z_0-9 ]*?)\s*\)\s*\{(\d+)\}""".r
+    val patExpanded = GroupR.replaceAllIn(patTxt, m =>
+      Seq.fill(m.group(2).toInt)(m.group(1).trim).mkString(" "))
     // all-strict steps (SQL rows are contiguous); quantifiers greedy per SQL
-    val symbols = patTxt.split(" ").filter(_.nonEmpty)
+    val symbols = patExpanded.split(" ").filter(_.nonEmpty)
     val steps: Vector[Step[(Long, Row)]] = symbols.toVector.zipWithIndex.map {
       case (SymR(sym, quant, qn, qm), i) =>
         val isLast = i == symbols.length - 1
@@ -330,6 +338,52 @@ object MatchRecognize {
            |       round(a_value, 2) AS run_a_sum FROM pairs
            |ORDER BY user_id, event_id""".stripMargin))
 
+  /** PATTERN ((V C){2}): grouped pattern quantifier — the SQL-text twin of
+    * q_cep_group (same strict 4-chain, same greedy non-overlap, same 12-row
+    * answer at sf0.01), with FIRST/LAST navigating the accumulated group
+    * labels. */
+  val qMatchRecognizeGroup: Q = Q(
+    "q_match_recognize_group",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events").select("user_id", "event_id", "event_type")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES FIRST(V.event_id) AS v1_id, FIRST(C.event_id) AS c1_id,
+          |         LAST(V.event_id) AS v2_id, LAST(C.event_id) AS c2_id
+          |ONE ROW PER MATCH
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN ((V C){2})
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin)
+        .orderBy("user_id", "v1_id")
+    },
+    Some("""WITH RECURSIVE cand AS (
+           |  SELECT user_id, event_id AS v1_id, c1_id, v2_id, c2_id
+           |  FROM (SELECT user_id, event_id, event_type,
+           |               lead(event_type, 1) OVER w AS ty1,
+           |               lead(event_id, 1) OVER w AS c1_id,
+           |               lead(event_type, 2) OVER w AS ty2,
+           |               lead(event_id, 2) OVER w AS v2_id,
+           |               lead(event_type, 3) OVER w AS ty3,
+           |               lead(event_id, 3) OVER w AS c2_id
+           |        FROM events
+           |        WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |  WHERE event_type = 'view' AND ty1 = 'click'
+           |    AND ty2 = 'view' AND ty3 = 'click'),
+           |m AS (
+           |  SELECT user_id, CAST(-1 AS BIGINT) AS v1_id,
+           |         CAST(-1 AS BIGINT) AS c1_id, CAST(-1 AS BIGINT) AS v2_id,
+           |         CAST(-1 AS BIGINT) AS c2_id
+           |  FROM (SELECT DISTINCT user_id FROM events)
+           |  UNION ALL
+           |  SELECT m.user_id, nxt.v1_id, nxt.c1_id, nxt.v2_id, nxt.c2_id
+           |  FROM m, LATERAL (
+           |    SELECT c.v1_id, c.c1_id, c.v2_id, c.c2_id
+           |    FROM cand c
+           |    WHERE c.user_id = m.user_id AND c.v1_id > m.c2_id
+           |    ORDER BY c.v1_id LIMIT 1) nxt)
+           |SELECT user_id, v1_id, c1_id, v2_id, c2_id FROM m
+           |WHERE v1_id >= 0 ORDER BY user_id, v1_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qMatchRecognizeSeq, qMatchRecognizePlus,
-    qMatchRecognizeMeasures, qMatchRecognizeAllRows)
+    qMatchRecognizeMeasures, qMatchRecognizeAllRows, qMatchRecognizeGroup)
 }
