@@ -40,7 +40,9 @@ object MatchRecognize {
     ("(?i)PARTITION BY (\\w+) ORDER BY (\\w+) MEASURES (.+?) " +
      "(?:(ONE ROW|ALL ROWS) PER MATCH )?" +
      "(?:AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW) )?" +
-     "PATTERN \\( *(.+?) *\\) DEFINE (.+)").r
+     "PATTERN \\( *(.+?) *\\) " +
+     "(?:WITHIN INTERVAL '(\\d+)' (SECOND|MINUTE|HOUR|DAY) )?" +
+     "DEFINE (.+)").r
   private val MeasureR =
     ("(?i)(?:(FIRST|LAST|SUM|AVG|MIN|MAX)\\((\\w+)\\.(\\w+)\\)" +
      "|COUNT\\((\\w+)\\.\\*\\)|(MATCH_NUMBER|CLASSIFIER)\\(\\)" +
@@ -90,10 +92,13 @@ object MatchRecognize {
   def matchRecognize(df: DataFrame, spec: String): DataFrame = {
     val schema = df.schema
     val norm = spec.replaceAll("\\s+", " ").trim
-    val (pCol, oCol, measuresTxt, rowsMode, skipTxt, patTxt, defineTxt) = norm match {
-      case SpecR(p, o, m, rm, sk, pt, d) => (p, o, m, Option(rm), Option(sk), pt, d)
-      case _ => throw new IllegalArgumentException(s"unparseable MATCH_RECOGNIZE spec: $norm")
-    }
+    val (pCol, oCol, measuresTxt, rowsMode, skipTxt, patTxt, withinTxt, defineTxt) =
+      norm match {
+        case SpecR(p, o, m, rm, sk, pt, wn, wu, d) =>
+          (p, o, m, Option(rm), Option(sk), pt,
+            Option(wn).map(n => (n.toLong, wu.toUpperCase)), d)
+        case _ => throw new IllegalArgumentException(s"unparseable MATCH_RECOGNIZE spec: $norm")
+      }
     val allRows = rowsMode.exists(_.equalsIgnoreCase("ALL ROWS"))
     val pIdx = schema.fieldIndex(pCol)
     val oIdx = schema.fieldIndex(oCol)
@@ -139,7 +144,21 @@ object MatchRecognize {
       case Some("SKIP TO NEXT ROW") => AfterMatch.SkipToNext
       case _                        => AfterMatch.SkipPastLastEvent
     }
-    val pattern = Pattern(steps, None, afterMatch)
+    // WITHIN (Flink MATCH_RECOGNIZE time constraint): bound in the ORDER BY
+    // column's sortKey units. Requires a temporal ORDER BY (as in the
+    // reference, where WITHIN needs a rowtime order) — sortKey yields ms.
+    val withinSort: Option[Long] = withinTxt.map { case (n, unit) =>
+      require(schema(oCol).dataType == org.apache.spark.sql.types.TimestampType,
+        s"WITHIN requires a temporal ORDER BY column, got ${schema(oCol).dataType}")
+      val ms = unit match {
+        case "SECOND" => 1000L
+        case "MINUTE" => 60000L
+        case "HOUR" => 3600000L
+        case "DAY" => 86400000L
+      }
+      n * ms
+    }
+    val pattern = Pattern(steps, withinSort, afterMatch)
 
     val measures: Vector[Measure] = measuresTxt.split(",").map(_.trim).map {
       case MeasureR(nav, s1, c1, cntSym, fn0, s2, c2, alias) =>
@@ -194,12 +213,19 @@ object MatchRecognize {
     val spark = df.sparkSession
     import spark.implicits._
     df.groupByKey(r => String.valueOf(r.get(pIdx)))
-      .flatMapGroups { (_: String, it: Iterator[Row]) =>
-        val rows = it.toVector.sortBy(r => sortKey(r.get(oIdx)))
-        val indexed = rows.zipWithIndex.map { case (r, i) => (i.toLong, r) }
-        val partVal = rows.head.get(pIdx)
+      // secondary sort: row order rides the shuffle; the NFA consumes each
+      // partition's rows as a lazy iterator (no per-key materialization)
+      .flatMapSortedGroups(org.apache.spark.sql.functions.col(oCol)) {
+        (_: String, it0: Iterator[Row]) =>
+        val it = it0.buffered
+        val partVal = it.head.get(pIdx)
+        val indexed = it.zipWithIndex.map { case (r, i) => (i.toLong, r) }
         val ord: ((Long, Row)) => Long = _._1
-        Pattern.run[(Long, Row)](pattern, indexed.iterator, ord, ord)
+        // WITHIN measures real time on the ORDER BY column; match positions
+        // (ord) stay the contiguity/order key
+        val tsOf: ((Long, Row)) => Long =
+          if (withinSort.isDefined) t => sortKey(t._2.get(oIdx)).toLong else ord
+        Pattern.run[(Long, Row)](pattern, indexed, tsOf, ord)
           .zipWithIndex
           .flatMap { case (m, i) =>
             val mn = i + 1L
@@ -384,6 +410,35 @@ object MatchRecognize {
            |SELECT user_id, v1_id, c1_id, v2_id, c2_id FROM m
            |WHERE v1_id >= 0 ORDER BY user_id, v1_id""".stripMargin))
 
+  /** PATTERN (A B) WITHIN INTERVAL '30' MINUTE — the reference's
+    * MATCH_RECOGNIZE time constraint: a match must complete within the
+    * interval measured on the (temporal) ORDER BY column. Adjacent distinct
+    * types make overlap impossible, so the lead()-chain + time-delta filter
+    * is an exact oracle. */
+  val qMatchRecognizeWithin: Q = Q(
+    "q_match_recognize_within",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events").select("user_id", "event_id", "event_type", "ts")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY ts
+          |MEASURES A.event_id AS a_id, B.event_id AS b_id
+          |ONE ROW PER MATCH
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (A B) WITHIN INTERVAL '30' MINUTE
+          |DEFINE A AS event_type = 'signup', B AS event_type = 'purchase'""".stripMargin)
+        .orderBy("user_id", "a_id")
+    },
+    Some("""SELECT user_id, a_id, b_id FROM (
+           |  SELECT user_id, event_id AS a_id, event_type AS ty0, ts AS t0,
+           |         lead(event_id) OVER w AS b_id,
+           |         lead(event_type) OVER w AS ty1,
+           |         lead(ts) OVER w AS t1
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+           |WHERE ty0 = 'signup' AND ty1 = 'purchase'
+           |  AND epoch(t1) - epoch(t0) <= 1800
+           |ORDER BY user_id, a_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qMatchRecognizeSeq, qMatchRecognizePlus,
-    qMatchRecognizeMeasures, qMatchRecognizeAllRows, qMatchRecognizeGroup)
+    qMatchRecognizeMeasures, qMatchRecognizeAllRows, qMatchRecognizeGroup,
+    qMatchRecognizeWithin)
 }
