@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TpchSql.all ++
       operators.TemporalSql.all ++
       operators.GroupWindowSql.all ++
+      operators.LateralSql.all ++
       operators.Scalars.all ++
       operators.Scalars2.all ++
       operators.TimeWindows.all ++

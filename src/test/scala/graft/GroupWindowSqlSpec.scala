@@ -29,3 +29,22 @@ class GroupWindowSqlSpec extends GraftSpec {
     assert(rewrite(untouched) == untouched)
   }
 }
+
+/** LATERAL TABLE lowering (reference Correlate SQL surface). */
+class LateralSqlSpec extends GraftSpec {
+  import graft.operators.LateralSql.rewrite
+
+  test("comma-join correlate lowers to LATERAL VIEW") {
+    val out = rewrite("SELECT a, w FROM t, LATERAL TABLE(split_rows(a, ',')) AS T(w)")
+    assert(out == "SELECT a, w FROM t LATERAL VIEW explode(split(a, ',')) T AS w")
+  }
+
+  test("LEFT JOIN ... ON TRUE lowers to LATERAL VIEW OUTER, unknown UDTF fails loudly") {
+    val out = rewrite(
+      "SELECT a, w FROM t LEFT JOIN LATERAL TABLE(split_rows(a, ',')) AS T(w) ON TRUE")
+    assert(out == "SELECT a, w FROM t LATERAL VIEW OUTER explode(split(a, ',')) T AS w")
+    intercept[IllegalArgumentException] {
+      rewrite("SELECT * FROM t, LATERAL TABLE(nope(a)) AS T(w)")
+    }
+  }
+}
