@@ -39,6 +39,7 @@ object SparkEntry {
       streaming.IterateStream.all ++
       streaming.QueryableState.all ++
       streaming.TwsOps.all ++
+      streaming.DedupSql.all ++
       dsl.DslOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's streaming-dedup SQL idiom (StreamExecDeduplicateRule:
+  * flink-table-planner-blink/.../stream/StreamExecDeduplicate.scala — the
+  * planner RECOGNIZES `ROW_NUMBER() OVER (PARTITION BY k ORDER BY t [DESC])
+  * … WHERE rn = 1` and swaps the O(n log n) rank for O(1)-per-key
+  * Deduplicate state): the same recognition here, lowered onto a min_by /
+  * max_by keyed aggregate — Spark's deterministic expression of
+  * keep-first / keep-last whose update-mode changelog is exactly the
+  * reference operator's retraction stream. Plain `row_number` SQL cannot
+  * run on a stream in either engine; the rewrite is what makes the idiom
+  * executable, which is the entire point of the reference rule.
+  *
+  * Scale posture: state per key is ONE row (the current winner) carried by
+  * the aggregation buffer — map-side partial min_by/max_by combine before
+  * the shuffle, identical to the reference's pre-aggregated deduplicate.
+  */
+object DedupSql {
+
+  private val RnR =
+    ("(?is)SELECT \\* FROM \\(\\s*SELECT \\*, ROW_NUMBER\\(\\) OVER \\(\\s*" +
+      "PARTITION BY ([\\w, ]+?) ORDER BY (\\w+)( DESC)?\\s*\\) AS rn FROM (\\w+)\\s*\\) " +
+      "WHERE rn = 1").r
+
+  /** Recognize the rn=1 idiom over `df` (registered under the FROM name) and
+    * return the lowered keep-first/keep-last aggregate. */
+  def dedup(df: DataFrame, sql: String): DataFrame = {
+    val norm = sql.replaceAll("\\s+", " ").trim
+    norm match {
+      case RnR(partTxt, orderCol, desc, _) =>
+        val partCols = partTxt.split(",").map(_.trim).toSeq
+        val rest = df.columns.filterNot(partCols.contains).toSeq
+        val winner =
+          if (desc == null) min_by(struct(rest.map(col): _*), col(orderCol))
+          else max_by(struct(rest.map(col): _*), col(orderCol))
+        df.groupBy(partCols.map(col): _*)
+          .agg(winner.as("__r"))
+          .select(partCols.map(col) ++ rest.map(c => col(s"__r.$c")): _*)
+      case _ => throw new IllegalArgumentException(
+        s"not the deduplicate idiom (ROW_NUMBER … WHERE rn = 1): $norm")
+    }
+  }
+
+  /** q_dedup_sql_first: first event per user by event time, written as the
+    * reference's SQL idiom against a STREAMING view and executed by the
+    * lowered keyed aggregate (complete mode — the upsert view of the
+    * changelog). */
+  val qDedupSqlFirst: Q = Q(
+    "q_dedup_sql_first",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      val in = StreamingOps.streamTable(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      val out = dedup(in,
+        """SELECT * FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us) AS rn
+          |  FROM events_stream) WHERE rn = 1""".stripMargin)
+      StreamingOps.runToMemory(s, out, "complete", "graft_dedup_sql_first")
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, arg_min(event_id, epoch_us(ts)) AS event_id,
+           |       arg_min(event_type, epoch_us(ts)) AS event_type,
+           |       arg_min(epoch_us(ts), epoch_us(ts)) AS ts_us
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** q_dedup_sql_last: the DESC variant — keep-last per key. */
+  val qDedupSqlLast: Q = Q(
+    "q_dedup_sql_last",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      val in = StreamingOps.streamTable(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      val out = dedup(in,
+        """SELECT * FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC) AS rn
+          |  FROM events_stream) WHERE rn = 1""".stripMargin)
+      StreamingOps.runToMemory(s, out, "complete", "graft_dedup_sql_last")
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, arg_max(event_id, epoch_us(ts)) AS event_id,
+           |       arg_max(event_type, epoch_us(ts)) AS event_type,
+           |       arg_max(epoch_us(ts), epoch_us(ts)) AS ts_us
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qDedupSqlFirst, qDedupSqlLast)
+}
