@@ -239,8 +239,37 @@ object RelationalSql {
       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
       |GROUP BY o_year ORDER BY o_year""".stripMargin)
 
+  /** Recursive CTE (Spark ≥4.0; the SQL-text analogue of the reference's
+    * DataSet bulk iteration — same per-round step as q_stream_iterate's
+    * feedback loop, executed by Spark's iterative UNION ALL). Catalyst runs
+    * each recursion round as a distributed step; the frontier shrinks as
+    * rows fall below the WHERE guard — the loop-unrolling twin of
+    * `IterateOps.iterate`. */
+  val qRecursiveCte: Q = Q(
+    "q_recursive_cte",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""WITH RECURSIVE it AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |         CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT ok, ln, n DIV 2, iters + 1 FROM it WHERE n > 1
+        |)
+        |SELECT ok, ln, n, iters FROM it WHERE n <= 1 ORDER BY ok, ln""".stripMargin)
+    },
+    Some("""WITH RECURSIVE it AS (
+           |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+           |         CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
+           |  FROM lineitem
+           |  UNION ALL
+           |  SELECT ok, ln, n // 2, iters + 1 FROM it WHERE n > 1
+           |)
+           |SELECT ok, ln, n, iters FROM it WHERE n <= 1 ORDER BY ok, ln""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHaving, qInSubquery, qNotInSubquery, qAggHavingSubquery, qUnionDistinct,
     qOverRangeFrame, qCaseSum, qCondRatio, qQ22Shape, qUnionMulti, qOverNavigation,
-    qGroupingId, qTpchQ3, qTpchQ5, qTpchQ10, qHintBroadcast, qTpchQ7, qTpchQ8)
+    qGroupingId, qTpchQ3, qTpchQ5, qTpchQ10, qHintBroadcast, qTpchQ7, qTpchQ8,
+    qRecursiveCte)
 }
