@@ -249,6 +249,10 @@ object RelationalSql {
     "q_recursive_cte",
     (s, dir) => {
       Tables.registerAll(s, dir)
+      // default safety valve is 1M accumulated rows; ~6 halving rounds over
+      // 600k lineitem rows at sf0.1 legitimately produce ~2.9M. The valve
+      // guards runaway recursion, not data volume — size it to the input.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
       s.sql("""WITH RECURSIVE it AS (
         |  SELECT l_orderkey AS ok, l_linenumber AS ln,
         |         CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
