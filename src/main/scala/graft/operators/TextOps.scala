@@ -222,6 +222,52 @@ object TextOps {
             |FROM sh_rel JOIN probes USING (sh)
             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** End-to-end training-data pipeline in ONE declarative plan: length
+    * filter → exact dedup (keep lowest doc_id per content fingerprint) →
+    * deterministic stratified split → per-(lang, split) corpus stats. The
+    * point is composability: the stages fuse into a single Catalyst plan
+    * (one dedup shuffle + one agg shuffle), which is how the operators are
+    * meant to be used at 100 TB — not as separate materialized passes. */
+  val qPipelineE2e: Q = Q(
+    "q_pipeline_e2e",
+    (s, dir) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+      val bucket = graft.functions.FlinkFunctions
+        .md5Hash31($"doc_id".cast("string")) % 100
+      Tables.t(s, dir, "documents")
+        .withColumn("n_tok", size(split(norm, " ")))
+        .filter($"n_tok" >= 20)
+        .withColumn("fp", md5(norm))
+        .groupBy($"fp")
+        .agg(min_by(struct($"doc_id", $"lang", $"n_chars"), $"doc_id").as("keep"))
+        .select($"keep.doc_id", $"keep.lang", $"keep.n_chars")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+        .orderBy($"lang", $"split")
+    },
+    Some("""WITH filtered AS (
+           |  SELECT doc_id, lang, n_chars,
+           |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           |  FROM documents
+           |  WHERE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 20),
+           |deduped AS (
+           |  SELECT arg_min(doc_id, doc_id) AS doc_id,
+           |         arg_min(lang, doc_id) AS lang,
+           |         arg_min(n_chars, doc_id) AS n_chars
+           |  FROM filtered GROUP BY fp)
+           |SELECT lang,
+           |       CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM (SELECT lang, n_chars,
+           |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |          % 2147483647 % 100 AS h
+           |      FROM deduped)
+           |GROUP BY lang, split ORDER BY lang, split""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qStratifiedSplit, qContamination)
+    qStratifiedSplit, qContamination, qPipelineE2e)
 }
