@@ -138,5 +138,63 @@ object GroupWindowSql {
            |       event_type, count(*) AS cnt, round(sum(value), 2) AS total
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(qTumbleSql, qHopSql, qSessionSql, qTumbleSqlStream)
+  /** q_group_window_sql_stream_hop: HOP text on a streaming view — complete
+    * mode, bit-identical to the batch hop oracle. */
+  val qHopSqlStream: Q = Q(
+    "q_group_window_sql_stream_hop",
+    (s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamingOps.streamTable(s, dir, "events")
+        .createOrReplaceTempView("events_stream_hop")
+      val agg = s.sql(rewrite(
+        """SELECT unix_timestamp(HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)) AS wstart,
+          |       event_type, count(*) AS cnt
+          |FROM events_stream_hop
+          |GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE), event_type""".stripMargin))
+      graft.streaming.StreamingOps
+        .runToMemory(s, agg, "complete", "graft_gw_sql_stream_hop")
+        .orderBy($"wstart", $"event_type")
+    },
+    Some("""SELECT wstart, event_type, count(*) AS cnt
+           |FROM (
+           |  SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+           |                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS wstart,
+           |         event_type
+           |  FROM events)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** q_group_window_sql_stream_session: SESSION text on a streaming view —
+    * gap-merge happens in the streaming session-window state. */
+  val qSessionSqlStream: Q = Q(
+    "q_group_window_sql_stream_session",
+    (s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamingOps.streamTable(s, dir, "events")
+        .createOrReplaceTempView("events_stream_sess")
+      val agg = s.sql(rewrite(
+        """SELECT unix_timestamp(SESSION_START(ts, INTERVAL '30' MINUTE)) AS sess_start,
+          |       user_id, count(*) AS cnt, round(sum(value), 2) AS total
+          |FROM events_stream_sess
+          |GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id""".stripMargin))
+      graft.streaming.StreamingOps
+        .runToMemory(s, agg, "complete", "graft_gw_sql_stream_sess")
+        .orderBy($"user_id", $"sess_start")
+    },
+    Some("""WITH g AS (
+           |  SELECT user_id, ts, value,
+           |         CASE WHEN lag(ts) OVER w IS NULL
+           |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+           |              THEN 1 ELSE 0 END AS brk
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |sess AS (
+           |  SELECT user_id, ts, value,
+           |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                        ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g)
+           |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start, user_id,
+           |       count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin))
+
+  val all: Seq[Q] = Seq(qTumbleSql, qHopSql, qSessionSql, qTumbleSqlStream,
+    qHopSqlStream, qSessionSqlStream)
 }
