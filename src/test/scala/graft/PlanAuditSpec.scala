@@ -127,6 +127,17 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_contamination: probe set broadcast, shingle side never shuffled for the join") {
+    val p = phys(operators.TextOps.qContamination)
+    assert(p.contains("BroadcastHashJoin"), s"probe set not broadcast:\n$p")
+  }
+
+  test("q_pipeline_e2e: filter+dedup+split+stats fuse into exactly two hash shuffles") {
+    val p = phys(operators.TextOps.qPipelineE2e)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 hash exchanges (dedup + final agg), got $n:\n$p")
+  }
+
   test("no unbounded cross/nested-loop join in any scale-path query plan") {
     // every non-calibration batch query must avoid CartesianProduct and
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
