@@ -86,5 +86,45 @@ object DedupSql {
            |       arg_max(epoch_us(ts), epoch_us(ts)) AS ts_us
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qDedupSqlFirst, qDedupSqlLast)
+  /** Stream-stream LEFT OUTER interval join (reference StreamingJoinOperator
+    * outer paths — null-padding rows emit only when the watermark proves no
+    * match can still arrive): purchases left-joined to same-user clicks in
+    * the following 10 minutes. The oracle replays the exact emission rule:
+    * all matched pairs, plus unmatched purchases whose join window closed
+    * under the final combined watermark (min of the two sides' max event
+    * times — the default multipleWatermarkPolicy); tail rows still open in
+    * state are correctly absent from BOTH engines. */
+  val qStreamOuterJoin: Q = Q(
+    "q_stream_outer_join",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      def side(t: String, a: String) = StreamingOps.streamTable(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_uid"),
+          col("ts").as(s"${a}_ts"))
+        .withWatermark(s"${a}_ts", "0 seconds")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        expr("p_uid = c_uid AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"),
+        "leftOuter")
+      StreamingOps.runToMemory(s, joined.select($"p_id", $"c_id"),
+        "append", "graft_stream_outer_join")
+        .orderBy($"p_id", $"c_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM p),
+           |                    (SELECT max(epoch_ms(ts)) FROM c)) AS w)
+           |SELECT p_id, c_id FROM (
+           |  SELECT p.event_id AS p_id, c.event_id AS c_id
+           |  FROM p JOIN c ON p.user_id = c.user_id
+           |   AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
+           |  UNION ALL
+           |  SELECT p.event_id, CAST(NULL AS BIGINT)
+           |  FROM p, wm
+           |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+           |          AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE)
+           |    AND epoch_ms(p.ts) + 600000 <= wm.w)
+           |ORDER BY p_id, c_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qDedupSqlFirst, qDedupSqlLast, qStreamOuterJoin)
 }
