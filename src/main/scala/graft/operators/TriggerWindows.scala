@@ -265,8 +265,9 @@ object TriggerWindows {
             .otherwise(10L * 60 * 1000000).as("gap_us"))
         .as[SessEv]
       ev.groupByKey(_.user_id)
-        .flatMapGroups { (uid: Long, it: Iterator[SessEv]) =>
-          val sorted = it.toSeq.sortBy(_.ts_us)
+        // secondary sort in the shuffle: the gap fold is sequential, so the
+        // group iterator streams through without materializing
+        .flatMapSortedGroups($"ts_us") { (uid: Long, sorted: Iterator[SessEv]) =>
           val out = Seq.newBuilder[SessOut]
           var curEnd = Long.MinValue
           var start = 0L; var cnt = 0L; var total = 0.0
@@ -310,5 +311,45 @@ object TriggerWindows {
            |FROM s GROUP BY user_id, sid
            |ORDER BY user_id, sess_start""".stripMargin))
 
-  val all: Seq[Q] = Seq(qCountTriggerWindow, qSessionDynamic)
+  /** Dynamic-gap sessions on a STREAM via Spark's native session_window
+    * with a per-row gap expression — the same semantics as the hand-rolled
+    * fold above, checked against the same gaps-and-islands oracle, so the
+    * two implementations cross-validate each other. */
+  val qSessionDynamicStream: Q = Q(
+    "q_session_dynamic_stream",
+    (s, dir) => {
+      import s.implicits._
+      val gap = when(col("event_type") === "purchase", "30 minutes")
+        .otherwise("10 minutes")
+      val agg = graft.streaming.StreamingOps.streamTable(s, dir, "events")
+        .groupBy(session_window($"ts", gap), $"user_id")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+        .select(unix_timestamp($"session_window.start").as("sess_start"),
+          $"user_id", $"cnt", $"total")
+      graft.streaming.StreamingOps
+        .runToMemory(s, agg, "complete", "graft_session_dynamic_stream")
+        .orderBy($"user_id", $"sess_start")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, ts, value,
+           |         CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+           |              ELSE INTERVAL 10 MINUTE END AS gap
+           |  FROM events),
+           |b AS (
+           |  SELECT user_id, ts, value,
+           |         CASE WHEN max(ts + gap) OVER w IS NULL
+           |              OR max(ts + gap) OVER w <= ts THEN 1 ELSE 0 END AS brk
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |s AS (
+           |  SELECT user_id, ts, value,
+           |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                        ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM b)
+           |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start, user_id,
+           |       count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM s GROUP BY user_id, sid
+           |ORDER BY user_id, sess_start""".stripMargin))
+
+  val all: Seq[Q] = Seq(qCountTriggerWindow, qSessionDynamic, qSessionDynamicStream)
 }
