@@ -845,7 +845,66 @@ object CepOps {
            |SELECT user_id, v1_id, c1_id, v2_id, c2_id FROM m
            |WHERE v1_id >= 0 ORDER BY user_id, v1_id""".stripMargin))
 
+  /** Group repetition with RELAXED boundaries (the default — Flink's group
+    * without consecutive()): (view next click) twice, skipping freely
+    * between the copies. The NFA replay is deterministic: within a copy the
+    * strict step kills non-adjacent runs; at the boundary the relaxed view
+    * step consumes the FIRST view (matchable events must be consumed under
+    * followedBy), and first-v-after is monotone in the start position, so
+    * the earliest start always completes first — the oracle recursion picks
+    * min start past the previous match's end. */
+  val qCepGroupRelaxed: Q = Q(
+    "q_cep_group_relaxed",
+    (s, dir) => {
+      import s.implicits._
+      val grp = Pattern.begin[Ev]("v")(_.event_type == "view")
+        .next("c")(_.event_type == "click")
+      val pat = Pattern.beginGroup(grp, 2) // relaxed repetition boundary
+      evSorted(s, dir)
+        .groupByKey(_.user_id)
+        .flatMapSortedGroups($"event_id") { (uid: Long, it: Iterator[Ev]) =>
+          Pattern.run(pat, it, (_: Ev).ts_us, (_: Ev).event_id).map { m =>
+            val vs = m.eventsFor("v"); val cs = m.eventsFor("c")
+            CepGroupRow(uid, vs(0).event_id, cs(0).event_id,
+              vs(1).event_id, cs(1).event_id)
+          }
+        }
+        .toDF().orderBy($"user_id", $"v1_id")
+    },
+    Some("""WITH RECURSIVE e AS (
+           |  SELECT user_id, event_id, event_type,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           |  FROM events),
+           |cand AS (
+           |  SELECT a.user_id, a.rn AS v1_rn, a.event_id AS v1_id,
+           |         b.event_id AS c1_id, j.rn AS v2_rn, j.event_id AS v2_id,
+           |         k.rn AS c2_rn, k.event_id AS c2_id
+           |  FROM e a
+           |  JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+           |  JOIN LATERAL (
+           |    SELECT rn, event_id FROM e v
+           |    WHERE v.user_id = a.user_id AND v.rn > a.rn + 1
+           |      AND v.event_type = 'view'
+           |    ORDER BY v.rn LIMIT 1) j ON TRUE
+           |  JOIN e k ON k.user_id = a.user_id AND k.rn = j.rn + 1
+           |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+           |    AND k.event_type = 'click'),
+           |m AS (
+           |  SELECT user_id, CAST(-1 AS BIGINT) AS v1_id, CAST(-1 AS BIGINT) AS c1_id,
+           |         CAST(-1 AS BIGINT) AS v2_id, CAST(-1 AS BIGINT) AS c2_id,
+           |         CAST(0 AS BIGINT) AS end_rn
+           |  FROM (SELECT DISTINCT user_id FROM events)
+           |  UNION ALL
+           |  SELECT m.user_id, nxt.v1_id, nxt.c1_id, nxt.v2_id, nxt.c2_id, nxt.c2_rn
+           |  FROM m, LATERAL (
+           |    SELECT c.v1_id, c.c1_id, c.v2_id, c.c2_id, c.c2_rn
+           |    FROM cand c
+           |    WHERE c.user_id = m.user_id AND c.v1_rn > m.end_rn
+           |    ORDER BY c.v1_rn LIMIT 1) nxt)
+           |SELECT user_id, v1_id, c1_id, v2_id, c2_id FROM m
+           |WHERE v1_id >= 0 ORDER BY user_id, v1_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qCepNext, qCepFollowedBy, qCepTimes, qCepOneOrMore,
     qCepOptional, qCepNotNext, qCepNotFollowed, qCepTimeout, qCepIterative,
-    qCepGroup)
+    qCepGroup, qCepGroupRelaxed)
 }
