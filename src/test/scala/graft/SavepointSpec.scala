@@ -40,6 +40,39 @@ class SavepointSpec extends GraftSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("savepoint restore re-shards to a different parallelism (rescale)") {
+    import spark.implicits._
+    val base = Tables.scratch(s"savepoint-rescale/${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$base/in1")
+    Seq(("a", 10L), ("d", 40L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$base/in2")
+    def src(d: String) = spark.readStream.schema("k string, v long").parquet(d)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // job 1 at parallelism 2
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      streaming.Savepoint.runCounts(spark, src(s"$base/in1"),
+        spark.emptyDataset[(String, Long)], s"$base/ckpt1", "sp_rescale1")
+      streaming.Savepoint.`export`(spark, s"$base/ckpt1",
+        s"$base/savepoint", Some("total"))(
+        _.select(col("key.value").as("k"), col("value.value").as("total")))
+      // job 2 restores the same state at parallelism 8 — the initial-state
+      // shuffle re-shards it, the reference's operator-rescale reassignment
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val initial = spark.read.parquet(s"$base/savepoint").as[(String, Long)]
+      streaming.Savepoint.runCounts(spark, src(s"$base/in2"), initial,
+        s"$base/ckpt2", "sp_rescale2")
+      val fin = streaming.QueryableState
+        .stateOf(spark, s"$base/ckpt2", stateVar = Some("total"))
+      assert(fin.select("partition_id").distinct().count() > 2)
+      val state = fin.select(col("key.value"), col("value.value"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(state == Map("a" -> 11L, "b" -> 2L, "c" -> 3L, "d" -> 44L))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("checkpoint time travel: state readable at an older committed batch") {
     import spark.implicits._
     val base = Tables.scratch(s"timetravel-spec/${java.util.UUID.randomUUID()}")
