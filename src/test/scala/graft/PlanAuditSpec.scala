@@ -165,3 +165,31 @@ class PlanAuditSpec extends GraftSpec {
     assert(offenders.isEmpty, s"unbounded join shapes in: $offenders")
   }
 }
+
+/** Streaming physical-plan audits: capture lastExecution after a run to
+  * assert the stateful operators Spark planned. */
+class StreamingPlanAuditSpec extends GraftSpec {
+
+  test("stream-stream outer join plans StreamingSymmetricHashJoin with watermark state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def side(t: String, a: String) = streaming.StreamingOps.streamTable(spark, sfDir, "events")
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_uid"),
+        col("ts").as(s"${a}_ts"))
+      .withWatermark(s"${a}_ts", "0 seconds")
+    val j = side("purchase", "p").join(side("click", "c"),
+      expr("p_uid = c_uid AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"),
+      "leftOuter")
+    val ckpt = Tables.scratch(s"plan-audit-join/${java.util.UUID.randomUUID()}")
+    val q = j.writeStream.format("memory").queryName("audit_sshj")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(plan.contains("StreamingSymmetricHashJoin"),
+      s"expected symmetric hash join operator:\n$plan")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
+}
