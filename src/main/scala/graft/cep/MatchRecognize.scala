@@ -438,7 +438,31 @@ object MatchRecognize {
            |  AND epoch(t1) - epoch(t0) <= 1800
            |ORDER BY user_id, a_id""".stripMargin))
 
+  /** AFTER MATCH SKIP TO NEXT ROW: matches may OVERLAP — (V V) over a run
+    * of k consecutive views yields k−1 matches, where SKIP PAST LAST ROW
+    * would yield ⌊k/2⌋. The oracle is the full candidate set (every adjacent
+    * view pair), which only this skip strategy emits. */
+  val qMatchRecognizeSkipNext: Q = Q(
+    "q_match_recognize_skip_next",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events").select("user_id", "event_id", "event_type")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES FIRST(V.event_id) AS v1_id, LAST(V.event_id) AS v2_id
+          |ONE ROW PER MATCH
+          |AFTER MATCH SKIP TO NEXT ROW
+          |PATTERN (V V)
+          |DEFINE V AS event_type = 'view'""".stripMargin)
+        .orderBy("user_id", "v1_id")
+    },
+    Some("""SELECT user_id, v1_id, v2_id FROM (
+           |  SELECT user_id, event_id AS v1_id, event_type AS ty0,
+           |         lead(event_id) OVER w AS v2_id, lead(event_type) OVER w AS ty1
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |WHERE ty0 = 'view' AND ty1 = 'view'
+           |ORDER BY user_id, v1_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qMatchRecognizeSeq, qMatchRecognizePlus,
     qMatchRecognizeMeasures, qMatchRecognizeAllRows, qMatchRecognizeGroup,
-    qMatchRecognizeWithin)
+    qMatchRecognizeWithin, qMatchRecognizeSkipNext)
 }

@@ -169,6 +169,40 @@ object DedupSql {
            |    AND epoch_ms(c.ts) + 600000 <= wm.w)
            |ORDER BY p_id, c_id""".stripMargin))
 
+  /** Stream-stream RIGHT OUTER: the mirror of the left-outer rule — clicks
+    * null-pad once their window closes under the combined watermark. */
+  val qStreamRightOuterJoin: Q = Q(
+    "q_stream_right_outer_join",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      def side(t: String, a: String) = StreamingOps.streamTable(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_uid"),
+          col("ts").as(s"${a}_ts"))
+        .withWatermark(s"${a}_ts", "0 seconds")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        expr("p_uid = c_uid AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"),
+        "rightOuter")
+      StreamingOps.runToMemory(s, joined.select($"p_id", $"c_id"),
+        "append", "graft_stream_right_outer")
+        .orderBy($"p_id", $"c_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM p),
+           |                    (SELECT max(epoch_ms(ts)) FROM c)) AS w)
+           |SELECT p_id, c_id FROM (
+           |  SELECT p.event_id AS p_id, c.event_id AS c_id
+           |  FROM p JOIN c ON p.user_id = c.user_id
+           |   AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
+           |  UNION ALL
+           |  SELECT CAST(NULL AS BIGINT), c.event_id
+           |  FROM c, wm
+           |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+           |          AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE)
+           |    AND epoch_ms(c.ts) + 600000 <= wm.w)
+           |ORDER BY p_id, c_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupSqlFirst, qDedupSqlLast, qStreamOuterJoin,
-    qStreamFullOuterJoin)
+    qStreamFullOuterJoin, qStreamRightOuterJoin)
 }
