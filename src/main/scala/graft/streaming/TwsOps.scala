@@ -75,6 +75,40 @@ object TwsOps {
       Iterator.single((key, expiredTimerInfo.getExpiryTimeInMs))
   }
 
+  /** Full state-variable surface of the new API (reference state descriptor
+    * family: ValueStateDescriptor / ListStateDescriptor / MapStateDescriptor):
+    * per key, a ListState of recent values (bounded to the last 3) and a
+    * MapState of per-bucket counts, exercised together. Used by
+    * StateBackendSpec. */
+  class ListMapStats
+      extends StatefulProcessor[Long, (Long, Double), (Long, Double, Long)] {
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[Double] = _
+    @transient private var buckets: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[Double]("recent", Encoders.scalaDouble, TTLConfig.NONE)
+      buckets = getHandle.getMapState[Long, Long]("buckets",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Double, Long)] = {
+      rows.foreach { case (_, v) =>
+        recent.appendValue(v)
+        val b = math.floor(v / 100.0).toLong
+        val cur = if (buckets.containsKey(b)) buckets.getValue(b) else 0L
+        buckets.updateValue(b, cur + 1)
+      }
+      val vals = recent.get().toSeq
+      if (vals.size > 3) { // keep the trailing 3 — bounded list state
+        recent.put(vals.takeRight(3).toArray)
+      }
+      val kept = recent.get().toSeq
+      val nBuckets = { var n = 0L; val it = buckets.keys(); while (it.hasNext) { it.next(); n += 1 }; n }
+      Iterator.single((key, kept.sum, nBuckets))
+    }
+  }
+
   /** q_tws_dedup: same answer as q_stream_dedup (DISTINCT user_id ×
     * event_type) but computed by the transformWithState runtime — named
     * RocksDB-backed state, emit-on-first-touch. */

@@ -64,6 +64,56 @@ class StateBackendSpec extends GraftSpec {
     }
   }
 
+  test("transformWithState: ListState + MapState variables across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Tables.scratch(s"tws-listmap/${java.util.UUID.randomUUID()}")
+      Seq((1L, 10.0), (1L, 120.0), (1L, 230.0), (1L, 340.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$base/in/f0")
+      Seq((1L, 50.0), (1L, 360.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$base/in/f1")
+      val out = spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .as[(Long, Double)].groupByKey(_._1)
+        .transformWithState(new streaming.TwsOps.ListMapStats,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("k", "recent_sum", "n_buckets").writeStream
+        .format("memory").queryName("tws_listmap").outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = spark.table("tws_listmap").collect()
+        .map(r => (r.getDouble(1), r.getLong(2))).toSet
+      // batch 1: trailing-3 list (120,230,340)=690, 4 buckets;
+      // batch 2: (340,50,360)=750, still 4 buckets (0 and 3 incremented)
+      assert(rows == Set((690.0, 4L), (750.0, 4L)))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("queryable state read is partition-parallel (no driver materialization)") {
+    import spark.implicits._
+    val base = Tables.scratch(s"qstate-par/${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v").write.parquet(s"$base/src")
+    val q = spark.readStream.schema("k string, v long").parquet(s"$base/src")
+      .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"v"))
+      .writeStream.format("memory").queryName("qstate_par_sink")
+      .outputMode("complete").option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ss = streaming.QueryableState.stateOf(spark, s"$base/ckpt")
+    assert(ss.rdd.getNumPartitions > 1, "statestore read not partition-parallel")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("rocksdb state store: stateful agg matches default-backend result, state is queryable") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
