@@ -34,6 +34,17 @@ object Bench {
     warm("q_match_recognize_seq", cepDir)
     warm("q_simhash", sfDir)
     warm("q_minhash_lsh", sfDir)
+    // (c) the streaming stateful families: stream-stream join state-store
+    // init + symmetric-hash codegen, flatMapGroupsWithState changelog/over
+    // machinery, and the statestore commit path. Each warmed on the tiny
+    // fixture — the first-touch costs are data-independent (codegen +
+    // provider init), and r5 showed them landing on whichever family member
+    // ran first (q_stream_right_outer_join 8.8s vs siblings 2.8s with
+    // identical plans; q_changelog_join/q_stream_over +220% with unchanged
+    // plans).
+    warm("q_stream_outer_join", cepDir)
+    warm("q_changelog_join", cepDir)
+    warm("q_stream_over", cepDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

@@ -19,6 +19,7 @@ object SparkEntry {
       operators.TemporalSql.all ++
       operators.GroupWindowSql.all ++
       operators.LateralSql.all ++
+      operators.GraftSql.all ++
       operators.Scalars.all ++
       operators.Scalars2.all ++
       operators.TimeWindows.all ++
@@ -35,6 +36,7 @@ object SparkEntry {
       cep.MatchRecognize.all ++
       streaming.StreamingOps.all ++
       streaming.ChangelogJoin.all ++
+      streaming.ChangelogAgg.all ++
       streaming.StatefulOps.all ++
       streaming.IterateStream.all ++
       streaming.QueryableState.all ++

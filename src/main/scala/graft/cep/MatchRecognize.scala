@@ -42,30 +42,56 @@ object MatchRecognize {
      "(?:AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW) )?" +
      "PATTERN \\( *(.+?) *\\) " +
      "(?:WITHIN INTERVAL '(\\d+)' (SECOND|MINUTE|HOUR|DAY) )?" +
+     "(?:SUBSET (.+?) )?" +
      "DEFINE (.+)").r
   private val MeasureR =
     ("(?i)(?:(FIRST|LAST|SUM|AVG|MIN|MAX)\\((\\w+)\\.(\\w+)\\)" +
      "|COUNT\\((\\w+)\\.\\*\\)|(MATCH_NUMBER|CLASSIFIER)\\(\\)" +
      "|(\\w+)\\.(\\w+)) AS (\\w+)").r
   private val SymR = "(\\w+)(\\+|\\*|\\?|\\{(\\d+)(?:,(\\d+))?\\})?".r
-  private val TermR = "(\\w+) *(=|<>|!=|<=|>=|<|>) *(.+)".r
+  private val TermR = "(.+?) *(=|<>|!=|<=|>=|<|>) *(.+)".r
+  private val SubsetItemR = "(\\w+)\\s*=\\s*\\(\\s*([\\w, ]+?)\\s*\\)".r
 
-  private def compileTerm(t: String, schema: StructType): Row => Boolean = t.trim match {
-    case TermR(col, op, lit0) =>
-      val idx = schema.fieldIndex(col)
-      val lit = lit0.trim
-      if (lit.startsWith("'")) {
-        val v = lit.stripPrefix("'").stripSuffix("'")
-        val cmp: Int => Boolean = opFn(op)
-        r => !r.isNullAt(idx) && cmp(r.get(idx).toString.compareTo(v))
-      } else {
-        val v = lit.toDouble
-        val cmp: Int => Boolean = opFn(op)
-        r => !r.isNullAt(idx) &&
-          cmp(java.lang.Double.compare(r.get(idx).asInstanceOf[Number].doubleValue(), v))
-      }
-    case other => throw new IllegalArgumentException(s"unparseable DEFINE term: $other")
-  }
+  // ---- DEFINE operand grammar (SQL:2016 R020 navigation; reference
+  // MatchCodeGenerator.scala compiles the same PREV/FIRST/LAST calls) ----
+  private type Ev = (Long, Row)
+  /** Contextual condition: (current event, match-so-far ctx, partition rows
+    * consumed so far) — the buffer gives PREV its physical-offset lookback. */
+  private type CtxCond = (Ev, MatchCtx[Ev], scala.collection.IndexedSeq[Row]) => Boolean
+
+  private sealed trait Operand extends Serializable
+  private final case class OLit(v: Any) extends Operand
+  private final case class OCol(idx: Int) extends Operand // current row's col
+  private final case class OPrev(idx: Int, n: Int) extends Operand
+  private final case class ONav(first: Boolean, sym: String, idx: Int) extends Operand
+
+  private val PrevR = "(?i)PREV\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+  private val NavR = "(?i)(FIRST|LAST)\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+  private val SymColR = "(\\w+)\\.(\\w+)".r
+  private val BareColR = "(\\w+)".r
+
+  /** Parse one DEFINE operand in the context of symbol `curSym`:
+    * `S.col` where S is the symbol being defined = the current row;
+    * another symbol's `T.col` = LAST(T.col) so far (running semantics);
+    * `PREV(S.col, n)` = the row n positions earlier in the PARTITION
+    * (physical offset, null before the partition start — SQL:2016). */
+  private def parseOperand(txt: String, schema: StructType, curSym: String): Operand =
+    txt.trim match {
+      case PrevR(_, col, n) =>
+        OPrev(schema.fieldIndex(col), if (n == null) 1 else n.toInt)
+      case NavR(fn, sym, col) =>
+        ONav(fn.equalsIgnoreCase("FIRST"), sym.toUpperCase, schema.fieldIndex(col))
+      case SymColR(sym, col) =>
+        if (sym.equalsIgnoreCase(curSym)) OCol(schema.fieldIndex(col))
+        else ONav(first = false, sym.toUpperCase, schema.fieldIndex(col))
+      case lit if lit.startsWith("'") =>
+        OLit(lit.stripPrefix("'").stripSuffix("'"))
+      case BareColR(c) if schema.fieldNames.contains(c) => OCol(schema.fieldIndex(c))
+      case num =>
+        try OLit(num.toDouble)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"unparseable DEFINE operand: $txt") }
+    }
 
   private def opFn(op: String): Int => Boolean = op match {
     case "="          => _ == 0
@@ -76,9 +102,60 @@ object MatchRecognize {
     case ">="         => _ >= 0
   }
 
-  private def compileCond(cond: String, schema: StructType): Row => Boolean = {
-    val terms = cond.split("(?i) AND ").map(compileTerm(_, schema))
-    r => terms.forall(_(r))
+  private def cell(r: Row, i: Int): Any = if (r.isNullAt(i)) null else r.get(i)
+
+  private def evalOperand(o: Operand, e: Ev, ctx: MatchCtx[Ev],
+      buf: scala.collection.IndexedSeq[Row]): Any = o match {
+    case OLit(v)  => v
+    case OCol(i)  => cell(e._2, i)
+    case OPrev(i, n) =>
+      val idx = e._1 - n
+      if (idx < 0) null else cell(buf(idx.toInt), i)
+    case ONav(first, sym, i) =>
+      val evs = ctx.eventsFor(sym)
+      if (evs.isEmpty) null
+      else cell((if (first) evs.head else evs.last)._2, i)
+  }
+
+  /** SQL comparison with null propagation (null operand → not satisfied). */
+  private def compare(a: Any, b: Any, op: String): Boolean =
+    if (a == null || b == null) false
+    else (a, b) match {
+      case (x: Number, y: Number) =>
+        opFn(op)(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      case _ => opFn(op)(a.toString.compareTo(b.toString))
+    }
+
+  private def isSimple(o: Operand): Boolean = o match {
+    case OLit(_) | OCol(_) => true
+    case _ => false
+  }
+
+  /** Compile one DEFINE condition into (plain row predicate, contextual
+    * predicate): terms needing only the current row go to the fast path;
+    * navigation terms (PREV/FIRST/LAST/other-symbol) become an iterative
+    * condition evaluated against the run's accumulated events + the
+    * partition buffer. */
+  private def compileCond(cond: String, schema: StructType, curSym: String)
+      : (Row => Boolean, Option[CtxCond]) = {
+    val terms = cond.split("(?i) AND ").map(_.trim).map {
+      case TermR(lhs, op, rhs) =>
+        (parseOperand(lhs, schema, curSym), op, parseOperand(rhs, schema, curSym))
+      case other => throw new IllegalArgumentException(s"unparseable DEFINE term: $other")
+    }
+    val (simple, ctxual) = terms.partition { case (l, _, r) => isSimple(l) && isSimple(r) }
+    val rowPred: Row => Boolean =
+      if (simple.isEmpty) (_: Row) => true
+      else { r =>
+        val e: Ev = (0L, r)
+        simple.forall { case (l, op, rt) =>
+          compare(evalOperand(l, e, null, null), evalOperand(rt, e, null, null), op) }
+      }
+    val ctxPred: Option[CtxCond] =
+      if (ctxual.isEmpty) None
+      else Some((e, ctx, buf) => ctxual.forall { case (l, op, rt) =>
+        compare(evalOperand(l, e, ctx, buf), evalOperand(rt, e, ctx, buf), op) })
+    (rowPred, ctxPred)
   }
 
   private def sortKey(v: Any): Double = v match {
@@ -89,24 +166,52 @@ object MatchRecognize {
       s"ORDER BY column must be numeric or temporal, got: ${other.getClass}")
   }
 
+  /** Split on top-level commas only (commas inside parens — PREV(x, 2),
+    * SUBSET lists — don't separate items). */
+  private def splitTop(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    val lastPart = cur.result().trim
+    if (lastPart.nonEmpty) out += lastPart
+    out.result()
+  }
+
   def matchRecognize(df: DataFrame, spec: String): DataFrame = {
     val schema = df.schema
     val norm = spec.replaceAll("\\s+", " ").trim
-    val (pCol, oCol, measuresTxt, rowsMode, skipTxt, patTxt, withinTxt, defineTxt) =
+    val (pCol, oCol, measuresTxt, rowsMode, skipTxt, patTxt, withinTxt, subsetTxt, defineTxt) =
       norm match {
-        case SpecR(p, o, m, rm, sk, pt, wn, wu, d) =>
+        case SpecR(p, o, m, rm, sk, pt, wn, wu, sub, d) =>
           (p, o, m, Option(rm), Option(sk), pt,
-            Option(wn).map(n => (n.toLong, wu.toUpperCase)), d)
+            Option(wn).map(n => (n.toLong, wu.toUpperCase)), Option(sub), d)
         case _ => throw new IllegalArgumentException(s"unparseable MATCH_RECOGNIZE spec: $norm")
       }
     val allRows = rowsMode.exists(_.equalsIgnoreCase("ALL ROWS"))
     val pIdx = schema.fieldIndex(pCol)
     val oIdx = schema.fieldIndex(oCol)
 
-    val defines: Map[String, Row => Boolean] =
-      defineTxt.split(",").map(_.trim).map { d =>
+    // SUBSET S = (A, B): union labels (SQL:2016 R010; reference
+    // MatchCodeGenerator's PATTERN_VARIABLE union handling) — usable in
+    // MEASURES navigation/aggregates; events keep match order.
+    val subsets: Map[String, Set[String]] =
+      subsetTxt.map(splitTop(_).map {
+        case SubsetItemR(name, members) =>
+          name.toUpperCase -> members.split(",").map(_.trim.toUpperCase).toSet
+        case other => throw new IllegalArgumentException(s"unparseable SUBSET item: $other")
+      }.toMap).getOrElse(Map.empty)
+
+    val defines: Map[String, (Row => Boolean, Option[CtxCond])] =
+      splitTop(defineTxt).map { d =>
         val Array(sym, cond) = d.split("(?i) AS ", 2)
-        sym.trim.toUpperCase -> compileCond(cond, schema)
+        val s = sym.trim.toUpperCase
+        s -> compileCond(cond, schema, s)
       }.toMap
 
     // Group quantifiers `(A B){n}` (SQL:2016 R010 grouped pattern; reference
@@ -124,7 +229,7 @@ object MatchRecognize {
         val isLast = i == symbols.length - 1
         if (quant != null && isLast) throw new IllegalArgumentException(
           s"quantifier on the final pattern symbol ($sym$quant) is not supported")
-        val pred0 = defines.getOrElse(sym.toUpperCase, (_: Row) => true)
+        val pred0 = defines.get(sym.toUpperCase).map(_._1).getOrElse((_: Row) => true)
         val pred: ((Long, Row)) => Boolean = e => pred0(e._2)
         val (min, max) = quant match {
           case null => (1, 1)
@@ -159,12 +264,24 @@ object MatchRecognize {
       n * ms
     }
     val pattern = Pattern(steps, withinSort, afterMatch)
+    // navigation conditions attach per partition (they close over the
+    // partition's row buffer for PREV's physical-offset lookback)
+    val navConds: Map[String, CtxCond] =
+      defines.collect { case (sym, (_, Some(f))) => sym -> f }
+
+    // subset-aware event lookup for MEASURES
+    def evsFor(m: PMatch[(Long, Row)], sym: String): Vector[(Long, Row)] =
+      subsets.get(sym) match {
+        case Some(members) =>
+          m.labeled.collect { case (n, e) if members.contains(n) => e }
+        case None => m.eventsFor(sym)
+      }
 
     val measures: Vector[Measure] = measuresTxt.split(",").map(_.trim).map {
       case MeasureR(nav, s1, c1, cntSym, fn0, s2, c2, alias) =>
         if (cntSym != null)
           Measure(alias, LongType,
-            (m, _) => m.eventsFor(cntSym.toUpperCase).size.toLong)
+            (m, _) => evsFor(m, cntSym.toUpperCase).size.toLong)
         else if (fn0 != null && fn0.equalsIgnoreCase("MATCH_NUMBER"))
           // sequential match ordinal within the partition (SQL:2016 R020)
           Measure(alias, LongType, (_, n) => n)
@@ -181,7 +298,7 @@ object MatchRecognize {
             case _ => schema(idx).dataType
           }
           Measure(alias, dt, (m, _) => {
-            val evs = m.eventsFor(sym.toUpperCase)
+            val evs = evsFor(m, sym.toUpperCase)
             if (evs.isEmpty) null
             else fn match {
               case "FIRST" => evs.head._2.get(idx)
@@ -219,13 +336,27 @@ object MatchRecognize {
         (_: String, it0: Iterator[Row]) =>
         val it = it0.buffered
         val partVal = it.head.get(pIdx)
-        val indexed = it.zipWithIndex.map { case (r, i) => (i.toLong, r) }
+        // PREV lookback buffer: rows append as the NFA pulls them, so by the
+        // time a predicate runs on ord i, every row < i is addressable. Only
+        // populated when DEFINE actually navigates — otherwise the iterator
+        // stays fully lazy (no per-key materialization).
+        val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+        val indexed =
+          if (navConds.isEmpty) it.zipWithIndex.map { case (r, i) => (i.toLong, r) }
+          else it.zipWithIndex.map { case (r, i) => buf += r; (i.toLong, r) }
+        val pat =
+          if (navConds.isEmpty) pattern
+          else pattern.copy(steps = pattern.steps.map { st =>
+            navConds.get(st.name).fold(st)(f =>
+              st.copy(iterPred = Some((e: (Long, Row), c: MatchCtx[(Long, Row)]) =>
+                f(e, c, buf))))
+          })
         val ord: ((Long, Row)) => Long = _._1
         // WITHIN measures real time on the ORDER BY column; match positions
         // (ord) stay the contiguity/order key
         val tsOf: ((Long, Row)) => Long =
           if (withinSort.isDefined) t => sortKey(t._2.get(oIdx)).toLong else ord
-        Pattern.run[(Long, Row)](pattern, indexed, tsOf, ord)
+        Pattern.run[(Long, Row)](pat, indexed, tsOf, ord)
           .zipWithIndex
           .flatMap { case (m, i) =>
             val mn = i + 1L
@@ -435,7 +566,7 @@ object MatchRecognize {
            |         lead(ts) OVER w AS t1
            |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
            |WHERE ty0 = 'signup' AND ty1 = 'purchase'
-           |  AND epoch(t1) - epoch(t0) <= 1800
+           |  AND epoch(t1) - epoch(t0) < 1800
            |ORDER BY user_id, a_id""".stripMargin))
 
   /** AFTER MATCH SKIP TO NEXT ROW: matches may OVERLAP — (V V) over a run
@@ -462,7 +593,58 @@ object MatchRecognize {
            |WHERE ty0 = 'view' AND ty1 = 'view'
            |ORDER BY user_id, v1_id""".stripMargin))
 
+  /** DEFINE navigation (SQL:2016 R020; reference MatchCodeGenerator.scala —
+    * PREV compiles to a physical-offset row lookup): B matches only when its
+    * value EXCEEDS the previous partition row's value. SKIP TO NEXT ROW makes
+    * every adjacent candidate pair a match, so the lag() rewrite is exact. */
+  val qMatchRecognizePrev: Q = Q(
+    "q_match_recognize_prev",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events").select("user_id", "event_id", "event_type", "value")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES A.event_id AS a_id, B.event_id AS b_id
+          |ONE ROW PER MATCH
+          |AFTER MATCH SKIP TO NEXT ROW
+          |PATTERN (A B)
+          |DEFINE A AS event_type = 'view', B AS B.value > PREV(B.value)""".stripMargin)
+        .orderBy("user_id", "a_id")
+    },
+    Some("""SELECT user_id, a_id, b_id FROM (
+           |  SELECT user_id, event_id AS a_id, event_type AS ty0, value AS v0,
+           |         lead(event_id) OVER w AS b_id, lead(value) OVER w AS v1
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |WHERE ty0 = 'view' AND v1 > v0
+           |ORDER BY user_id, a_id""".stripMargin))
+
+  /** SUBSET union labels (SQL:2016 R010): U = (A, B) navigated in MEASURES —
+    * FIRST(U.x) is the A row, LAST(U.x) the B row, COUNT(U.*) spans both.
+    * Strict adjacent distinct-type pairs cannot overlap → lead() oracle. */
+  val qMatchRecognizeSubset: Q = Q(
+    "q_match_recognize_subset",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events").select("user_id", "event_id", "event_type")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES FIRST(U.event_id) AS u_first, LAST(U.event_id) AS u_last,
+          |         COUNT(U.*) AS n_rows
+          |ONE ROW PER MATCH
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (A B)
+          |SUBSET U = (A, B)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'purchase'""".stripMargin)
+        .orderBy("user_id", "u_first")
+    },
+    Some("""SELECT user_id, a_id AS u_first, b_id AS u_last, CAST(2 AS BIGINT) AS n_rows
+           |FROM (
+           |  SELECT user_id, event_id AS a_id, event_type,
+           |         lead(event_id) OVER w AS b_id, lead(event_type) OVER w AS b_type
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |WHERE event_type = 'view' AND b_type = 'purchase'
+           |ORDER BY user_id, u_first""".stripMargin))
+
   val all: Seq[Q] = Seq(qMatchRecognizeSeq, qMatchRecognizePlus,
     qMatchRecognizeMeasures, qMatchRecognizeAllRows, qMatchRecognizeGroup,
-    qMatchRecognizeWithin, qMatchRecognizeSkipNext)
+    qMatchRecognizeWithin, qMatchRecognizeSkipNext, qMatchRecognizePrev,
+    qMatchRecognizeSubset)
 }

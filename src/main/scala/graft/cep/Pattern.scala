@@ -318,9 +318,11 @@ object Pattern {
     events.foreach { e =>
       val t = tsOf(e); val o = ordOf(e)
       // prune expired runs before processing; the pruned partials ARE the
-      // pattern's timeout side
+      // pattern's timeout side. The boundary is EXCLUSIVE of the window
+      // length (reference NFA.java:277 prunes at timestamp - start >=
+      // windowTime): a match spanning exactly `within` is rejected.
       p.withinUs.foreach { w =>
-        val (expired, alive) = runs.partition(r => t - r.startTs > w)
+        val (expired, alive) = runs.partition(r => t - r.startTs >= w)
         timeOut(expired)
         runs = alive
       }
@@ -500,14 +502,14 @@ object CepOps {
            |           (SELECT min(s.event_id) FROM events s
            |            WHERE s.user_id = m.user_id AND s.event_type = 'signup'
            |              AND s.event_id > m.b_id AND s.event_id < p.event_id
-           |              AND epoch_us(p.ts) - epoch_us(s.ts) <= 7200000000) AS a_id
+           |              AND epoch_us(p.ts) - epoch_us(s.ts) < 7200000000) AS a_id
            |    FROM events p
            |    WHERE p.user_id = m.user_id AND p.event_type = 'purchase'
            |      AND p.event_id > m.b_id
            |      AND EXISTS (SELECT 1 FROM events s
            |                  WHERE s.user_id = m.user_id AND s.event_type = 'signup'
            |                    AND s.event_id > m.b_id AND s.event_id < p.event_id
-           |                    AND epoch_us(p.ts) - epoch_us(s.ts) <= 7200000000)
+           |                    AND epoch_us(p.ts) - epoch_us(s.ts) < 7200000000)
            |    ORDER BY p.event_id LIMIT 1) nxt
            |)
            |SELECT user_id, a_id, b_id FROM m WHERE a_id >= 0
@@ -722,7 +724,7 @@ object CepOps {
            |  SELECT 1 FROM events p
            |  WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
            |    AND p.event_id > s.event_id
-           |    AND epoch_us(p.ts) - epoch_us(s.ts) <= 7200000000)
+           |    AND epoch_us(p.ts) - epoch_us(s.ts) < 7200000000)
            |ORDER BY s.user_id, a_id""".stripMargin))
 
   /** Streaming CEP: the same NFA with in-flight runs carried across

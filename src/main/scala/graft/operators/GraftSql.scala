@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The UNIFIED SQL entry point — one door for every Flink-SQL text surface
+  * the engine recognizes, the analogue of the reference's single parser
+  * (flink-table/flink-table-planner-blink/src/main/java/org/apache/flink/
+  * table/planner/delegation/ParserImpl.java:49, through which every
+  * statement — windows, temporal joins, laterals, dedup, MATCH_RECOGNIZE —
+  * enters planning).
+  *
+  * Dispatch in one call, composing the per-idiom recognizers:
+  *
+  *  1. `… MATCH_RECOGNIZE (…)` statements → [[graft.cep.MatchRecognize]]
+  *     (NFA lowering); malformed specs throw, they never leak to `spark.sql`
+  *     (which cannot parse the clause).
+  *  2. `… FOR SYSTEM_TIME AS OF …` → [[TemporalSql]] (single-shuffle as-of
+  *     lowering); same strictness.
+  *  3. The rn=1 dedup idiom (`ROW_NUMBER() OVER (…) … WHERE rn = 1`) →
+  *     [[graft.streaming.DedupSql]] keep-first/last keyed aggregate (the
+  *     StreamExecDeduplicateRule recognition). Near-miss text (e.g.
+  *     `rn = 2`) falls through — it is ordinary, legal window SQL.
+  *  4. Everything else: the TEXT rewrites compose — group windows
+  *     ([[GroupWindowSql]]: TUMBLE/HOP/SESSION + `_START`/`_END`) and
+  *     lateral correlates ([[LateralSql]]: `LATERAL TABLE(f(x))`) are both
+  *     string→string and no-ops when their idiom is absent, so a statement
+  *     MIXING them (a windowed aggregate over a lateral expansion) lowers in
+  *     one pass — then `spark.sql` plans the result inside Catalyst.
+  *
+  * This is exactly the distance the five separate doors couldn't cover: a
+  * user pasting reference SQL that combines idioms needs no knowledge of
+  * which module owns which clause.
+  */
+object GraftSql {
+
+  // SELECT * FROM <t> MATCH_RECOGNIZE ( <spec> ) [ORDER BY <cols>]
+  private val MatchR =
+    ("(?is)\\s*SELECT\\s+\\*\\s+FROM\\s+(\\w+)\\s+MATCH_RECOGNIZE\\s*" +
+      "\\((.*)\\)\\s*(?:ORDER\\s+BY\\s+([\\w, ]+?))?\\s*;?\\s*").r
+
+  /** Parse + execute any recognized statement against the `dir` fixtures
+    * (registered as temp views) and the session catalog. */
+  def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    run(spark, text)
+  }
+
+  /** Same, against already-registered views only (no fixture dir). */
+  def run(spark: SparkSession, text: String): DataFrame = {
+    val upper = text.toUpperCase
+    if (upper.contains("MATCH_RECOGNIZE")) text match {
+      case MatchR(from, spec, orderTxt) =>
+        val out = graft.cep.MatchRecognize.matchRecognize(spark.table(from), spec)
+        Option(orderTxt).map(_.trim).filter(_.nonEmpty) match {
+          case Some(o) => out.orderBy(o.split(",").map(_.trim).map(org.apache.spark.sql.functions.col).toSeq: _*)
+          case None => out
+        }
+      case _ => throw new IllegalArgumentException(
+        "MATCH_RECOGNIZE statement must be SELECT * FROM <table> " +
+          s"MATCH_RECOGNIZE (<spec>) [ORDER BY …]: $text")
+    }
+    else if (upper.contains("FOR SYSTEM_TIME AS OF"))
+      TemporalSql.sql(spark, text) // throws on near-miss; spark.sql can't take it
+    else graft.streaming.DedupSql.tryDedup(spark, text).getOrElse {
+      // composable text rewrites — each a no-op when its idiom is absent
+      val lowered = LateralSql.rewrite(GroupWindowSql.rewrite(text))
+      spark.sql(lowered)
+    }
+  }
+
+  /** q_sql_mixed: TWO idioms in ONE statement — a TUMBLE group-window
+    * aggregate over a LATERAL TABLE expansion. Neither per-idiom door could
+    * take this text; the unified entry composes both rewrites and Catalyst
+    * plans a single windowed aggregate over the generator (no UDTF
+    * round-trip, window assignment codegen'd). */
+  val qSqlMixed: Q = Q(
+    "q_sql_mixed",
+    (s, dir) => sql(s, dir,
+      """SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '5' MINUTE)) AS wstart,
+        |       tok, count(*) AS cnt
+        |FROM events, LATERAL TABLE(split_rows(event_type, 'i')) AS T(tok)
+        |GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), tok
+        |ORDER BY wstart, tok""".stripMargin),
+    Some("""SELECT wstart, tok, count(*) AS cnt FROM (
+           |  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS wstart,
+           |         unnest(string_split(event_type, 'i')) AS tok
+           |  FROM events)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** q_sql_match_stmt: a full MATCH_RECOGNIZE STATEMENT (not just the inner
+    * spec) through the unified door — same NFA, same oracle shape as
+    * q_match_recognize_seq. */
+  val qSqlMatchStmt: Q = Q(
+    "q_sql_match_stmt",
+    (s, dir) => {
+      Tables.t(s, dir, "events").select("user_id", "event_id", "event_type")
+        .createOrReplaceTempView("graft_sql_events")
+      run(s,
+        """SELECT * FROM graft_sql_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY event_id
+          |  MEASURES A.event_id AS a_id, B.event_id AS b_id, C.event_id AS c_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A B C)
+          |  DEFINE A AS event_type = 'signup', B AS event_type = 'view',
+          |         C AS event_type = 'purchase'
+          |) ORDER BY user_id, a_id""".stripMargin)
+    },
+    Some("""SELECT user_id, a_id, b_id, c_id FROM (
+           |  SELECT user_id, event_id AS a_id, event_type AS t0,
+           |         lead(event_id) OVER w AS b_id, lead(event_type) OVER w AS t1,
+           |         lead(event_id, 2) OVER w AS c_id, lead(event_type, 2) OVER w AS t2
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |WHERE t0 = 'signup' AND t1 = 'view' AND t2 = 'purchase'
+           |ORDER BY user_id, a_id""".stripMargin))
+
+  /** q_sql_dedup_entry: the rn=1 idiom entering through the unified door —
+    * recognized and lowered to the keep-first keyed aggregate (deterministic
+    * struct tie-break), not executed as a rank. */
+  val qSqlDedupEntry: Q = Q(
+    "q_sql_dedup_entry",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .createOrReplaceTempView("graft_sql_dedup_in")
+      run(s,
+        """SELECT * FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us) AS rn
+          |  FROM graft_sql_dedup_in) WHERE rn = 1""".stripMargin)
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, arg_min(event_id, epoch_us(ts)) AS event_id,
+           |       arg_min(event_type, epoch_us(ts)) AS event_type,
+           |       arg_min(epoch_us(ts), epoch_us(ts)) AS ts_us
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry)
+}

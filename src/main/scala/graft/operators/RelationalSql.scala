@@ -252,15 +252,27 @@ object RelationalSql {
       // default safety valve is 1M accumulated rows; ~6 halving rounds over
       // 600k lineitem rows at sf0.1 legitimately produce ~2.9M. The valve
       // guards runaway recursion, not data volume — size it to the input.
-      s.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
-      s.sql("""WITH RECURSIVE it AS (
-        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
-        |         CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT ok, ln, n DIV 2, iters + 1 FROM it WHERE n > 1
-        |)
-        |SELECT ok, ln, n, iters FROM it WHERE n <= 1 ORDER BY ok, ln""".stripMargin)
+      // The raised limit is scoped to THIS query: physical planning reads the
+      // session conf lazily, so the recursion must run eagerly inside the
+      // guard (localCheckpoint materializes it distributed, on executors)
+      // before the previous valve value is restored for later queries.
+      val key = "spark.sql.cteRecursionRowLimit"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "20000000")
+      try {
+        s.sql("""WITH RECURSIVE it AS (
+          |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+          |         CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT ok, ln, n DIV 2, iters + 1 FROM it WHERE n > 1
+          |)
+          |SELECT ok, ln, n, iters FROM it WHERE n <= 1 ORDER BY ok, ln""".stripMargin)
+          .localCheckpoint(true)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     },
     Some("""WITH RECURSIVE it AS (
            |  SELECT l_orderkey AS ok, l_linenumber AS ln,

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Retractable aggregate functions over a CHANGELOG input — the reference's
+  * WithRetract aggregate family (flink-table-planner-blink/.../functions/
+  * aggfunctions/MaxWithRetractAggFunction.java, MinWithRetractAggFunction
+  * .java, SumWithRetractAggFunction.java, CountAggFunction.java) inside a
+  * retraction-consuming GroupAggregate (flink-table-runtime-blink/.../
+  * operators/aggregate/GroupAggFunction.java:1).
+  *
+  * Spark's built-in streaming aggregate only consumes append-only input, so
+  * an aggregate OVER a retraction stream — the agg→join→agg chain the
+  * reference plans routinely — had no operator: [[ChangelogJoin]] produces
+  * changelogs and [[UpsertSink]] consumes them, but nothing aggregated one.
+  * This operator closes that: input rows are tagged +I/+U/-U/-D; per key the
+  * state carries (count, sum, value-multiset), where the multiset is what
+  * makes MAX/MIN retractable — retracting the current max must FALL BACK to
+  * the next-largest live value, which sum/count-style accumulators cannot do
+  * (the reference keeps exactly this multiset in MapState for
+  * MaxWithRetract). The output is itself a changelog: per key and batch,
+  * +I on first result, -U(old)/+U(new) when the aggregate changed, -D when
+  * the last live row was deleted — so it composes with [[ChangelogJoin]]
+  * and a further ChangelogAgg downstream.
+  *
+  * Scale: state per key = O(distinct live values); each change is O(1)
+  * (hash-multiset bump), and min/max recompute on emission is an
+  * O(distinct) scan per key per BATCH — the same worst-case bound as the
+  * reference's lazy re-scan when the retained max is retracted
+  * (MaxWithRetractAggFunction#retract). Emission folds each micro-batch's
+  * changes per key into ONE -U/+U pair (the reference's MiniBatch
+  * GroupAggFunction bundle behavior), so output volume is bounded by keys
+  * per batch, not changes.
+  */
+object ChangelogAgg {
+
+  /** One change entering the aggregate: `kind` ∈ +I/+U/-U/-D; `seq` orders
+    * changes within a key. */
+  final case class AggChange[K](key: K, seq: Long, kind: String, value: Double)
+
+  /** One output change of the aggregate's own changelog. */
+  final case class AggOut[K](key: K, kind: String, cnt: Long, total: Double,
+      vmin: Double, vmax: Double)
+
+  /** Retractable accumulator: running count/sum + live-value multiset. */
+  final case class AggState(cnt: Long, total: Double, values: Map[Double, Long])
+
+  val empty: AggState = AggState(0L, 0.0, Map.empty)
+
+  private def isAccumulate(kind: String): Boolean = kind == "+I" || kind == "+U"
+
+  private def bump(rows: Map[Double, Long], v: Double, delta: Long): Map[Double, Long] = {
+    val next = rows.getOrElse(v, 0L) + delta
+    if (next <= 0L) rows - v else rows.updated(v, next)
+  }
+
+  /** Pure core: fold one change into the accumulator. */
+  def applyChange(st: AggState, kind: String, v: Double): AggState = {
+    val d = if (isAccumulate(kind)) 1L else -1L
+    AggState(st.cnt + d, st.total + d * v, bump(st.values, v, d))
+  }
+
+  /** The aggregate's current result; None when no live rows. */
+  def result(st: AggState): Option[(Long, Double, Double, Double)] =
+    if (st.cnt <= 0L || st.values.isEmpty) None
+    else Some((st.cnt, st.total, st.values.keysIterator.min, st.values.keysIterator.max))
+
+  /** The operator: keyed changelog in → aggregate changelog out. Works
+    * identically under streaming (state across micro-batches) and batch. */
+  def agg[K](changes: Dataset[AggChange[K]])(
+      implicit ek: Encoder[K], es: Encoder[AggState],
+      eo: Encoder[AggOut[K]]): Dataset[AggOut[K]] =
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[AggChange[K]],
+         state: org.apache.spark.sql.streaming.GroupState[AggState]) =>
+          val st0 = state.getOption.getOrElse(empty)
+          val before = result(st0)
+          var st = st0
+          it.toSeq.sortBy(_.seq).foreach(c => st = applyChange(st, c.kind, c.value))
+          val after = result(st)
+          if (after.isEmpty) state.remove() else state.update(st)
+          val out = (before, after) match {
+            case (None, None) => Nil
+            case (None, Some((c, t, mn, mx))) =>
+              Seq(AggOut(key, "+I", c, t, mn, mx))
+            case (Some((c, t, mn, mx)), None) =>
+              Seq(AggOut(key, "-D", c, t, mn, mx))
+            case (Some(b), Some(a)) if b == a => Nil // unchanged: no emission
+            case (Some((bc, bt, bmn, bmx)), Some((ac, at, amn, amx))) =>
+              Seq(AggOut(key, "-U", bc, bt, bmn, bmx),
+                AggOut(key, "+U", ac, at, amn, amx))
+          }
+          out.iterator
+      }
+
+  /** q_changelog_agg: an agg→agg chain over a real retraction stream. The
+    * per-user "latest value" upsert changelog (same generator as
+    * q_changelog_join's left side — each user's value is REPLACED as later
+    * events arrive, so -U retractions genuinely lower bucket maxima) is
+    * aggregated per user-bucket by the retractable accumulators. The oracle
+    * aggregates the FINAL materialized table — equality certifies that the
+    * retraction arithmetic telescoped correctly. Runs the REAL operator
+    * (flatMapGroupsWithState) in batch mode. */
+  val qChangelogAgg: Q = Q(
+    "q_changelog_agg",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value")
+        .as[(Long, Long, Double)]
+      // upsert changelog of each user's LATEST value, keyed by user-bucket
+      val changes = ev.groupByKey(_._2).flatMapGroups {
+        (uid: Long, it: Iterator[(Long, Long, Double)]) =>
+          val sorted = it.toSeq.sortBy(_._1)
+          val bucket = uid % 10
+          sorted.zipWithIndex.flatMap { case ((eid, _, v), i) =>
+            if (i == 0) Seq(AggChange[Long](bucket, eid * 2 + 1, "+I", v))
+            else Seq(
+              AggChange[Long](bucket, eid * 2, "-U", sorted(i - 1)._3),
+              AggChange[Long](bucket, eid * 2 + 1, "+U", v))
+          }.iterator
+      }
+      // one data batch → the net output per bucket is its single +I row
+      agg(changes).filter(_.kind == "+I").toDF()
+        .select($"key".as("bucket"), $"cnt",
+          round($"total", 2).as("total"),
+          round($"vmin", 2).as("vmin"), round($"vmax", 2).as("vmax"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT user_id % 10 AS bucket, count(*) AS cnt,
+           |       round(sum(last_value), 2) AS total,
+           |       round(min(last_value), 2) AS vmin,
+           |       round(max(last_value), 2) AS vmax
+           |FROM (SELECT user_id, arg_max(value, event_id) AS last_value
+           |      FROM events GROUP BY user_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(qChangelogAgg)
+}

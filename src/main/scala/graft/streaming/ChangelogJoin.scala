@@ -17,25 +17,30 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * per-key state as count-multisets. Each incoming change emits joined rows
   * against the other side's current state, tagged with the input's row kind —
   * so the output is itself a changelog that keyed-upsert sinks ([[UpsertSink]])
-  * or a downstream [[ChangelogJoin]] can consume.
+  * or a downstream [[ChangelogJoin]] / [[ChangelogAgg]] can consume.
   *
   * Incremental-join correctness: processing changes sequentially per key,
   * emitting δL ⋈ R_current and L_current ⋈ δR, telescopes to
   * Δ(L ⋈ R) — the materialized output always equals the join of the
   * materialized inputs (the batch oracle for q_changelog_join).
   *
-  * Scale: state per key = live rows on each side (exactly the reference's
-  * bound); the union shuffles once on the join key, and each change does
-  * O(|other side|) work. Unbounded key spaces should add event-time TTL via
-  * the timeout machinery in [[StatefulOps]]; like the reference, state
-  * retention is the deployment's knob, not the operator's.
+  * Scale: state per key = live DISTINCT rows on each side held as
+  * `Map[row, count]` (hash multiset — O(1) per change, where an association
+  * list would degrade to O(distinct rows) on hot keys); counts are Long end
+  * to end (no int truncation) and joined rows are emitted through a lazy
+  * iterator over immutable-map snapshots, never materialized as a batch-wide
+  * buffer. The union shuffles once on the join key. Unbounded key spaces can
+  * opt into event-time idle-state TTL (`idleTtlMs`) — the reference's
+  * IdleStateRetentionTime (flink-table-runtime-blink/.../join/stream/state/
+  * JoinRecordStateViews.java + StateTtlConfig.java:51).
   */
 object ChangelogJoin {
 
   /** One change record entering the join. `seq` orders changes within a key
     * (event-time order — ties across sides must be broken by the caller);
     * `side`: 0 = left, 1 = right; `kind` ∈ +I/+U/-U/-D. Exactly one of
-    * `left`/`right` is set, matching `side`. */
+    * `left`/`right` is set, matching `side`. When `idleTtlMs` is used, `seq`
+    * doubles as the event-time clock in epoch millis. */
   final case class Change[K, L, R](key: K, seq: Long, side: Int, kind: String,
       left: Option[L], right: Option[R])
 
@@ -43,31 +48,40 @@ object ChangelogJoin {
   final case class JoinedChange[K, L, R](key: K, kind: String, left: L, right: R)
 
   /** Count-multisets of both sides' live rows (retract state view). */
-  final case class JoinState[L, R](left: List[(L, Long)], right: List[(R, Long)])
+  final case class JoinState[L, R](left: Map[L, Long], right: Map[R, Long])
 
   private def isAccumulate(kind: String): Boolean = kind == "+I" || kind == "+U"
 
-  private def bump[T](rows: List[(T, Long)], row: T, delta: Long): List[(T, Long)] = {
-    val cur = rows.find(_._1 == row).map(_._2).getOrElse(0L)
-    val next = cur + delta
-    val rest = rows.filterNot(_._1 == row)
-    if (next <= 0L) rest else (row, next) :: rest
+  private def bump[T](rows: Map[T, Long], row: T, delta: Long): Map[T, Long] = {
+    val next = rows.getOrElse(row, 0L) + delta
+    if (next <= 0L) rows - row else rows.updated(row, next)
   }
 
-  /** Pure core: apply one change, returning (emitted pairs, new state). */
+  /** Lazily repeat `a` exactly `n` times (n may exceed Int.MaxValue). */
+  private def repeat[A](n: Long, a: A): Iterator[A] = new Iterator[A] {
+    private var i = 0L
+    override def hasNext: Boolean = i < n
+    override def next(): A = { i += 1; a }
+  }
+
+  /** Pure core: apply one change, returning (emitted pairs, new state). The
+    * emission iterator is lazy over the other side's immutable-map snapshot —
+    * safe to consume after further state updates. */
   def applyChange[L, R](st: JoinState[L, R], side: Int, kind: String,
-      l: Option[L], r: Option[R]): (Seq[(String, L, R)], JoinState[L, R]) = {
+      l: Option[L], r: Option[R]): (Iterator[(String, L, R)], JoinState[L, R]) = {
     val delta = if (isAccumulate(kind)) 1L else -1L
     if (side == 0) {
       val lv = l.get
-      val out = st.right.flatMap { case (rv, cnt) =>
-        Seq.fill(cnt.toInt)((kind, lv, rv))
+      val snapshot = st.right
+      val out = snapshot.iterator.flatMap { case (rv, cnt) =>
+        repeat(cnt, (kind, lv, rv))
       }
       (out, st.copy(left = bump(st.left, lv, delta)))
     } else {
       val rv = r.get
-      val out = st.left.flatMap { case (lv, cnt) =>
-        Seq.fill(cnt.toInt)((kind, lv, rv))
+      val snapshot = st.left
+      val out = snapshot.iterator.flatMap { case (lv, cnt) =>
+        repeat(cnt, (kind, lv, rv))
       }
       (out, st.copy(right = bump(st.right, rv, delta)))
     }
@@ -75,25 +89,58 @@ object ChangelogJoin {
 
   /** The operator: a unioned two-sided changelog → joined output changelog.
     * Works identically under streaming (state persists across micro-batches)
-    * and batch execution (one pass). */
-  def join[K, L, R](changes: Dataset[Change[K, L, R]])(
+    * and batch execution (one pass).
+    *
+    * @param idleTtlMs optional idle-state retention: a key whose last change
+    *   is older than this (event time, `seq` read as epoch millis, driven by
+    *   the caller-attached watermark) has its state dropped — late changes
+    *   after expiry see an empty join state, exactly the reference's
+    *   IdleStateRetentionTime contract. Streaming-only (batch runs one pass
+    *   and needs no retention); requires a watermark on the input.
+    */
+  def join[K, L, R](changes: Dataset[Change[K, L, R]],
+      idleTtlMs: Option[Long] = None)(
       implicit ek: Encoder[K],
       es: Encoder[JoinState[L, R]],
-      eo: Encoder[JoinedChange[K, L, R]]): Dataset[JoinedChange[K, L, R]] =
+      eo: Encoder[JoinedChange[K, L, R]]): Dataset[JoinedChange[K, L, R]] = {
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     changes.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: K, it: Iterator[Change[K, L, R]],
          state: org.apache.spark.sql.streaming.GroupState[JoinState[L, R]]) =>
-          var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
-          val out = Seq.newBuilder[JoinedChange[K, L, R]]
-          it.toSeq.sortBy(_.seq).foreach { c =>
-            val (emitted, st1) = applyChange(st, c.side, c.kind, c.left, c.right)
-            st = st1
-            emitted.foreach { case (k, lv, rv) => out += JoinedChange(key, k, lv, rv) }
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop both multisets (reference
+            // OnReadAndWrite TTL cleanup on the join state views)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              JoinState[L, R](Map.empty[L, Long], Map.empty[R, Long]))
+            // Per-change lazy emissions are collected as iterators (O(changes)
+            // driver-side bookkeeping, not O(output rows)); the output rows
+            // themselves stream out of the final concatenated iterator.
+            val emissions = Vector.newBuilder[Iterator[(String, L, R)]]
+            var lastSeq = Long.MinValue
+            it.toSeq.sortBy(_.seq).foreach { c =>
+              val (emitted, st1) = applyChange(st, c.side, c.kind, c.left, c.right)
+              st = st1
+              emissions += emitted
+              if (c.seq > lastSeq) lastSeq = c.seq
+            }
+            state.update(st)
+            idleTtlMs.foreach { ttl =>
+              // seq is the event-time clock in ms under the TTL contract;
+              // the timeout must sit strictly past the current watermark
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(wm + 1, lastSeq + ttl))
+            }
+            emissions.result().iterator.flatten
+              .map { case (k, lv, rv) => JoinedChange(key, k, lv, rv) }
           }
-          state.update(st)
-          out.result().iterator
       }
+  }
 
   /** Oracle query: two updating inputs derived from `events` —
     * left = running "latest value per user" upsert changelog (+I then

@@ -34,14 +34,35 @@ object DedupSql {
       case RnR(partTxt, orderCol, desc, _) =>
         val partCols = partTxt.split(",").map(_.trim).toSeq
         val rest = df.columns.filterNot(partCols.contains).toSeq
+        // Tie-break DETERMINISTICALLY: min_by/max_by over the bare order
+        // column picks an arbitrary winner when two rows per key share the
+        // same order value (and would diverge run-to-run and from the
+        // reference's arrival-order DeduplicateKeepFirstRowFunction). The
+        // struct comparator totally orders candidates — order column first,
+        // then the remaining columns as a stable lexicographic tie-break.
+        val orderKey = struct(col(orderCol) +: rest.filterNot(_ == orderCol).map(col): _*)
         val winner =
-          if (desc == null) min_by(struct(rest.map(col): _*), col(orderCol))
-          else max_by(struct(rest.map(col): _*), col(orderCol))
+          if (desc == null) min_by(struct(rest.map(col): _*), orderKey)
+          else max_by(struct(rest.map(col): _*), orderKey)
         df.groupBy(partCols.map(col): _*)
           .agg(winner.as("__r"))
           .select(partCols.map(col) ++ rest.map(c => col(s"__r.$c")): _*)
       case _ => throw new IllegalArgumentException(
         s"not the deduplicate idiom (ROW_NUMBER … WHERE rn = 1): $norm")
+    }
+  }
+
+  /** Non-throwing recognizer for the unified SQL entry point
+    * ([[graft.operators.GraftSql]]): when the text IS the idiom, resolve the
+    * FROM name through the session catalog and lower; None otherwise (the
+    * caller falls through to plain `spark.sql`, which handles ordinary
+    * ROW_NUMBER queries — only the rn=1 dedup shape is intercepted, exactly
+    * the reference rule's matching condition). */
+  def tryDedup(spark: SparkSession, sql: String): Option[DataFrame] = {
+    val norm = sql.replaceAll("\\s+", " ").trim
+    norm match {
+      case RnR(_, _, _, from) => Some(dedup(spark.table(from), sql))
+      case _ => None
     }
   }
 

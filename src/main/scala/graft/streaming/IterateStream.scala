@@ -26,6 +26,56 @@ import org.apache.spark.sql.functions._
   */
 object IterateStream {
 
+  /** Move every `part-*` file under `from` into `toDir` with a deterministic
+    * `prefix` — the feedback-routing primitive, with two durability
+    * properties a micro-batch RETRY needs:
+    *
+    *  - IDEMPOTENT: files a previous attempt of the same round already moved
+    *    (same prefix) are swept before re-moving, so a re-executed batch
+    *    lands exactly one copy of its rows, never two;
+    *  - DEVICE-PORTABLE: same-filesystem renames use ATOMIC_MOVE; a
+    *    cross-device scratch layout (or an object-store mount without rename
+    *    atomicity) falls back to copy+delete, which the stale-prefix sweep
+    *    keeps duplicate-free.
+    *
+    * Directory streams are closed (try/finally) — Files.list leaks an fd per
+    * call otherwise. Returns true iff at least one file moved. */
+  private[graft] def moveParts(from: java.nio.file.Path,
+      toDir0: java.nio.file.Path, prefix: String): Boolean = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (!Files.isDirectory(from)) false
+    else {
+      val toDir = Files.createDirectories(toDir0)
+      val stale = Files.list(toDir)
+      try {
+        val sit = stale.iterator()
+        while (sit.hasNext) {
+          val f = sit.next()
+          if (f.getFileName.toString.startsWith(prefix)) Files.delete(f)
+        }
+      } finally stale.close()
+      val ls = Files.list(from)
+      var moved = false
+      try {
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.startsWith("part-")) {
+            val dest = toDir.resolve(prefix + f.getFileName.toString)
+            try Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.AtomicMoveNotSupportedException =>
+                Files.copy(f, dest, StandardCopyOption.REPLACE_EXISTING)
+                Files.delete(f)
+            }
+            moved = true
+          }
+        }
+      } finally ls.close()
+      moved
+    }
+  }
+
   /** Run `body` over seed ∪ feedback until the feedback edge drains.
     *
     * @param body     transformation applied to every micro-batch (the loop body)
@@ -56,29 +106,16 @@ object IterateStream {
         // filesystem renames (same-device moves, no Spark job). partitionBy
         // keeps __fb out of the data files, so moved files match seed.schema.
         // A null feedback condition routes to the exit (coalesce false).
+        // mode(overwrite): a micro-batch RETRY re-executes foreachBatch with
+        // the same batchId — the fresh write replaces the failed attempt's
+        // staged dir instead of erroring on it
         val staged = s"$base/stage/round-$batchId"
         body(batch)
           .withColumn("__fb", coalesce(feedback, lit(false)))
-          .write.partitionBy("__fb").parquet(staged)
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        def moveInto(fromSub: String, to: String): Boolean = {
-          val from = Paths.get(staged, fromSub)
-          if (!Files.isDirectory(from)) false
-          else {
-            Files.createDirectories(Paths.get(to))
-            val it = Files.list(from).iterator()
-            var moved = false
-            while (it.hasNext) {
-              val f = it.next()
-              if (f.getFileName.toString.startsWith("part-")) {
-                Files.move(f, Paths.get(to, f.getFileName.toString),
-                  StandardCopyOption.ATOMIC_MOVE)
-                moved = true
-              }
-            }
-            moved
-          }
-        }
+          .write.mode("overwrite").partitionBy("__fb").parquet(staged)
+        def moveInto(fromSub: String, to: String): Boolean =
+          moveParts(java.nio.file.Paths.get(staged, fromSub),
+            java.nio.file.Paths.get(to), f"round-$batchId%06d-")
         // Empty rounds write no part files, so a drained feedback edge moves
         // nothing into the source dir and the loop terminates — the
         // empty-append tail-chase is structurally impossible here.

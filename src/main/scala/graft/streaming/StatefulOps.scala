@@ -129,32 +129,55 @@ object StatefulOps {
            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
            |FROM events ORDER BY user_id, event_id""".stripMargin))
 
-  /** Streaming temporal (as-of) join: per user, state holds the latest signup
-    * value; purchases are joined against it. Within a batch, rows are
-    * processed in (ts, signup-first, event_id) order — matching
-    * FOR SYSTEM_TIME AS OF <= semantics. */
+  case class SigVer(value: Double, tsMs: Long)
+
+  /** Temporal as-of join with VERSION-STATE TTL (reference
+    * TemporalRowTimeJoinOperator.java:72 + StateTtlConfig.java:51): per user,
+    * state holds the latest signup version; purchases are joined against it.
+    * Within a batch, rows are processed in (ts, signup-first, event_id)
+    * order — matching FOR SYSTEM_TIME AS OF <= semantics. The version state
+    * expires `ttlMs` after its OWN event time (event-time timer driven by
+    * the watermark, so abandoned keys are cleared without traffic); a fresh
+    * signup re-arms the timer — the reference's OnReadAndWrite TTL update. */
+  def asofWithTtl(ds: org.apache.spark.sql.Dataset[Tagged], ttlMs: Long)
+      : org.apache.spark.sql.Dataset[AsofOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    TimerOps.processWithTimersBy[Long, Tagged, SigVer, AsofOut, (Long, Int, Long)](ds)(
+      _.user_id, t => (t.ts_us, 1 - t.is_sig, t.event_id))(
+      onElement = (_, t, st, ctx) => {
+        if (t.is_sig == 1) {
+          st.foreach(v => ctx.deleteTimer(v.tsMs + ttlMs)) // re-arm on update
+          val tsMs = t.ts_us / 1000
+          ctx.registerTimer(tsMs + ttlMs)
+          (Some(SigVer(t.value, tsMs)), Nil)
+        } else (st, Seq(AsofOut(t.event_id, st.map(_.value))))
+      },
+      onTimer = (_, fired, st, _) =>
+        // clear only when the CURRENT version is the one this timer guards
+        // (a re-armed key's stale timer must not kill the fresh version)
+        if (st.exists(v => v.tsMs + ttlMs <= fired)) (None, Nil) else (st, Nil))
+  }
+
+  /** Streaming temporal (as-of) join through [[asofWithTtl]] — the retention
+    * knob is wired (10 years here: the fixture spans days, so no version
+    * expires and the batch oracle is unchanged; deployments size it to their
+    * key-idle horizon). TTL expiry itself is asserted in AsofTtlSpec. */
   val qStreamAsof: Q = Q(
     "q_stream_asof",
     (s, dir) => StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
-      val ev = events(s, dir)
-      val tagged = ev.filter(e => e.event_type == "signup" || e.event_type == "purchase")
-        .map(e => Tagged(e.event_id, e.user_id, e.value, e.ts_us,
-          if (e.event_type == "signup") 1 else 0))
-      val out = tagged
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (key: Long, it: Iterator[Tagged], state: GroupState[SigState]) =>
-            var sig: Option[Double] = state.getOption.map(_.value)
-            val res = it.toSeq
-              .sortBy(t => (t.ts_us, -t.is_sig, t.event_id))
-              .flatMap { t =>
-                if (t.is_sig == 1) { sig = Some(t.value); None }
-                else Some(AsofOut(t.event_id, sig))
-              }
-            sig.foreach(v => state.update(SigState(v)))
-            res.iterator
-        }.toDF()
+      // the event-time watermark must SURVIVE down to the stateful op
+      // (Spark rejects event-time timeouts otherwise): stay UNTYPED until
+      // the final .as[Tagged] — a typed map in between would re-serialize
+      // and drop the watermark tag
+      val tagged = StreamingOps.streamTable(s, dir, "events")
+        .where(col("event_type").isin("signup", "purchase"))
+        .select($"event_id", $"user_id", $"value", unix_micros($"ts").as("ts_us"),
+          when($"event_type" === "signup", 1).otherwise(0).as("is_sig"), $"ts")
+        .withWatermark("ts", "0 seconds")
+        .as[Tagged]
+      val out = asofWithTtl(tagged, ttlMs = 10L * 365 * 86400 * 1000).toDF()
       StreamingOps.runToMemory(s, out, "append", "graft_stream_asof")
         .orderBy($"event_id")
     },

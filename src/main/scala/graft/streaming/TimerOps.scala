@@ -43,6 +43,18 @@ object TimerOps {
       onTimer: (K, Long, Option[S], TimerCtx) => (Option[S], Seq[O]))(
       implicit ek: Encoder[K], es: Encoder[TimerState[S]], eo: Encoder[O])
       : Dataset[O] =
+    processWithTimersBy[K, I, S, O, Long](ds)(keyOf, orderOf)(onElement, onTimer)
+
+  /** [[processWithTimers]] with a COMPOSITE within-batch ordering key —
+    * for operators whose per-batch processing order needs tie-breaks beyond
+    * a single Long (e.g. (ts, side, id)), matching the reference's
+    * deterministic ordered firing at equal timestamps. */
+  def processWithTimersBy[K, I, S, O, B: Ordering](ds: Dataset[I])(
+      keyOf: I => K, orderOf: I => B)(
+      onElement: (K, I, Option[S], TimerCtx) => (Option[S], Seq[O]),
+      onTimer: (K, Long, Option[S], TimerCtx) => (Option[S], Seq[O]))(
+      implicit ek: Encoder[K], es: Encoder[TimerState[S]], eo: Encoder[O])
+      : Dataset[O] =
     ds.groupByKey(keyOf)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: K, it: Iterator[I],

@@ -1,0 +1,106 @@
+package graft
+
+import graft.streaming.{ChangelogAgg, ChangelogJoin}
+import graft.streaming.ChangelogAgg.{AggChange, AggOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Retractable aggregates over a changelog input (reference
+  * MaxWithRetractAggFunction.java et al.): retracting the current max must
+  * fall back to the next live value, and the emitted output must itself be
+  * a well-formed changelog that downstream changelog operators can consume. */
+class ChangelogAggSpec extends GraftSpec {
+
+  test("pure core: retracting the max falls back to the next-largest value") {
+    import ChangelogAgg.{applyChange, result, empty}
+    var st = empty
+    st = applyChange(st, "+I", 5.0)
+    st = applyChange(st, "+I", 3.0)
+    assert(result(st).contains((2L, 8.0, 3.0, 5.0)))
+    st = applyChange(st, "-U", 5.0) // retract the max
+    assert(result(st).contains((1L, 3.0, 3.0, 3.0))) // max fell back to 3
+    st = applyChange(st, "+U", 4.0)
+    assert(result(st).contains((2L, 7.0, 3.0, 4.0)))
+    st = applyChange(st, "-D", 3.0)
+    st = applyChange(st, "-D", 4.0)
+    assert(result(st).isEmpty) // all rows deleted
+  }
+
+  test("duplicate values: one retraction removes ONE instance, not all") {
+    import ChangelogAgg.{applyChange, result, empty}
+    var st = empty
+    st = applyChange(st, "+I", 7.0)
+    st = applyChange(st, "+I", 7.0)
+    st = applyChange(st, "-U", 7.0)
+    assert(result(st).contains((1L, 7.0, 7.0, 7.0))) // one 7 still live
+  }
+
+  test("multi-batch: output is a changelog with -U/+U pairs; max DECREASES on retract") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val mem = MemoryStream[AggChange[Long]]
+    val out = ChangelogAgg.agg(mem.toDS())
+    val emitted = scala.collection.mutable.ArrayBuffer[AggOut[Long]]()
+    val q = out.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[AggOut[Long]], _: Long) =>
+        emitted.synchronized { emitted ++= batch.collect() }
+        ()
+    }.start()
+    try {
+      // batch 1: two inserts → one +I with max 9
+      mem.addData(AggChange(1L, 1, "+I", 9.0), AggChange(1L, 2, "+I", 4.0))
+      q.processAllAvailable()
+      assert(emitted.toSeq == Seq(AggOut(1L, "+I", 2, 13.0, 4.0, 9.0)))
+      // batch 2: upsert 9 → 5 (the max is RETRACTED across batches)
+      mem.addData(AggChange(1L, 3, "-U", 9.0), AggChange(1L, 4, "+U", 5.0))
+      q.processAllAvailable()
+      assert(emitted.toSeq.drop(1) == Seq(
+        AggOut(1L, "-U", 2, 13.0, 4.0, 9.0),
+        AggOut(1L, "+U", 2, 9.0, 4.0, 5.0))) // max fell 9 → 5
+      // batch 3: delete both → -D and state removed
+      mem.addData(AggChange(1L, 5, "-D", 4.0), AggChange(1L, 6, "-D", 5.0))
+      q.processAllAvailable()
+      assert(emitted.toSeq.drop(3) == Seq(AggOut(1L, "-D", 2, 9.0, 4.0, 5.0)))
+      // batch 4: the key starts fresh after full deletion
+      mem.addData(AggChange(1L, 7, "+I", 2.0))
+      q.processAllAvailable()
+      assert(emitted.toSeq.drop(4) == Seq(AggOut(1L, "+I", 1, 2.0, 2.0, 2.0)))
+    } finally q.stop()
+  }
+
+  test("agg→join→agg chain: aggregate output changelog feeds ChangelogJoin") {
+    val sparkS = spark
+    import sparkS.implicits._
+
+    // left changelog: per-user latest value (upserts); aggregate it per
+    // bucket, then JOIN the aggregate's changelog against a static-ish right
+    // changelog, then aggregate the join output — all through the real ops.
+    val changes = Seq(
+      AggChange(0L, 1, "+I", 10.0),
+      AggChange(0L, 2, "-U", 10.0), AggChange(0L, 3, "+U", 6.0),
+      AggChange(1L, 4, "+I", 2.0)).toDS()
+    val aggOut = ChangelogAgg.agg(changes) // changelog: bucket → (cnt,total,min,max)
+
+    // adapt the agg changelog into ChangelogJoin's left side; right side
+    // carries a label per bucket
+    val left = aggOut.map(a => ChangelogJoin.Change[Long, Double, String](
+      a.key, 0L, 0, a.kind, Some(a.total), None))
+    val right = Seq(
+      ChangelogJoin.Change[Long, Double, String](0L, -1L, 1, "+I", None, Some("b0")),
+      ChangelogJoin.Change[Long, Double, String](1L, -1L, 1, "+I", None, Some("b1")))
+      .toDS()
+    // seq -1 puts the right rows first so every agg change joins against them
+    val joined = ChangelogJoin.join(left.union(right))
+
+    // final aggregate over the JOIN's changelog: net total per label
+    val net = joined.map(j => AggChange[String](j.right, 0L, j.kind, j.left))
+    val fin = ChangelogAgg.agg(net).collect().toSeq
+    // bucket 0 net: +I 10, -U 10, +U 6 → total 6; bucket 1: 2
+    val byKey = fin.groupBy(_.key)
+    val b0 = byKey("b0").last
+    val b1 = byKey("b1").last
+    assert(b0.total == 6.0 && b0.cnt == 1L, s"b0: $fin")
+    assert(b1.total == 2.0 && b1.cnt == 1L, s"b1: $fin")
+  }
+}

@@ -21,17 +21,27 @@ class ChangelogJoinOpSpec extends GraftSpec {
 
   test("pure core: emissions mirror the other side's live rows") {
     import ChangelogJoin.{applyChange, JoinState}
-    val st0 = JoinState[String, String](Nil, Nil)
+    val st0 = JoinState[String, String](Map.empty, Map.empty)
     val (e1, st1) = applyChange(st0, 0, "+I", Some("l1"), None)
     assert(e1.isEmpty) // right side empty: nothing to join yet
     val (e2, st2) = applyChange(st1, 1, "+I", None, Some("r1"))
-    assert(e2 == Seq(("+I", "l1", "r1")))
+    assert(e2.toSeq == Seq(("+I", "l1", "r1")))
     val (e3, st3) = applyChange(st2, 0, "-U", Some("l1"), None)
-    assert(e3 == Seq(("-U", "l1", "r1"))) // retraction joins against r1
+    assert(e3.toSeq == Seq(("-U", "l1", "r1"))) // retraction joins against r1
     val (e4, st4) = applyChange(st3, 0, "+U", Some("l2"), None)
-    assert(e4 == Seq(("+U", "l2", "r1")))
+    assert(e4.toSeq == Seq(("+U", "l2", "r1")))
     val (e5, _) = applyChange(st4, 1, "-D", None, Some("r1"))
-    assert(e5 == Seq(("-D", "l2", "r1")))
+    assert(e5.toSeq == Seq(("-D", "l2", "r1")))
+  }
+
+  test("emission iterators are snapshots: consuming after later changes is safe") {
+    import ChangelogJoin.{applyChange, JoinState}
+    val st0 = JoinState[String, String](Map.empty, Map("r1" -> 1L))
+    // emit lazily against r1, then delete r1 BEFORE consuming the iterator
+    val (lazyOut, st1) = applyChange(st0, 0, "+I", Some("l1"), None)
+    val (_, st2) = applyChange(st1, 1, "-D", None, Some("r1"))
+    assert(st2.right.isEmpty)
+    assert(lazyOut.toSeq == Seq(("+I", "l1", "r1"))) // snapshot, not live view
   }
 
   test("retractions across three micro-batches keep the join consistent") {
@@ -75,10 +85,66 @@ class ChangelogJoinOpSpec extends GraftSpec {
 
   test("multiset semantics: duplicate rows join with multiplicity") {
     import ChangelogJoin.{applyChange, JoinState}
-    val st0 = JoinState[String, String](Nil, Nil)
+    val st0 = JoinState[String, String](Map.empty, Map.empty)
     val (_, st1) = applyChange(st0, 0, "+I", Some("l"), None)
     val (_, st2) = applyChange(st1, 0, "+I", Some("l"), None) // count 2
     val (e, _) = applyChange(st2, 1, "+I", None, Some("r"))
-    assert(e == Seq(("+I", "l", "r"), ("+I", "l", "r")))
+    assert(e.toSeq == Seq(("+I", "l", "r"), ("+I", "l", "r")))
+  }
+
+  test("hot key: many distinct live rows stay O(1) per change (hash multiset)") {
+    import ChangelogJoin.{applyChange, JoinState}
+    // 10k distinct left rows under ONE key — the association-list state this
+    // replaced was O(n) per change (O(n²) per batch); the Map multiset makes
+    // this loop linear. The timed bound is generous but fails loudly if the
+    // state ever regresses to a linear-scan structure.
+    val t0 = System.nanoTime()
+    var st = JoinState[String, String](Map.empty, Map.empty)
+    (1 to 10000).foreach { i =>
+      val (_, st1) = applyChange(st, 0, "+I", Some(s"l$i"), None)
+      st = st1
+    }
+    assert(st.left.size == 10000)
+    assert((System.nanoTime() - t0) < 5e9, "10k inserts under one key took >5s")
+  }
+
+  test("idle-state TTL: expired keys forget their state (event-time timeout)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val mem = MemoryStream[Change[Long, String, String]]
+    // seq doubles as event-time millis under the TTL contract; watermark
+    // rides a derived timestamp column (delay 0 → wm = max seen seq)
+    val withWm = mem.toDS()
+      .withColumn("__ts", timestamp_millis($"seq"))
+      .withWatermark("__ts", "0 seconds")
+      .as[Change[Long, String, String]]
+    val joined = ChangelogJoin.join(withWm, idleTtlMs = Some(1000L))
+    val emitted = scala.collection.mutable.ArrayBuffer[JoinedChange[Long, String, String]]()
+    val q = joined.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[JoinedChange[Long, String, String]], _: Long) =>
+        emitted.synchronized { emitted ++= batch.collect() }
+        ()
+    }.start()
+    try {
+      // left l1 arrives on key 1 (base offset keeps event time above the
+      // initial watermark 0 — a row at wm would be dropped as late data)
+      val base = 1000000000L
+      mem.addData(Change[Long, String, String](1L, base, 0, "+I", Some("l1"), None))
+      q.processAllAvailable()
+      // traffic on ANOTHER key advances the watermark far past key 1's TTL
+      // (base + 1000); the no-data timeout fires for key 1 and drops its state
+      mem.addData(Change[Long, String, String](2L, base + 5000L, 0, "+I", Some("x"), None))
+      q.processAllAvailable()
+      mem.addData(Change[Long, String, String](2L, base + 6000L, 0, "+I", Some("y"), None)) // wm → base+5000
+      q.processAllAvailable()
+      // right r1 arrives on key 1 — the pre-TTL l1 must be GONE
+      mem.addData(Change[Long, String, String](1L, base + 7000L, 1, "+I", None, Some("r1")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!emitted.exists(j => j.key == 1L && j.left == "l1"),
+      s"expired l1 still joined: $emitted")
   }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.GraftSql
+
+/** The unified SQL entry point: one call dispatches across every recognized
+  * Flink-SQL text surface (reference ParserImpl.java:49 — a single parser
+  * for all statements), composes text rewrites for mixed-idiom statements,
+  * and REJECTS near-miss text with the recognizer's error instead of a
+  * confusing Spark parse failure. */
+class GraftSqlSpec extends GraftSpec {
+
+  test("mixed statement: TUMBLE + LATERAL TABLE lower in one pass") {
+    val df = GraftSql.sql(spark, sfDir,
+      """SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '5' MINUTE)) AS wstart,
+        |       tok, count(*) AS cnt
+        |FROM events, LATERAL TABLE(split_rows(event_type, 'i')) AS T(tok)
+        |GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), tok""".stripMargin)
+    assert(df.columns.toSeq == Seq("wstart", "tok", "cnt"))
+    assert(df.count() > 0)
+  }
+
+  test("plain SQL falls through to spark.sql untouched") {
+    val df = GraftSql.sql(spark, sfDir,
+      "SELECT count(*) AS n FROM events WHERE event_type = 'purchase'")
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
+  test("rn = 1 idiom is intercepted and lowered to an aggregate, not a rank") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one") // ensure views registered
+    val df = GraftSql.run(spark,
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), s"idiom ran as a rank:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("near-miss rn = 2 is NOT the idiom: legal window SQL, runs as a rank") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one")
+    val df = GraftSql.run(spark,
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events) WHERE rn = 2""".stripMargin)
+    assert(df.count() > 0) // second event per user exists for active users
+    assert(df.select("rn").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("MATCH_RECOGNIZE statement routes to the NFA") {
+    val base = Tables.t(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type")
+    base.createOrReplaceTempView("gsql_mr")
+    val df = GraftSql.run(spark,
+      """SELECT * FROM gsql_mr MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES A.event_id AS a_id, B.event_id AS b_id
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+        |)""".stripMargin)
+    assert(df.columns.toSeq == Seq("user_id", "a_id", "b_id"))
+    assert(df.count() > 0)
+  }
+
+  test("malformed MATCH_RECOGNIZE is rejected with the recognizer's error") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "SELECT a, b FROM t MATCH_RECOGNIZE stuff")
+    }
+    assert(e.getMessage.contains("MATCH_RECOGNIZE statement must be"))
+    // statement shape OK but spec garbage → the SPEC parser's error surfaces
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "SELECT * FROM gsql_mr MATCH_RECOGNIZE (NONSENSE HERE)")
+    }
+    assert(e2.getMessage.contains("unparseable MATCH_RECOGNIZE spec"))
+  }
+
+  test("malformed FOR SYSTEM_TIME AS OF is rejected, never leaks to spark.sql") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark,
+        "SELECT x FROM a JOIN b FOR SYSTEM_TIME AS OF banana ON a.k = b.k")
+    }
+    assert(e.getMessage.contains("unrecognized temporal-join SQL"))
+  }
+
+  test("temporal-join statement routes through the as-of lowering") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val e = Tables.t(spark, sfDir, "events")
+    e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+      .createOrReplaceTempView("gsql_probe")
+    e.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"value")
+      .createOrReplaceTempView("gsql_build")
+    val df = GraftSql.run(spark,
+      """SELECT p.event_id AS event_id, b.value AS v
+        |FROM gsql_probe AS p
+        |LEFT JOIN gsql_build FOR SYSTEM_TIME AS OF p.ts AS b
+        |ON p.user_id = b.user_id""".stripMargin)
+    assert(df.columns.toSeq == Seq("event_id", "v"))
+    assert(df.count() > 0)
+  }
+}

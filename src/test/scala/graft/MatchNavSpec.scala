@@ -1,0 +1,100 @@
+package graft
+
+import graft.cep.MatchRecognize.matchRecognize
+
+/** DEFINE navigation semantics (SQL:2016 R020; reference
+  * MatchCodeGenerator.scala): PREV is a PHYSICAL partition offset (null
+  * before the partition start), FIRST/LAST navigate the match-so-far rows
+  * of a symbol with running semantics, and SUBSET unions labels. */
+class MatchNavSpec extends GraftSpec {
+
+  private def mk(rows: (Long, Long, String, Double)*) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    rows.toSeq.toDF("user_id", "event_id", "event_type", "value")
+  }
+
+  private val header =
+    """PARTITION BY user_id ORDER BY event_id
+      |MEASURES A.event_id AS a_id, B.event_id AS b_id
+      |ONE ROW PER MATCH
+      |AFTER MATCH SKIP PAST LAST ROW
+      |""".stripMargin
+
+  test("PREV before the partition start is null → condition not satisfied") {
+    val d = mk((1, 1, "x", 5.0), (1, 2, "x", 7.0))
+    val out = matchRecognize(d,
+      """PARTITION BY user_id ORDER BY event_id
+        |MEASURES B.event_id AS b_id
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (B)
+        |DEFINE B AS B.value > PREV(B.value)""".stripMargin).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L)) // row 1 has no PREV
+  }
+
+  test("PREV with explicit offset 2 reaches two rows back") {
+    val d = mk((1, 1, "x", 1.0), (1, 2, "a", 9.0), (1, 3, "x", 5.0))
+    val out = matchRecognize(d, header +
+      """PATTERN (A B)
+        |DEFINE A AS event_type = 'a', B AS B.value > PREV(B.value, 2)""".stripMargin)
+      .collect()
+    // B at position 2: PREV(…,2) = 1.0 → 5 > 1 matches (offset 1 would be
+    // 5 > 9, false)
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 3L)))
+  }
+
+  test("LAST(A.value) in DEFINE sees the latest matched A (running)") {
+    val dNo = mk((1, 1, "a", 3.0), (1, 2, "a", 7.0), (1, 3, "b", 5.0))
+    val no = matchRecognize(dNo, header +
+      """PATTERN (A+ B)
+        |DEFINE A AS event_type = 'a',
+        |       B AS event_type = 'b' AND B.value > LAST(A.value)""".stripMargin)
+      .collect()
+    assert(no.isEmpty) // 5 > LAST(A)=7 fails on every branch (A+ any split)
+    val dYes = mk((1, 1, "a", 3.0), (1, 2, "b", 5.0))
+    val yes = matchRecognize(dYes, header +
+      """PATTERN (A+ B)
+        |DEFINE A AS event_type = 'a',
+        |       B AS event_type = 'b' AND B.value > LAST(A.value)""".stripMargin)
+      .collect()
+    assert(yes.length == 1)
+  }
+
+  test("FIRST(A.value) in DEFINE sees the earliest matched A") {
+    val d = mk((1, 1, "a", 3.0), (1, 2, "a", 7.0), (1, 3, "b", 5.0))
+    val out = matchRecognize(d, header +
+      """PATTERN (A+ B)
+        |DEFINE A AS event_type = 'a',
+        |       B AS event_type = 'b' AND B.value > FIRST(A.value)""".stripMargin)
+      .collect()
+    assert(out.length == 1) // 5 > FIRST(A)=3 holds even though LAST(A)=7 > 5
+    assert(out.head.getLong(2) == 3L) // B is the b-row, not the second a-row
+  }
+
+  test("another symbol's bare T.col in DEFINE means LAST(T.col)") {
+    val d = mk((1, 1, "a", 3.0), (1, 2, "a", 7.0), (1, 3, "b", 5.0))
+    val out = matchRecognize(d, header +
+      """PATTERN (A+ B)
+        |DEFINE A AS event_type = 'a',
+        |       B AS event_type = 'b' AND B.value > A.value""".stripMargin)
+      .collect()
+    assert(out.isEmpty) // A.value ≡ LAST(A.value) = 7; 5 > 7 fails
+  }
+
+  test("SUBSET spans a quantified symbol in COUNT") {
+    val d = mk((1, 1, "a", 1.0), (1, 2, "a", 2.0), (1, 3, "b", 3.0))
+    val out = matchRecognize(d,
+      """PARTITION BY user_id ORDER BY event_id
+        |MEASURES COUNT(U.*) AS n, FIRST(U.value) AS v1, LAST(U.value) AS v2
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (A+ B)
+        |SUBSET U = (A, B)
+        |DEFINE A AS event_type = 'a', B AS event_type = 'b'""".stripMargin)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L) // both A rows + the B row
+    assert(out.head.getDouble(2) == 1.0 && out.head.getDouble(3) == 3.0)
+  }
+}
