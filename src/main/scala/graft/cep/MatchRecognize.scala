@@ -33,19 +33,23 @@ import org.apache.spark.sql.types._
   */
 object MatchRecognize {
 
-  private final case class Measure(alias: String, dt: DataType,
+  /** `isFinal`: SQL:2016 RUNNING vs FINAL semantics — only observable under
+    * ALL ROWS PER MATCH, where RUNNING (the default) evaluates against the
+    * match's rows up to the current one and FINAL against the complete
+    * match; ONE ROW PER MATCH is always FINAL. */
+  private final case class Measure(alias: String, dt: DataType, isFinal: Boolean,
       eval: (PMatch[(Long, Row)], Long) => Any)
 
   private val SpecR =
     ("(?i)PARTITION BY (\\w+) ORDER BY (\\w+) MEASURES (.+?) " +
      "(?:(ONE ROW|ALL ROWS) PER MATCH )?" +
-     "(?:AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW) )?" +
+     "(?:AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW|SKIP TO (?:FIRST|LAST) \\w+) )?" +
      "PATTERN \\( *(.+?) *\\) " +
      "(?:WITHIN INTERVAL '(\\d+)' (SECOND|MINUTE|HOUR|DAY) )?" +
      "(?:SUBSET (.+?) )?" +
      "DEFINE (.+)").r
   private val MeasureR =
-    ("(?i)(?:(FIRST|LAST|SUM|AVG|MIN|MAX)\\((\\w+)\\.(\\w+)\\)" +
+    ("(?i)(?:(RUNNING|FINAL) )?(?:(FIRST|LAST|SUM|AVG|MIN|MAX)\\((\\w+)\\.(\\w+)\\)" +
      "|COUNT\\((\\w+)\\.\\*\\)|(MATCH_NUMBER|CLASSIFIER)\\(\\)" +
      "|(\\w+)\\.(\\w+)) AS (\\w+)").r
   private val SymR = "(\\w+)(\\+|\\*|\\?|\\{(\\d+)(?:,(\\d+))?\\})?".r
@@ -247,6 +251,10 @@ object MatchRecognize {
     }
     val afterMatch = skipTxt.map(_.toUpperCase) match {
       case Some("SKIP TO NEXT ROW") => AfterMatch.SkipToNext
+      case Some(sk) if sk.startsWith("SKIP TO FIRST ") =>
+        AfterMatch.SkipToFirst(sk.stripPrefix("SKIP TO FIRST ").trim)
+      case Some(sk) if sk.startsWith("SKIP TO LAST ") =>
+        AfterMatch.SkipToLast(sk.stripPrefix("SKIP TO LAST ").trim)
       case _                        => AfterMatch.SkipPastLastEvent
     }
     // WITHIN (Flink MATCH_RECOGNIZE time constraint): bound in the ORDER BY
@@ -278,16 +286,17 @@ object MatchRecognize {
       }
 
     val measures: Vector[Measure] = measuresTxt.split(",").map(_.trim).map {
-      case MeasureR(nav, s1, c1, cntSym, fn0, s2, c2, alias) =>
+      case MeasureR(mode, nav, s1, c1, cntSym, fn0, s2, c2, alias) =>
+        val isFinal = mode != null && mode.equalsIgnoreCase("FINAL")
         if (cntSym != null)
-          Measure(alias, LongType,
+          Measure(alias, LongType, isFinal,
             (m, _) => evsFor(m, cntSym.toUpperCase).size.toLong)
         else if (fn0 != null && fn0.equalsIgnoreCase("MATCH_NUMBER"))
           // sequential match ordinal within the partition (SQL:2016 R020)
-          Measure(alias, LongType, (_, n) => n)
+          Measure(alias, LongType, isFinal, (_, n) => n)
         else if (fn0 != null && fn0.equalsIgnoreCase("CLASSIFIER"))
           // ONE ROW PER MATCH: the label of the match's final row
-          Measure(alias, StringType, (m, _) => m.labeled.last._1)
+          Measure(alias, StringType, isFinal, (m, _) => m.labeled.last._1)
         else {
           val (sym, col) = if (nav != null) (s1, c1) else (s2, c2)
           val idx = schema.fieldIndex(col)
@@ -297,7 +306,7 @@ object MatchRecognize {
             case "SUM" | "AVG" => DoubleType
             case _ => schema(idx).dataType
           }
-          Measure(alias, dt, (m, _) => {
+          Measure(alias, dt, isFinal, (m, _) => {
             val evs = evsFor(m, sym.toUpperCase)
             if (evs.isEmpty) null
             else fn match {
@@ -364,7 +373,7 @@ object MatchRecognize {
               m.labeled.indices.iterator.map { k =>
                 val prefix = PMatch(m.labeled.take(k + 1), m.startOrd)
                 Row.fromSeq(m.labeled(k)._2._2.toSeq ++
-                  measures.map(_.eval(prefix, mn)))
+                  measures.map(ms => ms.eval(if (ms.isFinal) m else prefix, mn)))
               }
             else
               Iterator.single(Row.fromSeq(partVal +: measures.map(_.eval(m, mn))))
@@ -643,8 +652,38 @@ object MatchRecognize {
            |WHERE event_type = 'view' AND b_type = 'purchase'
            |ORDER BY user_id, u_first""".stripMargin))
 
+  /** RUNNING vs FINAL measure semantics under ALL ROWS PER MATCH (SQL:2016
+    * R030; reference MatchCodeGenerator's FINAL/RUNNING rewriting): on the
+    * A-row of each (A B) match, RUNNING LAST(B.x) is null (no B yet) while
+    * FINAL LAST(B.x) already sees the match's B-row. */
+  val qMatchRecognizeFinal: Q = Q(
+    "q_match_recognize_final",
+    (s, dir) => {
+      val df = Tables.t(s, dir, "events").select("user_id", "event_id", "event_type")
+      matchRecognize(df,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES RUNNING LAST(B.event_id) AS run_b, FINAL LAST(B.event_id) AS fin_b
+          |ALL ROWS PER MATCH
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (A B)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'purchase'""".stripMargin)
+        .select("user_id", "event_id", "run_b", "fin_b")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT user_id, a_id, b_id FROM (
+           |    SELECT user_id, event_id AS a_id, event_type,
+           |           lead(event_id) OVER w AS b_id, lead(event_type) OVER w AS b_type
+           |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+           |  WHERE event_type = 'view' AND b_type = 'purchase')
+           |SELECT user_id, a_id AS event_id, CAST(NULL AS BIGINT) AS run_b,
+           |       b_id AS fin_b FROM pairs
+           |UNION ALL
+           |SELECT user_id, b_id AS event_id, b_id AS run_b, b_id AS fin_b FROM pairs
+           |ORDER BY user_id, event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qMatchRecognizeSeq, qMatchRecognizePlus,
     qMatchRecognizeMeasures, qMatchRecognizeAllRows, qMatchRecognizeGroup,
     qMatchRecognizeWithin, qMatchRecognizeSkipNext, qMatchRecognizePrev,
-    qMatchRecognizeSubset)
+    qMatchRecognizeSubset, qMatchRecognizeFinal)
 }

@@ -34,10 +34,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
-  // SELECT * FROM <t> MATCH_RECOGNIZE ( <spec> ) [ORDER BY <cols>]
+  // SELECT * FROM <t> MATCH_RECOGNIZE ( <spec> ) [AS <alias>] [ORDER BY <cols>]
   private val MatchR =
     ("(?is)\\s*SELECT\\s+\\*\\s+FROM\\s+(\\w+)\\s+MATCH_RECOGNIZE\\s*" +
-      "\\((.*)\\)\\s*(?:ORDER\\s+BY\\s+([\\w, ]+?))?\\s*;?\\s*").r
+      "\\((.*)\\)\\s*(?:AS\\s+\\w+\\s*)?(?:ORDER\\s+BY\\s+([\\w, ]+?))?\\s*;?\\s*").r
 
   /** Parse + execute any recognized statement against the `dir` fixtures
     * (registered as temp views) and the session catalog. */
@@ -49,7 +49,12 @@ object GraftSql {
   /** Same, against already-registered views only (no fixture dir). */
   def run(spark: SparkSession, text: String): DataFrame = {
     val upper = text.toUpperCase
-    if (upper.contains("MATCH_RECOGNIZE")) text match {
+    if (upper.trim.startsWith("CREATE TABLE"))
+      // the reference's WATERMARK DDL (SqlCreateTable.java:56) — registers a
+      // watermarked streaming view and returns it, so DDL + queries flow
+      // through the same door
+      spark.table(graft.streaming.GraftDdl.executeDdl(spark, text))
+    else if (upper.contains("MATCH_RECOGNIZE")) text match {
       case MatchR(from, spec, orderTxt) =>
         val out = graft.cep.MatchRecognize.matchRecognize(spark.table(from), spec)
         Option(orderTxt).map(_.trim).filter(_.nonEmpty) match {

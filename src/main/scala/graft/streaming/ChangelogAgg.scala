@@ -96,6 +96,115 @@ object ChangelogAgg {
           out.iterator
       }
 
+  // ---- order-sensitive retractable aggregates (reference
+  // FirstValueWithRetractAggFunction.java / LastValueWithRetractAggFunction
+  // .java / ListAggWithRetractAggFunction.java) ----
+
+  /** Arrival-ordered multiset: value → seqs of its LIVE instances in
+    * arrival order. Retraction removes the oldest instance of the value —
+    * exactly the reference's MapState<value, List<order>> bookkeeping. */
+  final case class OrdState(occ: Map[Double, Vector[Long]])
+
+  /** Output change of the order-sensitive aggregate: first/last live value
+    * by arrival order + the live values as an arrival-ordered list. */
+  final case class OrdOut[K](key: K, kind: String, first_v: Double,
+      last_v: Double, vals: Seq[Double])
+
+  val emptyOrd: OrdState = OrdState(Map.empty)
+
+  /** Fold one change into the arrival-ordered multiset. */
+  def applyOrd(st: OrdState, kind: String, v: Double, seq: Long): OrdState =
+    if (isAccumulate(kind))
+      OrdState(st.occ.updated(v, st.occ.getOrElse(v, Vector.empty) :+ seq))
+    else st.occ.get(v) match {
+      case None => st
+      case Some(seqs) =>
+        val rest = seqs.drop(1) // retract the OLDEST instance (reference order)
+        OrdState(if (rest.isEmpty) st.occ - v else st.occ.updated(v, rest))
+    }
+
+  /** (first_value, last_value, arrival-ordered live values); None if empty. */
+  def ordResult(st: OrdState): Option[(Double, Double, Seq[Double])] =
+    if (st.occ.isEmpty) None
+    else {
+      val flat = st.occ.toSeq.flatMap { case (v, seqs) => seqs.map(s => (s, v)) }
+        .sortBy(_._1)
+      Some((flat.head._2, flat.last._2, flat.map(_._2)))
+    }
+
+  /** The operator: keyed changelog in → first/last/listagg changelog out.
+    * Same batch-fold emission discipline as [[agg]]. */
+  def aggOrdered[K](changes: Dataset[AggChange[K]])(
+      implicit ek: Encoder[K], es: Encoder[OrdState],
+      eo: Encoder[OrdOut[K]]): Dataset[OrdOut[K]] =
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[AggChange[K]],
+         state: org.apache.spark.sql.streaming.GroupState[OrdState]) =>
+          val st0 = state.getOption.getOrElse(emptyOrd)
+          val before = ordResult(st0)
+          var st = st0
+          it.toSeq.sortBy(_.seq).foreach(c => st = applyOrd(st, c.kind, c.value, c.seq))
+          val after = ordResult(st)
+          if (after.isEmpty) state.remove() else state.update(st)
+          val out = (before, after) match {
+            case (None, None) => Nil
+            case (None, Some((f, l, vs))) => Seq(OrdOut(key, "+I", f, l, vs))
+            case (Some((f, l, vs)), None) => Seq(OrdOut(key, "-D", f, l, vs))
+            case (Some(b), Some(a)) if b == a => Nil
+            case (Some((bf, bl, bvs)), Some((af, al, avs))) =>
+              Seq(OrdOut(key, "-U", bf, bl, bvs), OrdOut(key, "+U", af, al, avs))
+          }
+          out.iterator
+      }
+
+  /** q_changelog_firstlast: FIRST_VALUE/LAST_VALUE with retraction over the
+    * per-user latest-value upsert changelog, keyed by user-bucket. A user's
+    * re-signup RETRACTS their old value (removing it from arrival order) and
+    * appends the new one — so the bucket's first/last live values track the
+    * users with the oldest/newest last-update, which is what the oracle
+    * computes from the final table.
+    *
+    * Values are user-qualified (uid*100000 + value) BY CONSTRUCTION: like
+    * the reference's FirstValueWithRetract, retraction is BY VALUE (one
+    * instance of the multiset), so cross-user duplicate values would make
+    * arrival attribution ambiguous — the reference leaves that case
+    * undefined too, and the fixture has 2k+ cross-user duplicates. */
+  val qChangelogFirstLast: Q = Q(
+    "q_changelog_firstlast",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value")
+        .as[(Long, Long, Double)]
+      val changes = ev.groupByKey(_._2).flatMapGroups {
+        (uid: Long, it: Iterator[(Long, Long, Double)]) =>
+          val sorted = it.toSeq.sortBy(_._1)
+          val bucket = uid % 10
+          def tv(v: Double): Double = uid * 100000.0 + v
+          sorted.zipWithIndex.flatMap { case ((eid, _, v), i) =>
+            if (i == 0) Seq(AggChange[Long](bucket, eid * 2 + 1, "+I", tv(v)))
+            else Seq(
+              AggChange[Long](bucket, eid * 2, "-U", tv(sorted(i - 1)._3)),
+              AggChange[Long](bucket, eid * 2 + 1, "+U", tv(v)))
+          }.iterator
+      }
+      aggOrdered(changes).filter(_.kind == "+I").toDF()
+        .select($"key".as("bucket"),
+          round($"first_v", 2).as("first_v"), round($"last_v", 2).as("last_v"))
+        .orderBy("bucket")
+    },
+    Some("""WITH fin AS (
+           |  SELECT user_id, user_id % 10 AS bucket,
+           |         user_id * 100000.0 + arg_max(value, event_id) AS last_value,
+           |         max(event_id) AS last_eid
+           |  FROM events GROUP BY user_id)
+           |SELECT bucket,
+           |       round(arg_min(last_value, last_eid), 2) AS first_v,
+           |       round(arg_max(last_value, last_eid), 2) AS last_v
+           |FROM fin GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   /** q_changelog_agg: an agg→agg chain over a real retraction stream. The
     * per-user "latest value" upsert changelog (same generator as
     * q_changelog_join's left side — each user's value is REPLACED as later
@@ -139,5 +248,5 @@ object ChangelogAgg {
            |      FROM events GROUP BY user_id)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(qChangelogAgg)
+  val all: Seq[Q] = Seq(qChangelogAgg, qChangelogFirstLast)
 }

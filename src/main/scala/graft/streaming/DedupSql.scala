@@ -21,17 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object DedupSql {
 
+  // Tolerated text variants (the reference rule matches the logical PLAN,
+  // so surface spelling must not matter): an alias on the derived table
+  // (`) AS t`), a qualified rank filter (`t.rn = 1`), and a trailing
+  // ORDER BY on the outer query.
   private val RnR =
     ("(?is)SELECT \\* FROM \\(\\s*SELECT \\*, ROW_NUMBER\\(\\) OVER \\(\\s*" +
-      "PARTITION BY ([\\w, ]+?) ORDER BY (\\w+)( DESC)?\\s*\\) AS rn FROM (\\w+)\\s*\\) " +
-      "WHERE rn = 1").r
+      "PARTITION BY ([\\w, ]+?) ORDER BY (\\w+)( DESC)?\\s*\\) AS rn FROM (\\w+)\\s*\\)" +
+      "(?: (?:AS )?(\\w+))? " +
+      "WHERE (?:\\w+\\.)?rn = 1(?: ORDER BY ([\\w, ]+?))?").r
 
   /** Recognize the rn=1 idiom over `df` (registered under the FROM name) and
     * return the lowered keep-first/keep-last aggregate. */
   def dedup(df: DataFrame, sql: String): DataFrame = {
     val norm = sql.replaceAll("\\s+", " ").trim
     norm match {
-      case RnR(partTxt, orderCol, desc, _) =>
+      case RnR(partTxt, orderCol, desc, _, _, orderTail) =>
         val partCols = partTxt.split(",").map(_.trim).toSeq
         val rest = df.columns.filterNot(partCols.contains).toSeq
         // Tie-break DETERMINISTICALLY: min_by/max_by over the bare order
@@ -44,9 +49,13 @@ object DedupSql {
         val winner =
           if (desc == null) min_by(struct(rest.map(col): _*), orderKey)
           else max_by(struct(rest.map(col): _*), orderKey)
-        df.groupBy(partCols.map(col): _*)
+        val lowered = df.groupBy(partCols.map(col): _*)
           .agg(winner.as("__r"))
           .select(partCols.map(col) ++ rest.map(c => col(s"__r.$c")): _*)
+        Option(orderTail).map(_.trim).filter(_.nonEmpty) match {
+          case Some(o) => lowered.orderBy(o.split(",").map(_.trim).map(col).toSeq: _*)
+          case None    => lowered
+        }
       case _ => throw new IllegalArgumentException(
         s"not the deduplicate idiom (ROW_NUMBER … WHERE rn = 1): $norm")
     }
@@ -61,7 +70,7 @@ object DedupSql {
   def tryDedup(spark: SparkSession, sql: String): Option[DataFrame] = {
     val norm = sql.replaceAll("\\s+", " ").trim
     norm match {
-      case RnR(_, _, _, from) => Some(dedup(spark.table(from), sql))
+      case RnR(_, _, _, from, _, _) => Some(dedup(spark.table(from), sql))
       case _ => None
     }
   }
@@ -224,6 +233,71 @@ object DedupSql {
            |    AND epoch_ms(c.ts) + 600000 <= wm.w)
            |ORDER BY p_id, c_id""".stripMargin))
 
+  /** Stream-stream LEFT SEMI join (reference StreamingSemiAntiJoinOperator
+    * .java — semi path): purchases WITH a same-user click in the following
+    * 10 minutes, emitted once on first match (the operator holds the left
+    * row in state until the watermark to dedup further matches). Bounded
+    * replay emits exactly the EXISTS set. */
+  val qStreamSemiJoin: Q = Q(
+    "q_stream_semi_join",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      def side(t: String, a: String) = StreamingOps.streamTable(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_uid"),
+          col("ts").as(s"${a}_ts"))
+        .withWatermark(s"${a}_ts", "0 seconds")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        expr("p_uid = c_uid AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"),
+        "left_semi")
+      StreamingOps.runToMemory(s, joined.select($"p_id"),
+        "append", "graft_stream_semi_join")
+        .orderBy($"p_id")
+    },
+    Some("""SELECT p.event_id AS p_id
+           |FROM events p
+           |WHERE p.event_type = 'purchase' AND EXISTS (
+           |  SELECT 1 FROM events c
+           |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           |    AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE)
+           |ORDER BY p_id""".stripMargin))
+
+  /** Stream-stream LEFT ANTI join (reference StreamingSemiAntiJoinOperator
+    * .java — anti path): purchases with NO same-user click in the window,
+    * emitted only once the combined watermark proves no match can still
+    * arrive. Spark has no native stream-stream anti join, so it is LOWERED
+    * onto the watermark-gated LEFT OUTER join + null filter — the outer
+    * join's null-padded row IS the anti emission (same state, same
+    * eviction), which is how the reference's anti path behaves; the oracle
+    * filters on the final combined watermark accordingly. */
+  val qStreamAntiJoin: Q = Q(
+    "q_stream_anti_join",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      def side(t: String, a: String) = StreamingOps.streamTable(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_uid"),
+          col("ts").as(s"${a}_ts"))
+        .withWatermark(s"${a}_ts", "0 seconds")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        expr("p_uid = c_uid AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"),
+        "leftOuter")
+        .where(col("c_id").isNull)
+      StreamingOps.runToMemory(s, joined.select($"p_id"),
+        "append", "graft_stream_anti_join")
+        .orderBy($"p_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM p),
+           |                    (SELECT max(epoch_ms(ts)) FROM c)) AS w)
+           |SELECT p.event_id AS p_id
+           |FROM p, wm
+           |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+           |        AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE)
+           |  AND epoch_ms(p.ts) + 600000 <= wm.w
+           |ORDER BY p_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupSqlFirst, qDedupSqlLast, qStreamOuterJoin,
-    qStreamFullOuterJoin, qStreamRightOuterJoin)
+    qStreamFullOuterJoin, qStreamRightOuterJoin, qStreamSemiJoin, qStreamAntiJoin)
 }

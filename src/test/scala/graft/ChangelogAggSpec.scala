@@ -69,6 +69,31 @@ class ChangelogAggSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("ordered core: first/last/listagg track arrival order under retraction") {
+    import ChangelogAgg.{applyOrd, ordResult, emptyOrd}
+    var st = emptyOrd
+    st = applyOrd(st, "+I", 5.0, 1)
+    st = applyOrd(st, "+I", 3.0, 2)
+    st = applyOrd(st, "+I", 8.0, 3)
+    assert(ordResult(st).contains((5.0, 8.0, Seq(5.0, 3.0, 8.0))))
+    st = applyOrd(st, "-U", 5.0, 4) // retract the FIRST value
+    assert(ordResult(st).contains((3.0, 8.0, Seq(3.0, 8.0)))) // first falls forward
+    st = applyOrd(st, "-U", 8.0, 5) // retract the LAST value
+    assert(ordResult(st).contains((3.0, 3.0, Seq(3.0))))
+    st = applyOrd(st, "-D", 3.0, 6)
+    assert(ordResult(st).isEmpty)
+  }
+
+  test("ordered core: duplicate values retract the OLDEST instance") {
+    import ChangelogAgg.{applyOrd, ordResult, emptyOrd}
+    var st = emptyOrd
+    st = applyOrd(st, "+I", 7.0, 1)
+    st = applyOrd(st, "+I", 2.0, 2)
+    st = applyOrd(st, "+I", 7.0, 3)
+    st = applyOrd(st, "-U", 7.0, 4) // removes the seq-1 instance
+    assert(ordResult(st).contains((2.0, 7.0, Seq(2.0, 7.0))))
+  }
+
   test("agg→join→agg chain: aggregate output changelog feeds ChangelogJoin") {
     val sparkS = spark
     import sparkS.implicits._

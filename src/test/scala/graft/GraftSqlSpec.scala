@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.GraftSql
+import org.apache.spark.sql.functions._
 
 /** The unified SQL entry point: one call dispatches across every recognized
   * Flink-SQL text surface (reference ParserImpl.java:49 — a single parser
@@ -80,6 +81,64 @@ class GraftSqlSpec extends GraftSpec {
         "SELECT x FROM a JOIN b FOR SYSTEM_TIME AS OF banana ON a.k = b.k")
     }
     assert(e.getMessage.contains("unrecognized temporal-join SQL"))
+  }
+
+  test("text variants: aliased derived table, qualified rn, ORDER BY tail") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one")
+    val df = GraftSql.run(spark,
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events) AS t WHERE t.rn = 1 ORDER BY user_id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), s"aliased variant fell through:\n$plan")
+    val ids = df.select("user_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted)) // the ORDER BY tail survived lowering
+  }
+
+  test("MATCH_RECOGNIZE statement tolerates a trailing alias") {
+    Tables.t(spark, sfDir, "events").select("user_id", "event_id", "event_type")
+      .createOrReplaceTempView("gsql_mr2")
+    val df = GraftSql.run(spark,
+      """SELECT * FROM gsql_mr2 MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES A.event_id AS a_id, B.event_id AS b_id
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+        |) AS m ORDER BY user_id, a_id""".stripMargin)
+    assert(df.count() > 0)
+  }
+
+  test("the rn=1 idiom on a STREAMING view lowers to a runnable aggregate") {
+    // the reference scenario StreamExecDeduplicateRule exists for: plain
+    // row_number CANNOT run on a stream in either engine; the lowered
+    // keyed aggregate can. Spark would reject the un-lowered plan at
+    // analysis, so a green run certifies the rewrite actually engaged.
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.streaming.StreamingOps.streamTable(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .createOrReplaceTempView("gsql_stream_dedup")
+    val lowered = GraftSql.run(spark,
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us) AS rn
+        |  FROM gsql_stream_dedup) WHERE rn = 1""".stripMargin)
+    assert(lowered.isStreaming)
+    val out = graft.streaming.StreamingOps.runToMemory(
+      spark, lowered, "complete", "gsql_stream_dedup_out")
+    assert(out.count() > 0)
+  }
+
+  test("WATERMARK DDL routes through the unified door and returns the view") {
+    val df = GraftSql.run(spark,
+      s"""CREATE TABLE gsql_ddl_events (
+         |  event_id BIGINT,
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$sfDir', 'table' = 'events')""".stripMargin)
+    assert(df.isStreaming)
+    assert(df.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+    assert(spark.table("gsql_ddl_events").isStreaming) // registered for later SQL
   }
 
   test("temporal-join statement routes through the as-of lowering") {

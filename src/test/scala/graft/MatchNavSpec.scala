@@ -82,6 +82,52 @@ class MatchNavSpec extends GraftSpec {
     assert(out.isEmpty) // A.value ≡ LAST(A.value) = 7; 5 > 7 fails
   }
 
+  test("AFTER MATCH SKIP TO LAST <sym> prunes runs before the last named event") {
+    val d = mk((1, 1, "v", 0.0), (1, 2, "v", 0.0), (1, 3, "v", 0.0), (1, 4, "p", 0.0))
+    val out = matchRecognize(d,
+      """PARTITION BY user_id ORDER BY event_id
+        |MEASURES FIRST(V.event_id) AS v1, COUNT(V.*) AS nv, P.event_id AS p_id
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP TO LAST V
+        |PATTERN (V+ P)
+        |DEFINE V AS event_type = 'v', P AS event_type = 'p'""".stripMargin)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // greedy full match [v1 v2 v3 p] emits, then only the run starting at the
+    // LAST V (v3) survives — the middle start v2 is skipped
+    assert(out == Set((1L, 3L, 4L), (3L, 1L, 4L)))
+  }
+
+  test("AFTER MATCH SKIP TO FIRST <sym> keeps every run from the first named event") {
+    val d = mk((1, 1, "v", 0.0), (1, 2, "v", 0.0), (1, 3, "v", 0.0), (1, 4, "p", 0.0))
+    val out = matchRecognize(d,
+      """PARTITION BY user_id ORDER BY event_id
+        |MEASURES FIRST(V.event_id) AS v1, COUNT(V.*) AS nv, P.event_id AS p_id
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP TO FIRST V
+        |PATTERN (V+ P)
+        |DEFINE V AS event_type = 'v', P AS event_type = 'p'""".stripMargin)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the bound lands at the first V of the first match (v1), so ALL starts
+    // remain legal — every suffix match emits
+    assert(out == Set((1L, 3L, 4L), (2L, 2L, 4L), (3L, 1L, 4L)))
+  }
+
+  test("RUNNING vs FINAL: ALL ROWS measures diverge on non-final rows") {
+    val d = mk((1, 1, "a", 0.0), (1, 2, "b", 0.0))
+    val out = matchRecognize(d,
+      """PARTITION BY user_id ORDER BY event_id
+        |MEASURES RUNNING LAST(B.event_id) AS run_b, FINAL LAST(B.event_id) AS fin_b
+        |ALL ROWS PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (A B)
+        |DEFINE A AS event_type = 'a', B AS event_type = 'b'""".stripMargin)
+      .select("event_id", "run_b", "fin_b")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(out.toSet == Set(
+      (1L, None, Some(2L)),        // A-row: RUNNING sees no B yet, FINAL does
+      (2L, Some(2L), Some(2L))))
+  }
+
   test("SUBSET spans a quantified symbol in COUNT") {
     val d = mk((1, 1, "a", 1.0), (1, 2, "a", 2.0), (1, 3, "b", 3.0))
     val out = matchRecognize(d,

@@ -151,7 +151,7 @@ class PlanAuditSpec extends GraftSpec {
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
       operators.TpchSql.all ++ operators.TemporalSql.all ++
       operators.GroupWindowSql.all ++ operators.SketchOps.all ++
-      operators.CoGroupOps.all ++
+      operators.CoGroupOps.all ++ operators.GraftSql.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++
       operators.TextOps.all ++ operators.LookupJoin.all ++
       operators.SkewOps.all ++ operators.TimeWindows.all)
