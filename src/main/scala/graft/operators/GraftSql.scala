@@ -40,9 +40,13 @@ object GraftSql {
       "\\((.*)\\)\\s*(?:AS\\s+\\w+\\s*)?(?:ORDER\\s+BY\\s+([\\w, ]+?))?\\s*;?\\s*").r
 
   /** Parse + execute any recognized statement against the `dir` fixtures
-    * (registered as temp views) and the session catalog. */
+    * (registered as temp views) and the session catalog. The engine's SQL
+    * functions (hash_code / dot_product / cosine_similarity / proctime)
+    * register on entry — idempotent — so reference SQL using them works
+    * through the same door. */
   def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
     run(spark, text)
   }
 

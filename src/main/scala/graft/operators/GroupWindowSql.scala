@@ -21,8 +21,9 @@ object GroupWindowSql {
     "SECOND" -> "seconds", "MINUTE" -> "minutes",
     "HOUR" -> "hours", "DAY" -> "days")
 
+  // plural unit tolerated (users write MINUTES as often as MINUTE)
   private val IntervalRe =
-    """(?i)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)""".r
+    """(?i)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
 
   private def dur(interval: String): String = interval match {
     case IntervalRe(n, u) => s"$n ${Units(u.toUpperCase)}"
@@ -30,7 +31,7 @@ object GroupWindowSql {
       s"unsupported interval literal: $other")
   }
 
-  private val I = """INTERVAL\s+'\d+'\s+(?:SECOND|MINUTE|HOUR|DAY)"""
+  private val I = """INTERVAL\s+'\d+'\s+(?:SECOND|MINUTE|HOUR|DAY)S?"""
   private val Col = """([a-zA-Z_][\w.]*)"""
 
   // auxiliaries first (TUMBLE_START would otherwise match the bare TUMBLE)

@@ -142,6 +142,274 @@ object ChangelogJoin {
       }
   }
 
+  // ---- LEFT OUTER mode (reference StreamingJoinOperator outer path:
+  // OuterJoinRecordStateViews — null padding with RETRACTION when the first
+  // match appears, re-padding when the last match disappears) ----
+
+  /** One outer-joined output change: `right = None` is the null padding. */
+  final case class OuterChange[K, L, R](key: K, kind: String, left: L, right: Option[R])
+
+  /** Pure core, left-outer: like [[applyChange]] plus pad algebra — a left
+    * row with no right matches joins `(l, null)`; the FIRST right arrival
+    * retracts every live pad (-U) before emitting the pairs; the LAST right
+    * departure retracts the pairs and restores the pads (+U). The
+    * materialized output therefore always equals the left-outer join of the
+    * materialized inputs. */
+  def applyChangeOuter[L, R](st: JoinState[L, R], side: Int, kind: String,
+      l: Option[L], r: Option[R])
+      : (Iterator[(String, L, Option[R])], JoinState[L, R]) = {
+    val delta = if (isAccumulate(kind)) 1L else -1L
+    if (side == 0) {
+      val lv = l.get
+      val snapshot = st.right
+      val out: Iterator[(String, L, Option[R])] =
+        if (snapshot.isEmpty) Iterator.single((kind, lv, None))
+        else snapshot.iterator.flatMap { case (rv, cnt) =>
+          repeat(cnt, (kind, lv, Some(rv)))
+        }
+      (out, st.copy(left = bump(st.left, lv, delta)))
+    } else {
+      val rv = r.get
+      val leftSnap = st.left
+      val wasEmpty = st.right.isEmpty
+      val newRight = bump(st.right, rv, delta)
+      val out: Iterator[(String, L, Option[R])] =
+        if (isAccumulate(kind) && wasEmpty)
+          // first match: unpad every live left row, then pair it
+          leftSnap.iterator.flatMap { case (lv, c) =>
+            repeat(c, ("-U", lv, Option.empty[R])) ++ repeat(c, (kind, lv, Some(rv)))
+          }
+        else if (!isAccumulate(kind) && newRight.isEmpty)
+          // last match gone: retract the pairs, restore the pads
+          leftSnap.iterator.flatMap { case (lv, c) =>
+            repeat(c, (kind, lv, Some(rv))) ++ repeat(c, ("+U", lv, Option.empty[R]))
+          }
+        else
+          leftSnap.iterator.flatMap { case (lv, c) => repeat(c, (kind, lv, Some(rv))) }
+      (out, st.copy(right = newRight))
+    }
+  }
+
+  /** The LEFT OUTER operator: unioned two-sided changelog → outer-joined
+    * output changelog with retractable null padding. */
+  def joinOuter[K, L, R](changes: Dataset[Change[K, L, R]])(
+      implicit ek: Encoder[K],
+      es: Encoder[JoinState[L, R]],
+      eo: Encoder[OuterChange[K, L, R]]): Dataset[OuterChange[K, L, R]] =
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[Change[K, L, R]],
+         state: org.apache.spark.sql.streaming.GroupState[JoinState[L, R]]) =>
+          var st = state.getOption.getOrElse(
+            JoinState[L, R](Map.empty[L, Long], Map.empty[R, Long]))
+          val emissions = Vector.newBuilder[Iterator[(String, L, Option[R])]]
+          it.toSeq.sortBy(_.seq).foreach { c =>
+            val (emitted, st1) = applyChangeOuter(st, c.side, c.kind, c.left, c.right)
+            st = st1
+            emissions += emitted
+          }
+          state.update(st)
+          emissions.result().iterator.flatten
+            .map { case (k, lv, rv) => OuterChange(key, k, lv, rv) }
+      }
+
+  /** RIGHT OUTER by symmetry: swap the sides into [[joinOuter]] — the
+    * output's `left` is the RIGHT input's row type, padded when unmatched. */
+  def joinRightOuter[K, L, R](changes: Dataset[Change[K, L, R]])(
+      implicit ek: Encoder[K],
+      ec: Encoder[Change[K, R, L]],
+      es: Encoder[JoinState[R, L]],
+      eo: Encoder[OuterChange[K, R, L]]): Dataset[OuterChange[K, R, L]] =
+    joinOuter(changes.map(c =>
+      Change[K, R, L](c.key, c.seq, 1 - c.side, c.kind, c.right, c.left)))
+
+  /** One FULL-outer output change: either side None = that side's padding. */
+  final case class FullChange[K, L, R](key: K, kind: String,
+      left: Option[L], right: Option[R])
+
+  /** Pure core, FULL outer: pads on BOTH sides — a change on one side may
+    * retract/restore the OTHER side's pads (first-left-arrival unpads every
+    * right row, last-left-departure re-pads them; symmetric). */
+  def applyChangeFull[L, R](st: JoinState[L, R], side: Int, kind: String,
+      l: Option[L], r: Option[R])
+      : (Iterator[(String, Option[L], Option[R])], JoinState[L, R]) = {
+    val acc = isAccumulate(kind)
+    val delta = if (acc) 1L else -1L
+    if (side == 0) {
+      val lv = l.get
+      val wasEmpty = st.left.isEmpty
+      val newLeft = bump(st.left, lv, delta)
+      val rightSnap = st.right
+      val out: Iterator[(String, Option[L], Option[R])] =
+        if (rightSnap.isEmpty) Iterator.single((kind, Some(lv), Option.empty[R]))
+        else {
+          val pairs = rightSnap.iterator.flatMap { case (rv, c) =>
+            repeat(c, (kind, Some(lv), Some(rv)))
+          }
+          if (acc && wasEmpty)
+            // first left row: the right side stops being unmatched
+            rightSnap.iterator.flatMap { case (rv, c) =>
+              repeat(c, ("-U", Option.empty[L], Some(rv)))
+            } ++ pairs
+          else if (!acc && newLeft.isEmpty)
+            // last left row gone: the right side is unmatched again
+            pairs ++ rightSnap.iterator.flatMap { case (rv, c) =>
+              repeat(c, ("+U", Option.empty[L], Some(rv)))
+            }
+          else pairs
+        }
+      (out, st.copy(left = newLeft))
+    } else {
+      val rv = r.get
+      val wasEmpty = st.right.isEmpty
+      val newRight = bump(st.right, rv, delta)
+      val leftSnap = st.left
+      val out: Iterator[(String, Option[L], Option[R])] =
+        if (leftSnap.isEmpty) Iterator.single((kind, Option.empty[L], Some(rv)))
+        else {
+          val pairs = leftSnap.iterator.flatMap { case (lv, c) =>
+            repeat(c, (kind, Some(lv), Some(rv)))
+          }
+          if (acc && wasEmpty)
+            leftSnap.iterator.flatMap { case (lv, c) =>
+              repeat(c, ("-U", Some(lv), Option.empty[R]))
+            } ++ pairs
+          else if (!acc && newRight.isEmpty)
+            pairs ++ leftSnap.iterator.flatMap { case (lv, c) =>
+              repeat(c, ("+U", Some(lv), Option.empty[R]))
+            }
+          else pairs
+        }
+      (out, st.copy(right = newRight))
+    }
+  }
+
+  /** The FULL OUTER operator. */
+  def joinFullOuter[K, L, R](changes: Dataset[Change[K, L, R]])(
+      implicit ek: Encoder[K],
+      es: Encoder[JoinState[L, R]],
+      eo: Encoder[FullChange[K, L, R]]): Dataset[FullChange[K, L, R]] =
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[Change[K, L, R]],
+         state: org.apache.spark.sql.streaming.GroupState[JoinState[L, R]]) =>
+          var st = state.getOption.getOrElse(
+            JoinState[L, R](Map.empty[L, Long], Map.empty[R, Long]))
+          val emissions = Vector.newBuilder[Iterator[(String, Option[L], Option[R])]]
+          it.toSeq.sortBy(_.seq).foreach { c =>
+            val (emitted, st1) = applyChangeFull(st, c.side, c.kind, c.left, c.right)
+            st = st1
+            emissions += emitted
+          }
+          state.update(st)
+          emissions.result().iterator.flatten
+            .map { case (k, lv, rv) => FullChange(key, k, lv, rv) }
+      }
+
+  /** q_changelog_full_outer_join: FULL OUTER over updating inputs — left =
+    * latest SIGNUP value per user (only users who signed up), right =
+    * purchase-count changelog (only users who purchased); users on one side
+    * only surface as pads. Oracle = FULL JOIN of the two final tables. */
+  val qChangelogFullOuterJoin: Q = Q(
+    "q_changelog_full_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[(Long, Long, String, Double)]
+      val leftChanges = ev.filter(_._3 == "signup").groupByKey(_._2).flatMapGroups {
+        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
+          val sorted = it.toSeq.sortBy(_._1)
+          sorted.zipWithIndex.flatMap { case ((eid, _, _, v), i) =>
+            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+I", Some(v), None))
+            else Seq(
+              Change[Long, Double, Long](uid, eid * 4, 0, "-U", Some(sorted(i - 1)._4), None),
+              Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+U", Some(v), None))
+          }.iterator
+      }
+      val rightChanges = ev.filter(_._3 == "purchase").groupByKey(_._2).flatMapGroups {
+        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
+          val sorted = it.toSeq.sortBy(_._1)
+          sorted.zipWithIndex.flatMap { case ((eid, _, _, _), i) =>
+            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+I", None, Some(1L)))
+            else Seq(
+              Change[Long, Double, Long](uid, eid * 4 + 2, 1, "-U", None, Some(i.toLong)),
+              Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+U", None, Some(i + 1L)))
+          }.iterator
+      }
+      val joined = joinFullOuter(leftChanges.union(rightChanges))
+      joined.groupByKey(_.key).flatMapGroups {
+        (uid: Long, it: Iterator[FullChange[Long, Double, Long]]) =>
+          val counts = scala.collection.mutable.Map[(Option[Double], Option[Long]), Long]()
+          it.foreach { jc =>
+            val d = if (isAccumulate(jc.kind)) 1L else -1L
+            counts((jc.left, jc.right)) = counts.getOrElse((jc.left, jc.right), 0L) + d
+          }
+          counts.collect { case ((lv, rv), c) if c > 0 => (uid, lv, rv) }.iterator
+      }.toDF("user_id", "last_signup_value", "n_purchases")
+        .orderBy("user_id")
+    },
+    Some("""SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           |       l.last_signup_value, r.n_purchases
+           |FROM (SELECT user_id, arg_max(value, event_id) AS last_signup_value
+           |      FROM events WHERE event_type = 'signup' GROUP BY user_id) l
+           |FULL JOIN (SELECT user_id, count(*) AS n_purchases
+           |      FROM events WHERE event_type = 'purchase' GROUP BY user_id) r
+           |  ON l.user_id = r.user_id
+           |ORDER BY user_id""".stripMargin))
+
+  /** q_changelog_outer_join: the outer twin of q_changelog_join — every
+    * user appears (the pad carries users with no purchases), and users
+    * WITH purchases must have had their pads retracted when the first
+    * purchase-count row arrived. Oracle = LEFT JOIN of the two final
+    * tables. */
+  val qChangelogOuterJoin: Q = Q(
+    "q_changelog_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[(Long, Long, String, Double)]
+      val leftChanges = ev.groupByKey(_._2).flatMapGroups {
+        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
+          val sorted = it.toSeq.sortBy(_._1)
+          sorted.zipWithIndex.flatMap { case ((eid, _, _, v), i) =>
+            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+I", Some(v), None))
+            else Seq(
+              Change[Long, Double, Long](uid, eid * 4, 0, "-U", Some(sorted(i - 1)._4), None),
+              Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+U", Some(v), None))
+          }.iterator
+      }
+      val rightChanges = ev.filter(_._3 == "purchase").groupByKey(_._2).flatMapGroups {
+        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
+          val sorted = it.toSeq.sortBy(_._1)
+          sorted.zipWithIndex.flatMap { case ((eid, _, _, _), i) =>
+            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+I", None, Some(1L)))
+            else Seq(
+              Change[Long, Double, Long](uid, eid * 4 + 2, 1, "-U", None, Some(i.toLong)),
+              Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+U", None, Some(i + 1L)))
+          }.iterator
+      }
+      val joined = joinOuter(leftChanges.union(rightChanges))
+      joined.groupByKey(_.key).flatMapGroups {
+        (uid: Long, it: Iterator[OuterChange[Long, Double, Long]]) =>
+          val counts = scala.collection.mutable.Map[(Double, Option[Long]), Long]()
+          it.foreach { jc =>
+            val d = if (isAccumulate(jc.kind)) 1L else -1L
+            counts((jc.left, jc.right)) = counts.getOrElse((jc.left, jc.right), 0L) + d
+          }
+          counts.collect { case ((lv, rv), c) if c > 0 => (uid, lv, rv) }.iterator
+      }.toDF("user_id", "last_value", "n_purchases")
+        .orderBy("user_id")
+    },
+    Some("""SELECT l.user_id, l.last_value, r.n_purchases
+           |FROM (SELECT user_id, arg_max(value, event_id) AS last_value
+           |      FROM events GROUP BY user_id) l
+           |LEFT JOIN (SELECT user_id, count(*) AS n_purchases
+           |      FROM events WHERE event_type = 'purchase' GROUP BY user_id) r
+           |  ON l.user_id = r.user_id
+           |ORDER BY l.user_id""".stripMargin))
+
   /** Oracle query: two updating inputs derived from `events` —
     * left = running "latest value per user" upsert changelog (+I then
     * -U/+U pairs), right = running purchase-count changelog — joined by the
@@ -202,5 +470,5 @@ object ChangelogJoin {
            |  ON l.user_id = r.user_id
            |ORDER BY l.user_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qChangelogJoin)
+  val all: Seq[Q] = Seq(qChangelogJoin, qChangelogOuterJoin, qChangelogFullOuterJoin)
 }

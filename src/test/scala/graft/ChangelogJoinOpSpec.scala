@@ -108,6 +108,81 @@ class ChangelogJoinOpSpec extends GraftSpec {
     assert((System.nanoTime() - t0) < 5e9, "10k inserts under one key took >5s")
   }
 
+  test("outer core: pads emit, retract on first match, restore on last unmatch") {
+    import ChangelogJoin.{applyChangeOuter, JoinState}
+    val st0 = JoinState[String, String](Map.empty, Map.empty)
+    val (e1, st1) = applyChangeOuter(st0, 0, "+I", Some("l1"), None)
+    assert(e1.toSeq == Seq(("+I", "l1", None))) // no match yet: null pad
+    val (e2, st2) = applyChangeOuter(st1, 1, "+I", None, Some("r1"))
+    // first match: the pad is RETRACTED before the pair lands
+    assert(e2.toSeq == Seq(("-U", "l1", None), ("+I", "l1", Some("r1"))))
+    val (e3, st3) = applyChangeOuter(st2, 1, "-D", None, Some("r1"))
+    // last match gone: pair retracted, pad restored
+    assert(e3.toSeq == Seq(("-D", "l1", Some("r1")), ("+U", "l1", None)))
+    val (e4, _) = applyChangeOuter(st3, 0, "-D", Some("l1"), None)
+    assert(e4.toSeq == Seq(("-D", "l1", None))) // left leaves while unmatched
+  }
+
+  test("outer multi-batch: materialized output equals left-outer of inputs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Change[Long, String, String]]
+    val joined = ChangelogJoin.joinOuter(mem.toDS())
+    val emitted = scala.collection.mutable.ArrayBuffer[ChangelogJoin.OuterChange[Long, String, String]]()
+    val q = joined.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[ChangelogJoin.OuterChange[Long, String, String]], _: Long) =>
+        emitted.synchronized { emitted ++= batch.collect() }
+        ()
+    }.start()
+    def net(): Map[(Long, String, Option[String]), Long] =
+      emitted.foldLeft(Map.empty[(Long, String, Option[String]), Long]) { (m, jc) =>
+        val k = (jc.key, jc.left, jc.right)
+        val d = if (jc.kind == "+I" || jc.kind == "+U") 1L else -1L
+        val n = m.getOrElse(k, 0L) + d
+        if (n == 0) m - k else m.updated(k, n)
+      }
+    try {
+      mem.addData(Change[Long, String, String](1L, 1, 0, "+I", Some("v1"), None))
+      q.processAllAvailable()
+      assert(net() == Map((1L, "v1", None) -> 1L)) // padded
+      mem.addData(Change[Long, String, String](1L, 2, 1, "+I", None, Some("r1")))
+      q.processAllAvailable()
+      assert(net() == Map((1L, "v1", Some("r1")) -> 1L)) // pad swapped for pair
+      mem.addData(Change[Long, String, String](1L, 3, 1, "-D", None, Some("r1")))
+      q.processAllAvailable()
+      assert(net() == Map((1L, "v1", None) -> 1L)) // pad restored
+    } finally q.stop()
+  }
+
+  test("full-outer core: a change on one side retracts/restores the OTHER side's pads") {
+    import ChangelogJoin.{applyChangeFull, JoinState}
+    val st0 = JoinState[String, String](Map.empty, Map.empty)
+    val (e1, st1) = applyChangeFull(st0, 1, "+I", None, Some("r1"))
+    assert(e1.toSeq == Seq(("+I", None, Some("r1")))) // right-side pad
+    val (e2, st2) = applyChangeFull(st1, 0, "+I", Some("l1"), None)
+    // first left row: r1's pad retracts, the pair lands
+    assert(e2.toSeq == Seq(("-U", None, Some("r1")), ("+I", Some("l1"), Some("r1"))))
+    val (e3, _) = applyChangeFull(st2, 0, "-D", Some("l1"), None)
+    // last left row gone: pair retracted, r1 padded again
+    assert(e3.toSeq == Seq(("-D", Some("l1"), Some("r1")), ("+U", None, Some("r1"))))
+  }
+
+  test("right-outer by symmetry: unmatched RIGHT rows pad") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val changes = Seq(
+      Change[Long, String, String](1L, 1, 1, "+I", None, Some("r1")), // right first
+      Change[Long, String, String](1L, 2, 0, "+I", Some("l1"), None))
+      .toDS()
+    val out = ChangelogJoin.joinRightOuter(changes).collect().toSeq
+    // right row pads while unmatched, then the pad retracts and the pair lands
+    assert(out.map(o => (o.kind, o.left, o.right)) == Seq(
+      ("+I", "r1", None),
+      ("-U", "r1", None),
+      ("+I", "r1", Some("l1"))))
+  }
+
   test("idle-state TTL: expired keys forget their state (event-time timeout)") {
     val sparkS = spark
     import sparkS.implicits._

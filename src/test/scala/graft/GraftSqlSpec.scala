@@ -129,6 +129,15 @@ class GraftSqlSpec extends GraftSpec {
     assert(out.count() > 0)
   }
 
+  test("plural interval units (MINUTES) and engine functions work through the door") {
+    val df = GraftSql.sql(spark, sfDir,
+      """SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '5' MINUTES)) AS wstart,
+        |       count(*) AS cnt, hash_code(event_type) AS h
+        |FROM events
+        |GROUP BY TUMBLE(ts, INTERVAL '5' MINUTES), event_type""".stripMargin)
+    assert(df.count() > 0)
+  }
+
   test("WATERMARK DDL routes through the unified door and returns the view") {
     val df = GraftSql.run(spark,
       s"""CREATE TABLE gsql_ddl_events (
