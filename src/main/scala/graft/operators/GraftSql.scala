@@ -34,6 +34,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
+  private val InsertR = "(?is)\\s*INSERT\\s+INTO\\s+(\\w+)\\s+(.*)".r
+
   // SELECT * FROM <t> MATCH_RECOGNIZE ( <spec> ) [AS <alias>] [ORDER BY <cols>]
   private val MatchR =
     ("(?is)\\s*SELECT\\s+\\*\\s+FROM\\s+(\\w+)\\s+MATCH_RECOGNIZE\\s*" +
@@ -53,11 +55,41 @@ object GraftSql {
   /** Same, against already-registered views only (no fixture dir). */
   def run(spark: SparkSession, text: String): DataFrame = {
     val upper = text.toUpperCase
-    if (upper.trim.startsWith("CREATE TABLE"))
-      // the reference's WATERMARK DDL (SqlCreateTable.java:56) — registers a
-      // watermarked streaming view and returns it, so DDL + queries flow
-      // through the same door
-      spark.table(graft.streaming.GraftDdl.executeDdl(spark, text))
+    if (upper.trim.startsWith("CREATE TABLE")) {
+      // the reference's DDL (SqlCreateTable.java:56) — a WATERMARK clause
+      // registers a watermarked streaming SOURCE view (returned); without
+      // one it registers a writable SINK for INSERT INTO (empty result)
+      val name = graft.streaming.GraftDdl.executeDdl(spark, text)
+      if (spark.catalog.tableExists(name)) spark.table(name)
+      else spark.emptyDataFrame
+    }
+    else if (upper.trim.startsWith("INSERT INTO")) text match {
+      // the reference's deployment statement (SqlToOperationConverter →
+      // CatalogSinkModifyOperation): resolve the SELECT through this same
+      // dispatcher (idioms compose into the INSERT), write it to the
+      // registered sink, and return the sink's contents for verification.
+      // Batch SELECTs overwrite (re-running a statement is idempotent);
+      // streaming SELECTs drain via AvailableNow into the sink path.
+      case InsertR(name, select) =>
+        graft.streaming.GraftDdl.sink(name) match {
+          case Some(sd) =>
+            val df = run(spark, select)
+            if (df.isStreaming) {
+              val ckpt = graft.Tables.scratch(
+                s"insert-ckpt/$name-${java.util.UUID.randomUUID()}")
+              val q = df.writeStream.format(sd.format)
+                .option("checkpointLocation", ckpt)
+                .option("path", sd.path)
+                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start()
+              try q.awaitTermination() finally q.stop()
+            } else df.write.mode("overwrite").format(sd.format).save(sd.path)
+            spark.read.format(sd.format).load(sd.path)
+          case None => spark.sql(text) // a real catalog table: Spark handles it
+        }
+      case _ => throw new IllegalArgumentException(
+        s"INSERT must be INSERT INTO <sink> <select>: $text")
+    }
     else if (upper.contains("MATCH_RECOGNIZE")) text match {
       case MatchR(from, spec, orderTxt) =>
         val out = graft.cep.MatchRecognize.matchRecognize(spark.table(from), spec)
@@ -146,5 +178,30 @@ object GraftSql {
            |       arg_min(epoch_us(ts), epoch_us(ts)) AS ts_us
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry)
+  /** q_insert_into: the reference's end-to-end SQL deployment shape through
+    * ONE door — sink DDL, then INSERT INTO whose SELECT itself uses a
+    * recognized idiom (TUMBLE). The returned DataFrame is read back FROM the
+    * sink files, so the oracle certifies the write path, not just the
+    * select. */
+  val qInsertInto: Q = Q(
+    "q_insert_into",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val path = Tables.scratch("insert-sink/graft_wcounts")
+      run(s,
+        s"""CREATE TABLE graft_wcounts (wstart BIGINT, cnt BIGINT)
+           |WITH ('path' = '$path', 'format' = 'parquet')""".stripMargin)
+      run(s,
+        """INSERT INTO graft_wcounts
+          |SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '10' MINUTE)) AS wstart,
+          |       count(*) AS cnt
+          |FROM events
+          |GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)""".stripMargin)
+        .orderBy("wstart")
+    },
+    Some("""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS wstart,
+           |       count(*) AS cnt
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto)
 }

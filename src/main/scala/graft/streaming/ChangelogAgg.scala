@@ -68,33 +68,60 @@ object ChangelogAgg {
     else Some((st.cnt, st.total, st.values.keysIterator.min, st.values.keysIterator.max))
 
   /** The operator: keyed changelog in → aggregate changelog out. Works
-    * identically under streaming (state across micro-batches) and batch. */
-  def agg[K](changes: Dataset[AggChange[K]])(
+    * identically under streaming (state across micro-batches) and batch.
+    *
+    * @param idleTtlMs optional idle-state retention (reference
+    *   IdleStateRetentionTime / StateTtlConfig.java:51): a key idle past
+    *   this (event time, `seq` read as epoch millis, watermark-driven) has
+    *   its accumulator dropped; a later change starts the aggregate fresh.
+    *   Streaming-only; requires a watermark on the input. */
+  def agg[K](changes: Dataset[AggChange[K]],
+      idleTtlMs: Option[Long] = None)(
       implicit ek: Encoder[K], es: Encoder[AggState],
-      eo: Encoder[AggOut[K]]): Dataset[AggOut[K]] =
+      eo: Encoder[AggOut[K]]): Dataset[AggOut[K]] = {
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     changes.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: K, it: Iterator[AggChange[K]],
          state: org.apache.spark.sql.streaming.GroupState[AggState]) =>
-          val st0 = state.getOption.getOrElse(empty)
-          val before = result(st0)
-          var st = st0
-          it.toSeq.sortBy(_.seq).foreach(c => st = applyChange(st, c.kind, c.value))
-          val after = result(st)
-          if (after.isEmpty) state.remove() else state.update(st)
-          val out = (before, after) match {
-            case (None, None) => Nil
-            case (None, Some((c, t, mn, mx))) =>
-              Seq(AggOut(key, "+I", c, t, mn, mx))
-            case (Some((c, t, mn, mx)), None) =>
-              Seq(AggOut(key, "-D", c, t, mn, mx))
-            case (Some(b), Some(a)) if b == a => Nil // unchanged: no emission
-            case (Some((bc, bt, bmn, bmx)), Some((ac, at, amn, amx))) =>
-              Seq(AggOut(key, "-U", bc, bt, bmn, bmx),
-                AggOut(key, "+U", ac, at, amn, amx))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st0 = state.getOption.getOrElse(empty)
+            val before = result(st0)
+            var st = st0
+            var lastSeq = Long.MinValue
+            it.toSeq.sortBy(_.seq).foreach { c =>
+              st = applyChange(st, c.kind, c.value)
+              if (c.seq > lastSeq) lastSeq = c.seq
+            }
+            val after = result(st)
+            if (after.isEmpty) state.remove()
+            else {
+              state.update(st)
+              idleTtlMs.foreach { ttl =>
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(wm + 1, lastSeq + ttl))
+              }
+            }
+            val out = (before, after) match {
+              case (None, None) => Nil
+              case (None, Some((c, t, mn, mx))) =>
+                Seq(AggOut(key, "+I", c, t, mn, mx))
+              case (Some((c, t, mn, mx)), None) =>
+                Seq(AggOut(key, "-D", c, t, mn, mx))
+              case (Some(b), Some(a)) if b == a => Nil // unchanged: no emission
+              case (Some((bc, bt, bmn, bmx)), Some((ac, at, amn, amx))) =>
+                Seq(AggOut(key, "-U", bc, bt, bmn, bmx),
+                  AggOut(key, "+U", ac, at, amn, amx))
+            }
+            out.iterator
           }
-          out.iterator
       }
+  }
 
   // ---- order-sensitive retractable aggregates (reference
   // FirstValueWithRetractAggFunction.java / LastValueWithRetractAggFunction

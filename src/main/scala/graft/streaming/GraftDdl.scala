@@ -44,7 +44,32 @@ object GraftDdl {
       createStreamView(spark, dir, table, name, tsCol,
         s"$n ${unit.toLowerCase}s")
       name
+    case SinkR(name, cols, optsTxt) if !cols.toUpperCase.contains("WATERMARK") =>
+      val opts = OptR.findAllMatchIn(optsTxt)
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      val path = opts.getOrElse("path",
+        throw new IllegalArgumentException("WITH option 'path' is required"))
+      sinks(name.toLowerCase) = SinkDef(path, opts.getOrElse("format", "parquet"))
+      name
     case other => throw new IllegalArgumentException(
       s"unparseable DDL (expected CREATE TABLE … WATERMARK FOR … WITH (…)): $other")
   }
+
+  // ---- sink tables (reference: CREATE TABLE without a watermark backed by
+  // a writable connector; the INSERT INTO target of SqlToOperationConverter)
+
+  /** A registered sink: where INSERT INTO writes. Column declarations are
+    * schema-on-write (the SELECT's schema is authoritative), matching the
+    * source-side schema-on-read stance documented above. */
+  final case class SinkDef(path: String, format: String)
+
+  // cols may contain parens (DECIMAL(10,2)) — greedy match backtracks to
+  // the ')' before WITH
+  private val SinkR =
+    "(?is)CREATE TABLE (\\w+)\\s*\\((.*)\\)\\s*WITH \\((.*)\\)\\s*;?\\s*".r
+
+  private val sinks = scala.collection.concurrent.TrieMap[String, SinkDef]()
+
+  /** Look up a sink registered by a CREATE TABLE … WITH (…) DDL. */
+  def sink(name: String): Option[SinkDef] = sinks.get(name.toLowerCase)
 }

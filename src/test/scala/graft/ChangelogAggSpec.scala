@@ -94,6 +94,42 @@ class ChangelogAggSpec extends GraftSpec {
     assert(ordResult(st).contains((2.0, 7.0, Seq(2.0, 7.0))))
   }
 
+  test("idle-state TTL: an expired key's accumulator is dropped; later changes start fresh") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[AggChange[Long]]
+    val base = 1000000000L // keep event time above the initial watermark 0
+    val withWm = mem.toDS()
+      .withColumn("__ts", timestamp_millis($"seq"))
+      .withWatermark("__ts", "0 seconds")
+      .as[AggChange[Long]]
+    val out = ChangelogAgg.agg(withWm, idleTtlMs = Some(1000L))
+    val emitted = scala.collection.mutable.ArrayBuffer[AggOut[Long]]()
+    val q = out.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[AggOut[Long]], _: Long) =>
+        emitted.synchronized { emitted ++= batch.collect() }
+        ()
+    }.start()
+    try {
+      mem.addData(AggChange(1L, base, "+I", 9.0))
+      q.processAllAvailable()
+      // other-key traffic drives the watermark past base + 1000
+      mem.addData(AggChange(2L, base + 5000, "+I", 1.0))
+      q.processAllAvailable()
+      mem.addData(AggChange(2L, base + 6000, "+I", 1.0))
+      q.processAllAvailable()
+      // key 1's accumulator expired: this +I starts a FRESH aggregate
+      mem.addData(AggChange(1L, base + 7000, "+I", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val key1 = emitted.filter(_.key == 1L).toSeq
+    assert(key1.head == AggOut(1L, "+I", 1, 9.0, 9.0, 9.0))
+    // fresh +I (not a -U/+U pair) proves the old state was gone
+    assert(key1.last == AggOut(1L, "+I", 1, 4.0, 4.0, 4.0), s"got $key1")
+  }
+
   test("agg→join→agg chain: aggregate output changelog feeds ChangelogJoin") {
     val sparkS = spark
     import sparkS.implicits._

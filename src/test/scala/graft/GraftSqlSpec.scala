@@ -150,6 +150,19 @@ class GraftSqlSpec extends GraftSpec {
     assert(spark.table("gsql_ddl_events").isStreaming) // registered for later SQL
   }
 
+  test("sink DDL + INSERT INTO: the statement writes and the result reads back") {
+    val path = Tables.scratch("insert-sink/gsql_spec_sink")
+    GraftSql.sql(spark, sfDir,
+      s"CREATE TABLE gsql_spec_sink (n BIGINT) WITH ('path' = '$path')")
+    val df = GraftSql.run(spark,
+      "INSERT INTO gsql_spec_sink SELECT count(*) AS n FROM events")
+    assert(df.collect().head.getLong(0) > 0)
+    // re-running the same INSERT is idempotent (overwrite, not append)
+    val df2 = GraftSql.run(spark,
+      "INSERT INTO gsql_spec_sink SELECT count(*) AS n FROM events")
+    assert(df2.count() == 1)
+  }
+
   test("temporal-join statement routes through the as-of lowering") {
     val sparkS = spark
     import sparkS.implicits._
