@@ -52,6 +52,34 @@ object GraftSql {
     run(spark, text)
   }
 
+  /** Execute a multi-statement SCRIPT (the reference SQL client's execution
+    * mode — flink-table/flink-sql-client executes `statement; statement; …`
+    * sequentially): statements split on top-level semicolons (single-quoted
+    * strings respected), each routed through the dispatcher in order; the
+    * LAST statement's result is returned. A `CREATE TABLE …; INSERT INTO …`
+    * deployment therefore runs as one text. */
+  def script(spark: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
+    val stmts = splitStatements(text)
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(run(spark, _)).last
+  }
+
+  /** Split on semicolons outside single-quoted strings. */
+  private[graft] def splitStatements(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Same, against already-registered views only (no fixture dir). */
   def run(spark: SparkSession, text: String): DataFrame = {
     val upper = text.toUpperCase

@@ -163,6 +163,23 @@ class GraftSqlSpec extends GraftSpec {
     assert(df2.count() == 1)
   }
 
+  test("script mode: DDL + INSERT + SELECT run as one text, last result returned") {
+    val path = Tables.scratch("insert-sink/gsql_script_sink")
+    val df = GraftSql.script(spark, sfDir,
+      s"""CREATE TABLE gsql_script_sink (t STRING, n BIGINT)
+         |WITH ('path' = '$path');
+         |INSERT INTO gsql_script_sink
+         |SELECT event_type AS t, count(*) AS n FROM events GROUP BY event_type;
+         |SELECT sum(n) AS total FROM parquet.`$path`""".stripMargin)
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
+  test("statement splitting respects quoted semicolons") {
+    val parts = graft.operators.GraftSql.splitStatements(
+      "SELECT ';' AS a; SELECT 2")
+    assert(parts == Vector("SELECT ';' AS a", "SELECT 2"))
+  }
+
   test("temporal-join statement routes through the as-of lowering") {
     val sparkS = spark
     import sparkS.implicits._
