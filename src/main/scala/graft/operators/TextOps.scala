@@ -268,6 +268,74 @@ object TextOps {
            |      FROM deduped)
            |GROUP BY lang, split ORDER BY lang, split""".stripMargin))
 
+  /** Gopher-style REPETITION quality metrics (Rae et al. 2021 §A1.1, the
+    * standard pre-training repetition filters): per document, the fraction
+    * of tokens taken by the single most frequent word and the fraction of
+    * duplicate 2-grams. Pure per-row higher-order functions — no shuffle,
+    * no explode; at 100 TB this runs as a narrow projection over the corpus
+    * scan (HOF lambdas evaluate interpreted inside the projection — the
+    * cost stays per-row and embarrassingly parallel), which is exactly how
+    * repetition filtering is deployed. */
+  val qQualityRepetition: Q = Q(
+    "q_quality_repetition",
+    (s, dir) => {
+      import s.implicits._
+      Tables.t(s, dir, "documents")
+        .withColumn("words", split($"text", " "))
+        .withColumn("bigrams", expr(
+          "transform(sequence(1, size(words) - 1), " +
+            "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"))
+        .select($"doc_id",
+          round(expr(
+            "array_max(transform(array_distinct(words), " +
+              "w -> size(filter(words, x -> x = w)))) / size(words)"), 6)
+            .as("top_word_frac"),
+          round(expr("1.0 - size(array_distinct(bigrams)) / size(bigrams)"), 6)
+            .as("dup_bigram_frac"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |b AS (SELECT doc_id, words,
+           |             list_transform(range(1, len(words)),
+           |                            i -> words[i] || ' ' || words[i+1]) AS bigrams
+           |      FROM w)
+           |SELECT doc_id,
+           |       round(list_max(list_transform(list_distinct(words),
+           |             w -> len(list_filter(words, x -> x = w)))) * 1.0
+           |             / len(words), 6) AS top_word_frac,
+           |       round(1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams), 6)
+           |         AS dup_bigram_frac
+           |FROM b ORDER BY doc_id""".stripMargin))
+
+  /** Per-source quota capping (the CCNet/RefinedWeb per-domain cap that
+    * keeps one domain from dominating the corpus): keep at most K docs per
+    * source, deterministically (lowest doc_id first), and report what the
+    * cap kept vs dropped. One shuffle on source; at 100 TB the rank is a
+    * WindowGroupLimit — partial top-K before the exchange, no full sort. */
+  val qDomainQuota: Q = Q(
+    "q_domain_quota",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = 10
+      val ranked = Tables.t(s, dir, "documents")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"source").orderBy($"doc_id")))
+      ranked.groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"rn" <= k, 1).otherwise(0)).as("n_kept"),
+          max(when($"rn" <= k, $"doc_id")).as("max_kept_doc"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, count(*) AS n_total,
+           |       sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS n_kept,
+           |       max(CASE WHEN rn <= 10 THEN doc_id END) AS max_kept_doc
+           |FROM (SELECT source, doc_id,
+           |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           |      FROM documents)
+           |GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qStratifiedSplit, qContamination, qPipelineE2e)
+    qStratifiedSplit, qContamination, qPipelineE2e, qQualityRepetition,
+    qDomainQuota)
 }
