@@ -335,7 +335,37 @@ object TextOps {
            |      FROM documents)
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Balanced mixture resampling (the corpus-mixture rebalancing step of a
+    * pre-training pipeline): downsample every language class to the size of
+    * the SMALLEST class, deterministically (doc_id rank — reproducible
+    * mixtures, no sampling nondeterminism). The class-size lookup is a
+    * #langs-row aggregate collected on the driver — metadata-sized at any
+    * corpus scale (like the IVF centroid table), while the resample itself
+    * is one rank shuffle. */
+  val qMixtureResample: Q = Q(
+    "q_mixture_resample",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.t(s, dir, "documents")
+      val minClass = docs.groupBy($"lang").count()
+        .agg(min("count")).first().getLong(0)
+      docs.withColumn("rn",
+          row_number().over(Window.partitionBy($"lang").orderBy($"doc_id")))
+        .filter($"rn" <= minClass)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_checksum"))
+        .orderBy($"lang")
+    },
+    Some("""WITH m AS (SELECT min(cnt) AS k FROM (
+           |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)),
+           |r AS (SELECT lang, doc_id,
+           |             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           |      FROM documents)
+           |SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_checksum
+           |FROM r, m WHERE rn <= m.k GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qStratifiedSplit, qContamination, qPipelineE2e, qQualityRepetition,
-    qDomainQuota)
+    qDomainQuota, qMixtureResample)
 }
