@@ -36,6 +36,21 @@ object GraftSql {
 
   private val InsertR = "(?is)\\s*INSERT\\s+INTO\\s+(\\w+)\\s+(.*)".r
 
+  // SET 'key' = 'value' | SET key = value | bare SET (list) — the SQL
+  // client's session-config command (flink-sql-client SqlCommandParser SET).
+  private val SetR = "(?is)\\s*SET\\s+'?([\\w.\\-]+)'?\\s*=\\s*'?([^';]*?)'?\\s*;?\\s*".r
+  private val ResetR = "(?is)\\s*RESET\\s+'?([\\w.\\-]+)'?\\s*;?\\s*".r
+  private val ExplainR = "(?is)\\s*EXPLAIN\\s+(?:PLAN\\s+FOR\\s+)?(.*)".r
+
+  /** Reference session options with a direct Spark equivalent — SET text
+    * written against the reference engine keeps working through this door.
+    * Unmapped keys are stored verbatim in the session conf (they are
+    * readable back via bare SET, like the reference's key-value store). */
+  private val ConfAliases = Map(
+    "table.exec.resource.default-parallelism" -> "spark.sql.shuffle.partitions",
+    "parallelism.default" -> "spark.sql.shuffle.partitions",
+    "table.optimizer.join.broadcast-threshold" -> "spark.sql.autoBroadcastJoinThreshold")
+
   // SELECT * FROM <t> MATCH_RECOGNIZE ( <spec> ) [AS <alias>] [ORDER BY <cols>]
   private val MatchR =
     ("(?is)\\s*SELECT\\s+\\*\\s+FROM\\s+(\\w+)\\s+MATCH_RECOGNIZE\\s*" +
@@ -83,7 +98,42 @@ object GraftSql {
   /** Same, against already-registered views only (no fixture dir). */
   def run(spark: SparkSession, text: String): DataFrame = {
     val upper = text.toUpperCase
-    if (upper.trim.startsWith("CREATE TABLE")) {
+    if (upper.trim.startsWith("SET") || upper.trim.startsWith("RESET")) {
+      import spark.implicits._
+      text match {
+        case SetR(key, value) =>
+          val k = ConfAliases.getOrElse(key, key)
+          spark.conf.set(k, value)
+          Seq((k, value)).toDF("key", "value")
+        case ResetR(key) =>
+          val k = ConfAliases.getOrElse(key, key)
+          spark.conf.unset(k)
+          Seq((k, "<unset>")).toDF("key", "value")
+        case _ if upper.trim.matches("(?s)SET\\s*;?\\s*") => // bare SET: list
+          spark.conf.getAll.toSeq.sortBy(_._1).toDF("key", "value")
+        case _ => throw new IllegalArgumentException(
+          s"SET must be SET ['key'] = ['value'] | SET | RESET 'key': $text")
+      }
+    }
+    else if (upper.trim.startsWith("EXPLAIN")) text match {
+      // the reference's EXPLAIN [PLAN FOR] <stmt> (SqlToOperationConverter →
+      // ExplainOperation): lower the inner statement through this same
+      // dispatcher — idiom text explains too — and return the physical plan
+      // WITHOUT executing (an EXPLAIN INSERT plans the SELECT, writes
+      // nothing). Building a DataFrame is lazy everywhere in this engine, so
+      // planning is side-effect-free.
+      case ExplainR(inner) =>
+        import spark.implicits._
+        val target = inner.trim match {
+          case InsertR(_, select) => select
+          case other => other
+        }
+        val df = run(spark, target)
+        Seq(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)).toDF("plan")
+      case _ => throw new IllegalArgumentException(s"EXPLAIN what? $text")
+    }
+    else if (upper.trim.startsWith("CREATE TABLE")) {
       // the reference's DDL (SqlCreateTable.java:56) — a WATERMARK clause
       // registers a watermarked streaming SOURCE view (returned); without
       // one it registers a writable SINK for INSERT INTO (empty result)
@@ -231,5 +281,35 @@ object GraftSql {
            |       count(*) AS cnt
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto)
+  /** q_sql_window_topn: the rn=1 SHAPE layered over a TUMBLE aggregate,
+    * through the one door. The dedup recognizer correctly DECLINES — its
+    * subject is a derived table, not a bare view, and the reference planner
+    * likewise routes this plan to Rank, not Deduplicate
+    * (StreamExecRankRule vs StreamExecDeduplicateRule) — then the TUMBLE
+    * lowers by text and Catalyst runs the rank: the reference's "window
+    * Top-N" pattern answered through composed recognizers. Deterministic by
+    * construction (wstart tie-break in the rank ORDER BY). */
+  val qSqlWindowTopn: Q = Q(
+    "q_sql_window_topn",
+    (s, dir) => sql(s, dir,
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                               ORDER BY cnt DESC, wstart) AS rn
+        |  FROM (
+        |    SELECT user_id,
+        |           unix_timestamp(TUMBLE_START(ts, INTERVAL '10' MINUTE)) AS wstart,
+        |           count(*) AS cnt
+        |    FROM events GROUP BY user_id, TUMBLE(ts, INTERVAL '10' MINUTE))
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    Some("""SELECT user_id, wstart, cnt, CAST(rn AS INTEGER) AS rn FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id
+           |                              ORDER BY cnt DESC, wstart) AS rn
+           |  FROM (
+           |    SELECT user_id, CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS wstart,
+           |           count(*) AS cnt
+           |    FROM events GROUP BY 1, 2))
+           |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto,
+    qSqlWindowTopn)
 }

@@ -365,7 +365,134 @@ object TextOps {
            |SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_checksum
            |FROM r, m WHERE rn <= m.k GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** GPT-style sequence PACKING (concat-and-chunk): within each source,
+    * documents are concatenated in doc_id order and the token stream is cut
+    * into fixed-length training sequences (seqLen=256). Reports, per source,
+    * how many chunks the corpus packs into and how many documents straddle a
+    * chunk boundary (the attention-contamination metric packing audits care
+    * about). One window sort per source — the 100 TB shape, since packing is
+    * per-shard by construction and sources are the natural shards; no
+    * driver-side loop, no second pass over the text. */
+  val qSequencePack: Q = Q(
+    "q_sequence_pack",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val seqLen = 256
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(trim(regexp_replace($"text", "\\s+", " ")), " ")).cast("long"))
+        .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+        .withColumn("chunk_first", floor($"cum_before" / seqLen))
+        .withColumn("chunk_last", floor(($"cum_before" + $"n_tok" - 1) / seqLen))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          (max($"chunk_last") + 1).as("n_chunks"),
+          sum(when($"chunk_first" =!= $"chunk_last", 1L).otherwise(0L))
+            .as("n_boundary_docs"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (
+           |  SELECT source, doc_id,
+           |         CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, n_tok,
+           |         CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM t)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           |       CAST(max((cum_before + n_tok - 1) // 256) + 1 AS BIGINT) AS n_chunks,
+           |       CAST(sum(CASE WHEN cum_before // 256 <> (cum_before + n_tok - 1) // 256
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+           |FROM c GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Deterministic quality-weighted importance sampling (the DSIR/CCNet-style
+    * "sample the corpus proportionally to a quality weight" step, made
+    * REPRODUCIBLE): acceptance probability p = min(5·stopwords/tokens, 1),
+    * uniform draw u = hash(doc_id)/M with a fixed multiplicative hash — so
+    * the same doc is kept in every run on every engine. The keep decision is
+    * evaluated in EXACT integer arithmetic (u < p ⟺ x·n_tok < 5·n_stop·M),
+    * so no float rounding can flip a row between engines. Pure per-row
+    * projection + one audit agg — zero extra shuffles at 100 TB. */
+  val qImportanceSample: Q = Q(
+    "q_importance_sample",
+    (s, dir) => {
+      import s.implicits._
+      val M = 1000003L // prime modulus for the unit-interval draw
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", split(trim(regexp_replace($"text", "\\s+", " ")), " "))
+        .withColumn("n_tok", size($"toks").cast("long"))
+        .withColumn("n_stop", expr(
+          "cast(size(filter(toks, x -> x IN ('the','and','of','a','is','to','in'))) as bigint)"))
+        .withColumn("x", ($"doc_id" % M) * 2654435761L % M)
+        .withColumn("keep",
+          lit(5) * $"n_stop" >= $"n_tok" || $"x" * $"n_tok" < lit(5) * $"n_stop" * M)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"keep", $"doc_id")).as("kept_checksum"))
+        .orderBy($"lang")
+    },
+    Some("""WITH d AS (
+           |  SELECT lang, doc_id,
+           |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+           |    CAST(len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+           |         x -> x IN ('the','and','of','a','is','to','in'))) AS BIGINT) AS n_stop,
+           |    ((doc_id % 1000003) * 2654435761) % 1000003 AS x
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_total,
+           |  CAST(sum(CASE WHEN 5 * n_stop >= n_tok
+           |                  OR x * n_tok < 5 * n_stop * 1000003
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN 5 * n_stop >= n_tok
+           |                  OR x * n_tok < 5 * n_stop * 1000003
+           |                THEN doc_id END) AS BIGINT) AS kept_checksum
+           |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Intra-corpus duplicate-SPAN measurement (the audit behind exact
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): per document, how many of its word-3-gram
+    * shingles also occur in ANOTHER document, and the duplicated fraction.
+    * Unlike q_contamination (overlap vs a tiny external probe set) this
+    * measures corpus-internal duplication: shingle document-frequency is one
+    * linear aggregate over the session-materialized shingle relation shared
+    * with the dedup family, the flagging join is a semi join on the shingle
+    * key, and nothing is quadratic — the 100 TB plan is exactly this one. */
+  val qDupSpanFrac: Q = Q(
+    "q_dup_span_frac",
+    (s, dir) => {
+      import s.implicits._
+      val sh = Materialized.of(s, s"shingles:$dir")(
+        DedupOps.shingles(Tables.t(s, dir, "documents")))
+      // shingles() is distinct per (doc_id, sh), so count(*) per sh is the
+      // document frequency
+      val dupSh = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > 1).select($"sh")
+      val nDup = sh.join(dupSh, Seq("sh"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+      sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        .join(nDup, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup"))
+        .select($"doc_id", $"n_sh", $"n_dup",
+          round($"n_dup" / $"n_sh", 6).as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${DedupOps.shinglesSql},
+            |dupsh AS (SELECT sh FROM sh_rel GROUP BY sh HAVING count(*) > 1),
+            |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh_rel GROUP BY doc_id),
+            |dup AS (SELECT doc_id, count(*) AS n_dup
+            |        FROM sh_rel JOIN dupsh USING (sh) GROUP BY doc_id)
+            |SELECT t.doc_id, t.n_sh, COALESCE(d.n_dup, 0) AS n_dup,
+            |       round(COALESCE(d.n_dup, 0) * 1.0 / t.n_sh, 6) AS dup_frac
+            |FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY t.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qStratifiedSplit, qContamination, qPipelineE2e, qQualityRepetition,
-    qDomainQuota, qMixtureResample)
+    qDomainQuota, qMixtureResample, qSequencePack, qImportanceSample,
+    qDupSpanFrac)
 }

@@ -198,4 +198,60 @@ class GraftSqlSpec extends GraftSpec {
     assert(df.columns.toSeq == Seq("event_id", "v"))
     assert(df.count() > 0)
   }
+
+  test("SET: quoted reference keys map to Spark conf and restore via RESET") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val df = GraftSql.run(spark,
+        "SET 'table.exec.resource.default-parallelism' = '7'")
+      assert(df.collect().head.getString(0) == "spark.sql.shuffle.partitions")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      // unmapped keys are stored verbatim and listed by bare SET
+      GraftSql.run(spark, "SET 'pipeline.name' = 'graft-session'")
+      val listed = GraftSql.run(spark, "SET").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(listed("pipeline.name") == "graft-session")
+      GraftSql.run(spark, "RESET 'pipeline.name'")
+      assert(spark.conf.getOption("pipeline.name").isEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("EXPLAIN lowers idiom text and plans WITHOUT executing") {
+    val plan = GraftSql.sql(spark, sfDir,
+      """EXPLAIN SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '5' MINUTE)) AS w,
+        |count(*) AS cnt FROM events GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)"""
+        .stripMargin).collect().head.getString(0)
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
+    // EXPLAIN INSERT plans the SELECT and writes nothing
+    val path = Tables.scratch("insert-sink/gsql_explain_sink")
+    GraftSql.run(spark,
+      s"CREATE TABLE gsql_explain_sink (n BIGINT) WITH ('path' = '$path')")
+    val p2 = GraftSql.run(spark,
+      "EXPLAIN PLAN FOR INSERT INTO gsql_explain_sink SELECT count(*) AS n FROM events")
+      .collect().head.getString(0)
+    assert(p2.contains("Aggregate"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) ||
+      java.nio.file.Files.list(java.nio.file.Paths.get(path)).count() == 0)
+  }
+
+  test("catalog commands pass through: SHOW TABLES and DESCRIBE") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one") // ensure views registered
+    val tables = GraftSql.run(spark, "SHOW TABLES")
+      .select("tableName").collect().map(_.getString(0))
+    assert(tables.contains("events"))
+    val cols = GraftSql.run(spark, "DESCRIBE events")
+      .select("col_name").collect().map(_.getString(0))
+    assert(cols.contains("event_id"))
+  }
+
+  test("script mode: SET inside a script applies to the statements after it") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val df = GraftSql.script(spark, sfDir,
+        """SET 'table.exec.resource.default-parallelism' = '3';
+          |SELECT count(*) AS n FROM events""".stripMargin)
+      assert(df.collect().head.getLong(0) > 0)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "3")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
