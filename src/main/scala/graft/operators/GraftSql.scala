@@ -281,6 +281,35 @@ object GraftSql {
            |       count(*) AS cnt
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The reference's StatementSet (flink-table/flink-table-api-java/src/main/
+    * java/org/apache/flink/table/api/StatementSet.java — 1.11's API for
+    * buffering SEVERAL `INSERT INTO` statements and submitting them with one
+    * `execute()` call): INSERTs accumulate with `addInsertSql`, `execute()`
+    * routes each through the unified dispatcher in order (idioms compose
+    * inside the SELECTs) and returns one summary row per statement — sink
+    * name and rows written, the analogue of the reference TableResult's
+    * per-sink affected-row counts. */
+  final class StatementSet private[operators] (spark: SparkSession) {
+    private val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    def addInsertSql(sql: String): this.type = {
+      require(sql.trim.toUpperCase.startsWith("INSERT INTO"),
+        s"StatementSet accepts only INSERT INTO statements: $sql")
+      stmts += sql
+      this
+    }
+    def execute(): DataFrame = {
+      import spark.implicits._
+      require(stmts.nonEmpty, "empty statement set: call addInsertSql first")
+      stmts.toSeq.map { s0 =>
+        val sink = s0.trim match { case InsertR(name, _) => name }
+        sink -> GraftSql.run(spark, s0).count()
+      }.toDF("sink", "rows")
+    }
+  }
+
+  def createStatementSet(spark: SparkSession): StatementSet =
+    new StatementSet(spark)
+
   /** q_sql_window_topn: the rn=1 SHAPE layered over a TUMBLE aggregate,
     * through the one door. The dedup recognizer correctly DECLINES — its
     * subject is a derived table, not a bare view, and the reference planner

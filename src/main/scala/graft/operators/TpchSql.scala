@@ -21,8 +21,21 @@ import graft.{Q, Tables}
   *         brackets instead of brand+container+shipmode),
   *   Q21 = EXISTS + NOT EXISTS double self-correlation ("problem line" =
   *         l_returnflag = 'R' instead of receipt > commit).
-  * Q2/Q9/Q11/Q16/Q20 need the partsupp table, which the read-only testdata
-  * does not ship — documented in COVERAGE.md, not faked.
+  * Q2/Q9/Q11/Q16/Q20 reference the partsupp table, which the read-only
+  * testdata does not ship; their SHAPES — the decorrelations and plan forms
+  * those five exist to exercise — are expressed with lineitem standing in as
+  * the part-supplier relation (it carries exactly partsupp's
+  * (partkey, suppkey, cost) association):
+  *   Q2  = correlated scalar-MIN subquery selecting the cheapest supplier
+  *         per part (min l_extendedprice instead of min ps_supplycost),
+  *   Q9  = profit amount-expression over a 5-way join grouped by
+  *         nation × year (0.5·l_quantity as the cost term),
+  *   Q11 = grouped value with HAVING against a SCALAR-subquery fraction of
+  *         the global total (the "important stock" threshold),
+  *   Q16 = count-distinct suppliers per part attribute with a NOT IN
+  *         exclusion subquery,
+  *   Q20 = IN over a grouped-HAVING subquery ("shipped in volume") joined
+  *         back to supplier × nation.
   *
   * Every SQL text is engine-portable: the identical string is the DuckDB
   * oracle, so these check parser + decorrelator + optimizer parity.
@@ -173,6 +186,84 @@ object TpchSql {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
 
+  /** Q2 shape (minimum-cost supplier): correlated scalar-MIN subquery — the
+    * decorrelator must rewrite it into an aggregate + self-join on the
+    * correlation key (partkey), the exact plan TPC-H Q2 exists to test;
+    * lineitem plays partsupp, l_extendedprice plays ps_supplycost. */
+  val qTpchQ2Shape: Q = sqlQ(
+    "q_tpch_q2_shape",
+    """SELECT s.s_name, s.s_acctbal, n.n_name AS nation,
+      |       l.l_partkey AS p_key, l.l_extendedprice AS price
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE l.l_partkey < 100
+      |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+      |                           FROM lineitem l2
+      |                           WHERE l2.l_partkey = l.l_partkey)
+      |ORDER BY s.s_acctbal DESC, nation, s.s_name, p_key, price""".stripMargin)
+
+  /** Q9 shape (product-type profit): amount expression with a cost term over
+    * a 5-way join, grouped by nation × order year (0.5·l_quantity stands in
+    * for ps_supplycost·l_quantity). The profit is summed in integer CENTS —
+    * each addend rounded to an integral double, so the aggregate is exact
+    * and ORDER-INDEPENDENT (a float sum over ~150 groups hit 2-dec rounding
+    * boundaries run-to-run; engines must agree on every group regardless of
+    * partitioning). */
+  val qTpchQ9Shape: Q = sqlQ(
+    "q_tpch_q9_shape",
+    """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      |       round(sum(round(100 * (l.l_extendedprice * (1 - l.l_discount)
+      |                              - 0.5 * l.l_quantity))) / 100.0, 2) AS sum_profit
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_name LIKE '%a%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)
+
+  /** Q11 shape (important stock): grouped value filtered by a HAVING whose
+    * right side is a SCALAR subquery over the same relation — the
+    * fraction-of-global-total threshold Q11's planner test is about. */
+  val qTpchQ11Shape: Q = sqlQ(
+    "q_tpch_q11_shape",
+    """SELECT l_suppkey,
+      |       round(sum(round(100 * l_extendedprice * (1 - l_discount))) / 100.0, 2)
+      |         AS value
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING sum(round(100 * l_extendedprice * (1 - l_discount))) >
+      |       (SELECT sum(round(100 * l_extendedprice * (1 - l_discount))) * 0.01
+      |        FROM lineitem)
+      |ORDER BY value DESC, l_suppkey""".stripMargin)
+
+  /** Q16 shape (supplier relationship count): count-DISTINCT suppliers per
+    * part attribute with a NOT IN anti-join exclusion — the
+    * distinct-agg-over-anti-join plan form. */
+  val qTpchQ16Shape: Q = sqlQ(
+    "q_tpch_q16_shape",
+    """SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_type <> 'SMALL'
+      |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""".stripMargin)
+
+  /** Q20 shape (volume shippers): IN over a grouped-HAVING subquery (semi
+    * join against an aggregate), joined back to supplier × nation — Q20's
+    * nested-aggregate decorrelation with the availability predicate mapped
+    * to shipped volume. */
+  val qTpchQ20Shape: Q = sqlQ(
+    "q_tpch_q20_shape",
+    """SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_suppkey IN (SELECT l_suppkey FROM lineitem
+      |                      GROUP BY l_suppkey, l_partkey
+      |                      HAVING sum(l_quantity) > 130)
+      |ORDER BY s.s_suppkey""".stripMargin)
+
   val all: Seq[Q] = Seq(
-    qTpchQ4, qTpchQ6, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ21)
+    qTpchQ4, qTpchQ6, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ21,
+    qTpchQ2Shape, qTpchQ9Shape, qTpchQ11Shape, qTpchQ16Shape, qTpchQ20Shape)
 }

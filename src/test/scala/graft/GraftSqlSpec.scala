@@ -244,6 +244,27 @@ class GraftSqlSpec extends GraftSpec {
     assert(cols.contains("event_id"))
   }
 
+  test("StatementSet: several INSERTs buffered, one execute, per-sink summary") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one") // ensure views registered
+    val p1 = Tables.scratch("insert-sink/gsql_ss_a")
+    val p2 = Tables.scratch("insert-sink/gsql_ss_b")
+    GraftSql.run(spark, s"CREATE TABLE gsql_ss_a (t STRING, n BIGINT) WITH ('path' = '$p1')")
+    GraftSql.run(spark, s"CREATE TABLE gsql_ss_b (n BIGINT) WITH ('path' = '$p2')")
+    val summary = GraftSql.createStatementSet(spark)
+      .addInsertSql(
+        "INSERT INTO gsql_ss_a SELECT event_type AS t, count(*) AS n FROM events GROUP BY event_type")
+      .addInsertSql("INSERT INTO gsql_ss_b SELECT count(*) AS n FROM events")
+      .execute()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.keySet == Set("gsql_ss_a", "gsql_ss_b"))
+    assert(summary("gsql_ss_b") == 1)
+    assert(spark.read.parquet(p1).count() == summary("gsql_ss_a"))
+    // only INSERTs are accepted — the reference API's contract
+    intercept[IllegalArgumentException] {
+      GraftSql.createStatementSet(spark).addInsertSql("SELECT 1")
+    }
+  }
+
   test("script mode: SET inside a script applies to the statements after it") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
