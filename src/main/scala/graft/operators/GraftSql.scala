@@ -214,9 +214,19 @@ object GraftSql {
           case Some(o) => out.orderBy(o.split(",").map(_.trim).map(org.apache.spark.sql.functions.col).toSeq: _*)
           case None => out
         }
-      case _ => throw new IllegalArgumentException(
-        "MATCH_RECOGNIZE statement must be SELECT * FROM <table> " +
-          s"MATCH_RECOGNIZE (<spec>) [ORDER BY …]: $text")
+      case _ => extractParenSubquery(text, "MATCH_RECOGNIZE") match {
+        // nested as a subquery (reference: a MATCH_RECOGNIZE relation is an
+        // ordinary RelNode input to any enclosing operator): lower the inner
+        // statement, splice a temp view, re-dispatch — the enclosing
+        // statement's own idioms (TUMBLE, LATERAL, rn=1) still compose.
+        case Some((start, end, inner)) =>
+          val view = s"graft_mr_sub_${Integer.toHexString(inner.hashCode)}"
+          run(spark, inner).createOrReplaceTempView(view)
+          run(spark, text.substring(0, start) + view + text.substring(end))
+        case None => throw new IllegalArgumentException(
+          "MATCH_RECOGNIZE statement must be SELECT * FROM <table> " +
+            s"MATCH_RECOGNIZE (<spec>) [ORDER BY …]: $text")
+      }
     }
     else if (upper.contains("FOR SYSTEM_TIME AS OF"))
       // A temporal join that is the WHOLE statement routes straight to the
@@ -435,6 +445,43 @@ object GraftSql {
            |WHERE v IS NOT NULL
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q_sql_match_window: MATCH_RECOGNIZE nested under a TUMBLE aggregate —
+    * matched view→purchase funnels counted per hour of the funnel's START
+    * time. The NFA relation becomes an ordinary input to the windowed
+    * aggregate via subquery extraction; for the contiguous two-symbol
+    * pattern SKIP PAST LAST ROW equals the positional oracle (a match at i
+    * forces event_type(i+1)=purchase, so no overlapping start exists). */
+  val qSqlMatchWindow: Q = Q(
+    "q_sql_match_window",
+    (s, dir) => {
+      Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .createOrReplaceTempView("graft_mrw_events")
+      run(s,
+        """SELECT unix_timestamp(TUMBLE_START(a_ts, INTERVAL '60' MINUTE)) AS wstart,
+          |       count(*) AS n_funnels
+          |FROM (
+          |  SELECT * FROM graft_mrw_events MATCH_RECOGNIZE (
+          |    PARTITION BY user_id ORDER BY event_id
+          |    MEASURES A.ts AS a_ts
+          |    ONE ROW PER MATCH
+          |    AFTER MATCH SKIP PAST LAST ROW
+          |    PATTERN (A B)
+          |    DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+          |  )
+          |) m
+          |GROUP BY TUMBLE(a_ts, INTERVAL '60' MINUTE)
+          |ORDER BY wstart""".stripMargin)
+    },
+    Some("""SELECT CAST(floor(epoch(a_ts) / 3600) * 3600 AS BIGINT) AS wstart,
+           |       count(*) AS n_funnels
+           |FROM (
+           |  SELECT ts AS a_ts, event_type AS t0,
+           |         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS t1
+           |  FROM events)
+           |WHERE t0 = 'view' AND t1 = 'purchase'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto,
-    qSqlWindowTopn, qSqlTemporalWindow)
+    qSqlWindowTopn, qSqlTemporalWindow, qSqlMatchWindow)
 }

@@ -281,6 +281,25 @@ class GraftSqlSpec extends GraftSpec {
     assert(df.count() > 0)
   }
 
+  test("MATCH_RECOGNIZE nested under an aggregate composes through the door") {
+    Tables.t(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type")
+      .createOrReplaceTempView("gsql_mrw")
+    val df = GraftSql.run(spark,
+      """SELECT user_id, count(*) AS n_matches
+        |FROM (
+        |  SELECT * FROM gsql_mrw MATCH_RECOGNIZE (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    MEASURES A.event_id AS a_id
+        |    ONE ROW PER MATCH
+        |    PATTERN (A B)
+        |    DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+        |  )
+        |) m GROUP BY user_id""".stripMargin)
+    assert(df.columns.toSeq == Seq("user_id", "n_matches"))
+    assert(df.count() > 0)
+  }
+
   test("StatementSet: several INSERTs buffered, one execute, per-sink summary") {
     GraftSql.sql(spark, sfDir, "SELECT 1 AS one") // ensure views registered
     val p1 = Tables.scratch("insert-sink/gsql_ss_a")
