@@ -220,6 +220,56 @@ object SimilarityOps {
            |  FROM sims) WHERE rn <= 3
            |ORDER BY qid, rn""".stripMargin))
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding near-duplicate
+    * pairs (within-class, cosine ≥ 0.95) → connected components → keep the
+    * minimum-id representative per semantic cluster; per class, report
+    * vectors / semantic clusters / dropped near-duplicates. The edge
+    * relation is the bounded within-bucket pair join of q_embed_near_dup,
+    * the clustering is the structurally-bounded O(log n) star CC shared
+    * with q_dedup_clusters_star — so the full semantic-dedup pipeline
+    * composes from already-scale-audited pieces, nothing quadratic. The
+    * oracle replays the same components with a recursive min-label CTE. */
+  val qSemanticDedup: Q = Q(
+    "q_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.t(s, dir, "embeddings")
+      val qs = withNorm(e, "qid", "qv")
+      val cs = withNorm(e, "cid", "cv")
+      val edges = qs.join(cs, $"qid_label" === $"cid_label" && $"qid" < $"cid")
+        .withColumn("sim", round(cosine("qv", "cv"), 6))
+        .filter($"sim" >= 0.95)
+        .select($"qid".as("src"), $"cid".as("dst"))
+      val nodes = e.select($"vec_id".as("node"))
+      val comp = ConnectedComponents.componentsStar(nodes, edges)
+      comp.join(e.select($"vec_id".as("node"), $"label".as("cls")), "node")
+        .groupBy($"cls")
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct($"label").as("n_clusters"),
+          sum(when($"node" === $"label", 0L).otherwise(1L)).as("n_dropped"))
+        .orderBy($"cls")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id < b.vec_id
+           |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.95),
+           |edges AS (SELECT src, dst FROM pairs
+           |          UNION SELECT dst AS src, src AS dst FROM pairs),
+           |r(node, lbl) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node),
+           |comp AS (SELECT node, min(lbl) AS clabel FROM r GROUP BY node)
+           |SELECT emb.label AS cls, count(*) AS n_vecs,
+           |       count(DISTINCT c.clabel) AS n_clusters,
+           |       CAST(sum(CASE WHEN c.node = c.clabel THEN 0 ELSE 1 END) AS BIGINT)
+           |         AS n_dropped
+           |FROM comp c JOIN embeddings emb ON emb.vec_id = c.node
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(qCosineTopK, qCosineTopKBucketed, qEmbedNearDup,
-    qEmbedCentroids, qAnnIvf)
+    qEmbedCentroids, qAnnIvf, qSemanticDedup)
 }
