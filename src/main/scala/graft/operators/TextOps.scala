@@ -491,8 +491,72 @@ object TextOps {
             |       round(COALESCE(d.n_dup, 0) * 1.0 / t.n_sh, 6) AS dup_frac
             |FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY t.doc_id""".stripMargin))
 
+  /** Token-distribution DRIFT between the train and val splits (the
+    * data-mixing QA step: a reproducible split should have near-identical
+    * token distributions; a KL spike means the split correlates with
+    * content). Deterministic end-to-end: the split is the same md5 bucket
+    * as q_stratified_split, the vocabulary is the global top-100 tokens
+    * with a total tie-break order, probabilities are Laplace-smoothed
+    * ratios of exact integer counts, and the 100-term KL sum is rounded to
+    * 6 (float noise ~1e-14 ≪ the rounding grain). One explode+count
+    * shuffle, linear in corpus tokens; the vocab join is a 100-row
+    * broadcast — the 100 TB plan unchanged. */
+  val qTokenDrift: Q = Q(
+    "q_token_drift",
+    (s, dir) => {
+      import s.implicits._
+      val bucket = graft.functions.FlinkFunctions
+        .md5Hash31($"doc_id".cast("string")) % 100
+      val toks = Tables.t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .filter($"split".isin("train", "val"))
+        .select($"split", explode(split(lower($"text"), " ")).as("tok"))
+      val counts = toks.groupBy($"split", $"tok").agg(count(lit(1)).as("c"))
+      val vocab = counts.groupBy($"tok").agg(sum($"c").as("n"))
+        .orderBy($"n".desc, $"tok").limit(100).select($"tok")
+      val tot = counts.groupBy($"split").agg(sum($"c").as("n_split"))
+      // vocab × {train, val} grid WITHOUT a cross join (explode of a
+      // 2-literal array — the sweep forbids NLJ shapes, and rightly so);
+      // the grid guarantees a smoothed p for tokens absent from one split
+      val grid = vocab
+        .withColumn("split", explode(array(lit("train"), lit("val"))))
+      val sm = grid.join(counts, Seq("tok", "split"), "left")
+        .join(tot, Seq("split"))
+        .select($"split", $"tok",
+          ((coalesce($"c", lit(0L)) + 1).cast("double") / ($"n_split" + 100))
+            .as("p"))
+      val train = sm.filter($"split" === "train").select($"tok", $"p".as("pt"))
+      val valp = sm.filter($"split" === "val").select($"tok", $"p".as("pv"))
+      train.join(valp, "tok")
+        .agg(round(sum($"pt" * log($"pt" / $"pv")), 6).as("kl_train_val"),
+          count(lit(1)).as("vocab_size"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT CASE WHEN h < 80 THEN 'train' ELSE 'val' END AS split,
+           |         unnest(string_split(lower(text), ' ')) AS tok
+           |  FROM (SELECT text,
+           |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |            % 2147483647 % 100 AS h
+           |        FROM documents)
+           |  WHERE h < 90),
+           |counts AS (SELECT split, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+           |vocab AS (SELECT tok FROM (
+           |  SELECT tok, sum(c) AS n FROM counts GROUP BY tok
+           |  ORDER BY n DESC, tok LIMIT 100)),
+           |tot AS (SELECT split, sum(c) AS n_split FROM counts GROUP BY split),
+           |sm AS (
+           |  SELECT t.split, v.tok,
+           |         (COALESCE(c.c, 0) + 1) * 1.0 / (t.n_split + 100) AS p
+           |  FROM vocab v CROSS JOIN tot t
+           |  LEFT JOIN counts c ON c.tok = v.tok AND c.split = t.split)
+           |SELECT round(sum(a.p * ln(a.p / b.p)), 6) AS kl_train_val,
+           |       count(*) AS vocab_size
+           |FROM sm a JOIN sm b ON a.tok = b.tok
+           |WHERE a.split = 'train' AND b.split = 'val'""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qStratifiedSplit, qContamination, qPipelineE2e, qQualityRepetition,
     qDomainQuota, qMixtureResample, qSequencePack, qImportanceSample,
-    qDupSpanFrac)
+    qDupSpanFrac, qTokenDrift)
 }
