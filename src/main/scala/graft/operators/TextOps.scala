@@ -555,8 +555,44 @@ object TextOps {
            |FROM sm a JOIN sm b ON a.tok = b.tok
            |WHERE a.split = 'train' AND b.split = 'val'""".stripMargin))
 
+  /** Per-document unigram negative log-likelihood — the honest proxy for
+    * the CCNet perplexity filter (production scores docs under a KenLM
+    * n-gram model; the unigram corpus model keeps the pipeline shape, the
+    * filtering math, and engine-reproducibility, and the proxy status is
+    * disclosed here rather than faked): p(token) = Laplace-smoothed corpus
+    * unigram frequency, score = mean −ln p over the doc's tokens. The
+    * frequency table is vocab-sized (BROADCAST — at 100 TB the model rides
+    * to the executors exactly like the KenLM binary would), the (N, V)
+    * normalizer is a metadata-sized driver scalar, and scoring is one
+    * explode + broadcast join + per-doc aggregate — no extra shuffle over
+    * the corpus. */
+  val qUnigramLogprob: Q = Q(
+    "q_unigram_logprob",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.t(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val head = toks.agg(count(lit(1)), countDistinct($"tok")).head()
+      val norm = head.getLong(0) + head.getLong(1) // N + V
+      toks.join(broadcast(freq), "tok")
+        .withColumn("nll_tok", -log(($"c" + 1).cast("double") / norm))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), round(avg($"nll_tok"), 6).as("nll"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           |  FROM documents),
+           |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+           |nv AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM toks)
+           |SELECT t.doc_id, count(*) AS n_tok,
+           |       round(avg(-ln((f.c + 1) * 1.0 / (nv.n + nv.v))), 6) AS nll
+           |FROM toks t JOIN freq f USING (tok) CROSS JOIN nv
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qStratifiedSplit, qContamination, qPipelineE2e, qQualityRepetition,
     qDomainQuota, qMixtureResample, qSequencePack, qImportanceSample,
-    qDupSpanFrac, qTokenDrift)
+    qDupSpanFrac, qTokenDrift, qUnigramLogprob)
 }

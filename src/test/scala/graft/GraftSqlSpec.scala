@@ -321,6 +321,35 @@ class GraftSqlSpec extends GraftSpec {
     }
   }
 
+  test("full deployment script: SET + sink DDL + INSERT with nested temporal join") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val e = Tables.t(spark, sfDir, "events")
+    e.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+      .createOrReplaceTempView("gsql_dep_p")
+    e.filter($"event_type" === "signup").select($"user_id", $"ts", $"value")
+      .createOrReplaceTempView("gsql_dep_b")
+    val path = Tables.scratch("insert-sink/gsql_deploy")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val df = GraftSql.script(spark, sfDir,
+        s"""SET 'table.exec.resource.default-parallelism' = '4';
+           |CREATE TABLE gsql_deploy (wstart BIGINT, cnt BIGINT) WITH ('path' = '$path');
+           |INSERT INTO gsql_deploy
+           |SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '30' MINUTE)) AS wstart,
+           |       count(*) AS cnt
+           |FROM (
+           |  SELECT p.ts AS ts, b.value AS v
+           |  FROM gsql_dep_p AS p
+           |  JOIN gsql_dep_b FOR SYSTEM_TIME AS OF p.ts AS b
+           |  ON p.user_id = b.user_id
+           |) x
+           |GROUP BY TUMBLE(ts, INTERVAL '30' MINUTE)""".stripMargin)
+      assert(df.count() > 0) // read back from the sink files
+      assert(spark.read.parquet(path).columns.toSeq.sorted == Seq("cnt", "wstart"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("script mode: SET inside a script applies to the statements after it") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
