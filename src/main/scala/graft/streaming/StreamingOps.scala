@@ -189,6 +189,44 @@ object StreamingOps {
            |FROM events WHERE value > 400.0 AND event_type = 'purchase'
            |ORDER BY event_id""".stripMargin))
 
+  /** STREAMING ingestion pipeline end-to-end — the streaming twin of
+    * q_pipeline_e2e and the deployment shape of the training-data ops:
+    * arriving documents are quality-filtered (length gate), exact-deduped by
+    * content fingerprint in KEYED STATE (reference
+    * DeduplicateKeepFirstRowFunction over a non-windowed stream), and the
+    * accepted stream is summarized. Every emitted column is a function of
+    * the fingerprint (fp, token count, normalized length), so keep-first's
+    * arrival-order nondeterminism across input partitions cannot leak into
+    * the answer — the same discipline as q_stream_dedup. State is one row
+    * per distinct fingerprint: linear in UNIQUE content, the scale bound an
+    * ingestion dedup needs. */
+  val qStreamPipeline: Q = Q(
+    "q_stream_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val dedup = streamTable(s, dir, "documents")
+        .withColumn("norm", trim(regexp_replace(lower($"text"), "\\s+", " ")))
+        .withColumn("n_tok", size(split($"norm", " ")))
+        .filter($"n_tok" >= 20)
+        .withColumn("fp", md5($"norm"))
+        .select($"fp", $"n_tok", length($"norm").as("n_norm_chars"))
+        .dropDuplicates("fp")
+      runToMemory(s, dedup, "append", "graft_stream_pipeline")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          sum($"n_norm_chars").as("total_chars"))
+    },
+    Some("""SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           |       CAST(sum(n_norm_chars) AS BIGINT) AS total_chars
+           |FROM (
+           |  SELECT fp, max(n_tok) AS n_tok, max(n_norm_chars) AS n_norm_chars
+           |  FROM (SELECT md5(norm) AS fp,
+           |               len(string_split(norm, ' ')) AS n_tok,
+           |               length(norm) AS n_norm_chars
+           |        FROM (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           |              FROM documents))
+           |  WHERE n_tok >= 20 GROUP BY fp)""".stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumble, qStreamDedup, qStreamHop, qStreamSession,
-    qStreamStaticJoin, qStreamCalc)
+    qStreamStaticJoin, qStreamCalc, qStreamPipeline)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.GraftSql
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests for the unified-door TEXT utilities — the two scanners
+  * whose correctness every recognizer relies on: statement splitting and
+  * balanced-paren subquery extraction. Both must be exactly quote-aware
+  * (a `';'` or `'('` inside a SQL string literal is content, not syntax).
+  * scalacheck drives randomized statements built from an alphabet that
+  * includes quoted chunks containing the very delimiters being scanned. */
+class GraftSqlPropSpec extends GraftSpec {
+
+  private def holds(p: Prop, n: Int = 300): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // statement pieces: plain identifiers-with-spaces, or single-quoted chunks
+  // that may contain the delimiters (';', '(', ')')
+  private val plainPiece: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('=')))
+      .map(_.mkString)
+  private val quotedPiece: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf(';', '(', ')', ' ')))
+      .map(cs => "'" + cs.mkString + "'")
+  private val statement: Gen[String] =
+    Gen.nonEmptyListOf(Gen.frequency(3 -> plainPiece, 1 -> quotedPiece))
+      .map(_.mkString(" "))
+      .suchThat(_.trim.nonEmpty)
+
+  test("splitStatements: joins back to the same statements, quotes respected") {
+    holds(Prop.forAll(Gen.nonEmptyListOf(statement)) { stmts =>
+      val split = GraftSql.splitStatements(stmts.mkString(";"))
+      split == stmts.map(_.trim).filter(_.nonEmpty).toVector
+    })
+  }
+
+  test("splitStatements: a quoted semicolon never splits") {
+    holds(Prop.forAll(plainPiece, plainPiece) { (a, b) =>
+      GraftSql.splitStatements(s"SELECT '$a;$b' AS x").size == 1
+    })
+  }
+
+  // balanced-paren noise that may legitimately precede/follow the subquery
+  private val noise: Gen[String] = Gen.oneOf(
+    "", "f(a, b)", "g(h(x))", "'(;)'", "count(1)", "'), ('")
+
+  test("extractParenSubquery: finds the marked subquery under noise") {
+    val marker = "FOR SYSTEM_TIME AS OF"
+    holds(Prop.forAll(noise, noise) { (pre, post) =>
+      val inner = s"SELECT x $pre FROM t $marker p.ts $post"
+      val text = s"SELECT a, $pre q FROM ( $inner ) e WHERE b = $post 1"
+      GraftSql.extractParenSubquery(text, marker) match {
+        case Some((s0, e0, got)) =>
+          got == inner.trim &&
+            text.substring(s0, e0).startsWith("(") &&
+            text.substring(s0, e0).endsWith(")") &&
+            // splicing removes the marker from the remaining text
+            !(text.substring(0, s0) + text.substring(e0)).toUpperCase
+              .contains(marker)
+        case None => false
+      }
+    })
+  }
+
+  test("extractParenSubquery: top-level marker extracts nothing") {
+    val marker = "FOR SYSTEM_TIME AS OF"
+    holds(Prop.forAll(noise) { n =>
+      GraftSql.extractParenSubquery(
+        s"SELECT x FROM t $marker p.ts JOIN u ON $n a = b", marker).isEmpty
+    })
+  }
+}
