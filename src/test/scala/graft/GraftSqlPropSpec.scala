@@ -72,4 +72,29 @@ class GraftSqlPropSpec extends GraftSpec {
         s"SELECT x FROM t $marker p.ts JOIN u ON $n a = b", marker).isEmpty
     })
   }
+
+  test("GroupWindowSql.rewrite: identity on idiom-free SQL") {
+    holds(Prop.forAll(statement) { s =>
+      // statements from the generator never contain TUMBLE/HOP/SESSION
+      // calls, so the rewrite must be byte-identical
+      graft.operators.GroupWindowSql.rewrite(s) == s
+    })
+  }
+
+  test("GroupWindowSql.rewrite: lowered text carries no reference window calls") {
+    val unit = Gen.oneOf("SECOND", "MINUTE", "HOUR", "DAY")
+    val g = for {
+      n <- Gen.choose(1, 120); u <- unit
+      m <- Gen.choose(1, 120); u2 <- unit
+    } yield s"""SELECT TUMBLE_START(ts, INTERVAL '$n' $u) AS w, count(*)
+               |FROM t GROUP BY TUMBLE(ts, INTERVAL '$n' $u),
+               |HOP(ts2, INTERVAL '$m' $u2, INTERVAL '$n' $u),
+               |SESSION(ts3, INTERVAL '$m' $u2)""".stripMargin
+    holds(Prop.forAll(g) { s =>
+      val out = graft.operators.GroupWindowSql.rewrite(s).toUpperCase
+      !out.contains("TUMBLE") && !out.contains("HOP(") &&
+        !out.contains("SESSION(") && out.contains("WINDOW(") &&
+        out.contains("SESSION_WINDOW(")
+    }, n = 150)
+  }
 }

@@ -146,8 +146,10 @@ class PlanAuditSpec extends GraftSpec {
     val exempt = SparkEntry.calibrationQueries ++ Set("q_cross_join")
     // IVF assignment cross-joins every vector against the CENTROID table —
     // O(N x #cells) with a constant-size broadcast build side; that
-    // broadcast NLJ is the correct plan, a hash shuffle would be pure cost
-    val broadcastNljOk = Set("q_ann_ivf")
+    // broadcast NLJ is the correct plan, a hash shuffle would be pure cost.
+    // q_ann_recall adds the sanctioned O(|probe sample| x N) brute ground
+    // truth with the SAMPLE broadcast — the scale-correct recall eval.
+    val broadcastNljOk = Set("q_ann_ivf", "q_ann_recall")
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
       operators.TpchSql.all ++ operators.TemporalSql.all ++
       operators.GroupWindowSql.all ++ operators.SketchOps.all ++
