@@ -373,6 +373,109 @@ object SimilarityOps {
            |FROM probes p LEFT JOIN hits h ON h.qid = p.vec_id
            |ORDER BY qid""".stripMargin))
 
+  /** nprobe=2 recall — the standard IVF tuning knob (probe the top-2
+    * nearest cells instead of 1; candidates stay linear: each candidate
+    * lives in exactly one cell, so a (probe, candidate) pair appears at
+    * most once). Paired with q_ann_recall (nprobe=1) this measures the
+    * recall/cost tradeoff an index operator actually tunes: same probe
+    * sample, same exact ground truth, strictly larger candidate set. */
+  val qAnnRecallNprobe2: Q = Q(
+    "q_ann_recall_nprobe2",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.t(s, dir, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("dvec"))
+        .withColumn("dnorm", sqrt(dotProduct($"dvec", $"dvec")))
+      val cents = Tables.t(s, dir, "embeddings")
+        .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
+        .groupBy($"label", $"pos").agg(round(avg($"col"), 6).as("c"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cvec"))
+        .withColumn("cnorm", sqrt(dotProduct($"cvec", $"cvec")))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"csim".desc, $"label")
+      val assign2 = e.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter($"arn" <= 2)
+        .select($"vec_id", $"label".as("cell"), $"arn", $"dvec", $"dnorm")
+        .persist()
+      val candidates = assign2.filter($"arn" === 1)
+      val probeCells = assign2.filter($"vec_id" % 25 === 0)
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"sim".desc, $"cid")
+      val ivf2 = probeCells
+        .select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
+        .join(candidates
+          .select($"vec_id".as("cid"), $"cell", $"dvec".as("cv"), $"dnorm".as("cn")),
+          Seq("cell"))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotProduct($"qv", $"cv") / ($"qn" * $"cn"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wRank)).filter($"rn" <= 3)
+        .select($"qid", $"cid")
+      val exact = broadcast(probeCells.filter($"arn" === 1)
+          .select($"vec_id".as("qid"), $"dvec".as("qv"), $"dnorm".as("qn")))
+        .crossJoin(e.select($"vec_id".as("cid"), $"dvec".as("cv"), $"dnorm".as("cn")))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotProduct($"qv", $"cv") / ($"qn" * $"cn"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wRank)).filter($"rn" <= 3)
+        .select($"qid", $"cid")
+      val hits = ivf2.join(exact, Seq("qid", "cid"))
+        .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+      probeCells.filter($"arn" === 1).select($"vec_id".as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .orderBy($"qid")
+    },
+    Some("""WITH cent0 AS (
+           |  SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+           |  GROUP BY label, d),
+           |cents AS (SELECT label, list(c ORDER BY d) AS cvec FROM cent0 GROUP BY label),
+           |assign0 AS (
+           |  SELECT e.vec_id, c.label,
+           |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assign2 AS (
+           |  SELECT vec_id, label AS cell, arn FROM (
+           |    SELECT vec_id, label,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, label) AS arn
+           |    FROM assign0) WHERE arn <= 2),
+           |candidates AS (SELECT vec_id, cell FROM assign2 WHERE arn = 1),
+           |probe_cells AS (SELECT vec_id, cell FROM assign2 WHERE vec_id % 25 = 0),
+           |probes AS (SELECT DISTINCT vec_id FROM probe_cells),
+           |ivf_sims AS (
+           |  SELECT pc.vec_id AS qid, ca.vec_id AS cid,
+           |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+           |  FROM probe_cells pc
+           |       JOIN candidates ca ON pc.cell = ca.cell AND pc.vec_id <> ca.vec_id
+           |       JOIN embeddings a ON a.vec_id = pc.vec_id
+           |       JOIN embeddings b ON b.vec_id = ca.vec_id),
+           |ivf AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           |  FROM ivf_sims) WHERE rn <= 3),
+           |exact_sims AS (
+           |  SELECT p.vec_id AS qid, e2.vec_id AS cid,
+           |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |                                      CAST(e2.embedding AS DOUBLE[])), 6) AS sim
+           |  FROM probes p JOIN embeddings a ON a.vec_id = p.vec_id
+           |       CROSS JOIN embeddings e2
+           |  WHERE e2.vec_id <> p.vec_id),
+           |exact AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           |  FROM exact_sims) WHERE rn <= 3),
+           |hits AS (SELECT i.qid, count(*) AS n
+           |         FROM ivf i JOIN exact x ON i.qid = x.qid AND i.cid = x.cid
+           |         GROUP BY i.qid)
+           |SELECT p.vec_id AS qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+           |FROM probes p LEFT JOIN hits h ON h.qid = p.vec_id
+           |ORDER BY qid""".stripMargin))
+
   val all: Seq[Q] = Seq(qCosineTopK, qCosineTopKBucketed, qEmbedNearDup,
-    qEmbedCentroids, qAnnIvf, qSemanticDedup, qAnnRecall)
+    qEmbedCentroids, qAnnIvf, qSemanticDedup, qAnnRecall, qAnnRecallNprobe2)
 }

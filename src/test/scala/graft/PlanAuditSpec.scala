@@ -149,7 +149,7 @@ class PlanAuditSpec extends GraftSpec {
     // broadcast NLJ is the correct plan, a hash shuffle would be pure cost.
     // q_ann_recall adds the sanctioned O(|probe sample| x N) brute ground
     // truth with the SAMPLE broadcast — the scale-correct recall eval.
-    val broadcastNljOk = Set("q_ann_ivf", "q_ann_recall")
+    val broadcastNljOk = Set("q_ann_ivf", "q_ann_recall", "q_ann_recall_nprobe2")
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
       operators.TpchSql.all ++ operators.TemporalSql.all ++
       operators.GroupWindowSql.all ++ operators.SketchOps.all ++
