@@ -167,6 +167,12 @@ object GraftSql {
           case InsertR(_, select) => select
           case other => other
         }
+        // the reference explains queries and INSERTs only (ExplainOperation
+        // wraps a QueryOperation); explaining DDL would EXECUTE it here
+        // (registration is the DDL's effect), so reject it like the
+        // reference does
+        require(!target.trim.toUpperCase.startsWith("CREATE"),
+          s"EXPLAIN supports queries and INSERT INTO, not DDL: $inner")
         val df = run(spark, target)
         Seq(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)).toDF("plan")

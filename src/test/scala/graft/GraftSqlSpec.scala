@@ -230,6 +230,12 @@ class GraftSqlSpec extends GraftSpec {
       "EXPLAIN PLAN FOR INSERT INTO gsql_explain_sink SELECT count(*) AS n FROM events")
       .collect().head.getString(0)
     assert(p2.contains("Aggregate"))
+    // EXPLAIN of DDL is rejected (executing the DDL is its only effect)
+    val eDdl = intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "EXPLAIN CREATE TABLE nope (n BIGINT) WITH ('path' = '/x')")
+    }
+    assert(eDdl.getMessage.contains("not DDL"))
+    assert(!spark.catalog.tableExists("nope"))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) ||
       java.nio.file.Files.list(java.nio.file.Paths.get(path)).count() == 0)
   }
