@@ -34,7 +34,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
-  private val InsertR = "(?is)\\s*INSERT\\s+INTO\\s+(\\w+)\\s+(.*)".r
+  // INSERT INTO appends in the reference; here batch INSERT INTO overwrites
+  // so re-running a deployment statement is idempotent (disclosed divergence,
+  // tested). INSERT OVERWRITE is the reference-aligned explicit form and is
+  // batch-only in BOTH engines (SqlCommandParser.java:110 INSERT_OVERWRITE;
+  // Flink rejects streaming overwrite).
+  private val InsertR = "(?is)\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(\\w+)\\s+(.*)".r
+
+  // The rest of the reference SQL client's command set
+  // (flink-table/flink-sql-client/.../cli/SqlCommandParser.java:108-166,303):
+  // CREATE/DROP VIEW, DROP TABLE, CREATE/DROP FUNCTION, SOURCE <script-file>.
+  private val CreateViewR =
+    "(?is)\\s*CREATE\\s+(?:TEMPORARY\\s+)?VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s+AS\\s+(.*)".r
+  private val DropViewR =
+    "(?is)\\s*DROP\\s+(?:TEMPORARY\\s+)?VIEW\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*".r
+  private val DropTableR =
+    "(?is)\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*".r
+  private val CreateFnR =
+    ("(?is)\\s*CREATE\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s+AS\\s+'([^']+)'\\s*;?\\s*").r
+  private val DropFnR =
+    ("(?is)\\s*DROP\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
+      "(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*").r
+  private val SourceR = "(?is)\\s*SOURCE\\s+(\\S+)\\s*;?\\s*".r
 
   // SET 'key' = 'value' | SET key = value | bare SET (list) — the SQL
   // client's session-config command (flink-sql-client SqlCommandParser SET).
@@ -164,40 +186,114 @@ object GraftSql {
       case ExplainR(inner) =>
         import spark.implicits._
         val target = inner.trim match {
-          case InsertR(_, select) => select
+          case InsertR(_, _, select) => select
           case other => other
         }
         // the reference explains queries and INSERTs only (ExplainOperation
         // wraps a QueryOperation); explaining DDL would EXECUTE it here
-        // (registration is the DDL's effect), so reject it like the
-        // reference does
-        require(!target.trim.toUpperCase.startsWith("CREATE"),
+        // (registration/deregistration is the DDL's effect), so reject it
+        // like the reference does
+        val t0 = target.trim.toUpperCase
+        require(!t0.startsWith("CREATE") && !t0.startsWith("DROP"),
           s"EXPLAIN supports queries and INSERT INTO, not DDL: $inner")
         val df = run(spark, target)
         Seq(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)).toDF("plan")
       case _ => throw new IllegalArgumentException(s"EXPLAIN what? $text")
     }
-    else if (upper.trim.startsWith("CREATE TABLE")) {
-      // the reference's DDL (SqlCreateTable.java:56) — a WATERMARK clause
-      // registers a watermarked streaming SOURCE view (returned); without
-      // one it registers a writable SINK for INSERT INTO (empty result)
-      val name = graft.streaming.GraftDdl.executeDdl(spark, text)
-      if (spark.catalog.tableExists(name)) spark.table(name)
-      else spark.emptyDataFrame
+    else if (upper.trim.startsWith("CREATE")) text match {
+      // CREATE [TEMPORARY] VIEW (reference SqlCommandParser.java:118,
+      // CreateViewOperation): the BODY routes back through this dispatcher,
+      // so a view over idiom text (TUMBLE, LATERAL TABLE, rn=1,
+      // MATCH_RECOGNIZE, FOR SYSTEM_TIME) registers fine — Spark's own
+      // CREATE TEMPORARY VIEW would reject the unlowered text at parse.
+      case CreateViewR(ifNotExists, name, body) =>
+        if (ifNotExists != null && spark.catalog.tableExists(name))
+          spark.table(name)
+        else {
+          val df = run(spark, body)
+          df.createOrReplaceTempView(name)
+          df
+        }
+      // CREATE [TEMPORARY] [SYSTEM] FUNCTION name AS 'impl' (reference
+      // SqlCommandParser.java:149-151): impl names a graft expression class
+      // or any session-registered function; `name` becomes an alias.
+      case CreateFnR(name, impl) =>
+        import spark.implicits._
+        org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
+        Seq((name, impl)).toDF("function", "impl")
+      case _ if upper.trim.startsWith("CREATE TABLE") =>
+        // the reference's DDL (SqlCreateTable.java:56) — a WATERMARK clause
+        // registers a watermarked streaming SOURCE view (returned); without
+        // one it registers a writable SINK for INSERT INTO (empty result)
+        val name = graft.streaming.GraftDdl.executeDdl(spark, text)
+        if (spark.catalog.tableExists(name)) spark.table(name)
+        else spark.emptyDataFrame
+      case _ => spark.sql(text) // other DDL (CREATE DATABASE, …): Spark's own
     }
-    else if (upper.trim.startsWith("INSERT INTO")) text match {
+    else if (upper.trim.startsWith("DROP")) {
+      import spark.implicits._
+      text match {
+        // DROP VIEW / DROP TABLE / DROP FUNCTION (reference
+        // SqlCommandParser.java:113,119,152). DROP TABLE covers both halves
+        // of this engine's CREATE TABLE: the sink registry and the Spark
+        // temp view a watermarked source registered as. Without IF EXISTS a
+        // missing object is an error, like the reference's
+        // ValidationException.
+        case DropViewR(ifExists, name) =>
+          val dropped = spark.catalog.dropTempView(name)
+          require(dropped || ifExists != null, s"view does not exist: $name")
+          Seq((name, dropped)).toDF("name", "dropped")
+        case DropTableR(ifExists, name) =>
+          val sinkDropped = graft.streaming.GraftDdl.dropSink(name)
+          val viewDropped = spark.catalog.dropTempView(name)
+          require(sinkDropped || viewDropped || ifExists != null,
+            s"table does not exist: $name")
+          Seq((name, sinkDropped || viewDropped)).toDF("name", "dropped")
+        case DropFnR(ifExists, name) =>
+          val dropped =
+            org.apache.spark.sql.graft.GraftSqlFunctions.dropFunction(spark, name)
+          require(dropped || ifExists != null, s"function does not exist: $name")
+          Seq((name, dropped)).toDF("name", "dropped")
+        case _ => spark.sql(text) // DROP DATABASE, …: Spark's own
+      }
+    }
+    else if (upper.trim.matches("(?s)SHOW\\s+TABLES\\s*;?\\s*")) {
+      // sink tables live in GraftDdl's registry, not the Spark catalog; the
+      // reference's SHOW TABLES lists sources and sinks alike (both are
+      // catalog tables there, SqlCommandParser.java:143), so merge. Catalog
+      // listing is driver-side metadata — the one legitimate collect.
+      import spark.implicits._
+      val views = spark.catalog.listTables().collect().map(_.name.toLowerCase).toSeq
+      (views ++ graft.streaming.GraftDdl.sinkNames).distinct.sorted.toDF("tableName")
+    }
+    else if (upper.trim.startsWith("SOURCE ")) text match {
+      // the SQL client's SOURCE <file> (SqlCommandParser.java:303): run the
+      // file's contents as a script, last statement's result returned.
+      case SourceR(path) =>
+        val stmts = splitStatements(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+        require(stmts.nonEmpty, s"empty script file: $path")
+        stmts.map(run(spark, _)).last
+      case _ => throw new IllegalArgumentException(
+        s"SOURCE must be SOURCE <script-file>: $text")
+    }
+    else if (upper.trim.startsWith("INSERT")) text match {
       // the reference's deployment statement (SqlToOperationConverter →
       // CatalogSinkModifyOperation): resolve the SELECT through this same
       // dispatcher (idioms compose into the INSERT), write it to the
       // registered sink, and return the sink's contents for verification.
       // Batch SELECTs overwrite (re-running a statement is idempotent);
       // streaming SELECTs drain via AvailableNow into the sink path.
-      case InsertR(name, select) =>
+      case InsertR(mode, name, select) =>
         graft.streaming.GraftDdl.sink(name) match {
           case Some(sd) =>
             val df = run(spark, select)
             if (df.isStreaming) {
+              require(!mode.equalsIgnoreCase("OVERWRITE"),
+                "INSERT OVERWRITE requires a batch SELECT — a streaming " +
+                  "query cannot overwrite its own sink (the reference " +
+                  "rejects streaming INSERT OVERWRITE the same way)")
               val ckpt = graft.Tables.scratch(
                 s"insert-ckpt/$name-${java.util.UUID.randomUUID()}")
               val q = df.writeStream.format(sd.format)
@@ -211,7 +307,7 @@ object GraftSql {
           case None => spark.sql(text) // a real catalog table: Spark handles it
         }
       case _ => throw new IllegalArgumentException(
-        s"INSERT must be INSERT INTO <sink> <select>: $text")
+        s"INSERT must be INSERT INTO|OVERWRITE <sink> <select>: $text")
     }
     else if (upper.contains("MATCH_RECOGNIZE")) text match {
       case MatchR(from, spec, orderTxt) =>
@@ -370,7 +466,7 @@ object GraftSql {
       import spark.implicits._
       require(stmts.nonEmpty, "empty statement set: call addInsertSql first")
       stmts.toSeq.map { s0 =>
-        val sink = s0.trim match { case InsertR(name, _) => name }
+        val sink = s0.trim match { case InsertR(_, name, _) => name }
         sink -> GraftSql.run(spark, s0).count()
       }.toDF("sink", "rows")
     }
@@ -488,6 +584,39 @@ object GraftSql {
            |WHERE t0 = 'view' AND t1 = 'purchase'
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q_sql_view: CREATE VIEW through the one door (reference
+    * SqlCommandParser.java:118 CREATE_VIEW) — the view BODY is idiom text
+    * (a TUMBLE group-window aggregate) that Spark's own CREATE TEMPORARY
+    * VIEW cannot parse; the dispatcher lowers it, registers the result, and
+    * the script's next statement aggregates over the registered view. */
+  val qSqlView: Q = Q(
+    "q_sql_view",
+    (s, dir) => script(s, dir,
+      """CREATE VIEW graft_v_hourly AS
+        |SELECT user_id,
+        |       unix_timestamp(TUMBLE_START(ts, INTERVAL '60' MINUTE)) AS wstart,
+        |       count(*) AS cnt
+        |FROM events GROUP BY user_id, TUMBLE(ts, INTERVAL '60' MINUTE);
+        |SELECT wstart, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events
+        |FROM graft_v_hourly GROUP BY wstart ORDER BY wstart""".stripMargin),
+    Some("""SELECT wstart, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events
+           |FROM (
+           |  SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart,
+           |         count(*) AS cnt
+           |  FROM events GROUP BY 1, 2)
+           |GROUP BY wstart ORDER BY wstart""".stripMargin))
+
+  /** q_sql_function: CREATE FUNCTION through the one door (reference
+    * SqlCommandParser.java:149-151) — `shout` registers as an alias of the
+    * session function `upper` and the script's next statement calls it. */
+  val qSqlFunction: Q = Q(
+    "q_sql_function",
+    (s, dir) => script(s, dir,
+      """CREATE TEMPORARY FUNCTION shout AS 'upper';
+        |SELECT p_partkey, shout(p_name) AS pname FROM part ORDER BY p_partkey"""
+        .stripMargin),
+    Some("SELECT p_partkey, upper(p_name) AS pname FROM part ORDER BY p_partkey"))
+
   val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto,
-    qSqlWindowTopn, qSqlTemporalWindow, qSqlMatchWindow)
+    qSqlWindowTopn, qSqlTemporalWindow, qSqlMatchWindow, qSqlView, qSqlFunction)
 }

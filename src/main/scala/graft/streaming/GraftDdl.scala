@@ -72,4 +72,13 @@ object GraftDdl {
 
   /** Look up a sink registered by a CREATE TABLE … WITH (…) DDL. */
   def sink(name: String): Option[SinkDef] = sinks.get(name.toLowerCase)
+
+  /** Unregister a sink — the DROP TABLE half of the DDL lifecycle (reference
+    * DropTableOperation, SqlCommandParser.java:113). True iff it existed. */
+  def dropSink(name: String): Boolean = sinks.remove(name.toLowerCase).isDefined
+
+  /** Names of every registered sink; SHOW TABLES merges these with the Spark
+    * catalog's views (the reference lists sources and sinks alike — both are
+    * catalog tables there). */
+  def sinkNames: Seq[String] = sinks.keys.toSeq
 }

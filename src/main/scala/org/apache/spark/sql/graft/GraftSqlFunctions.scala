@@ -28,4 +28,36 @@ object GraftSqlFunctions {
           Multiply(Sqrt(DotProduct(e(0), e(0))), Sqrt(DotProduct(e(1), e(1)))))
       }, "scala_udf")
   }
+
+  /** `CREATE FUNCTION name AS 'impl'` support (reference
+    * SqlCommandParser.java:151, CreateTempSystemFunctionOperation — there the
+    * impl string names a UDF class to instantiate): here impl is either a
+    * graft expression class (simple or fully-qualified, the engine's ScalarFunction
+    * analogues) or ANY function already registered in the session — Spark
+    * builtins included, since the session registry is seeded from them —
+    * and `name` registers as an alias for it. */
+  def registerAlias(spark: SparkSession, name: String, impl: String): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val builder: Seq[Expression] => Expression = impl.trim.toLowerCase match {
+      case "org.apache.spark.sql.graft.jvmhashcodeexpression" =>
+        e => JvmHashCodeExpression(e.head)
+      case "org.apache.spark.sql.graft.dotproduct" =>
+        e => DotProduct(e(0), e(1))
+      case "org.apache.spark.sql.graft.proctimeexpression" =>
+        _ => ProcTimeExpression()
+      case other =>
+        reg.lookupFunctionBuilder(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(other))
+          .getOrElse(throw new IllegalArgumentException(
+            s"CREATE FUNCTION impl is neither a graft expression class nor a " +
+              s"registered function name: $impl"))
+    }
+    reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
+  /** DROP FUNCTION (reference SqlCommandParser.java:152-154). True iff the
+    * function existed in the session registry. */
+  def dropFunction(spark: SparkSession, name: String): Boolean =
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
 }

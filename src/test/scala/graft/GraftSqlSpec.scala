@@ -356,6 +356,112 @@ class GraftSqlSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("CREATE VIEW: idiom body lowers through the door; IF NOT EXISTS preserves") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one") // ensure views registered
+    val v = GraftSql.run(spark,
+      """CREATE VIEW gsql_cv AS
+        |SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '60' MINUTE)) AS wstart,
+        |       count(*) AS cnt
+        |FROM events GROUP BY TUMBLE(ts, INTERVAL '60' MINUTE)""".stripMargin)
+    assert(v.columns.toSeq == Seq("wstart", "cnt"))
+    // the registered view answers later plain SQL
+    val n = GraftSql.run(spark, "SELECT count(*) AS n FROM gsql_cv")
+      .collect().head.getLong(0)
+    assert(n > 0)
+    // IF NOT EXISTS on an existing name: no replacement
+    val kept = GraftSql.run(spark,
+      "CREATE VIEW IF NOT EXISTS gsql_cv AS SELECT 1 AS other")
+    assert(kept.columns.toSeq == Seq("wstart", "cnt"))
+    // plain replacement rebinds
+    GraftSql.run(spark, "CREATE VIEW gsql_cv AS SELECT 1 AS other")
+    assert(spark.table("gsql_cv").columns.toSeq == Seq("other"))
+  }
+
+  test("DROP VIEW / DROP TABLE: IF EXISTS semantics and sink deregistration") {
+    GraftSql.run(spark, "CREATE VIEW gsql_dropme AS SELECT 1 AS x")
+    assert(GraftSql.run(spark, "DROP VIEW gsql_dropme")
+      .collect().head.getBoolean(1))
+    // gone: dropping again without IF EXISTS is an error, with it a no-op
+    intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "DROP VIEW gsql_dropme")
+    }
+    assert(!GraftSql.run(spark, "DROP VIEW IF EXISTS gsql_dropme")
+      .collect().head.getBoolean(1))
+    // a sink registered by DDL is visible to SHOW TABLES and dropped by
+    // DROP TABLE (reference DropTableOperation)
+    val path = Tables.scratch("insert-sink/gsql_drop_sink")
+    GraftSql.run(spark,
+      s"CREATE TABLE gsql_drop_sink (n BIGINT) WITH ('path' = '$path')")
+    val shown = GraftSql.run(spark, "SHOW TABLES")
+      .collect().map(_.getString(0))
+    assert(shown.contains("gsql_drop_sink"))
+    assert(shown.contains("events")) // catalog views still listed
+    GraftSql.run(spark, "DROP TABLE gsql_drop_sink")
+    assert(graft.streaming.GraftDdl.sink("gsql_drop_sink").isEmpty)
+    assert(!GraftSql.run(spark, "SHOW TABLES")
+      .collect().map(_.getString(0)).contains("gsql_drop_sink"))
+    intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "DROP TABLE gsql_drop_sink")
+    }
+  }
+
+  test("INSERT OVERWRITE: batch writes; a streaming SELECT is rejected") {
+    val path = Tables.scratch("insert-sink/gsql_ovw_sink")
+    GraftSql.sql(spark, sfDir,
+      s"CREATE TABLE gsql_ovw_sink (n BIGINT) WITH ('path' = '$path')")
+    val df = GraftSql.run(spark,
+      "INSERT OVERWRITE gsql_ovw_sink SELECT count(*) AS n FROM events")
+    assert(df.collect().head.getLong(0) > 0)
+    // streaming overwrite is rejected like the reference's batch-only check
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql_ovw_src (
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('path' = '$sfDir', 'table' = 'events')""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark,
+        "INSERT OVERWRITE gsql_ovw_sink SELECT event_id AS n FROM gsql_ovw_src")
+    }
+    assert(e.getMessage.contains("batch SELECT"))
+  }
+
+  test("CREATE FUNCTION: graft class impl, builtin alias, unknown impl rejected") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one")
+    // a graft expression class as the impl string
+    GraftSql.run(spark,
+      "CREATE FUNCTION my_hash AS 'org.apache.spark.sql.graft.JvmHashCodeExpression'")
+    val r = GraftSql.run(spark,
+      "SELECT my_hash('abc') AS a, hash_code('abc') AS b").collect().head
+    assert(r.getInt(0) == r.getInt(1) && r.getInt(0) == "abc".hashCode)
+    // any session-registered function (Spark builtin) as the impl
+    GraftSql.run(spark, "CREATE TEMPORARY FUNCTION shout2 AS 'upper'")
+    assert(GraftSql.run(spark, "SELECT shout2('ok') AS s")
+      .collect().head.getString(0) == "OK")
+    // unknown impl: recognizer's error, nothing registered
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "CREATE FUNCTION broken AS 'no.such.Thing'")
+    }
+    assert(e.getMessage.contains("neither a graft expression"))
+    // DROP FUNCTION removes the alias; second drop needs IF EXISTS
+    assert(GraftSql.run(spark, "DROP FUNCTION shout2").collect().head.getBoolean(1))
+    intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "DROP FUNCTION shout2")
+    }
+    assert(!GraftSql.run(spark, "DROP FUNCTION IF EXISTS shout2")
+      .collect().head.getBoolean(1))
+  }
+
+  test("SOURCE <file>: the script file runs through the dispatcher") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one")
+    val f = java.nio.file.Files.createTempFile("gsql_source", ".sql")
+    java.nio.file.Files.writeString(f,
+      """CREATE VIEW gsql_src_v AS SELECT count(*) AS n FROM events;
+        |SELECT n FROM gsql_src_v""".stripMargin)
+    val df = GraftSql.run(spark, s"SOURCE $f")
+    assert(df.collect().head.getLong(0) > 0)
+    java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("script mode: SET inside a script applies to the statements after it") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
