@@ -591,8 +591,132 @@ object TextOps {
            |FROM toks t JOIN freq f USING (tok) CROSS JOIN nv
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
 
+  /** PII scrubbing — the redaction pass every production corpus pipeline
+    * runs before training (C4 strips lines by badword list; CCNet/Dolma/
+    * RefinedWeb mask emails, phone numbers, and IP addresses with typed
+    * placeholder tokens): per-row regexp masking with per-doc entity counts.
+    * The patterns use only RE2-and-Java-common syntax (no lookaround, no
+    * backreferences) so Spark and DuckDB mask IDENTICALLY and the oracle
+    * compares the full masked text, not just the counts. The fixture texts
+    * contain no PII, so each row gets a deterministic doc_id-derived
+    * email/IP/phone appended before masking — the masking itself is what's
+    * under test. 100 TB posture: a map-only expression pass (codegen'd, no
+    * shuffle, no UDF); masking order is fixed email→IP→phone so overlapping
+    * pattern families rewrite deterministically. */
+  val qPiiMask: Q = Q(
+    "q_pii_mask",
+    (s, dir) => {
+      import s.implicits._
+      val emailR = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipR = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneR = "\\+\\d{2}-\\d{3}-\\d{4}"
+      val withPii = Tables.t(s, dir, "documents").select(
+        $"doc_id",
+        concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"), lit("@example.com"),
+          lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7"),
+          lit(" call +01-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("text"))
+      withPii.select(
+        $"doc_id",
+        regexp_count($"text", lit(emailR)).as("n_email"),
+        regexp_count($"text", lit(ipR)).as("n_ip"),
+        regexp_count($"text", lit(phoneR)).as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"text", emailR, "[EMAIL]"),
+            ipR, "[IP]"),
+          phoneR, "[PHONE]").as("masked"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH x AS (
+           |  SELECT doc_id,
+           |         text || ' contact user' || doc_id || '@example.com'
+           |              || ' from 10.0.' || (doc_id % 256) || '.7'
+           |              || ' call +01-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           |           AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+           |  CAST(len(regexp_extract_all(text, '\+\d{2}-\d{3}-\d{4}')) AS INTEGER) AS n_phone,
+           |  regexp_replace(
+           |    regexp_replace(
+           |      regexp_replace(text,
+           |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+           |    '\+\d{2}-\d{3}-\d{4}', '[PHONE]', 'g') AS masked
+           |FROM x ORDER BY doc_id""".stripMargin))
+
+  /** Corpus-level span dedup with document REASSEMBLY — C4's "discard all
+    * but one of any three-sentence span occurring more than once" (Raffel
+    * et al. 2020 §2.2), the step that actually REWRITES documents rather
+    * than just measuring duplication (`q_dup_span_frac` is the audit; this
+    * is the scrub). The fixture texts have no sentence boundaries, so the
+    * span unit is a fixed non-overlapping 5-token chunk. Keep-first is
+    * GLOBAL and deterministic: first occurrence = minimum (doc_id, pos),
+    * encoded as one BIGINT so the dedup is a plain min-aggregate.
+    *
+    * 100 TB posture: chunking is a per-row expression (no explode until the
+    * chunk relation); keep-first is groupBy(chunk).min — PARTIAL-AGGREGATED
+    * map-side, unlike a row_number window over chunk which shuffles every
+    * row and collapses hot chunks onto one task; reassembly is one co-keyed
+    * groupBy(doc_id) with an order-fixing array_sort, so arrival order
+    * cannot leak. Two shuffles total, both linear. Empty-after-dedup
+    * documents survive as empty strings (left join + coalesce), preserving
+    * corpus row identity. */
+  val qLineDedup: Q = Q(
+    "q_line_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val chunks = Tables.t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .select($"doc_id", posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(toks) / 5.0) as int) - 1),
+            |  i -> array_join(slice(toks, i * 5 + 1, 5), ' '))""".stripMargin)))
+        .withColumnRenamed("col", "chunk")
+        .withColumn("ord", $"doc_id" * 1000000L + $"pos")
+      val firstOrd = chunks.groupBy($"chunk").agg(min($"ord").as("min_ord"))
+      val kept = chunks.join(firstOrd, "chunk").where($"ord" === $"min_ord")
+      val docStats = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+      val rebuilt = kept.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk)"),
+          " ").as("cleaned"))
+      docStats.join(rebuilt, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chunks",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"cleaned", lit("")).as("cleaned"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS INT)),
+           |           i -> {'pos': i, 'chunk': array_to_string(toks[i*5+1:i*5+5], ' ')})) AS u
+           |  FROM t),
+           |chunks AS (
+           |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk,
+           |         doc_id * 1000000 + u.pos AS ord
+           |  FROM c),
+           |first_ord AS (SELECT chunk, min(ord) AS min_ord FROM chunks GROUP BY chunk),
+           |kept AS (
+           |  SELECT chunks.* FROM chunks JOIN first_ord USING (chunk)
+           |  WHERE ord = min_ord),
+           |stats AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id),
+           |rebuilt AS (
+           |  SELECT doc_id, count(*) AS n_kept,
+           |         string_agg(chunk, ' ' ORDER BY pos) AS cleaned
+           |  FROM kept GROUP BY doc_id)
+           |SELECT s.doc_id, s.n_chunks,
+           |       coalesce(r.n_kept, 0) AS n_kept,
+           |       coalesce(r.cleaned, '') AS cleaned
+           |FROM stats s LEFT JOIN rebuilt r USING (doc_id)
+           |ORDER BY s.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qStratifiedSplit, qContamination, qPipelineE2e, qQualityRepetition,
     qDomainQuota, qMixtureResample, qSequencePack, qImportanceSample,
-    qDupSpanFrac, qTokenDrift, qUnigramLogprob)
+    qDupSpanFrac, qTokenDrift, qUnigramLogprob, qPiiMask, qLineDedup)
 }

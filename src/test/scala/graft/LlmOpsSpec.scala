@@ -81,4 +81,52 @@ class LlmOpsSpec extends GraftSpec {
       assert(q >= 0.0 && q <= 1.0, s"quality $q out of range")
     }
   }
+
+  test("PII mask: every entity family masked, placeholders present, no residue") {
+    val rows = operators.TextOps.qPiiMask.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val masked = r.getAs[String]("masked")
+      // the synthetic appendix guarantees at least one of each family
+      assert(r.getAs[Int]("n_email") >= 1)
+      assert(r.getAs[Int]("n_ip") >= 1)
+      assert(r.getAs[Int]("n_phone") >= 1)
+      assert(masked.contains("[EMAIL]") && masked.contains("[IP]") &&
+        masked.contains("[PHONE]"))
+      // nothing PII-shaped survives the pass
+      assert(!masked.contains("@example.com"), s"email residue: $masked")
+      assert(!"\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+        .findFirstIn(masked).isDefined, s"IP residue")
+      assert(!"\\+\\d{2}-\\d{3}-\\d{4}".r.findFirstIn(masked).isDefined,
+        s"phone residue")
+    }
+    // a clean text passes through byte-identical (masking is surgical)
+    val sparkS = spark
+    import sparkS.implicits._
+    val clean = Seq((1L, "no personal data in this sentence")).toDF("doc_id", "text")
+    val out = clean.select(
+      regexp_replace($"text",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]").as("m"))
+      .collect().head.getString(0)
+    assert(out == "no personal data in this sentence")
+  }
+
+  test("line dedup: kept spans globally unique, order preserved, non-vacuous") {
+    val rows = operators.TextOps.qLineDedup.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every 5-token chunk across all cleaned texts appears exactly once
+    val allChunks = rows.flatMap { r =>
+      val c = r.getAs[String]("cleaned")
+      if (c.isEmpty) Array.empty[String]
+      else c.split(" ").grouped(5).map(_.mkString(" ")).toArray
+    }
+    assert(allChunks.length == allChunks.distinct.length,
+      "a duplicate span survived the scrub")
+    // the scrub is non-vacuous and never invents content
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_chunks")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_chunks"))
+      if (r.getAs[Long]("n_kept") == 0) assert(r.getAs[String]("cleaned").isEmpty)
+    }
+  }
 }
