@@ -57,6 +57,8 @@ object GraftSql {
     ("(?is)\\s*DROP\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
       "(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*").r
   private val SourceR = "(?is)\\s*SOURCE\\s+(\\S+)\\s*;?\\s*".r
+  private val AlterTableR =
+    "(?is)\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+SET\\s*\\((.*)\\)\\s*;?\\s*".r
 
   // SET 'key' = 'value' | SET key = value | bare SET (list) — the SQL
   // client's session-config command (flink-sql-client SqlCommandParser SET).
@@ -257,6 +259,17 @@ object GraftSql {
           Seq((name, dropped)).toDF("name", "dropped")
         case _ => spark.sql(text) // DROP DATABASE, …: Spark's own
       }
+    }
+    else if (upper.trim.startsWith("ALTER TABLE")) text match {
+      // ALTER TABLE name SET ('k'='v') (reference SqlCommandParser.java:115,
+      // AlterTableOperation / 1.11 SqlAlterTableProperties): on a registered
+      // sink the options merge into the SinkDef — later INSERTs observe the
+      // new path/format. Anything else is Spark's own ALTER.
+      case AlterTableR(name, optsTxt)
+          if graft.streaming.GraftDdl.alterSink(name, optsTxt) =>
+        import spark.implicits._
+        Seq((name, "altered")).toDF("name", "status")
+      case _ => spark.sql(text)
     }
     else if (upper.trim.matches("(?s)SHOW\\s+TABLES\\s*;?\\s*")) {
       // sink tables live in GraftDdl's registry, not the Spark catalog; the

@@ -77,6 +77,20 @@ object GraftDdl {
     * DropTableOperation, SqlCommandParser.java:113). True iff it existed. */
   def dropSink(name: String): Boolean = sinks.remove(name.toLowerCase).isDefined
 
+  /** `ALTER TABLE name SET ('k'='v', …)` on a registered sink (reference
+    * SqlAlterTableProperties — 1.11's table-options alter): merge the given
+    * options into the SinkDef. True iff the sink existed. */
+  def alterSink(name: String, optsTxt: String): Boolean =
+    sinks.get(name.toLowerCase) match {
+      case Some(sd) =>
+        val opts = OptR.findAllMatchIn(optsTxt)
+          .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+        sinks(name.toLowerCase) = SinkDef(
+          opts.getOrElse("path", sd.path), opts.getOrElse("format", sd.format))
+        true
+      case None => false
+    }
+
   /** Names of every registered sink; SHOW TABLES merges these with the Spark
     * catalog's views (the reference lists sources and sinks alike — both are
     * catalog tables there). */

@@ -73,6 +73,39 @@ class GraftSqlPropSpec extends GraftSpec {
     })
   }
 
+  // ---- catalog-command scanners: the reference parser is case-insensitive
+  // and whitespace-tolerant (Calcite lexer), so the command regexes must be
+  // too — drive randomized spellings through the real dispatcher
+
+  private def mixCase(s: String): Gen[String] =
+    Gen.listOfN(s.length, Gen.oneOf(true, false)).map(bs =>
+      s.zip(bs).map { case (c, b) => if (b) c.toUpper else c.toLower }.mkString)
+  private val ws: Gen[String] = Gen.choose(1, 3).map(" " * _)
+
+  test("CREATE/DROP VIEW: any case/whitespace spelling round-trips") {
+    holds(Prop.forAll(
+      mixCase("create"), Gen.oneOf("", "TEMPORARY "), mixCase("view"),
+      mixCase("drop"), ws, ws) { (cr, tmp, vw, dr, w1, w2) =>
+      val name = "gsql_prop_v"
+      GraftSql.run(spark, s"$cr$w1$tmp$vw$w2$name${w1}AS${w2}SELECT 1 AS x")
+      val created = spark.catalog.tableExists(name)
+      GraftSql.run(spark, s"$dr$w2${vw}$w1$name;")
+      created && !spark.catalog.tableExists(name)
+    }, n = 60)
+  }
+
+  test("CREATE/DROP FUNCTION: any case/whitespace spelling round-trips") {
+    holds(Prop.forAll(
+      mixCase("create function"), mixCase("drop function"), ws) { (cf, df, w) =>
+      val name = "gsql_prop_fn"
+      GraftSql.run(spark, s"$cf$w$name${w}AS$w'upper'")
+      val ok = GraftSql.run(spark, s"SELECT $name('a') AS s")
+        .collect().head.getString(0) == "A"
+      GraftSql.run(spark, s"$df$w$name")
+      ok
+    }, n = 40)
+  }
+
   test("GroupWindowSql.rewrite: identity on idiom-free SQL") {
     holds(Prop.forAll(statement) { s =>
       // statements from the generator never contain TUMBLE/HOP/SESSION

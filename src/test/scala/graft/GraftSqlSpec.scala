@@ -451,6 +451,25 @@ class GraftSqlSpec extends GraftSpec {
       .collect().head.getBoolean(1))
   }
 
+  test("ALTER TABLE SET retargets a sink: later INSERTs observe path+format") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one")
+    val p1 = Tables.scratch("insert-sink/gsql_alter_a")
+    val p2 = Tables.scratch("insert-sink/gsql_alter_b")
+    GraftSql.run(spark,
+      s"CREATE TABLE gsql_alter (n BIGINT) WITH ('path' = '$p1')")
+    GraftSql.run(spark, "INSERT INTO gsql_alter SELECT count(*) AS n FROM events")
+    assert(spark.read.parquet(p1).count() == 1)
+    GraftSql.run(spark,
+      s"ALTER TABLE gsql_alter SET ('path' = '$p2', 'format' = 'csv')")
+    GraftSql.run(spark, "INSERT INTO gsql_alter SELECT count(*) AS n FROM events")
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(p2)).anyMatch(
+      f => f.getFileName.toString.endsWith(".csv")))
+    // altering an unknown table falls through to Spark (and fails there)
+    intercept[Exception] {
+      GraftSql.run(spark, "ALTER TABLE gsql_alter_missing SET ('format' = 'csv')")
+    }
+  }
+
   test("SOURCE <file>: the script file runs through the dispatcher") {
     GraftSql.sql(spark, sfDir, "SELECT 1 AS one")
     val f = java.nio.file.Files.createTempFile("gsql_source", ".sql")

@@ -138,6 +138,22 @@ class PlanAuditSpec extends GraftSpec {
     assert(n == 2, s"expected 2 hash exchanges (dedup + final agg), got $n:\n$p")
   }
 
+  test("q_pii_mask: map-only scrub — no hash shuffle, no UDF, regexps codegen'd") {
+    val p = phys(operators.TextOps.qPiiMask)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a map-only masking pass must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q_line_dedup: keep-first is a partial-aggregated min, NOT a window rank") {
+    val p = phys(operators.TextOps.qLineDedup)
+    // the design claim: groupBy(chunk).min partial-aggregates map-side where
+    // a row_number window would shuffle every row and collapse hot chunks
+    assert(!p.contains("Window"), s"keep-first regressed to a window rank:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"min-aggregate not split partial+final:\n$p")
+  }
+
   test("no unbounded cross/nested-loop join in any scale-path query plan") {
     // every non-calibration batch query must avoid CartesianProduct and
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
