@@ -185,8 +185,19 @@ object GraftSql {
       // WITHOUT executing (an EXPLAIN INSERT plans the SELECT, writes
       // nothing). Building a DataFrame is lazy everywhere in this engine, so
       // planning is side-effect-free.
-      case ExplainR(inner) =>
+      case ExplainR(inner0) =>
         import spark.implicits._
+        // ExplainDetail flags (reference flink-table-api-java
+        // ExplainDetail.java — 1.11 passes them via table.explain(details…);
+        // this SQL spelling is the text-door equivalent): leading
+        // ESTIMATED_COST / CHANGELOG_MODE keywords, comma-separable.
+        val DetailR = ("(?is)\\s*((?:ESTIMATED_COST|CHANGELOG_MODE)" +
+          "(?:\\s*,\\s*(?:ESTIMATED_COST|CHANGELOG_MODE))*)\\s+(.*)").r
+        val (details, inner) = inner0 match {
+          case DetailR(ds, rest) =>
+            (ds.toUpperCase.split(",").map(_.trim).toSet, rest)
+          case _ => (Set.empty[String], inner0)
+        }
         val target = inner.trim match {
           case InsertR(_, _, select) => select
           case other => other
@@ -199,8 +210,41 @@ object GraftSql {
         require(!t0.startsWith("CREATE") && !t0.startsWith("DROP"),
           s"EXPLAIN supports queries and INSERT INTO, not DDL: $inner")
         val df = run(spark, target)
-        Seq(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)).toDF("plan")
+        val extra = new StringBuilder
+        if (details("ESTIMATED_COST")) {
+          // reference ExplainDetail.ESTIMATED_COST (optimizer cost per rel
+          // node) → Catalyst's optimizer statistics for the plan. A
+          // streaming plan's cost is per-micro-batch and only knowable at
+          // run time, so it is reported as such rather than faked.
+          extra ++= "\n== Estimated Cost ==\n"
+          if (df.isStreaming)
+            extra ++= "n/a (streaming: cost is determined per micro-batch)"
+          else {
+            val st = df.queryExecution.optimizedPlan.stats
+            extra ++= s"sizeInBytes=${st.sizeInBytes}"
+            st.rowCount.foreach(rc => extra ++= s", rowCount=$rc")
+          }
+        }
+        if (details("CHANGELOG_MODE")) {
+          // reference ExplainDetail.CHANGELOG_MODE, classified by Spark's
+          // own append-mode analysis (GraftSqlFunctions.appendOnly)
+          val mode =
+            if (!df.isStreaming) "[I] (bounded: insert-only)"
+            else if (org.apache.spark.sql.graft.GraftSqlFunctions.appendOnly(df))
+              "[I] (streaming append)"
+            else "[I,UB,UA,D] (streaming update/retract)"
+          extra ++= s"\n== Changelog Mode ==\n$mode"
+        }
+        // a streaming Dataset has no batch physical plan (Spark chooses one
+        // per micro-batch after start), so EXPLAIN of streaming text shows
+        // the analyzed logical plan — previously this threw checkForBatch
+        val planText =
+          if (df.isStreaming)
+            "== Analyzed Logical Plan (streaming; physical plan chosen per micro-batch) ==\n" +
+              df.queryExecution.analyzed.treeString
+          else df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        Seq(planText + extra).toDF("plan")
       case _ => throw new IllegalArgumentException(s"EXPLAIN what? $text")
     }
     else if (upper.trim.startsWith("CREATE")) text match {

@@ -60,4 +60,20 @@ object GraftSqlFunctions {
   def dropFunction(spark: SparkSession, name: String): Boolean =
     spark.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+
+  /** CHANGELOG_MODE classification (reference ExplainDetail.java:36 — the
+    * changelog mode a plan produces, e.g. `changelogMode=[I,UA,D]`): a
+    * streaming plan is insert-only iff Spark's OWN append-mode analysis
+    * accepts it — the same authority that would reject the query at start —
+    * otherwise it produces updates/retractions (the reference's [I,UB,UA,D]).
+    * Bounded plans are insert-only by definition. */
+  def appendOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+    !df.isStreaming || {
+      try {
+        org.apache.spark.sql.catalyst.analysis.UnsupportedOperationChecker
+          .checkForStreaming(df.queryExecution.analyzed,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        true
+      } catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
 }

@@ -240,6 +240,43 @@ class GraftSqlSpec extends GraftSpec {
       java.nio.file.Files.list(java.nio.file.Paths.get(path)).count() == 0)
   }
 
+  test("EXPLAIN detail flags: ESTIMATED_COST stats and CHANGELOG_MODE classification") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one")
+    val cost = GraftSql.run(spark,
+      "EXPLAIN ESTIMATED_COST SELECT count(*) AS n FROM events")
+      .collect().head.getString(0)
+    assert(cost.contains("== Estimated Cost ==") && cost.contains("sizeInBytes="))
+    // bounded plan: insert-only by definition
+    val bounded = GraftSql.run(spark,
+      "EXPLAIN CHANGELOG_MODE SELECT count(*) AS n FROM events")
+      .collect().head.getString(0)
+    assert(bounded.contains("[I] (bounded: insert-only)"))
+    // streaming aggregate: update/retract (Spark's append analysis rejects it)
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql_cm_src (
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('path' = '$sfDir', 'table' = 'events')""".stripMargin)
+    val upd = GraftSql.run(spark,
+      "EXPLAIN CHANGELOG_MODE SELECT user_id, count(*) AS n FROM gsql_cm_src GROUP BY user_id")
+      .collect().head.getString(0)
+    assert(upd.contains("[I,UB,UA,D]"), upd)
+    // streaming projection: append
+    val app = GraftSql.run(spark,
+      "EXPLAIN CHANGELOG_MODE SELECT ts FROM gsql_cm_src")
+      .collect().head.getString(0)
+    assert(app.contains("[I] (streaming append)"), app)
+    // both flags compose
+    val both = GraftSql.run(spark,
+      "EXPLAIN ESTIMATED_COST, CHANGELOG_MODE SELECT count(*) AS n FROM events")
+      .collect().head.getString(0)
+    assert(both.contains("== Estimated Cost ==") && both.contains("== Changelog Mode =="))
+    // plain EXPLAIN of streaming text shows the analyzed plan, not an error
+    val sPlan = GraftSql.run(spark, "EXPLAIN SELECT ts FROM gsql_cm_src")
+      .collect().head.getString(0)
+    assert(sPlan.contains("Analyzed Logical Plan (streaming"), sPlan)
+  }
+
   test("catalog commands pass through: SHOW TABLES and DESCRIBE") {
     GraftSql.sql(spark, sfDir, "SELECT 1 AS one") // ensure views registered
     val tables = GraftSql.run(spark, "SHOW TABLES")
