@@ -34,6 +34,45 @@ object GraftCatalog {
   def executeDdl(spark: SparkSession, catalogDir: String, ddl: String): String = {
     val name = GraftDdl.executeDdl(spark, ddl) // validate + register first;
                                                // an unparseable DDL is never persisted
+    persist(catalogDir, name, ddl)
+    name
+  }
+
+  // DDL classes for replay ordering: a view body may reference tables and
+  // functions, so tables (0) replay before functions (1) before views (2) —
+  // the reference resolves the same dependency when HiveCatalog-stored
+  // views expand against catalog tables and functions at planning.
+  private val TableR = "(?is)\\s*CREATE\\s+TABLE\\s+(\\w+).*".r
+  private val FnR =
+    ("(?is)\\s*CREATE\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+).*").r
+  private val ViewR =
+    ("(?is)\\s*CREATE\\s+(?:TEMPORARY\\s+)?VIEW\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+).*").r
+
+  private def classify(ddl: String): Option[(Int, String)] = ddl match {
+    case TableR(n) => Some((0, n))
+    case FnR(n) => Some((1, n))
+    case ViewR(n) => Some((2, n))
+    case _ => None
+  }
+
+  /** Execute ANY persistable DDL — CREATE TABLE (watermarked source or
+    * sink), CREATE FUNCTION, CREATE VIEW (idiom bodies included, since
+    * execution routes through the unified GraftSql dispatcher) — and
+    * durably record its text. The reference analogue is HiveCatalog, which
+    * persists exactly these three object classes (tables, functions, views
+    * — Catalog.java createTable/createFunction + CatalogView). Validation
+    * precedes persistence: a DDL that fails to execute is never stored. */
+  def executeSql(spark: SparkSession, catalogDir: String, ddl: String): String = {
+    val (_, name) = classify(ddl).getOrElse(throw new IllegalArgumentException(
+      s"not a persistable DDL (CREATE TABLE/VIEW/FUNCTION): $ddl"))
+    graft.operators.GraftSql.run(spark, ddl) // validate + register first
+    persist(catalogDir, name, ddl)
+    name
+  }
+
+  private def persist(catalogDir: String, name: String, ddl: String): Unit = {
     Files.createDirectories(Paths.get(catalogDir))
     val target = fileFor(catalogDir, name)
     val tmp = Files.createTempFile(Paths.get(catalogDir), s".$name", ".tmp")
@@ -44,13 +83,14 @@ object GraftCatalog {
       case _: java.nio.file.AtomicMoveNotSupportedException =>
         Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
     }
-    name
   }
 
-  /** Replay every stored DDL into `spark` (alphabetical order — definitions
-    * are independent: sources bind fixtures, sinks bind paths). Returns the
-    * restored object names. A directory that does not exist restores
-    * nothing — a fresh deployment, not an error. */
+  /** Replay every stored DDL into `spark`, ordered tables → functions →
+    * views (then by name) so cross-references resolve; each replays through
+    * the unified GraftSql dispatcher. Fixture-table views referenced by
+    * stored view bodies must be registered first (`Tables.registerAll`).
+    * Returns the restored object names. A directory that does not exist
+    * restores nothing — a fresh deployment, not an error. */
   def restore(spark: SparkSession, catalogDir: String): Seq[String] = {
     val dir = Paths.get(catalogDir)
     if (!Files.isDirectory(dir)) return Seq.empty
@@ -60,10 +100,20 @@ object GraftCatalog {
       try ls.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".ddl")).toSeq
       finally ls.close()
-    files.sortBy(_.getFileName.toString).map { f =>
-      GraftDdl.executeDdl(spark, Files.readString(f))
-    }
+    files.map(f => f -> Files.readString(f))
+      .map { case (f, ddl) =>
+        val (ord, name) = classify(ddl).getOrElse((0, dropExt(f)))
+        (ord, f.getFileName.toString, name, ddl)
+      }
+      .sortBy { case (ord, fn, _, _) => (ord, fn) }
+      .map { case (_, _, name, ddl) =>
+        graft.operators.GraftSql.run(spark, ddl)
+        name
+      }
   }
+
+  private def dropExt(f: Path): String =
+    f.getFileName.toString.stripSuffix(".ddl")
 
   /** Remove an object's stored definition (the reference's
     * `Catalog.dropTable`). True iff something was dropped. Session temp

@@ -56,6 +56,42 @@ class GraftCatalogSpec extends GraftSpec {
     assert(GraftCatalog.restore(spark.newSession(), catDir).isEmpty)
   }
 
+  test("views and functions persist; restore replays tables -> functions -> views") {
+    val catDir = Tables.scratch("catalog/spec5")
+    Tables.registerAll(spark, sfDir)
+    GraftCatalog.executeSql(spark, catDir,
+      "CREATE FUNCTION cat_shout AS 'upper'")
+    // the view BODY uses both the persisted function and idiom text — only
+    // dependency-ordered replay through the unified dispatcher can rebuild it
+    GraftCatalog.executeSql(spark, catDir,
+      """CREATE VIEW cat_view AS
+        |SELECT cat_shout(event_type) AS t,
+        |       unix_timestamp(TUMBLE_START(ts, INTERVAL '60' MINUTE)) AS w,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type, TUMBLE(ts, INTERVAL '60' MINUTE)"""
+        .stripMargin)
+    val s2 = spark.newSession()
+    Tables.registerAll(s2, sfDir)
+    assert(!s2.catalog.tableExists("cat_view"))
+    val restored = GraftCatalog.restore(s2, catDir)
+    assert(restored.indexOf("cat_shout") < restored.indexOf("cat_view"),
+      s"function must replay before the view that calls it: $restored")
+    assert(s2.table("cat_view").count() > 0)
+    assert(s2.sql("SELECT cat_shout('ok') AS s").collect().head.getString(0) == "OK")
+    // non-persistable statements are rejected, nothing stored
+    intercept[IllegalArgumentException] {
+      GraftCatalog.executeSql(spark, catDir, "SELECT 1")
+    }
+    // a view body that fails execution is never persisted
+    intercept[Exception] {
+      GraftCatalog.executeSql(spark, catDir,
+        "CREATE VIEW cat_broken AS SELECT * FROM no_such_table_xyz")
+    }
+    val s3 = spark.newSession()
+    Tables.registerAll(s3, sfDir)
+    assert(!GraftCatalog.restore(s3, catDir).contains("cat_broken"))
+  }
+
   test("sink DDL round-trips through the catalog too") {
     val catDir = Tables.scratch("catalog/spec4")
     val sinkPath = Tables.scratch("catalog/spec4-sink")
