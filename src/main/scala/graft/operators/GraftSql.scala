@@ -203,12 +203,13 @@ object GraftSql {
           case other => other
         }
         // the reference explains queries and INSERTs only (ExplainOperation
-        // wraps a QueryOperation); explaining DDL would EXECUTE it here
-        // (registration/deregistration is the DDL's effect), so reject it
-        // like the reference does
+        // wraps a QueryOperation); explaining any side-effecting command
+        // (DDL, SET/RESET, ALTER, SOURCE) would EXECUTE it here — the
+        // effect IS the command — so reject them like the reference does
         val t0 = target.trim.toUpperCase
-        require(!t0.startsWith("CREATE") && !t0.startsWith("DROP"),
-          s"EXPLAIN supports queries and INSERT INTO, not DDL: $inner")
+        require(!Seq("CREATE", "DROP", "ALTER", "SET", "RESET", "SOURCE ")
+            .exists(t0.startsWith),
+          s"EXPLAIN supports queries and INSERT INTO, not commands: $inner")
         val df = run(spark, target)
         val extra = new StringBuilder
         if (details("ESTIMATED_COST")) {

@@ -230,12 +230,18 @@ class GraftSqlSpec extends GraftSpec {
       "EXPLAIN PLAN FOR INSERT INTO gsql_explain_sink SELECT count(*) AS n FROM events")
       .collect().head.getString(0)
     assert(p2.contains("Aggregate"))
-    // EXPLAIN of DDL is rejected (executing the DDL is its only effect)
+    // EXPLAIN of side-effecting commands is rejected (executing IS the effect)
     val eDdl = intercept[IllegalArgumentException] {
       GraftSql.run(spark, "EXPLAIN CREATE TABLE nope (n BIGINT) WITH ('path' = '/x')")
     }
-    assert(eDdl.getMessage.contains("not DDL"))
+    assert(eDdl.getMessage.contains("not commands"))
     assert(!spark.catalog.tableExists("nope"))
+    val before = spark.conf.getOption("graft.explain.probe")
+    intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "EXPLAIN SET 'graft.explain.probe' = 'leaked'")
+    }
+    assert(spark.conf.getOption("graft.explain.probe") == before,
+      "EXPLAIN SET mutated the session conf")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) ||
       java.nio.file.Files.list(java.nio.file.Paths.get(path)).count() == 0)
   }
