@@ -34,17 +34,32 @@ def main(sf_dir, out_dir):
         try:
             ours = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
             ours_cols = sorted(ours.columns)
-            ours_rows = con.sql(
-                f"SELECT {', '.join(ours_cols)} FROM read_parquet('{files[0]}')").fetchall()
+            ours_sorted = con.sql(
+                f"SELECT {', '.join(ours_cols)} FROM read_parquet('{files[0]}')")
+            ours_types = [str(t) for t in ours_sorted.types]
+            ours_rows = ours_sorted.fetchall()
             oracle = con.sql(sql)
             o_cols = sorted(oracle.columns)
-            o_rows = con.sql(f"SELECT {', '.join(o_cols)} FROM ({sql})").fetchall()
+            o_sorted = con.sql(f"SELECT {', '.join(o_cols)} FROM ({sql})")
+            o_types = [str(t) for t in o_sorted.types]
+            o_rows = o_sorted.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             n_fail += 1
             continue
         if ours_cols != o_cols:
             print(f"FAIL {name}: schema {ours_cols} vs {o_cols}")
+            n_fail += 1
+            continue
+        # The driver's value hash is TYPE-sensitive: an uncast DuckDB
+        # sum(...) (HUGEINT) hashes differently from Spark's BIGINT even
+        # when every value is equal (round-6 q_domain_quota regression).
+        # Mirror that strictness here so the local gate can never pass a
+        # query the driver's hash would fail.
+        if ours_types != o_types:
+            bad = [f"{c}: spark={a} oracle={b}"
+                   for c, a, b in zip(ours_cols, ours_types, o_types) if a != b]
+            print(f"FAIL {name}: column types differ ({'; '.join(bad)})")
             n_fail += 1
             continue
         a = sorted([tuple(norm(v) for v in r) for r in ours_rows])

@@ -45,6 +45,15 @@ object Bench {
     warm("q_stream_outer_join", cepDir)
     warm("q_changelog_join", cepDir)
     warm("q_stream_over", cepDir)
+    // (d) the session-window and keep-last dedup families (r6 verdict: the
+    // driver run charged q_group_window_sql_stream_session 13.1 s and
+    // q_dedup_sql_last 4.2 s of first-touch cost their same-commit clean
+    // runs don't show, while the already-warmed twins stayed flat). Native
+    // session-window state, dynamic-gap fMGWS sessionization, and the
+    // min_by/max_by streaming dedup path each get one representative.
+    warm("q_stream_session", cepDir)
+    warm("q_session_dynamic_stream", cepDir)
+    warm("q_dedup_sql_last", cepDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

@@ -113,7 +113,9 @@ object GraftSql {
     * subquery). */
   private[graft] def extractParenSubquery(
       text: String, marker: String): Option[(Int, Int, String)] = {
-    val at = text.toUpperCase.indexOf(marker.toUpperCase)
+    // literal-blanked scan, so a marker inside a string literal can't seed
+    // the subquery search at the wrong offset
+    val at = blankLiterals(text).toUpperCase.indexOf(marker.toUpperCase)
     if (at < 0) return None
     // scan once, tracking open-paren positions; record the tightest pair
     // enclosing `at`
@@ -144,6 +146,22 @@ object GraftSql {
     }
   }
 
+  /** The text with single-quoted literal CONTENTS blanked out (quotes kept,
+    * length preserved) — the dispatcher probes this, not the raw text, so a
+    * legal statement like `SELECT 'MATCH_RECOGNIZE' AS s FROM t` doesn't
+    * trigger a recognizer on a keyword that only occurs inside a string
+    * literal (r6 ADVICE). */
+  private[graft] def blankLiterals(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; sb += '\''
+      case _ if inQuote => sb += ' '
+      case c => sb += c
+    }
+    sb.result()
+  }
+
   /** Split on semicolons outside single-quoted strings. */
   private[graft] def splitStatements(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -161,6 +179,9 @@ object GraftSql {
   /** Same, against already-registered views only (no fixture dir). */
   def run(spark: SparkSession, text: String): DataFrame = {
     val upper = text.toUpperCase
+    // keyword probes scan the literal-blanked text: 'MATCH_RECOGNIZE' as a
+    // string VALUE must not route to the NFA recognizer
+    val scanUpper = blankLiterals(text).toUpperCase
     if (upper.trim.startsWith("SET") || upper.trim.startsWith("RESET")) {
       import spark.implicits._
       text match {
@@ -269,14 +290,20 @@ object GraftSql {
         import spark.implicits._
         org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
         Seq((name, impl)).toDF("function", "impl")
-      case _ if upper.trim.startsWith("CREATE TABLE") =>
-        // the reference's DDL (SqlCreateTable.java:56) — a WATERMARK clause
-        // registers a watermarked streaming SOURCE view (returned); without
-        // one it registers a writable SINK for INSERT INTO (empty result)
+      // the reference's DDL (SqlCreateTable.java:56) — a WATERMARK clause
+      // registers a watermarked streaming SOURCE view (returned); without
+      // one it registers a writable SINK for INSERT INTO (empty result).
+      // Pre-screen on the connector-options clause `) WITH (` that BOTH
+      // GraftDdl shapes require: a plain Spark DDL like `CREATE TABLE t
+      // (x INT) USING parquet` has none and falls through to spark.sql
+      // below instead of dying in GraftDdl as "unparseable" (r6 ADVICE);
+      // a graft-shaped DDL with a bad body still errors meaningfully.
+      case _ if upper.trim.startsWith("CREATE TABLE") &&
+          blankLiterals(text).matches("(?is).*\\)\\s*WITH\\s*\\(.*") =>
         val name = graft.streaming.GraftDdl.executeDdl(spark, text)
         if (spark.catalog.tableExists(name)) spark.table(name)
         else spark.emptyDataFrame
-      case _ => spark.sql(text) // other DDL (CREATE DATABASE, …): Spark's own
+      case _ => spark.sql(text) // other DDL (plain CREATE TABLE, CREATE DATABASE, …): Spark's own
     }
     else if (upper.trim.startsWith("DROP")) {
       import spark.implicits._
@@ -294,9 +321,13 @@ object GraftSql {
         case DropTableR(ifExists, name) =>
           val sinkDropped = graft.streaming.GraftDdl.dropSink(name)
           val viewDropped = spark.catalog.dropTempView(name)
-          require(sinkDropped || viewDropped || ifExists != null,
-            s"table does not exist: $name")
-          Seq((name, sinkDropped || viewDropped)).toDF("name", "dropped")
+          if (sinkDropped || viewDropped)
+            Seq((name, true)).toDF("name", "dropped")
+          else if (ifExists != null) Seq((name, false)).toDF("name", "dropped")
+          // a real catalog table (e.g. registered by the plain-Spark CREATE
+          // TABLE fallthrough): Spark's own DROP handles it — and its error
+          // for a missing table honors IF EXISTS semantics too
+          else spark.sql(text)
         case DropFnR(ifExists, name) =>
           val dropped =
             org.apache.spark.sql.graft.GraftSqlFunctions.dropFunction(spark, name)
@@ -345,29 +376,13 @@ object GraftSql {
       // streaming SELECTs drain via AvailableNow into the sink path.
       case InsertR(mode, name, select) =>
         graft.streaming.GraftDdl.sink(name) match {
-          case Some(sd) =>
-            val df = run(spark, select)
-            if (df.isStreaming) {
-              require(!mode.equalsIgnoreCase("OVERWRITE"),
-                "INSERT OVERWRITE requires a batch SELECT — a streaming " +
-                  "query cannot overwrite its own sink (the reference " +
-                  "rejects streaming INSERT OVERWRITE the same way)")
-              val ckpt = graft.Tables.scratch(
-                s"insert-ckpt/$name-${java.util.UUID.randomUUID()}")
-              val q = df.writeStream.format(sd.format)
-                .option("checkpointLocation", ckpt)
-                .option("path", sd.path)
-                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-                .start()
-              try q.awaitTermination() finally q.stop()
-            } else df.write.mode("overwrite").format(sd.format).save(sd.path)
-            spark.read.format(sd.format).load(sd.path)
+          case Some(sd) => executeInsert(spark, mode, name, sd, select)._1
           case None => spark.sql(text) // a real catalog table: Spark handles it
         }
       case _ => throw new IllegalArgumentException(
         s"INSERT must be INSERT INTO|OVERWRITE <sink> <select>: $text")
     }
-    else if (upper.contains("MATCH_RECOGNIZE")) text match {
+    else if (scanUpper.contains("MATCH_RECOGNIZE")) text match {
       case MatchR(from, spec, orderTxt) =>
         val out = graft.cep.MatchRecognize.matchRecognize(spark.table(from), spec)
         Option(orderTxt).map(_.trim).filter(_.nonEmpty) match {
@@ -388,7 +403,7 @@ object GraftSql {
             s"MATCH_RECOGNIZE (<spec>) [ORDER BY …]: $text")
       }
     }
-    else if (upper.contains("FOR SYSTEM_TIME AS OF"))
+    else if (scanUpper.contains("FOR SYSTEM_TIME AS OF"))
       // A temporal join that is the WHOLE statement routes straight to the
       // recognizer; one nested as a parenthesized subquery (the reference
       // planner handles it at any depth — a windowed aggregate OVER a
@@ -409,6 +424,62 @@ object GraftSql {
       val lowered = LateralSql.rewrite(GroupWindowSql.rewrite(text))
       spark.sql(lowered)
     }
+  }
+
+  /** Execute one INSERT against a registered sink; returns (sink read-back,
+    * rows written BY THIS STATEMENT).
+    *
+    * Batch SELECTs overwrite — re-running a deployment statement is
+    * idempotent (disclosed divergence; the reference appends). The
+    * overwrite deletes the sink path wholesale, `_spark_metadata` from any
+    * earlier streaming INSERT included, and also drops the sink's streaming
+    * checkpoint so a LATER streaming INSERT re-drains from scratch into the
+    * reset sink instead of resuming against contents that no longer exist.
+    *
+    * Streaming SELECTs drain via AvailableNow with a STABLE per-(sink,path)
+    * checkpoint: a re-run resumes incrementally, draining only data that
+    * arrived since. The previous fresh-UUID checkpoint restarted batchIds
+    * at 0 against the sink's persistent `_spark_metadata` log, so
+    * FileStreamSink skipped the "already committed" batch ids and a re-run
+    * silently wrote nothing (r6 ADVICE). The reference re-executes the
+    * whole query and appends everything again on each submission;
+    * incremental resume is this engine's disclosed divergence, same spirit
+    * as the batch-overwrite one. The checkpoint key includes the sink PATH,
+    * so `ALTER TABLE … SET ('path'=…)` re-drains fully into the new
+    * location rather than inheriting offsets drained into the old one. */
+  private def executeInsert(spark: SparkSession, mode: String, name: String,
+      sd: graft.streaming.GraftDdl.SinkDef, select: String): (DataFrame, Long) = {
+    val df = run(spark, select)
+    val ckpt = graft.Tables.scratch(
+      s"insert-ckpt/$name-${Integer.toHexString(sd.path.hashCode)}")
+    if (df.isStreaming) {
+      require(!mode.equalsIgnoreCase("OVERWRITE"),
+        "INSERT OVERWRITE requires a batch SELECT — a streaming " +
+          "query cannot overwrite its own sink (the reference " +
+          "rejects streaming INSERT OVERWRITE the same way)")
+      val before =
+        try spark.read.format(sd.format).load(sd.path).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      val q = df.writeStream.format(sd.format)
+        .option("checkpointLocation", ckpt)
+        .option("path", sd.path)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val rb = spark.read.format(sd.format).load(sd.path)
+      (rb, rb.count() - before)
+    } else {
+      df.write.mode("overwrite").format(sd.format).save(sd.path)
+      deleteRecursively(new java.io.File(ckpt))
+      val rb = spark.read.format(sd.format).load(sd.path)
+      (rb, rb.count())
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
   }
 
   /** q_sql_mixed: TWO idioms in ONE statement — a TUMBLE group-window
@@ -513,19 +584,32 @@ object GraftSql {
     * name and rows written, the analogue of the reference TableResult's
     * per-sink affected-row counts. */
   final class StatementSet private[operators] (spark: SparkSession) {
-    private val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
-    def addInsertSql(sql: String): this.type = {
-      require(sql.trim.toUpperCase.startsWith("INSERT INTO"),
-        s"StatementSet accepts only INSERT INTO statements: $sql")
-      stmts += sql
-      this
+    private val stmts =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    def addInsertSql(sql: String): this.type = sql.trim match {
+      // validate the FULL statement shape here (the reference's
+      // StatementSet.addInsertSql throws immediately on non-INSERT text),
+      // so execute() can never hit a MatchError on text that merely
+      // started with the right prefix (r6 ADVICE)
+      case InsertR(mode, name, select) if mode.equalsIgnoreCase("INTO") =>
+        stmts += ((name, select, sql.trim))
+        this
+      case _ => throw new IllegalArgumentException(
+        s"StatementSet accepts only INSERT INTO <sink> <select> statements: $sql")
     }
     def execute(): DataFrame = {
       import spark.implicits._
       require(stmts.nonEmpty, "empty statement set: call addInsertSql first")
-      stmts.toSeq.map { s0 =>
-        val sink = s0.trim match { case InsertR(_, name, _) => name }
-        sink -> GraftSql.run(spark, s0).count()
+      stmts.toSeq.map { case (name, select, full) =>
+        // rows = THIS statement's written count (the reference
+        // TableResult's per-sink affected-row count), not the sink's
+        // cumulative contents, which diverge for streaming-append sinks
+        // and pre-populated paths (r6 ADVICE)
+        val rows = graft.streaming.GraftDdl.sink(name) match {
+          case Some(sd) => executeInsert(spark, "INTO", name, sd, select)._2
+          case None => GraftSql.run(spark, full).count()
+        }
+        name -> rows
       }.toDF("sink", "rows")
     }
   }

@@ -227,7 +227,7 @@ object SimilarityOps {
     * vectors / semantic clusters / dropped near-duplicates. The edge
     * relation is the bounded within-bucket pair join of q_embed_near_dup,
     * the clustering is the structurally-bounded O(log n) star CC shared
-    * with q_dedup_clusters_star — so the full semantic-dedup pipeline
+    * with q_dedup_clusters — so the full semantic-dedup pipeline
     * composes from already-scale-audited pieces, nothing quadratic. The
     * oracle replays the same components with a recursive min-label CTE. */
   val qSemanticDedup: Q = Q(

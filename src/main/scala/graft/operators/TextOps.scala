@@ -328,7 +328,7 @@ object TextOps {
         .orderBy($"source")
     },
     Some("""SELECT source, count(*) AS n_total,
-           |       sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS n_kept,
+           |       CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            |       max(CASE WHEN rn <= 10 THEN doc_id END) AS max_kept_doc
            |FROM (SELECT source, doc_id,
            |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
@@ -362,7 +362,7 @@ object TextOps {
            |r AS (SELECT lang, doc_id,
            |             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
            |      FROM documents)
-           |SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_checksum
+           |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
            |FROM r, m WHERE rn <= m.k GROUP BY lang ORDER BY lang""".stripMargin))
 
   /** GPT-style sequence PACKING (concat-and-chunk): within each source,

@@ -97,6 +97,12 @@ class GraftCatalogSpec extends GraftSpec {
     val sinkPath = Tables.scratch("catalog/spec4-sink")
     GraftCatalog.executeDdl(spark, catDir,
       s"CREATE TABLE cat_sink (n BIGINT) WITH ('path' = '$sinkPath')")
+    // the sink registry is JVM-global, so executeDdl alone already left
+    // cat_sink registered — drop it first so the assertion proves restore()
+    // actually REPLAYS the DDL rather than observing the leftover (the r6
+    // ADVICE vacuity)
+    assert(GraftDdl.dropSink("cat_sink"))
+    assert(GraftDdl.sink("cat_sink").isEmpty)
     GraftCatalog.restore(spark.newSession(), catDir)
     assert(GraftDdl.sink("cat_sink").exists(_.path == sinkPath))
   }

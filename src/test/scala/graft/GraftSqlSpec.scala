@@ -443,7 +443,10 @@ class GraftSqlSpec extends GraftSpec {
     assert(graft.streaming.GraftDdl.sink("gsql_drop_sink").isEmpty)
     assert(!GraftSql.run(spark, "SHOW TABLES")
       .collect().map(_.getString(0)).contains("gsql_drop_sink"))
-    intercept[IllegalArgumentException] {
+    // neither a sink nor a temp view: the statement falls through to
+    // spark.sql, whose DROP TABLE reports the missing table (and would
+    // handle a real catalog table — see the plain-CREATE-TABLE test)
+    intercept[org.apache.spark.sql.AnalysisException] {
       GraftSql.run(spark, "DROP TABLE gsql_drop_sink")
     }
   }
@@ -533,5 +536,89 @@ class GraftSqlSpec extends GraftSpec {
       assert(df.collect().head.getLong(0) > 0)
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "3")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("idiom keywords inside string LITERALS do not trigger the recognizers") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one")
+    // these are legal plain SQL; the r6 behavior routed them to the
+    // MATCH_RECOGNIZE / temporal recognizers, which threw
+    val m = GraftSql.run(spark, "SELECT 'MATCH_RECOGNIZE' AS s").collect()
+    assert(m.head.getString(0) == "MATCH_RECOGNIZE")
+    val t = GraftSql.run(spark,
+      "SELECT 'FOR SYSTEM_TIME AS OF' AS s, count(*) AS n FROM events GROUP BY 1").collect()
+    assert(t.head.getLong(1) > 0)
+  }
+
+  test("plain Spark CREATE TABLE (no WITH options) falls through to spark.sql") {
+    try {
+      GraftSql.run(spark, "CREATE TABLE gsql_plain_ct (x INT) USING parquet")
+      // it registered as a real catalog table, not a graft sink
+      assert(graft.streaming.GraftDdl.sink("gsql_plain_ct").isEmpty)
+      assert(spark.catalog.tableExists("gsql_plain_ct"))
+      // and the door's DROP TABLE reaches it via the spark.sql fallthrough
+      GraftSql.run(spark, "DROP TABLE gsql_plain_ct")
+      assert(!spark.catalog.tableExists("gsql_plain_ct"))
+    } finally spark.sql("DROP TABLE IF EXISTS gsql_plain_ct")
+  }
+
+  test("streaming INSERT INTO re-run resumes incrementally (stable checkpoint)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val srcDir = Tables.scratch("gsql-inc/src")
+    val srcTbl = s"$srcDir/evts.parquet"
+    val sinkPath = Tables.scratch("gsql-inc/sink")
+    // wipe any leftovers from a previous test run: the checkpoint is
+    // deliberately STABLE across runs now
+    def rm(p: String): Unit = {
+      val f = new java.io.File(p)
+      def go(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(go))
+        x.delete(); ()
+      }
+      go(f)
+    }
+    rm(srcDir); rm(sinkPath)
+    rm(Tables.scratch(
+      s"insert-ckpt/gsql_inc_sink-${Integer.toHexString(sinkPath.hashCode)}"))
+    // batch 1: three rows land in the source directory
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:01")),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:02")),
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:03")))
+      .toDF("user_id", "ts").write.mode("append").parquet(srcTbl)
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql_inc_src (WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+         |WITH ('path' = '$srcDir', 'table' = 'evts')""".stripMargin)
+    GraftSql.run(spark,
+      s"CREATE TABLE gsql_inc_sink (user_id BIGINT) WITH ('path' = '$sinkPath')")
+    val ins = "INSERT INTO gsql_inc_sink SELECT user_id FROM gsql_inc_src"
+    assert(GraftSql.run(spark, ins).count() == 3)
+    // two MORE rows arrive; the re-run must drain exactly the new suffix.
+    // The r6 behavior (fresh UUID checkpoint vs persistent _spark_metadata)
+    // restarted batchIds at 0, FileStreamSink skipped the "already
+    // committed" batch, and the re-run silently wrote nothing.
+    Seq((4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:04")),
+        (5L, java.sql.Timestamp.valueOf("2024-01-01 10:00:05")))
+      .toDF("user_id", "ts").write.mode("append").parquet(srcTbl)
+    assert(GraftSql.run(spark, ins).count() == 5)
+    // and a StatementSet re-run reports ITS OWN written rows (the delta),
+    // not the sink's cumulative contents
+    Seq((6L, java.sql.Timestamp.valueOf("2024-01-01 10:00:06")))
+      .toDF("user_id", "ts").write.mode("append").parquet(srcTbl)
+    val summary = GraftSql.createStatementSet(spark).addInsertSql(ins)
+      .execute().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary("gsql_inc_sink") == 1)
+    assert(spark.read.parquet(sinkPath).count() == 6)
+  }
+
+  test("StatementSet rejects malformed INSERT text at addInsertSql, not execute") {
+    // "INSERT INTO t" passed the old prefix check and died later as a
+    // scala.MatchError inside execute() (r6 ADVICE)
+    intercept[IllegalArgumentException] {
+      GraftSql.createStatementSet(spark).addInsertSql("INSERT INTO t")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.createStatementSet(spark)
+        .addInsertSql("INSERT OVERWRITE s SELECT 1 AS x")
+    }
   }
 }

@@ -4,7 +4,7 @@ import graft.operators.ConnectedComponents
 import org.apache.spark.sql.functions._
 
 /** Large-star/small-star connected components (Kiveris et al. SoCC'14):
-  * the O(log n)-round CC used by q_dedup_clusters_star. */
+  * the O(log n)-round CC used by q_dedup_clusters (headline since round 7). */
 class StarCCSpec extends GraftSpec {
 
   private def labels(nodes: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 30) = {
