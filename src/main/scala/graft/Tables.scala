@@ -20,9 +20,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Raw read. events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * by default — read it as nanos-since-epoch long (legacy conf) and let
-    * [[t]] normalize to a µs TimestampType column. */
+  /** Raw read. The driver has regenerated `events.ts` under different
+    * parquet encodings across rounds — TIMESTAMP(NANOS) (which Spark 4
+    * refuses by default; the legacy conf reads it as nanos-since-epoch
+    * long) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark 4
+    * infers as TIMESTAMP_NTZ). [[normalize]] folds every encoding to one
+    * µs TimestampType column so operators never see the drift. */
   def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -52,9 +55,25 @@ object Tables {
   }
 
   def normalize(name: String, df: DataFrame): DataFrame =
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // nanos-since-epoch long (TIMESTAMP(NANOS) under the legacy conf):
+      // truncate to µs — floor, so second-level bucketing is unaffected
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark 4 infers NTZ, which
+      // unix_micros/withWatermark arithmetic downstream rejects. The fixture's
+      // wall-clock values are UTC instants; NTZ-timestampdiff from the NTZ
+      // epoch reinterprets them as such EXACTLY and independently of the
+      // session timezone (a bare cast — and to_utc_timestamp, whose analyzer
+      // coercion inserts one — resolves through the session tz instead).
+      // Plain projection: works on batch and streaming relations alike.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
+      case _ => df
+    }
 
   /** Register all tables as temp views (for spark.sql-based operators). */
   def registerAll(spark: SparkSession, dir: String): Unit =
