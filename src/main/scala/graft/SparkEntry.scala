@@ -42,6 +42,7 @@ object SparkEntry {
       streaming.QueryableState.all ++
       streaming.TwsOps.all ++
       streaming.DedupSql.all ++
+      sources.CdcFormats.all ++
       dsl.DslOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,277 @@
+package graft.sources
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC changelog ingestion formats — the reference's flagship 1.11 feature
+  * (`CREATE TABLE … WITH ('format'='debezium-json')`): a JSON change-capture
+  * feed decoded into a retraction stream the changelog operators consume.
+  *
+  * Reference semantics (re-expressed, not translated):
+  *  - debezium-json (flink-formats/flink-json/src/main/java/org/apache/flink/
+  *    formats/json/debezium/DebeziumJsonDeserializationSchema.java:107):
+  *    envelope `{before, after, op}` (optionally nested under `payload` when
+  *    Kafka Connect's schema envelope is enabled); op `c`/`r` → +I(after),
+  *    `u` → -U(before) +U(after), `d` → -D(before); null `before` on
+  *    update/delete is the REPLICA IDENTITY misconfiguration error; empty
+  *    messages are Kafka tombstones and are skipped.
+  *  - canal-json (…/canal/CanalJsonDeserializationSchema.java:100): envelope
+  *    `{data: [...], old: [...], type}`; INSERT → +I per data row, DELETE →
+  *    -D per data row, UPDATE → per index i: before = old[i] with its null
+  *    fields copied from data[i] (canal's `old` carries only CHANGED
+  *    columns), emitted as -U(before) +U(data[i]).
+  *
+  * Spark-first design: the whole decode is one `from_json` plus a CaseWhen
+  * over higher-order functions (`transform`/`zip_with`/`flatten`) feeding a
+  * single `explode` — native expressions end to end, whole-stage-codegen
+  * eligible, zero UDFs. The same Column tree runs over a batch read, a file
+  * stream, or a [[KafkaLog]] value column unchanged; at 100 TB the decode is
+  * a map-only pass with no shuffle. Output: `kind` (+I/-U/+U/-D) followed by
+  * the payload columns — directly consumable by ChangelogJoin / ChangelogAgg
+  * / UpsertSink, closing ingestion→retraction end-to-end from text alone.
+  */
+object CdcFormats {
+
+  private def ch(kind: String, row: Column): Column =
+    struct(lit(kind).as("kind"), row.as("row"))
+
+  private def out(decoded: DataFrame, payload: StructType): DataFrame =
+    decoded.select(
+      (col("c.kind").as("kind") +:
+        payload.fieldNames.toSeq.map(f => col(s"c.row.`$f`").as(f))): _*)
+
+  /** Decode a debezium-json string column into a changelog DataFrame.
+    *
+    * @param schemaInclude the Kafka Connect envelope flag: payload nested
+    *   under `payload` (the `schema` half is ignored, as in the reference).
+    */
+  def debezium(df: DataFrame, payload: StructType, valueCol: String = "value",
+      schemaInclude: Boolean = false): DataFrame = {
+    val env0 = StructType(Seq(
+      StructField("before", payload), StructField("after", payload),
+      StructField("op", StringType)))
+    val full =
+      if (schemaInclude) StructType(Seq(StructField("payload", env0))) else env0
+    val parsed = from_json(col(valueCol), full)
+    // tombstones (null/empty values) are Kafka deletions-of-deletions:
+    // skipped, as in the reference; then parse ONCE per row into a staged
+    // projection — field accesses below reuse the struct instead of
+    // leaning on codegen subexpression elimination to dedup the parse
+    val staged = df
+      .filter(col(valueCol).isNotNull && length(col(valueCol)) > 0)
+      .select((if (schemaInclude) parsed.getField("payload") else parsed).as("e"))
+    val env = col("e")
+    val before = env.getField("before")
+    val after = env.getField("after")
+    val op = env.getField("op")
+    val replicaMsg = "The \"before\" field of UPDATE/DELETE message is null; " +
+      "check REPLICA IDENTITY FULL on the source table"
+    val changes =
+      when(op.isin("c", "r"), array(ch("+I", after)))
+        .when(op.isin("u", "d") && before.isNull, raise_error(lit(replicaMsg)))
+        .when(op === "u", array(ch("-U", before), ch("+U", after)))
+        .when(op === "d", array(ch("-D", before)))
+        .otherwise(raise_error(
+          concat(lit("unknown debezium op: "), coalesce(op, lit("null")))))
+    out(staged.select(explode(changes).as("c")), payload)
+  }
+
+  /** Decode a canal-json string column into a changelog DataFrame. */
+  def canal(df: DataFrame, payload: StructType,
+      valueCol: String = "value"): DataFrame = {
+    val env0 = StructType(Seq(
+      StructField("data", ArrayType(payload)),
+      StructField("old", ArrayType(payload)),
+      StructField("type", StringType)))
+    val staged = df
+      .filter(col(valueCol).isNotNull && length(col(valueCol)) > 0)
+      .select(from_json(col(valueCol), env0).as("e"))
+    val env = col("e")
+    val data = env.getField("data")
+    val old = env.getField("old")
+    val tpe = env.getField("type")
+    // canal's `old` holds only the CHANGED columns; fill its nulls from the
+    // new row so -U retracts the complete previous image (reference
+    // CanalJsonDeserializationSchema.java:121-126)
+    def mergedBefore(d: Column, o: Column): Column =
+      struct(payload.fields.toSeq.map(f =>
+        coalesce(o.getField(f.name), d.getField(f.name)).as(f.name)): _*)
+    val changes =
+      when(tpe === "INSERT", transform(data, d => array(ch("+I", d))))
+        .when(tpe === "UPDATE" && old.isNull,
+          raise_error(lit("canal UPDATE without \"old\" field")))
+        .when(tpe === "UPDATE", zip_with(data, old,
+          (d, o) => array(ch("-U", mergedBefore(d, o)), ch("+U", d))))
+        .when(tpe === "DELETE", transform(data, d => array(ch("-D", d))))
+        .otherwise(raise_error(
+          concat(lit("unknown canal type: "), coalesce(tpe, lit("null")))))
+    out(staged.select(explode(flatten(changes)).as("c")), payload)
+  }
+
+  // ------------------------------------------------------------------
+  // Registered queries: a deterministic CDC feed derived from `orders`
+  // (insert at 90% price → even keys update to full price → 'F' orders
+  // delete), serialized to real debezium/canal JSON text on scratch, read
+  // back as text, decoded, and materialized. The oracle computes the same
+  // final state directly from `orders`.
+  // ------------------------------------------------------------------
+
+  /** Payload schema of the synthetic feed. `version` plays the role the
+    * reference leaves to Debezium's ts_ms: a payload-level change ordinal
+    * (1.11 has no metadata columns either — that lands in 1.12). */
+  val feedSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderpriority", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("version", IntegerType)))
+
+  private def payloadCols(price: Column, version: Column): Column = struct(
+    col("o_orderkey"), col("o_orderpriority"),
+    price.as("o_totalprice"), version.cast(IntegerType).as("version"))
+  private def payloadCols(price: Column, version: Int): Column =
+    payloadCols(price, lit(version))
+
+  private val discounted: Column = col("o_totalprice") * 0.9
+  private val isEven: Column = col("o_orderkey") % 2 === 0
+  private val latestPrice: Column =
+    when(isEven, col("o_totalprice")).otherwise(discounted)
+  private val latestVersion: Column = when(isEven, lit(2)).otherwise(lit(1))
+
+  /** Write the orders-derived change feed as debezium-json lines; returns
+    * the directory. One JSON object per change event, exactly the
+    * envelope the reference decoder expects. */
+  def writeDebeziumFeed(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val orders = Tables.t(s, dir, "orders")
+    val nul = lit(null).cast(feedSchema)
+    val ins = orders.select(to_json(struct(
+      nul.as("before"), payloadCols(discounted, 1).as("after"),
+      lit("c").as("op"))).as("value"))
+    val upd = orders.filter(isEven).select(to_json(struct(
+      payloadCols(discounted, 1).as("before"),
+      payloadCols(col("o_totalprice"), 2).as("after"),
+      lit("u").as("op"))).as("value"))
+    val del = orders.filter(col("o_orderstatus") === "F").select(to_json(struct(
+      payloadCols(latestPrice, latestVersion).as("before"),
+      nul.as("after"), lit("d").as("op"))).as("value"))
+    val outDir = Tables.scratch(
+      s"cdc-debezium-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    ins.unionAll(upd).unionAll(del).coalesce(4)
+      .write.mode("overwrite").text(outDir)
+    outDir
+  }
+
+  /** Write the same feed as canal-json lines, batching 100 rows per message
+    * (canal's `data` is an array) and carrying only the CHANGED columns in
+    * `old` — the partial-image form the merge path must reconstruct. */
+  def writeCanalFeed(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val orders = Tables.t(s, dir, "orders")
+    // key-range message batching: deterministic AND shuffle-parallel (a
+    // row_number window here would be a single-task global sort — the
+    // canonical 100 TB anti-pattern for what is just array chunking)
+    val batched = orders.withColumn("batch", floor(col("o_orderkey") / 200))
+    val nulStr = lit(null).cast(StringType)
+    val nulLong = lit(null).cast(LongType)
+    // old image: only price+version changed → other fields null
+    val oldPartial = struct(
+      nulLong.as("o_orderkey"), nulStr.as("o_orderpriority"),
+      discounted.as("o_totalprice"), lit(1).as("version"))
+    val ins = batched.groupBy("batch").agg(to_json(struct(
+      collect_list(payloadCols(discounted, 1)).as("data"),
+      lit(null).cast(ArrayType(feedSchema)).as("old"),
+      lit("INSERT").as("type"))).as("value"))
+    val upd = batched.filter(isEven).groupBy("batch").agg(to_json(struct(
+      collect_list(payloadCols(col("o_totalprice"), 2)).as("data"),
+      collect_list(oldPartial).as("old"),
+      lit("UPDATE").as("type"))).as("value"))
+    val del = batched.filter(col("o_orderstatus") === "F").groupBy("batch")
+      .agg(to_json(struct(
+        collect_list(payloadCols(latestPrice, latestVersion)).as("data"),
+        lit(null).cast(ArrayType(feedSchema)).as("old"),
+        lit("DELETE").as("type"))).as("value"))
+    val outDir = Tables.scratch(
+      s"cdc-canal-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    ins.select("value").unionAll(upd.select("value"))
+      .unionAll(del.select("value")).coalesce(4)
+      .write.mode("overwrite").text(outDir)
+    outDir
+  }
+
+  /** q_cdc_ingest: text file of debezium-json → decode → retractable
+    * ChangelogAgg per priority → final materialized aggregate. The whole
+    * reference story — CDC topic in, retraction-consuming aggregate out —
+    * from serialized text alone. Oracle: the surviving final state computed
+    * directly from `orders`. */
+  val qCdcIngest: Q = Q(
+    "q_cdc_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.ChangelogAgg
+      import graft.streaming.ChangelogAgg.AggChange
+      val feed = writeDebeziumFeed(s, dir)
+      val changelog = debezium(s.read.text(feed), feedSchema)
+      val changes = changelog.select(
+        $"o_orderpriority", $"o_orderkey", $"kind", $"o_totalprice", $"version")
+        .as[(String, Long, String, Double, Int)]
+        .map { case (prio, k, kind, price, v) =>
+          // deterministic per-key ordinal (final state is order-insensitive;
+          // the ordinal pins intermediate emission order for streaming runs)
+          val phase = kind match {
+            case "+I" => 0L; case "-U" => 1L; case "+U" => 2L; case _ => 3L
+          }
+          AggChange[String](prio, k * 4 + phase, kind, price)
+        }
+      ChangelogAgg.agg(changes).filter(_.kind == "+I").toDF()
+        .select($"key".as("o_orderpriority"), $"cnt",
+          round($"total", 2).as("total"),
+          round($"vmin", 2).as("vmin"), round($"vmax", 2).as("vmax"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |       CAST(count(*) AS BIGINT) AS cnt,
+           |       round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |                      ELSE o_totalprice * 0.9 END), 2) AS total,
+           |       round(min(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |                      ELSE o_totalprice * 0.9 END), 2) AS vmin,
+           |       round(max(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |                      ELSE o_totalprice * 0.9 END), 2) AS vmax
+           |FROM orders WHERE o_orderstatus <> 'F'
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** q_cdc_canal: canal-json (array messages, partial `old` images) →
+    * decode → upsert materialization of the final row set. Exercises the
+    * changed-columns merge and multi-row message paths; the replay keeps a
+    * key live iff its accumulate/retract counts net positive, taking the
+    * highest-version image — one hash aggregate, no shuffle beyond it. */
+  val qCdcCanal: Q = Q(
+    "q_cdc_canal",
+    (s, dir) => {
+      val feed = writeCanalFeed(s, dir)
+      val changelog = canal(s.read.text(feed), feedSchema)
+      changelog
+        .groupBy("o_orderkey")
+        .agg(
+          sum(when(col("kind").isin("+I", "+U"), 1).otherwise(-1)).as("net"),
+          max_by(
+            struct(col("o_orderpriority"), col("o_totalprice"), col("version")),
+            when(col("kind").isin("+I", "+U"), col("version"))).as("last"))
+        .filter(col("net") > 0)
+        // no rounding: each price is one IEEE multiply JSON-round-tripped,
+        // bitwise-identical to the oracle's expression — rounding would
+        // REINTRODUCE drift (Spark's BigDecimal half-up vs DuckDB's
+        // double rounding disagree exactly at the half-cent boundaries)
+        .select(col("o_orderkey"), col("last.o_orderpriority"),
+          col("last.o_totalprice"), col("last.version"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |            ELSE o_totalprice * 0.9 END AS o_totalprice,
+           |       CAST(CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS INT)
+           |         AS version
+           |FROM orders WHERE o_orderstatus <> 'F'
+           |ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(qCdcIngest, qCdcCanal)
+}

@@ -34,7 +34,11 @@ object GraftCatalog {
   def executeDdl(spark: SparkSession, catalogDir: String, ddl: String): String = {
     val name = GraftDdl.executeDdl(spark, ddl) // validate + register first;
                                                // an unparseable DDL is never persisted
-    persist(catalogDir, name, ddl)
+    // persist LIKE statements RESOLVED (self-contained CREATE TABLE) so
+    // replay never depends on the base table restoring first — the same
+    // reason the reference stores resolved CatalogTable metadata, not the
+    // LIKE clause (FLIP-110)
+    persist(catalogDir, name, GraftDdl.resolveDdl(ddl))
     name
   }
 
@@ -68,7 +72,9 @@ object GraftCatalog {
     val (_, name) = classify(ddl).getOrElse(throw new IllegalArgumentException(
       s"not a persistable DDL (CREATE TABLE/VIEW/FUNCTION): $ddl"))
     graft.operators.GraftSql.run(spark, ddl) // validate + register first
-    persist(catalogDir, name, ddl)
+    // LIKE resolves to a self-contained CREATE TABLE before persisting
+    // (see executeDdl); other DDL classes pass through resolveDdl unchanged
+    persist(catalogDir, name, GraftDdl.resolveDdl(ddl))
     name
   }
 

@@ -1,58 +1,196 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
-/** WATERMARK-DDL surface (reference: `CREATE TABLE ... WATERMARK FOR col AS
-  * expr`, flink-sql-parser SqlCreateTable.java:56). Spark SQL has no
-  * watermark clause, so the DDL maps to: register the streaming source as a
-  * temp view with `withWatermark` already applied — downstream `spark.sql`
-  * text then queries it exactly like the reference queries a watermarked
-  * table.
+/** The reference's CREATE TABLE text surface (flink-sql-parser
+  * SqlCreateTable.java:56): watermarked streaming sources, computed columns,
+  * CDC-format sources, writable sinks, and the 1.11 `CREATE TABLE … LIKE`
+  * options-merging clause (FLIP-110).
+  *
+  * Spark SQL has no watermark/computed-column DDL, so the DDL maps to:
+  * register the source as a temp view with computed columns projected and
+  * `withWatermark` already applied — downstream `spark.sql` text then
+  * queries it exactly like the reference queries a watermarked table.
+  *
+  * Plain (non-computed) column definitions on parquet-backed sources are
+  * accepted and ignored — the fixture's schema is authoritative
+  * (schema-on-read; the reference validates declared columns against the
+  * connector instead). CDC JSON sources are the exception: a JSON feed has
+  * no authoritative file schema, so there the declared columns ARE the
+  * payload schema.
   */
 object GraftDdl {
 
   /** CREATE [STREAMING] VIEW name AS SELECT * FROM parquet-fixture with
-    * WATERMARK FOR tsCol AS tsCol - delay. */
+    * WATERMARK FOR tsCol AS tsCol - delay, computed columns projected
+    * BEFORE the watermark so a computed rowtime can carry it. */
   def createStreamView(spark: SparkSession, dir: String, table: String,
-      viewName: String, tsCol: String, delay: String): Unit = {
-    StreamingOps.streamTable(spark, dir, table)
-      .withWatermark(tsCol, delay)
-      .createOrReplaceTempView(viewName)
+      viewName: String, tsCol: String, delay: String,
+      computed: Seq[(String, String)] = Nil): Unit = {
+    val base = computed.foldLeft(StreamingOps.streamTable(spark, dir, table)) {
+      case (df, (name, e)) => df.withColumn(name, expr(e))
+    }
+    base.withWatermark(tsCol, delay).createOrReplaceTempView(viewName)
   }
 
-  private val DdlR =
-    ("(?is)CREATE TABLE (\\w+)\\s*\\((?:.*?,)?\\s*WATERMARK FOR (\\w+) AS " +
-     "\\2 - INTERVAL '(\\d+)' (SECOND|MINUTE|HOUR|DAY)S?\\s*\\)\\s*" +
-     "WITH \\((.*)\\)\\s*;?\\s*").r
   private val OptR = "'([^']+)'\\s*=\\s*'([^']*)'".r
 
-  /** The reference's DDL text surface (flink-sql-parser SqlCreateTable.java:
-    * 56): parse `CREATE TABLE name (…, WATERMARK FOR ts AS ts - INTERVAL 'n'
-    * UNIT) WITH ('path' = dir, 'table' = fixture)` and register `name` as a
-    * watermarked streaming temp view queryable via `spark.sql`. Column
-    * definitions before the WATERMARK clause are accepted and ignored — the
-    * parquet fixture's schema is authoritative (schema-on-read; the
-    * reference validates declared columns against the connector instead).
-    * Returns the registered view name. */
-  def executeDdl(spark: SparkSession, ddl: String): String = ddl.trim match {
-    case DdlR(name, tsCol, n, unit, optsTxt) =>
-      val opts = OptR.findAllMatchIn(optsTxt)
-        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
-      val dir = opts.getOrElse("path",
-        throw new IllegalArgumentException("WITH option 'path' is required"))
-      val table = opts.getOrElse("table", name)
-      createStreamView(spark, dir, table, name, tsCol,
-        s"$n ${unit.toLowerCase}s")
-      name
-    case SinkR(name, cols, optsTxt) if !cols.toUpperCase.contains("WATERMARK") =>
-      val opts = OptR.findAllMatchIn(optsTxt)
-        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
-      val path = opts.getOrElse("path",
-        throw new IllegalArgumentException("WITH option 'path' is required"))
-      sinks(name.toLowerCase) = SinkDef(path, opts.getOrElse("format", "parquet"))
-      name
-    case other => throw new IllegalArgumentException(
-      s"unparseable DDL (expected CREATE TABLE … WATERMARK FOR … WITH (…)): $other")
+  // generic CREATE TABLE shape; cols may contain parens (DECIMAL(10,2)) —
+  // greedy match backtracks to the ')' before WITH
+  private val TableR =
+    "(?is)CREATE TABLE (\\w+)\\s*\\((.*)\\)\\s*WITH \\((.*)\\)\\s*;?\\s*".r
+  private val WatermarkR =
+    ("(?is)WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+\\1\\s*-\\s*" +
+      "INTERVAL\\s*'(\\d+)'\\s*(SECOND|MINUTE|HOUR|DAY)S?").r
+  // CREATE TABLE derived [(extra cols)] [WITH (opts)] LIKE base [(like options)]
+  private val LikeR =
+    ("(?is)CREATE TABLE (\\w+)\\s*(?:\\((.*?)\\)\\s*)?" +
+      "(?:WITH \\((.*?)\\)\\s*)?LIKE\\s+(\\w+)\\s*(?:\\(([^)]*)\\))?\\s*;?\\s*").r
+
+  private def parseOpts(optsTxt: String): Map[String, String] =
+    OptR.findAllMatchIn(optsTxt)
+      .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+
+  /** Split a column-definition list on top-level commas only (commas inside
+    * DECIMAL(10,2), TO_TIMESTAMP(a, 'fmt') etc. don't split). */
+  private[streaming] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var inStr = false
+    for (i <- s.indices) s.charAt(i) match {
+      case '\'' => inStr = !inStr
+      case '(' if !inStr => depth += 1
+      case ')' if !inStr => depth -= 1
+      case ',' if !inStr && depth == 0 =>
+        out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val ComputedR = "(?is)(\\w+)\\s+AS\\s+(.+)".r
+
+  /** The `col AS expr` entries of a column list (reference SqlTableColumn's
+    * computed-column form) — WATERMARK and PRIMARY KEY clauses excluded. */
+  def computedColumns(cols: String): Seq[(String, String)] =
+    splitTopLevel(cols).flatMap {
+      case c if c.toUpperCase.startsWith("WATERMARK") => None
+      case c if c.toUpperCase.startsWith("PRIMARY") => None
+      case ComputedR(n, e) => Some(n -> e.trim)
+      case _ => None
+    }
+
+  /** Registered definition of every table this session created — what LIKE
+    * clones (the reference resolves LIKE against CatalogTable metadata the
+    * same way: SqlCreateTable.java:56 + FLIP-110 merge rules). */
+  final case class TableDef(cols: String, opts: Map[String, String])
+  private val defs = scala.collection.concurrent.TrieMap[String, TableDef]()
+
+  /** Resolve `CREATE TABLE … LIKE base (…)` into a SELF-CONTAINED CREATE
+    * TABLE against the base's registered definition; non-LIKE DDL passes
+    * through unchanged. Resolution (not the LIKE text) is what
+    * [[GraftCatalog]] persists, so catalog replay is order-independent —
+    * the durable analogue of the reference storing resolved CatalogTable
+    * metadata, not the LIKE clause.
+    *
+    * Merge rules (FLIP-110, the 1.11 subset): by default everything is
+    * included and a WITH option redeclared on the derived table is an
+    * error; `OVERWRITING OPTIONS` lets the derived value win;
+    * `EXCLUDING OPTIONS` starts from no inherited options. Extra declared
+    * columns append after the base's. */
+  def resolveDdl(ddl: String): String = ddl.trim match {
+    case LikeR(name, extraCols, optsTxt, baseName, likeOpts) =>
+      val base = defs.getOrElse(baseName.toLowerCase,
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $name LIKE $baseName: unknown base table '$baseName'"))
+      val likeU = Option(likeOpts).getOrElse("").toUpperCase
+      val overwriting = likeU.contains("OVERWRITING OPTIONS")
+      val excluding = likeU.contains("EXCLUDING OPTIONS") || likeU.contains("EXCLUDING ALL")
+      val derived = parseOpts(Option(optsTxt).getOrElse(""))
+      val inherited = if (excluding) Map.empty[String, String] else base.opts
+      val dup = inherited.keySet.intersect(derived.keySet)
+      if (dup.nonEmpty && !overwriting && !excluding)
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $name LIKE $baseName redeclares option(s) " +
+            s"${dup.mkString(", ")} — add (OVERWRITING OPTIONS) to override")
+      val merged = inherited ++ derived
+      val cols = Seq(
+        if (excluding && likeU.contains("EXCLUDING ALL")) "" else base.cols,
+        Option(extraCols).getOrElse("")).filter(_.trim.nonEmpty).mkString(", ")
+      val optsSql = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      s"CREATE TABLE $name ($cols) WITH ($optsSql)"
+    case other => other
+  }
+
+  /** Parse one CREATE TABLE statement and register its object:
+    *  - columns containing a WATERMARK clause → watermarked streaming
+    *    source view (computed columns projected first);
+    *  - WITH 'format' = 'debezium-json' / 'canal-json' → CDC changelog
+    *    source view over a JSON-lines path, declared columns = payload
+    *    schema (FLINK-15331);
+    *  - otherwise → writable sink registration ([[SinkDef]]).
+    * `CREATE TABLE … LIKE` resolves against the base definition first.
+    * Returns the registered name. */
+  def executeDdl(spark: SparkSession, ddl: String): String =
+    resolveDdl(ddl) match {
+      case TableR(name, cols, optsTxt) =>
+        val opts = parseOpts(optsTxt)
+        defs(name.toLowerCase) = TableDef(cols.trim, opts)
+        val computed = computedColumns(cols)
+        WatermarkR.findFirstMatchIn(cols) match {
+          case Some(wm) =>
+            val dir = opts.getOrElse("path",
+              throw new IllegalArgumentException("WITH option 'path' is required"))
+            createStreamView(spark, dir, opts.getOrElse("table", name), name,
+              wm.group(1), s"${wm.group(2)} ${wm.group(3).toLowerCase}s", computed)
+            name
+          case None => opts.get("format") match {
+            case Some(fmt @ ("debezium-json" | "canal-json")) =>
+              // CDC ingestion table (reference: `'format'='debezium-json'`
+              // turning a CDC feed into a retraction stream — FLINK-15331).
+              val path = opts.getOrElse("path",
+                throw new IllegalArgumentException("WITH option 'path' is required"))
+              val payload = parsePayloadSchema(name, cols)
+              val raw = spark.read.text(path)
+              val decoded =
+                if (fmt == "debezium-json")
+                  graft.sources.CdcFormats.debezium(raw, payload, schemaInclude =
+                    opts.get("debezium-json.schema-include").contains("true"))
+                else graft.sources.CdcFormats.canal(raw, payload)
+              val projected = computed.foldLeft(decoded) {
+                case (df, (n, e)) => df.withColumn(n, expr(e))
+              }
+              projected.createOrReplaceTempView(name)
+              name
+            case _ =>
+              val path = opts.getOrElse("path",
+                throw new IllegalArgumentException("WITH option 'path' is required"))
+              sinks(name.toLowerCase) = SinkDef(path, opts.getOrElse("format", "parquet"))
+              name
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"unparseable DDL (expected CREATE TABLE … [WATERMARK FOR …] WITH (…) [LIKE …]): $other")
+    }
+
+  /** Declared columns → payload StructType for formats where the DDL is
+    * schema-authoritative (CDC JSON). Computed columns and constraint
+    * clauses (`PRIMARY KEY … NOT ENFORCED` — 1.11's upsert-key declaration)
+    * are stripped: Spark has no enforced constraints either, and the
+    * changelog operators key explicitly. */
+  private[streaming] def parsePayloadSchema(name: String, cols: String)
+      : org.apache.spark.sql.types.StructType = {
+    val plain = splitTopLevel(cols).filter { c =>
+      val u = c.toUpperCase
+      !u.startsWith("WATERMARK") && !u.startsWith("PRIMARY") &&
+        (c match { case ComputedR(_, _) => false; case _ => true })
+    }.mkString(", ")
+    try org.apache.spark.sql.types.StructType.fromDDL(plain)
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"CDC table '$name': cannot parse declared columns as a schema " +
+        s"(${e.getMessage}): $plain") }
   }
 
   // ---- sink tables (reference: CREATE TABLE without a watermark backed by
@@ -62,11 +200,6 @@ object GraftDdl {
     * schema-on-write (the SELECT's schema is authoritative), matching the
     * source-side schema-on-read stance documented above. */
   final case class SinkDef(path: String, format: String)
-
-  // cols may contain parens (DECIMAL(10,2)) — greedy match backtracks to
-  // the ')' before WITH
-  private val SinkR =
-    "(?is)CREATE TABLE (\\w+)\\s*\\((.*)\\)\\s*WITH \\((.*)\\)\\s*;?\\s*".r
 
   private val sinks = scala.collection.concurrent.TrieMap[String, SinkDef]()
 
@@ -83,8 +216,7 @@ object GraftDdl {
   def alterSink(name: String, optsTxt: String): Boolean =
     sinks.get(name.toLowerCase) match {
       case Some(sd) =>
-        val opts = OptR.findAllMatchIn(optsTxt)
-          .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+        val opts = parseOpts(optsTxt)
         sinks(name.toLowerCase) = SinkDef(
           opts.getOrElse("path", sd.path), opts.getOrElse("format", sd.format))
         true

@@ -1,0 +1,170 @@
+package graft
+
+import graft.sources.CdcFormats
+import graft.streaming.{ChangelogAgg, GraftDdl}
+import graft.streaming.ChangelogAgg.{AggChange, AggOut}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+
+/** CDC format decoders (reference DebeziumJsonDeserializationSchema.java /
+  * CanalJsonDeserializationSchema.java): JSON text → +I/-U/+U/-D changelog. */
+class CdcFormatsSpec extends GraftSpec {
+
+  private val payload = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("price", DoubleType)))
+
+  private def df(lines: String*) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    lines.toDF("value")
+  }
+
+  private def decodeD(lines: String*): Seq[Row] =
+    CdcFormats.debezium(df(lines: _*), payload).collect().toSeq
+
+  test("debezium: c/r insert, u retract+upsert, d delete") {
+    val rows = decodeD(
+      """{"before":null,"after":{"id":1,"name":"a","price":1.5},"op":"c"}""",
+      """{"before":null,"after":{"id":2,"name":"b","price":2.0},"op":"r"}""",
+      """{"before":{"id":1,"name":"a","price":1.5},"after":{"id":1,"name":"a","price":9.0},"op":"u"}""",
+      """{"before":{"id":2,"name":"b","price":2.0},"after":null,"op":"d"}""")
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(3))) == Seq(
+      ("+I", 1L, 1.5), ("+I", 2L, 2.0),
+      ("-U", 1L, 1.5), ("+U", 1L, 9.0),
+      ("-D", 2L, 2.0)))
+  }
+
+  test("debezium: tombstones (empty values) are skipped") {
+    val rows = decodeD(
+      "", """{"before":null,"after":{"id":1,"name":"a","price":1.0},"op":"c"}""")
+    assert(rows.size == 1 && rows.head.getString(0) == "+I")
+  }
+
+  test("debezium: Kafka Connect schema envelope (payload nesting)") {
+    val line =
+      """{"schema":{"ignored":true},"payload":{"before":null,""" +
+        """"after":{"id":3,"name":"c","price":3.0},"op":"c"}}"""
+    val rows = CdcFormats.debezium(df(line), payload, schemaInclude = true)
+      .collect().toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1))) == Seq(("+I", 3L)))
+  }
+
+  test("debezium: update without before is the REPLICA IDENTITY error") {
+    val e = intercept[Exception] {
+      decodeD("""{"before":null,"after":{"id":1,"name":"a","price":1.0},"op":"u"}""")
+    }
+    assert(e.getMessage.contains("REPLICA IDENTITY") ||
+      e.getCause != null && e.getCause.getMessage.contains("REPLICA IDENTITY"))
+  }
+
+  test("debezium: unknown op raises") {
+    val e = intercept[Exception] { decodeD("""{"before":null,"after":null,"op":"x"}""") }
+    assert(e.getMessage.contains("unknown debezium op") ||
+      e.getCause != null && e.getCause.getMessage.contains("unknown debezium op"))
+  }
+
+  test("canal: multi-row arrays; UPDATE merges partial old images") {
+    val rows = CdcFormats.canal(df(
+      """{"data":[{"id":1,"name":"a","price":1.0},{"id":2,"name":"b","price":2.0}],"old":null,"type":"INSERT"}""",
+      // old carries ONLY the changed column (price): id/name must be
+      // copied from the new row into the -U image
+      """{"data":[{"id":1,"name":"a","price":5.0}],"old":[{"price":1.0}],"type":"UPDATE"}""",
+      """{"data":[{"id":2,"name":"b","price":2.0}],"old":null,"type":"DELETE"}"""),
+      payload).collect().toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))) == Seq(
+      ("+I", 1L, "a", 1.0), ("+I", 2L, "b", 2.0),
+      ("-U", 1L, "a", 1.0), ("+U", 1L, "a", 5.0),
+      ("-D", 2L, "b", 2.0)))
+  }
+
+  test("canal: unknown type raises") {
+    val e = intercept[Exception] {
+      CdcFormats.canal(df("""{"data":[],"old":null,"type":"TRUNCATE"}"""), payload)
+        .collect()
+    }
+    assert(e.getMessage.contains("unknown canal type") ||
+      e.getCause != null && e.getCause.getMessage.contains("unknown canal type"))
+  }
+
+  test("streaming: updates and deletes arrive out of order across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val mem = MemoryStream[String]
+    val changelog = CdcFormats.debezium(mem.toDF(), payload)
+    val changes = changelog.select("kind", "id", "price")
+      .as[(String, Long, Double)]
+      .map { case (kind, id, price) => AggChange[Long](id % 2, id, kind, price) }
+    val agg = ChangelogAgg.agg(changes)
+    val emitted = scala.collection.mutable.ArrayBuffer[AggOut[Long]]()
+    val q = agg.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[AggOut[Long]], _: Long) =>
+        emitted.synchronized { emitted ++= batch.collect() }
+        ()
+    }.start()
+
+    // batch 1: two inserts on bucket 0, one on bucket 1
+    mem.addData(
+      """{"before":null,"after":{"id":2,"name":"a","price":10.0},"op":"c"}""",
+      """{"before":null,"after":{"id":4,"name":"b","price":20.0},"op":"c"}""",
+      """{"before":null,"after":{"id":3,"name":"c","price":7.0},"op":"c"}""")
+    q.processAllAvailable()
+    // batch 2: the DELETE of id=4 arrives BEFORE its update ever will —
+    // and an update for id=2 retracts state built a batch earlier
+    mem.addData(
+      """{"before":{"id":4,"name":"b","price":20.0},"after":null,"op":"d"}""",
+      """{"before":{"id":2,"name":"a","price":10.0},"after":{"id":2,"name":"a","price":99.0},"op":"u"}""")
+    q.processAllAvailable()
+    // batch 3: delete the last live row of bucket 1 → -D emission
+    mem.addData(
+      """{"before":{"id":3,"name":"c","price":7.0},"after":null,"op":"d"}""")
+    q.processAllAvailable()
+    q.stop()
+
+    val byKind = emitted.groupBy(_.kind)
+    // bucket 0 history: +I(30) then -U(30)/+U(99); bucket 1: +I(7) then -D
+    assert(byKind("+I").map(o => (o.key, o.total)).toSet == Set((0L, 30.0), (1L, 7.0)))
+    assert(byKind("+U").map(o => (o.key, o.total)).toSet == Set((0L, 99.0)))
+    assert(byKind("-D").map(_.key).toSet == Set(1L))
+    // final materialized state: bucket 0 holds one live row worth 99
+    val fin = emitted.foldLeft(Map.empty[Long, (Long, Double)]) { (m, o) =>
+      o.kind match {
+        case "+I" | "+U" => m.updated(o.key, (o.cnt, o.total))
+        case "-D" => m - o.key
+        case _ => m
+      }
+    }
+    assert(fin == Map(0L -> ((1L, 99.0))))
+  }
+
+  test("DDL: CREATE TABLE with 'format'='debezium-json' registers a changelog view") {
+    val dir = Tables.scratch("cdc-ddl-spec")
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq(
+      """{"before":null,"after":{"id":1,"name":"a","price":1.0},"op":"c"}""",
+      """{"before":{"id":1,"name":"a","price":1.0},"after":{"id":1,"name":"a","price":2.0},"op":"u"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val name = GraftDdl.executeDdl(spark,
+      s"""CREATE TABLE cdc_spec_src (
+         |  id BIGINT, name STRING, price DOUBLE,
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('format' = 'debezium-json', 'path' = '$dir')""".stripMargin)
+    assert(name == "cdc_spec_src")
+    val kinds = spark.sql(
+      "SELECT kind, count(*) AS n FROM cdc_spec_src GROUP BY kind")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds == Map("+I" -> 1L, "-U" -> 1L, "+U" -> 1L))
+  }
+
+  test("DDL: unparseable CDC column list fails loudly") {
+    intercept[IllegalArgumentException] {
+      GraftDdl.executeDdl(spark,
+        "CREATE TABLE bad_cdc (id WIBBLE) WITH " +
+          "('format' = 'debezium-json', 'path' = '/tmp/x')")
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.streaming.{GraftDdl, StreamingOps}
+import graft.operators.GraftSql
+
+/** Round-8 DDL features: computed columns (SqlCreateTable.java:56 computed
+  * SqlTableColumn), CREATE TABLE … LIKE (FLIP-110 options merging), and the
+  * door's DESCRIBE / SHOW FUNCTIONS / USE / qualified-name handling. */
+class DdlFeatureSpec extends GraftSpec {
+
+  test("computed columns project onto the registered view; watermark rides a computed rowtime") {
+    val name = GraftDdl.executeDdl(spark,
+      s"""CREATE TABLE ev_comp (
+         |  event_id BIGINT,
+         |  v2 AS value * 2,
+         |  rt AS ts + INTERVAL '30' MINUTE,
+         |  WATERMARK FOR rt AS rt - INTERVAL '5' SECONDS
+         |) WITH ('path' = '$sfDir', 'table' = 'events')""".stripMargin)
+    assert(name == "ev_comp")
+    val df = spark.table("ev_comp")
+    assert(df.isStreaming)
+    assert(df.columns.contains("v2") && df.columns.contains("rt"))
+    assert(df.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+    val out = StreamingOps.runToMemory(spark,
+      df.groupBy().sum("v2"), "complete", "ddl_comp_sum")
+    val expect = Tables.t(spark, sfDir, "events")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("value") * 2)).collect().head.getDouble(0)
+    assert(math.abs(out.collect().head.getDouble(0) - expect) < 1e-6)
+  }
+
+  test("computedColumns parser: skips WATERMARK/PRIMARY KEY, keeps fn-call exprs") {
+    val cc = GraftDdl.computedColumns(
+      """id BIGINT, cost AS price * quantity,
+        |rt AS TO_TIMESTAMP(s, 'yyyy-MM-dd'),
+        |PRIMARY KEY (id) NOT ENFORCED,
+        |WATERMARK FOR rt AS rt - INTERVAL '5' SECOND""".stripMargin)
+    assert(cc == Seq(
+      "cost" -> "price * quantity", "rt" -> "TO_TIMESTAMP(s, 'yyyy-MM-dd')"))
+  }
+
+  test("LIKE resolves against the base definition; derived option wins with OVERWRITING OPTIONS") {
+    GraftDdl.executeDdl(spark,
+      "CREATE TABLE like_base (a BIGINT, b STRING) " +
+        "WITH ('path' = '/tmp/like-a', 'format' = 'parquet')")
+    val resolved = GraftDdl.resolveDdl(
+      "CREATE TABLE like_derived WITH ('path' = '/tmp/like-b') " +
+        "LIKE like_base (OVERWRITING OPTIONS)")
+    assert(resolved.contains("'path' = '/tmp/like-b'"))
+    assert(resolved.contains("'format' = 'parquet'"))
+    assert(resolved.contains("a BIGINT, b STRING"))
+    val name = GraftDdl.executeDdl(spark,
+      "CREATE TABLE like_derived WITH ('path' = '/tmp/like-b') " +
+        "LIKE like_base (OVERWRITING OPTIONS)")
+    assert(name == "like_derived")
+    assert(GraftDdl.sink("like_derived").get.path == "/tmp/like-b")
+    assert(GraftDdl.sink("like_derived").get.format == "parquet")
+  }
+
+  test("LIKE without OVERWRITING OPTIONS rejects a redeclared option") {
+    GraftDdl.executeDdl(spark,
+      "CREATE TABLE like_base2 (a BIGINT) WITH ('path' = '/tmp/lb2')")
+    val e = intercept[IllegalArgumentException] {
+      GraftDdl.executeDdl(spark,
+        "CREATE TABLE like_d2 WITH ('path' = '/tmp/other') LIKE like_base2")
+    }
+    assert(e.getMessage.contains("OVERWRITING OPTIONS"))
+  }
+
+  test("LIKE of an unknown base is a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      GraftDdl.resolveDdl("CREATE TABLE d WITH ('path' = '/x') LIKE nope")
+    }
+    assert(e.getMessage.contains("unknown base table"))
+  }
+
+  test("door: qualified names with the default catalog/database resolve") {
+    GraftSql.run(spark,
+      "CREATE VIEW default_catalog.default_database.qn_view AS " +
+        s"SELECT 1 AS one")
+    assert(spark.catalog.tableExists("qn_view"))
+    GraftSql.run(spark, "DROP VIEW default_database.qn_view")
+    assert(!spark.catalog.tableExists("qn_view"))
+  }
+
+  test("door: a foreign qualifier is rejected with a clear message, not half-run") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "DROP VIEW somedb.qn_view2")
+    }
+    assert(e.getMessage.contains("single default catalog"))
+  }
+
+  test("door: DESCRIBE of a registered sink shows schema and connector options") {
+    val p = Tables.scratch("desc-sink/desc_t")
+    GraftSql.run(spark,
+      s"CREATE TABLE desc_t (x BIGINT) WITH ('path' = '$p', 'format' = 'parquet')")
+    GraftSql.run(spark, "INSERT INTO desc_t SELECT 42 AS x")
+    val rows = GraftSql.run(spark, "DESCRIBE desc_t").collect()
+    val names = rows.map(_.getString(0)).toSeq
+    assert(names.contains("x") && names.contains("path") && names.contains("format"))
+  }
+
+  test("door: SHOW FUNCTIONS lists a door-registered alias") {
+    GraftSql.run(spark, "CREATE TEMPORARY FUNCTION showfn_probe AS 'upper'")
+    val fns = GraftSql.run(spark, "SHOW FUNCTIONS").collect()
+      .map(_.getString(0)).toSet
+    assert(fns.contains("showfn_probe"))
+  }
+
+  test("door: USE of the default catalog/database is a no-op success") {
+    assert(GraftSql.run(spark, "USE CATALOG default_catalog").collect()
+      .head.getString(1) == "in use")
+    assert(GraftSql.run(spark, "USE default_database").collect()
+      .head.getString(1) == "in use")
+  }
+}
