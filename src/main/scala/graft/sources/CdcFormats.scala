@@ -198,6 +198,42 @@ object CdcFormats {
     outDir
   }
 
+  /** Write the debezium feed PHASED for streaming replay: inserts, updates
+    * and deletes land in separate subdirectories with strictly increasing
+    * modification times, so the file-stream source (which orders by mod
+    * time) replays them causally — per-key ordered delivery, the same
+    * contract a per-key-partitioned CDC topic gives the reference's
+    * consumer (keyed FIFO). Returns the feed root. */
+  def writeDebeziumFeedPhased(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val orders = Tables.t(s, dir, "orders")
+    val nul = lit(null).cast(feedSchema)
+    val root = Tables.scratch(
+      s"cdc-debezium-phased-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val phases = Seq(
+      "0_ins" -> orders.select(to_json(struct(
+        nul.as("before"), payloadCols(discounted, 1).as("after"),
+        lit("c").as("op"))).as("value")),
+      "1_upd" -> orders.filter(isEven).select(to_json(struct(
+        payloadCols(discounted, 1).as("before"),
+        payloadCols(col("o_totalprice"), 2).as("after"),
+        lit("u").as("op"))).as("value")),
+      "2_del" -> orders.filter(col("o_orderstatus") === "F").select(to_json(struct(
+        payloadCols(latestPrice, latestVersion).as("before"),
+        nul.as("after"), lit("d").as("op"))).as("value")))
+    phases.zipWithIndex.foreach { case ((sub, df), i) =>
+      val d = s"$root/$sub"
+      df.coalesce(2).write.mode("overwrite").text(d)
+      // pin mod times per phase: sequential writes are normally ordered
+      // anyway, but same-millisecond ties would let the file source
+      // interleave phases and break per-key causal order
+      val t0 = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
+      java.nio.file.Files.list(java.nio.file.Paths.get(d)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, t0))
+    }
+    root
+  }
+
   /** q_cdc_ingest: text file of debezium-json → decode → retractable
     * ChangelogAgg per priority → final materialized aggregate. The whole
     * reference story — CDC topic in, retraction-consuming aggregate out —
@@ -273,5 +309,58 @@ object CdcFormats {
            |FROM orders WHERE o_orderstatus <> 'F'
            |ORDER BY o_orderkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(qCdcIngest, qCdcCanal)
+  /** q_cdc_stream: the reference's WHOLE CDC deployment as a STREAMING
+    * query — file-stream source over the phased feed (one file per
+    * micro-batch, so inserts, updates and deletes genuinely cross batch
+    * boundaries and retract state persisted in earlier batches), the same
+    * decode Column tree, retractable ChangelogAgg, and a retract-aware
+    * UPSERT SINK consuming the output changelog (+I/+U put, -D delete).
+    * The materialized store equals the batch oracle — ingestion →
+    * retraction → upsert end-to-end, exactly the q_cdc_ingest pipeline
+    * under real micro-batched execution. */
+  val qCdcStream: Q = Q(
+    "q_cdc_stream",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.{ChangelogAgg, UpsertSink}
+      import graft.streaming.ChangelogAgg.AggChange
+      val feed = writeDebeziumFeedPhased(s, dir)
+      val raw = s.readStream.option("maxFilesPerTrigger", 1)
+        .text(s"$feed/*/")
+      val changes = debezium(raw, feedSchema).select(
+        $"o_orderpriority", $"o_orderkey", $"kind", $"o_totalprice")
+        .as[(String, Long, String, Double)]
+        .map { case (prio, k, kind, price) =>
+          val phase = kind match {
+            case "+I" => 0L; case "-U" => 1L; case "+U" => 2L; case _ => 3L
+          }
+          AggChange[String](prio, k * 4 + phase, kind, price)
+        }
+      val agg = ChangelogAgg.agg(changes).toDF()
+      val store = new UpsertSink.InMemoryStore()
+      val ckptBase =
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+        else sys.props("java.io.tmpdir") + "/graft-ckpt"
+      val ckpt = s"$ckptBase/cdc-stream-${java.util.UUID.randomUUID()}"
+      val q = UpsertSink.foreachBatchChangelog(agg, "kind", Seq("key"), store)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      // snapshot is keyed final state: 5 priority rows — metadata-sized
+      val fin = store.snapshot().values.toSeq.map { row =>
+        (row(0).asInstanceOf[String], row(2).asInstanceOf[Long],
+          row(3).asInstanceOf[Double], row(4).asInstanceOf[Double],
+          row(5).asInstanceOf[Double])
+      }
+      store.close()
+      fin.toDF("o_orderpriority", "cnt", "total0", "vmin0", "vmax0")
+        .select($"o_orderpriority", $"cnt", round($"total0", 2).as("total"),
+          round($"vmin0", 2).as("vmin"), round($"vmax0", 2).as("vmax"))
+        .orderBy("o_orderpriority")
+    },
+    qCdcIngest.oracle) // same final state as the batch pipeline
+
+  val all: Seq[Q] = Seq(qCdcIngest, qCdcCanal, qCdcStream)
 }

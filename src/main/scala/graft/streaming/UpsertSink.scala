@@ -22,6 +22,11 @@ object UpsertSink {
   trait KeyedStore extends Serializable {
     def put(key: Seq[Any], row: Seq[Any]): Unit
     def snapshot(): Map[Seq[Any], Seq[Any]]
+    /** Remove a key — the DELETE half of a retraction stream (reference
+      * DynamicTableSink changelog mode [I,UA,D]: an upsert sink consumes
+      * +I/+U as puts and -D as deletes). Default no-op keeps plain
+      * upsert-only stores source-compatible. */
+    def delete(key: Seq[Any]): Unit = ()
   }
 
   /** In-memory reference store. The handle carries only an id; the backing
@@ -32,6 +37,8 @@ object UpsertSink {
       id: String = java.util.UUID.randomUUID().toString) extends KeyedStore {
     override def put(key: Seq[Any], row: Seq[Any]): Unit =
       InMemoryStore.table(id).put(key, row)
+    override def delete(key: Seq[Any]): Unit =
+      InMemoryStore.table(id).remove(key)
     override def snapshot(): Map[Seq[Any], Seq[Any]] = {
       import scala.jdk.CollectionConverters._
       InMemoryStore.table(id).asScala.toMap
@@ -73,6 +80,42 @@ object UpsertSink {
         it.foreach { r =>
           val row = r.toSeq
           store.put(keyIdx.map(row), row)
+        }
+      }
+    }
+  }
+
+  /** Retract-aware upsert for a FULL changelog input: rows carry a kind
+    * column (+I/-U/+U/-D). +I/+U put, -D deletes the key, -U is skipped
+    * (its paired +U in the same emission supersedes it; a retraction with
+    * no successor arrives as -D). Per-key changes must be causally ordered
+    * within a partition — the same contract the reference's network stack
+    * guarantees per key between operators (keyed FIFO channels), and which
+    * keyed emission from ChangelogAgg/ChangelogJoin preserves.
+    * `outputMode` must match the upstream operator's declared mode
+    * (flatMapGroupsWithState queries declare Append). */
+  def foreachBatchChangelog(df: DataFrame, kindCol: String,
+      keyCols: Seq[String], store: KeyedStore, outputMode: String = "append")
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val cols = df.columns.toSeq
+    val keyIdx = keyCols.map(cols.indexOf)
+    val kindIdx = cols.indexOf(kindCol)
+    store match {
+      case _: InMemoryStore =>
+        require(df.sparkSession.sparkContext.master.startsWith("local"),
+          "InMemoryStore is local-mode only: executor JVMs on a cluster " +
+          "would write to registries the driver cannot snapshot")
+      case _ => ()
+    }
+    df.writeStream.outputMode(outputMode).foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.foreachPartition { it: Iterator[Row] =>
+        it.foreach { r =>
+          val row = r.toSeq
+          row(kindIdx) match {
+            case "+I" | "+U" => store.put(keyIdx.map(row), row)
+            case "-D" => store.delete(keyIdx.map(row))
+            case _ => () // -U: superseded by its paired +U
+          }
         }
       }
     }

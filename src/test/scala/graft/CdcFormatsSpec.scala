@@ -140,6 +140,40 @@ class CdcFormatsSpec extends GraftSpec {
     assert(fin == Map(0L -> ((1L, 99.0))))
   }
 
+  test("retract-aware upsert sink: +I/+U put, -D deletes the key, -U skipped") {
+    import graft.streaming.UpsertSink
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)] // (kind, key, value)
+    val df = mem.toDF().toDF("kind", "key", "value")
+    val store = new UpsertSink.InMemoryStore()
+    val q = UpsertSink.foreachBatchChangelog(df, "kind", Seq("key"), store).start()
+    mem.addData(("+I", 1L, 10.0), ("+I", 2L, 20.0))
+    q.processAllAvailable()
+    mem.addData(("-U", 1L, 10.0), ("+U", 1L, 11.0)) // upsert pair
+    q.processAllAvailable()
+    assert(store.snapshot()(Seq(1L))(2) == 11.0)
+    mem.addData(("-D", 2L, 20.0)) // delete arrives a batch later
+    q.processAllAvailable()
+    q.stop()
+    val fin = store.snapshot()
+    store.close()
+    assert(fin.keySet == Set(Seq(1L)))
+  }
+
+  test("q_cdc_stream replays the phased feed across multiple micro-batches") {
+    // the phased writer puts inserts/updates/deletes in mod-time-ordered
+    // files and the query caps one file per trigger: the retractions MUST
+    // cross micro-batch boundaries for the final state to be meaningful
+    val feed = CdcFormats.writeDebeziumFeedPhased(spark, sfDir)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(feed))
+      .filter(p => p.getFileName.toString.startsWith("part-")).count()
+    assert(files >= 3, s"phased feed should span several files, got $files")
+    val out = SparkEntry.queries("q_cdc_stream")(spark, sfDir).collect()
+    assert(out.length == 5) // one row per order priority
+  }
+
   test("DDL: CREATE TABLE with 'format'='debezium-json' registers a changelog view") {
     val dir = Tables.scratch("cdc-ddl-spec")
     val sparkS = spark
