@@ -715,8 +715,57 @@ object TextOps {
            |FROM stats s LEFT JOIN rebuilt r USING (doc_id)
            |ORDER BY s.doc_id""".stripMargin))
 
+  /** q_url_dedup: URL canonicalization + dedup — the crawl-corpus staple
+    * (every web-scale pipeline dedups fetched documents by canonical URL
+    * before any content-level pass; cf. CCNet/C4 preprocessing). The
+    * fixture has no URL column, so deterministic VARIANT urls are derived
+    * per document (scheme/host case, www prefix, trailing slash, utm_*
+    * tracking params, fragments — the real-world noise classes), then
+    * canonicalized with native regexps: drop fragment, strip utm_ and
+    * fbclid params (keeping any other query), lowercase scheme+host, drop www.,
+    * strip the trailing slash. Dedup keeps the smallest doc_id per
+    * canonical URL. Map-only canonicalization + ONE hash shuffle — at
+    * 100 TB this is the cheapest dedup pass there is, which is why
+    * pipelines run it first. Oracle: the canonical form reconstructed
+    * directly from the generating columns. */
+  val qUrlDedup: Q = Q(
+    "q_url_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.t(s, dir, "documents")
+      val varied = docs.select($"doc_id", concat(
+        when($"doc_id" % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("http://")),
+        when($"doc_id" % 2 === 0, upper($"source")).otherwise($"source"),
+        lit(".Example.COM/articles/"), ($"doc_id" % 40).cast("string"),
+        when($"doc_id" % 3 === 0, lit("/")).otherwise(lit("")),
+        when($"doc_id" % 5 === 0, lit("?utm_source=feed&utm_campaign=x"))
+          .otherwise(lit("")),
+        when($"doc_id" % 7 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+      val canon = varied
+        .withColumn("u", regexp_replace($"url", "#.*$", ""))
+        .withColumn("u",
+          regexp_replace($"u", "[?&](utm_[^&#=]*|fbclid)=[^&#]*", ""))
+        .withColumn("u", regexp_replace($"u", "[?&]$", ""))
+        .withColumn("host", lower(regexp_extract($"u", "^(?i)https?://([^/?#]*)", 1)))
+        .withColumn("host", regexp_replace($"host", "^www\\.", ""))
+        .withColumn("rest",
+          regexp_replace(regexp_extract($"u", "^(?i)https?://[^/?#]*(.*)$", 1), "/$", ""))
+        .withColumn("canonical_url", concat(lit("http://"), $"host", $"rest"))
+      canon.groupBy("canonical_url")
+        .agg(min($"doc_id").as("keeper"),
+          count(lit(1)).as("n_variants"))
+        .orderBy("canonical_url")
+    },
+    Some("""SELECT 'http://' || source || '.example.com/articles/'
+           |         || CAST(doc_id % 40 AS VARCHAR) AS canonical_url,
+           |       CAST(min(doc_id) AS BIGINT) AS keeper,
+           |       CAST(count(*) AS BIGINT) AS n_variants
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qStratifiedSplit, qContamination, qPipelineE2e, qQualityRepetition,
     qDomainQuota, qMixtureResample, qSequencePack, qImportanceSample,
-    qDupSpanFrac, qTokenDrift, qUnigramLogprob, qPiiMask, qLineDedup)
+    qDupSpanFrac, qTokenDrift, qUnigramLogprob, qPiiMask, qLineDedup,
+    qUrlDedup)
 }

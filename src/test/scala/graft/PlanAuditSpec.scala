@@ -210,4 +210,31 @@ class StreamingPlanAuditSpec extends GraftSpec {
       s"expected symmetric hash join operator:\n$plan")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
+
+  test("cdc decode: map-only native expressions — no shuffle, no UDF, one generate") {
+    import org.apache.spark.sql.functions.col
+    val feed = sources.CdcFormats.writeDebeziumFeed(spark, sfDir)
+    val decoded = sources.CdcFormats.debezium(
+      spark.read.text(feed), sources.CdcFormats.feedSchema)
+    val p = decoded.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"decode must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.toLowerCase.contains("scalaudf"), s"decode must be native:\n$p")
+    assert("Generate".r.findAllIn(p).length == 1, s"one explode expected:\n$p")
+    // the staged projection parses each message once: exactly one from_json
+    assert("from_json".r.findAllIn(p).length == 1,
+      s"from_json must be staged, not repeated per field:\n$p")
+  }
+
+  test("q_cdc_canal: one hash shuffle (final keyed replay) above the decode") {
+    val df = sources.CdcFormats.qCdcCanal.run(spark, sfDir)
+    df.collect()
+    // the AQE plan string appends the pre-adaptive "Initial Plan" — audit
+    // only the final plan or every exchange double-counts
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // groupBy(o_orderkey) is the only hash exchange; the rest is the sort
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one hash shuffle, got $hashEx:\n$p")
+  }
 }
