@@ -42,13 +42,22 @@ object CdcFormats {
       (col("c.kind").as("kind") +:
         payload.fieldNames.toSeq.map(f => col(s"c.row.`$f`").as(f))): _*)
 
+  private def changeArrayType(payload: StructType): ArrayType =
+    ArrayType(StructType(Seq(
+      StructField("kind", StringType), StructField("row", payload))))
+
   /** Decode a debezium-json string column into a changelog DataFrame.
     *
     * @param schemaInclude the Kafka Connect envelope flag: payload nested
     *   under `payload` (the `schema` half is ignored, as in the reference).
+    * @param ignoreParseErrors the reference's `debezium-json.ignore-parse-
+    *   errors`: corrupt/unknown messages are silently DROPPED instead of
+    *   failing the job (explode skips the null change array). Default
+    *   false — fail loudly, like the reference.
     */
   def debezium(df: DataFrame, payload: StructType, valueCol: String = "value",
-      schemaInclude: Boolean = false): DataFrame = {
+      schemaInclude: Boolean = false,
+      ignoreParseErrors: Boolean = false): DataFrame = {
     val env0 = StructType(Seq(
       StructField("before", payload), StructField("after", payload),
       StructField("op", StringType)))
@@ -68,19 +77,30 @@ object CdcFormats {
     val op = env.getField("op")
     val replicaMsg = "The \"before\" field of UPDATE/DELETE message is null; " +
       "check REPLICA IDENTITY FULL on the source table"
+    val base = when(op.isin("c", "r"), array(ch("+I", after)))
     val changes =
-      when(op.isin("c", "r"), array(ch("+I", after)))
-        .when(op.isin("u", "d") && before.isNull, raise_error(lit(replicaMsg)))
-        .when(op === "u", array(ch("-U", before), ch("+U", after)))
-        .when(op === "d", array(ch("-D", before)))
-        .otherwise(raise_error(
-          concat(lit("unknown debezium op: "), coalesce(op, lit("null")))))
+      if (ignoreParseErrors)
+        base
+          .when(op === "u" && before.isNotNull,
+            array(ch("-U", before), ch("+U", after)))
+          .when(op === "d" && before.isNotNull, array(ch("-D", before)))
+          .otherwise(lit(null).cast(changeArrayType(payload)))
+      else
+        base
+          .when(op.isin("u", "d") && before.isNull, raise_error(lit(replicaMsg)))
+          .when(op === "u", array(ch("-U", before), ch("+U", after)))
+          .when(op === "d", array(ch("-D", before)))
+          .otherwise(raise_error(
+            concat(lit("unknown debezium op: "), coalesce(op, lit("null")))))
     out(staged.select(explode(changes).as("c")), payload)
   }
 
-  /** Decode a canal-json string column into a changelog DataFrame. */
+  /** Decode a canal-json string column into a changelog DataFrame.
+    * `ignoreParseErrors` as in [[debezium]] (reference
+    * `canal-json.ignore-parse-errors`). */
   def canal(df: DataFrame, payload: StructType,
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value",
+      ignoreParseErrors: Boolean = false): DataFrame = {
     val env0 = StructType(Seq(
       StructField("data", ArrayType(payload)),
       StructField("old", ArrayType(payload)),
@@ -98,15 +118,23 @@ object CdcFormats {
     def mergedBefore(d: Column, o: Column): Column =
       struct(payload.fields.toSeq.map(f =>
         coalesce(o.getField(f.name), d.getField(f.name)).as(f.name)): _*)
+    val base = when(tpe === "INSERT", transform(data, d => array(ch("+I", d))))
     val changes =
-      when(tpe === "INSERT", transform(data, d => array(ch("+I", d))))
-        .when(tpe === "UPDATE" && old.isNull,
-          raise_error(lit("canal UPDATE without \"old\" field")))
-        .when(tpe === "UPDATE", zip_with(data, old,
-          (d, o) => array(ch("-U", mergedBefore(d, o)), ch("+U", d))))
-        .when(tpe === "DELETE", transform(data, d => array(ch("-D", d))))
-        .otherwise(raise_error(
-          concat(lit("unknown canal type: "), coalesce(tpe, lit("null")))))
+      if (ignoreParseErrors)
+        base
+          .when(tpe === "UPDATE" && old.isNotNull, zip_with(data, old,
+            (d, o) => array(ch("-U", mergedBefore(d, o)), ch("+U", d))))
+          .when(tpe === "DELETE", transform(data, d => array(ch("-D", d))))
+          .otherwise(lit(null).cast(ArrayType(changeArrayType(payload))))
+      else
+        base
+          .when(tpe === "UPDATE" && old.isNull,
+            raise_error(lit("canal UPDATE without \"old\" field")))
+          .when(tpe === "UPDATE", zip_with(data, old,
+            (d, o) => array(ch("-U", mergedBefore(d, o)), ch("+U", d))))
+          .when(tpe === "DELETE", transform(data, d => array(ch("-D", d))))
+          .otherwise(raise_error(
+            concat(lit("unknown canal type: "), coalesce(tpe, lit("null")))))
     out(staged.select(explode(flatten(changes)).as("c")), payload)
   }
 

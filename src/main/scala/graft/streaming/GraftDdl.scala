@@ -154,11 +154,18 @@ object GraftDdl {
                 throw new IllegalArgumentException("WITH option 'path' is required"))
               val payload = parsePayloadSchema(name, cols)
               val raw = spark.read.text(path)
+              // reference format options, same keys (JsonOptions.java):
+              // <format>.ignore-parse-errors drops corrupt messages;
+              // debezium-json.schema-include unwraps the Connect envelope
+              val lenient = opts.get(s"$fmt.ignore-parse-errors").contains("true")
               val decoded =
                 if (fmt == "debezium-json")
-                  graft.sources.CdcFormats.debezium(raw, payload, schemaInclude =
-                    opts.get("debezium-json.schema-include").contains("true"))
-                else graft.sources.CdcFormats.canal(raw, payload)
+                  graft.sources.CdcFormats.debezium(raw, payload,
+                    schemaInclude =
+                      opts.get("debezium-json.schema-include").contains("true"),
+                    ignoreParseErrors = lenient)
+                else graft.sources.CdcFormats.canal(raw, payload,
+                  ignoreParseErrors = lenient)
               val projected = computed.foldLeft(decoded) {
                 case (df, (n, e)) => df.withColumn(n, expr(e))
               }

@@ -194,6 +194,56 @@ class CdcFormatsSpec extends GraftSpec {
     assert(kinds == Map("+I" -> 1L, "-U" -> 1L, "+U" -> 1L))
   }
 
+  test("ignore-parse-errors drops corrupt/unknown messages instead of failing") {
+    val lenientD = CdcFormats.debezium(df(
+      """{"before":null,"after":{"id":1,"name":"a","price":1.0},"op":"c"}""",
+      """{"before":null,"after":{"id":9,"name":"x","price":9.0},"op":"u"}""", // null before
+      """not json at all""",
+      """{"before":null,"after":null,"op":"zz"}"""),
+      payload, ignoreParseErrors = true).collect()
+    assert(lenientD.map(_.getString(0)).toSeq == Seq("+I"))
+    val lenientC = CdcFormats.canal(df(
+      """{"data":[{"id":1,"name":"a","price":1.0}],"old":null,"type":"INSERT"}""",
+      """{"data":[{"id":1,"name":"a","price":2.0}],"old":null,"type":"UPDATE"}""", // null old
+      """{"data":[],"old":null,"type":"TRUNCATE"}"""),
+      payload, ignoreParseErrors = true).collect()
+    assert(lenientC.map(_.getString(0)).toSeq == Seq("+I"))
+  }
+
+  test("DDL: ignore-parse-errors option reaches the decoder") {
+    val dir = Tables.scratch("cdc-ddl-lenient")
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq(
+      """{"before":null,"after":{"id":1,"name":"a","price":1.0},"op":"c"}""",
+      """corrupt""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    GraftDdl.executeDdl(spark,
+      s"""CREATE TABLE cdc_lenient (id BIGINT, name STRING, price DOUBLE)
+         |WITH ('format' = 'debezium-json', 'path' = '$dir',
+         |      'debezium-json.ignore-parse-errors' = 'true')""".stripMargin)
+    assert(spark.table("cdc_lenient").count() == 1)
+  }
+
+  test("CDC table persists through the catalog and replays into a fresh session") {
+    import graft.streaming.GraftCatalog
+    val dir = Tables.scratch("cdc-catalog/feed")
+    val catDir = Tables.scratch("cdc-catalog/cat")
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq("""{"before":null,"after":{"id":7,"name":"z","price":3.0},"op":"c"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    GraftCatalog.executeDdl(spark, catDir,
+      s"""CREATE TABLE cdc_persisted (id BIGINT, name STRING, price DOUBLE)
+         |WITH ('format' = 'debezium-json', 'path' = '$dir')""".stripMargin)
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists("cdc_persisted"))
+    val restored = GraftCatalog.restore(fresh, catDir)
+    assert(restored.contains("cdc_persisted"))
+    val rows = fresh.sql("SELECT kind, id FROM cdc_persisted").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("+I", 7L)))
+  }
+
   test("DDL: unparseable CDC column list fails loudly") {
     intercept[IllegalArgumentException] {
       GraftDdl.executeDdl(spark,
