@@ -266,7 +266,15 @@ object CdcFormats {
     * ChangelogAgg per priority → final materialized aggregate. The whole
     * reference story — CDC topic in, retraction-consuming aggregate out —
     * from serialized text alone. Oracle: the surviving final state computed
-    * directly from `orders`. */
+    * directly from `orders`.
+    *
+    * Scale posture: aggregate parallelism is bounded by GROUP-key
+    * cardinality (5 priorities here), and the retractable min/max state is
+    * a per-key value multiset — both EXACTLY the reference's bounds
+    * (GroupAggFunction keyed state + Max/MinWithRetract MapState). A
+    * 100 TB deployment aggregates CDC by a high-cardinality key or
+    * pre-combines; the decode stage itself is map-only and embarrassingly
+    * parallel either way. */
   val qCdcIngest: Q = Q(
     "q_cdc_ingest",
     (s, dir) => {
