@@ -398,5 +398,60 @@ object CdcFormats {
     },
     qCdcIngest.oracle) // same final state as the batch pipeline
 
-  val all: Seq[Q] = Seq(qCdcIngest, qCdcCanal, qCdcStream)
+  /** q_cdc_door: the reference's CDC deployment from SQL TEXT ALONE — a
+    * streaming CDC source table (`'scan.mode'='streaming'`), a sink table,
+    * and an INSERT INTO draining the decoded changelog into it, all three
+    * statements through the unified door; the result is read back FROM THE
+    * SINK FILES, so the oracle certifies the whole pipeline (DDL parse →
+    * payload schema → streaming decode → AvailableNow drain → sink write),
+    * not just the decode. Oracle: the change stream reconstructed
+    * relationally from `orders`. */
+  val qCdcDoor: Q = Q(
+    "q_cdc_door",
+    (s, dir) => {
+      import graft.operators.GraftSql
+      val feed = writeDebeziumFeed(s, dir)
+      // fresh sink per invocation: the feed regenerates with new part-file
+      // names each run, so a RESUMED stream (the door's stable-checkpoint
+      // semantics, exercised in GraftSqlSpec) would drain the same logical
+      // rows again — correct topic behavior, wrong for a deterministic
+      // gate query
+      val sinkPath = Tables.scratch(
+        s"cdc-door-sink/graft_cdc_out-${java.util.UUID.randomUUID()}")
+      GraftSql.run(s,
+        s"""CREATE TABLE graft_cdc_src (
+           |  o_orderkey BIGINT, o_orderpriority STRING,
+           |  o_totalprice DOUBLE, version INT
+           |) WITH ('format' = 'debezium-json', 'path' = '$feed',
+           |        'scan.mode' = 'streaming')""".stripMargin)
+      GraftSql.run(s,
+        s"""CREATE TABLE graft_cdc_out (kind STRING, o_orderkey BIGINT,
+           |  o_orderpriority STRING, o_totalprice DOUBLE, version INT)
+           |WITH ('path' = '$sinkPath', 'format' = 'parquet')""".stripMargin)
+      GraftSql.run(s,
+        """INSERT INTO graft_cdc_out
+          |SELECT kind, o_orderkey, o_orderpriority, o_totalprice, version
+          |FROM graft_cdc_src""".stripMargin)
+        .orderBy("o_orderkey", "kind")
+    },
+    Some("""SELECT kind, o_orderkey, o_orderpriority, o_totalprice,
+           |       CAST(version AS INT) AS version FROM (
+           |  SELECT '+I' AS kind, o_orderkey, o_orderpriority,
+           |         o_totalprice * 0.9 AS o_totalprice, 1 AS version
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT '-U', o_orderkey, o_orderpriority, o_totalprice * 0.9, 1
+           |  FROM orders WHERE o_orderkey % 2 = 0
+           |  UNION ALL
+           |  SELECT '+U', o_orderkey, o_orderpriority, o_totalprice, 2
+           |  FROM orders WHERE o_orderkey % 2 = 0
+           |  UNION ALL
+           |  SELECT '-D', o_orderkey, o_orderpriority,
+           |         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |              ELSE o_totalprice * 0.9 END,
+           |         CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END
+           |  FROM orders WHERE o_orderstatus = 'F')
+           |ORDER BY o_orderkey, kind""".stripMargin))
+
+  val all: Seq[Q] = Seq(qCdcIngest, qCdcCanal, qCdcStream, qCdcDoor)
 }

@@ -153,7 +153,14 @@ object GraftDdl {
               val path = opts.getOrElse("path",
                 throw new IllegalArgumentException("WITH option 'path' is required"))
               val payload = parsePayloadSchema(name, cols)
-              val raw = spark.read.text(path)
+              // 'scan.mode' = 'streaming' registers a STREAMING changelog
+              // view (file-stream tailing the feed directory — the CDC
+              // topic consumer posture); default is a bounded batch read
+              // of the feed so far. The decode Column tree is identical.
+              val raw =
+                if (opts.get("scan.mode").contains("streaming"))
+                  spark.readStream.text(path)
+                else spark.read.text(path)
               // reference format options, same keys (JsonOptions.java):
               // <format>.ignore-parse-errors drops corrupt messages;
               // debezium-json.schema-include unwraps the Connect envelope
