@@ -85,5 +85,116 @@ object Multimodal {
            |         AS BIGINT) AS checksum
            |FROM m ORDER BY id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qMultimodalFeatures)
+  case class Resized(id: Long, kind: String, orig_bytes: Int, stride: Int,
+      resized_bytes: Int, resized_checksum: Long)
+
+  /** STUB resize kernel: strided byte subsampling standing in for a
+    * resample-to-target resize (a real deployment swaps the body for a
+    * codec call; the stride arithmetic and batching are the real part).
+    * Deterministic, SQL-reproducible. */
+  def resizeStub(m: MediaIn, targetBytes: Int): Resized = {
+    val n = m.payload.length
+    val stride = math.max(1, n / targetBytes)
+    var j = 0; var i = 0; var sum = 0L
+    while (i < n) {
+      sum += (m.payload(i) & 0xff).toLong * (j % 31 + 1)
+      j += 1; i += stride
+    }
+    Resized(m.id, m.kind, n, stride, j, sum)
+  }
+
+  /** Resize pass over media blobs — same mapPartitions batch shape as
+    * [[extractFeatures]] (decoder handle amortized per partition). */
+  def resizeAll(s: SparkSession, media: DataFrame, targetBytes: Int,
+      partitions: Int): DataFrame = {
+    import s.implicits._
+    media.select($"id", $"kind", $"payload").as[MediaIn]
+      .repartition(partitions, $"id")
+      .mapPartitions(it => it.map(resizeStub(_, targetBytes)))
+      .toDF()
+  }
+
+  /** q_media_resize: strided-resize metadata + checksum per blob, exactly
+    * reproduced by the oracle over the same bytes. */
+  val qMediaResize: Q = Q(
+    "q_media_resize",
+    (s, dir) => {
+      import s.implicits._
+      resizeAll(s, mediaTable(s, dir), targetBytes = 256, partitions = 8)
+        .orderBy($"id")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id AS id,
+           |         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+           |         text, length(text) AS n,
+           |         greatest(1, length(text) // 256) AS stride
+           |  FROM documents)
+           |SELECT id, kind, CAST(n AS INTEGER) AS orig_bytes,
+           |       CAST(stride AS INTEGER) AS stride,
+           |       CAST((n + stride - 1) // stride AS INTEGER) AS resized_bytes,
+           |       CAST(list_sum(list_transform(range(0, (n + stride - 1) // stride),
+           |         j -> ascii(substr(text, CAST(j * stride + 1 AS INTEGER), 1))
+           |              * (j % 31 + 1))) AS BIGINT) AS resized_checksum
+           |FROM m ORDER BY id""".stripMargin))
+
+  case class Frame(id: Long, frame_idx: Int, frame_len: Int, head: String,
+      frame_checksum: Long)
+
+  /** Frame sampling for "video" blobs: fixed-size byte windows as frames,
+    * every k-th kept — one output row per SAMPLED frame (the fan-out shape
+    * of a real frame extractor), flatMapped inside the same per-partition
+    * batch. */
+  def sampleFrames(s: SparkSession, media: DataFrame, frameBytes: Int,
+      every: Int, partitions: Int): DataFrame = {
+    import s.implicits._
+    media.filter($"kind" === "video")
+      .select($"id", $"kind", $"payload").as[MediaIn]
+      .repartition(partitions, $"id")
+      .mapPartitions(_.flatMap { m =>
+        val n = m.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        (0 until nFrames by every).iterator.map { fi =>
+          val start = fi * frameBytes
+          val len = math.min(frameBytes, n - start)
+          var sum = 0L; var i = 0
+          while (i < len) {
+            sum += (m.payload(start + i) & 0xff).toLong * (i % 31 + 1); i += 1
+          }
+          Frame(m.id, fi, len,
+            new String(m.payload, start, math.min(8, len), "UTF-8"), sum)
+        }
+      })
+      .toDF()
+  }
+
+  /** q_media_frames: every 3rd 100-byte frame of each video blob with
+    * per-frame checksum — the oracle rebuilds the identical frames
+    * relationally (unnest over the frame index range). */
+  val qMediaFrames: Q = Q(
+    "q_media_frames",
+    (s, dir) => {
+      import s.implicits._
+      sampleFrames(s, mediaTable(s, dir), frameBytes = 100, every = 3,
+        partitions = 8)
+        .orderBy($"id", $"frame_idx")
+    },
+    Some("""WITH v AS (
+           |  SELECT doc_id AS id, text, length(text) AS n
+           |  FROM documents WHERE doc_id % 3 = 2),
+           |idx AS (
+           |  SELECT id, text, n,
+           |         unnest(range(0, CAST((n + 99) // 100 AS BIGINT))) AS fi
+           |  FROM v)
+           |SELECT id, CAST(fi AS INTEGER) AS frame_idx,
+           |       CAST(least(100, n - fi * 100) AS INTEGER) AS frame_len,
+           |       substr(text, CAST(fi * 100 + 1 AS INTEGER),
+           |              CAST(least(8, least(100, n - fi * 100)) AS INTEGER)) AS head,
+           |       CAST(list_sum(list_transform(
+           |         range(0, least(100, n - fi * 100)),
+           |         i -> ascii(substr(text, CAST(fi * 100 + i + 1 AS INTEGER), 1))
+           |              * (i % 31 + 1))) AS BIGINT) AS frame_checksum
+           |FROM idx WHERE fi % 3 = 0
+           |ORDER BY id, frame_idx""".stripMargin))
+
+  val all: Seq[Q] = Seq(qMultimodalFeatures, qMediaResize, qMediaFrames)
 }
