@@ -31,6 +31,7 @@ object SparkEntry {
       operators.CoGroupOps.all ++
       operators.SketchOps.all ++
       operators.SkewOps.all ++
+      operators.BucketedOps.all ++
       operators.TriggerWindows.all ++
       cep.CepOps.all ++
       cep.MatchRecognize.all ++

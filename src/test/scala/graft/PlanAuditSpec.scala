@@ -145,6 +145,20 @@ class PlanAuditSpec extends GraftSpec {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("q_bucketed_join: bucket-aligned scans feed the join with zero exchanges below it") {
+    val df = operators.BucketedOps.qBucketedJoin.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), p)
+    // everything BELOW the join (the plan prints children after it) must be
+    // exchange-free: bucket i of both tables joins locally — the layout
+    // paid the shuffle once at write time
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+    assert(below.contains("Bucketed: true"), s"scans not bucketed:\n$p")
+  }
+
   test("q_line_dedup: keep-first is a partial-aggregated min, NOT a window rank") {
     val p = phys(operators.TextOps.qLineDedup)
     // the design claim: groupBy(chunk).min partial-aggregates map-side where
