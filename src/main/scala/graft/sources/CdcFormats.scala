@@ -256,8 +256,9 @@ object CdcFormats {
       // anyway, but same-millisecond ties would let the file source
       // interleave phases and break per-key causal order
       val t0 = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
-      java.nio.file.Files.list(java.nio.file.Paths.get(d)).forEach(p =>
-        java.nio.file.Files.setLastModifiedTime(p, t0))
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try ls.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t0))
+      finally ls.close()
     }
     root
   }
