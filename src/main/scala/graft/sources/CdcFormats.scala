@@ -251,7 +251,11 @@ object CdcFormats {
         nul.as("after"), lit("d").as("op"))).as("value")))
     phases.zipWithIndex.foreach { case ((sub, df), i) =>
       val d = s"$root/$sub"
-      df.coalesce(2).write.mode("overwrite").text(d)
+      // one file per phase: with maxFilesPerTrigger=1 that is one
+      // micro-batch per phase — the minimum that still forces every
+      // retraction to consume state persisted in an EARLIER batch, at half
+      // the per-batch state-commit cost of finer splits
+      df.coalesce(1).write.mode("overwrite").text(d)
       // pin mod times per phase: sequential writes are normally ordered
       // anyway, but same-millisecond ties would let the file source
       // interleave phases and break per-key causal order
