@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW: sbt's default logger
+// prefixes every line with "[info] ", which breaks any per-line JSON parse
+// of Bench's one-line report (the driver recorded parsed:null for rounds
+// 1-8 despite the line itself fitting its tail buffer).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,6 +17,7 @@ object SparkEntry {
       operators.RelationalSql.all ++
       operators.TpchSql.all ++
       operators.TemporalSql.all ++
+      operators.TemporalFunction.all ++
       operators.GroupWindowSql.all ++
       operators.LateralSql.all ++
       operators.GraftSql.all ++

@@ -63,12 +63,21 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       // TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark 4 infers NTZ, which
       // unix_micros/withWatermark arithmetic downstream rejects. The fixture's
-      // wall-clock values are UTC instants; NTZ-timestampdiff from the NTZ
-      // epoch reinterprets them as such EXACTLY and independently of the
-      // session timezone (a bare cast — and to_utc_timestamp, whose analyzer
-      // coercion inserts one — resolves through the session tz instead).
+      // wall-clock values are UTC instants; timestampdiff from the NTZ epoch
+      // reinterprets them as such. NOTE the analyzer coerces both NTZ
+      // operands to LTZ THROUGH THE SESSION TIMEZONE (see
+      // golden/q_window_tumble.txt: `cast(ts as timestamp, Some(UTC))`), so
+      // the fold is exact only when that tz is FIXED-OFFSET — the offsets at
+      // epoch and at ts then cancel; under a DST-observing tz they need not.
+      // The engine pins spark.sql.session.timeZone=UTC (GraftSession /
+      // Verify / Bench / build.sbt); enforce the precondition here instead
+      // of silently shifting instants under a DST session tz.
       // Plain projection: works on batch and streaming relations alike.
       case org.apache.spark.sql.types.TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(java.time.ZoneId.of(tz).normalized().getRules.isFixedOffset,
+          s"NTZ timestamp normalization requires a fixed-offset session " +
+            s"timezone (got '$tz') — set spark.sql.session.timeZone=UTC")
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(timestampdiff(MICROSECOND, " +
             "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))

@@ -40,21 +40,28 @@ object GraftSql {
   // Object names in commands accept the reference's qualified forms —
   // `name`, `db.name`, `catalog.db.name` (SqlCommandParser parses full
   // identifiers; 1.11's defaults are default_catalog.default_database).
-  // [[resolveName]] maps default-qualified names onto this engine's single
-  // registry namespace and rejects foreign qualifiers with a clear message
+  // [[resolveNameOpt]] maps default-qualified names onto this engine's
+  // single registry namespace, passes real Spark databases through to
+  // spark.sql, and rejects unknown qualifiers with a clear message
   // instead of half-running a command (r6 What's-wrong #5).
   private val QN = "((?:\\w+\\.){0,2}\\w+)"
 
-  /** Strip a default catalog/database qualifier; reject any other. */
-  private def resolveName(qualified: String): String = {
+  /** Strip a default catalog/database qualifier. Returns None when the
+    * qualifier names a REAL Spark database — the caller then falls through
+    * to `spark.sql`, which owns that namespace (consistent with the USE
+    * branch: a database you can USE must have usable qualified names in
+    * every other command too). Any other qualifier is a clear error, not a
+    * half-run command. */
+  private def resolveNameOpt(spark: SparkSession, qualified: String): Option[String] = {
     val parts = qualified.split("\\.")
     val known = Set("default_catalog", "default_database", "spark_catalog", "default")
     val bad = parts.dropRight(1).filterNot(p => known(p.toLowerCase))
-    if (bad.nonEmpty) throw new IllegalArgumentException(
+    if (bad.isEmpty) Some(parts.last)
+    else if (bad.length == 1 && spark.catalog.databaseExists(bad.head)) None
+    else throw new IllegalArgumentException(
       s"unknown catalog/database qualifier '${bad.mkString(".")}' in " +
         s"'$qualified' — this engine has a single default catalog " +
         "(default_catalog.default_database)")
-    parts.last
   }
 
   // batch-only in BOTH engines (SqlCommandParser.java:110 INSERT_OVERWRITE;
@@ -298,22 +305,28 @@ object GraftSql {
       // MATCH_RECOGNIZE, FOR SYSTEM_TIME) registers fine — Spark's own
       // CREATE TEMPORARY VIEW would reject the unlowered text at parse.
       case CreateViewR(ifNotExists, name0, body) =>
-        val name = resolveName(name0)
-        if (ifNotExists != null && spark.catalog.tableExists(name))
-          spark.table(name)
-        else {
-          val df = run(spark, body)
-          df.createOrReplaceTempView(name)
-          df
+        resolveNameOpt(spark, name0) match {
+          case None => spark.sql(text) // real Spark database: Spark's own
+          case Some(name) =>
+            if (ifNotExists != null && spark.catalog.tableExists(name))
+              spark.table(name)
+            else {
+              val df = run(spark, body)
+              df.createOrReplaceTempView(name)
+              df
+            }
         }
       // CREATE [TEMPORARY] [SYSTEM] FUNCTION name AS 'impl' (reference
       // SqlCommandParser.java:149-151): impl names a graft expression class
       // or any session-registered function; `name` becomes an alias.
       case CreateFnR(name0, impl) =>
         import spark.implicits._
-        val name = resolveName(name0)
-        org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
-        Seq((name, impl)).toDF("function", "impl")
+        resolveNameOpt(spark, name0) match {
+          case None => spark.sql(text) // real Spark database: Spark's own
+          case Some(name) =>
+            org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
+            Seq((name, impl)).toDF("function", "impl")
+        }
       // the reference's DDL (SqlCreateTable.java:56) — a WATERMARK clause
       // registers a watermarked streaming SOURCE view (returned); without
       // one it registers a writable SINK for INSERT INTO (empty result).
@@ -342,27 +355,36 @@ object GraftSql {
         // missing object is an error, like the reference's
         // ValidationException.
         case DropViewR(ifExists, name0) =>
-          val name = resolveName(name0)
-          val dropped = spark.catalog.dropTempView(name)
-          require(dropped || ifExists != null, s"view does not exist: $name")
-          Seq((name, dropped)).toDF("name", "dropped")
+          resolveNameOpt(spark, name0) match {
+            case None => spark.sql(text) // real Spark database: Spark's own
+            case Some(name) =>
+              val dropped = spark.catalog.dropTempView(name)
+              require(dropped || ifExists != null, s"view does not exist: $name")
+              Seq((name, dropped)).toDF("name", "dropped")
+          }
         case DropTableR(ifExists, name0) =>
-          val name = resolveName(name0)
-          val sinkDropped = graft.streaming.GraftDdl.dropSink(name)
-          val viewDropped = spark.catalog.dropTempView(name)
-          if (sinkDropped || viewDropped)
-            Seq((name, true)).toDF("name", "dropped")
-          else if (ifExists != null) Seq((name, false)).toDF("name", "dropped")
-          // a real catalog table (e.g. registered by the plain-Spark CREATE
-          // TABLE fallthrough): Spark's own DROP handles it — and its error
-          // for a missing table honors IF EXISTS semantics too
-          else spark.sql(text)
+          resolveNameOpt(spark, name0) match {
+            case None => spark.sql(text) // real Spark database: Spark's own
+            case Some(name) =>
+              val sinkDropped = graft.streaming.GraftDdl.dropSink(name)
+              val viewDropped = spark.catalog.dropTempView(name)
+              if (sinkDropped || viewDropped)
+                Seq((name, true)).toDF("name", "dropped")
+              else if (ifExists != null) Seq((name, false)).toDF("name", "dropped")
+              // a real catalog table (e.g. registered by the plain-Spark
+              // CREATE TABLE fallthrough): Spark's own DROP handles it — and
+              // its error for a missing table honors IF EXISTS semantics too
+              else spark.sql(text)
+          }
         case DropFnR(ifExists, name0) =>
-          val name = resolveName(name0)
-          val dropped =
-            org.apache.spark.sql.graft.GraftSqlFunctions.dropFunction(spark, name)
-          require(dropped || ifExists != null, s"function does not exist: $name")
-          Seq((name, dropped)).toDF("name", "dropped")
+          resolveNameOpt(spark, name0) match {
+            case None => spark.sql(text) // real Spark database: Spark's own
+            case Some(name) =>
+              val dropped =
+                org.apache.spark.sql.graft.GraftSqlFunctions.dropFunction(spark, name)
+              require(dropped || ifExists != null, s"function does not exist: $name")
+              Seq((name, dropped)).toDF("name", "dropped")
+          }
         case _ => spark.sql(text) // DROP DATABASE, …: Spark's own
       }
     }
@@ -372,9 +394,10 @@ object GraftSql {
       // sink the options merge into the SinkDef — later INSERTs observe the
       // new path/format. Anything else is Spark's own ALTER.
       case AlterTableR(name0, optsTxt)
-          if graft.streaming.GraftDdl.alterSink(resolveName(name0), optsTxt) =>
+          if resolveNameOpt(spark, name0)
+            .exists(graft.streaming.GraftDdl.alterSink(_, optsTxt)) =>
         import spark.implicits._
-        Seq((resolveName(name0), "altered")).toDF("name", "status")
+        Seq((resolveNameOpt(spark, name0).get, "altered")).toDF("name", "status")
       case _ => spark.sql(text)
     }
     else if (upper.trim.matches("(?s)SHOW\\s+TABLES\\s*;?\\s*")) {
@@ -403,8 +426,10 @@ object GraftSql {
         // written schema (from the sink files when any exist) plus its
         // connector options, in Spark's (col_name, data_type, comment)
         // shape. Views and real tables go to Spark's own DESCRIBE.
+        case DescribeR(name0) if resolveNameOpt(spark, name0).isEmpty =>
+          spark.sql(text) // real Spark database: Spark's own DESCRIBE
         case DescribeR(name0) =>
-          val name = resolveName(name0)
+          val name = resolveNameOpt(spark, name0).get
           graft.streaming.GraftDdl.sink(name) match {
             case Some(sd) =>
               import spark.implicits._
@@ -456,9 +481,9 @@ object GraftSql {
       // Batch SELECTs overwrite (re-running a statement is idempotent);
       // streaming SELECTs drain via AvailableNow into the sink path.
       case InsertR(mode, name0, select) =>
-        val name = resolveName(name0)
-        graft.streaming.GraftDdl.sink(name) match {
-          case Some(sd) => executeInsert(spark, mode, name, sd, select)._1
+        resolveNameOpt(spark, name0)
+          .flatMap(n => graft.streaming.GraftDdl.sink(n).map(n -> _)) match {
+          case Some((name, sd)) => executeInsert(spark, mode, name, sd, select)._1
           case None => spark.sql(text) // a real catalog table: Spark handles it
         }
       case _ => throw new IllegalArgumentException(
@@ -501,6 +526,13 @@ object GraftSql {
         case None => TemporalSql.sql(spark, text) // throws on near-miss;
                                                   // spark.sql can't take it
       }
+    else if (TemporalFunction.recognizes(text))
+      // a LATERAL TABLE call naming a REGISTERED temporal table function —
+      // the 1.11 function form of the temporal join (`FROM Orders o,
+      // LATERAL TABLE (Rates(o.rowtime)) r WHERE …`); a UDTF lateral with
+      // the same grammar stays with LateralSql below, exactly the
+      // reference's function-catalog kind check at Correlate planning time
+      TemporalFunction.sql(spark, text)
     else graft.streaming.DedupSql.tryDedup(spark, text).getOrElse {
       // composable text rewrites — each a no-op when its idiom is absent
       val lowered = LateralSql.rewrite(GroupWindowSql.rewrite(text))
@@ -539,23 +571,71 @@ object GraftSql {
         "INSERT OVERWRITE requires a batch SELECT — a streaming " +
           "query cannot overwrite its own sink (the reference " +
           "rejects streaming INSERT OVERWRITE the same way)")
-      val before =
-        try spark.read.format(sd.format).load(sd.path).count()
-        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-      val q = df.writeStream.format(sd.format)
-        .option("checkpointLocation", ckpt)
-        .option("path", sd.path)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-      val rb = spark.read.format(sd.format).load(sd.path)
-      (rb, rb.count() - before)
+      if (sd.primaryKey.nonEmpty && df.columns.contains("kind"))
+        executeUpsertInsert(spark, name, sd, df)
+      else {
+        val before =
+          try spark.read.format(sd.format).load(sd.path).count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        val q = df.writeStream.format(sd.format)
+          .option("checkpointLocation", ckpt)
+          .option("path", sd.path)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val rb = spark.read.format(sd.format).load(sd.path)
+        (rb, rb.count() - before)
+      }
     } else {
       df.write.mode("overwrite").format(sd.format).save(sd.path)
       deleteRecursively(new java.io.File(ckpt))
       val rb = spark.read.format(sd.format).load(sd.path)
       (rb, rb.count())
     }
+  }
+
+  /** Streaming INSERT INTO a PRIMARY-KEY-declared sink of a CHANGELOG query
+    * (result carries the engine's `kind` column, +I/-U/+U/-D): the DDL's
+    * constraint keys a retract-aware upsert — the reference derives its
+    * upsert sinks' keys from exactly this constraint (SqlCreateTable.java:56
+    * → sink getChangelogMode; upsert-kafka/JDBC key writes by PK). The
+    * changelog drains through [[graft.streaming.UpsertSink]]'s keyed store
+    * (+I/+U put, -D delete) and the sink path is then OVERWRITTEN with the
+    * materialized FINAL STATE — one row per live key, kind column dropped —
+    * not the changelog rows.
+    *
+    * The in-memory store is the local-mode backend of the KeyedStore SPI
+    * (enforced inside foreachBatchChangelog); a cluster deployment plugs an
+    * external KV store there. Final state is keyed, so the driver-side
+    * snapshot is bounded by distinct keys, not stream size. The store
+    * starts empty on every statement run, so the drain uses a FRESH
+    * checkpoint (a resumed offset against an empty store would silently
+    * lose keys drained by the previous run). */
+  private def executeUpsertInsert(spark: SparkSession, name: String,
+      sd: graft.streaming.GraftDdl.SinkDef, df: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val store = new graft.streaming.UpsertSink.InMemoryStore()
+    try {
+      val ckpt = graft.Tables.scratch(
+        s"insert-ckpt/$name-upsert-${java.util.UUID.randomUUID()}")
+      val q = graft.streaming.UpsertSink
+        .foreachBatchChangelog(df, "kind", sd.primaryKey, store)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally { q.stop(); deleteRecursively(new java.io.File(ckpt)) }
+      val kindIdx = df.columns.indexOf("kind")
+      val outSchema = StructType(
+        df.schema.fields.zipWithIndex.collect { case (f, i) if i != kindIdx => f })
+      val rows = store.snapshot().values.toSeq.map(r =>
+        Row.fromSeq(r.zipWithIndex.collect { case (v, i) if i != kindIdx => v }))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), outSchema)
+        .write.mode("overwrite").format(sd.format).save(sd.path)
+      val rb = spark.read.format(sd.format).load(sd.path)
+      (rb, rb.count())
+    } finally store.close()
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

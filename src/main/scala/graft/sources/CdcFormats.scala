@@ -458,5 +458,53 @@ object CdcFormats {
            |  FROM orders WHERE o_orderstatus = 'F')
            |ORDER BY o_orderkey, kind""".stripMargin))
 
-  val all: Seq[Q] = Seq(qCdcIngest, qCdcCanal, qCdcStream, qCdcDoor)
+  /** q_cdc_upsert_door: the PRIMARY KEY → upsert-key wiring from SQL TEXT
+    * ALONE — the reference derives an upsert sink's key from the DDL's
+    * `PRIMARY KEY … NOT ENFORCED` constraint (SqlCreateTable.java:56 →
+    * sink getChangelogMode; upsert-kafka/JDBC key their writes by it), no
+    * explicit key columns in code. Three statements through the door: a
+    * STREAMING CDC source over the phased feed (one micro-batch per phase
+    * via 'scan.files-per-trigger', so retractions consume state from
+    * earlier batches), a PK-declared sink, and an INSERT INTO whose
+    * changelog drains through the retract-aware keyed store. The sink then
+    * holds the FINAL STATE — one row per surviving order, kind dropped —
+    * which the oracle reconstructs relationally from `orders`. */
+  val qCdcUpsertDoor: Q = Q(
+    "q_cdc_upsert_door",
+    (s, dir) => {
+      import graft.operators.GraftSql
+      val feed = writeDebeziumFeedPhased(s, dir)
+      // fresh sink per invocation (same reason as q_cdc_door: the upsert
+      // drain uses a fresh checkpoint and overwrites the sink wholesale)
+      val sinkPath = Tables.scratch(
+        s"cdc-upsert-sink/graft_cdc_upsert-${java.util.UUID.randomUUID()}")
+      GraftSql.run(s,
+        s"""CREATE TABLE graft_cdc_upsert_src (
+           |  o_orderkey BIGINT, o_orderpriority STRING,
+           |  o_totalprice DOUBLE, version INT
+           |) WITH ('format' = 'debezium-json', 'path' = '$feed/*/',
+           |        'scan.mode' = 'streaming',
+           |        'scan.files-per-trigger' = '1')""".stripMargin)
+      GraftSql.run(s,
+        s"""CREATE TABLE graft_cdc_upsert_out (
+           |  kind STRING, o_orderkey BIGINT, o_orderpriority STRING,
+           |  o_totalprice DOUBLE, version INT,
+           |  PRIMARY KEY (o_orderkey) NOT ENFORCED)
+           |WITH ('path' = '$sinkPath', 'format' = 'parquet')""".stripMargin)
+      GraftSql.run(s,
+        """INSERT INTO graft_cdc_upsert_out
+          |SELECT kind, o_orderkey, o_orderpriority, o_totalprice, version
+          |FROM graft_cdc_upsert_src""".stripMargin)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |            ELSE o_totalprice * 0.9 END AS o_totalprice,
+           |       CAST(CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS INT)
+           |         AS version
+           |FROM orders WHERE o_orderstatus <> 'F'
+           |ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(qCdcIngest, qCdcCanal, qCdcStream, qCdcDoor, qCdcUpsertDoor)
 }

@@ -94,30 +94,54 @@ object GraftDdl {
     * the durable analogue of the reference storing resolved CatalogTable
     * metadata, not the LIKE clause.
     *
-    * Merge rules (FLIP-110, the 1.11 subset): by default everything is
-    * included and a WITH option redeclared on the derived table is an
-    * error; `OVERWRITING OPTIONS` lets the derived value win;
-    * `EXCLUDING OPTIONS` starts from no inherited options. Extra declared
-    * columns append after the base's. */
+    * Merge rules (FLIP-110, the 1.11 subset, per-feature like the
+    * reference's MergeTableLikeUtil): the base's PHYSICAL columns are
+    * always inherited — merging strategies only govern features. Each of
+    * OPTIONS / GENERATED (computed columns) / WATERMARKS / CONSTRAINTS
+    * takes INCLUDING (default), EXCLUDING, or OVERWRITING; `INCLUDING ALL`
+    * / `EXCLUDING ALL` set the default for every feature at once. A WITH
+    * option redeclared on the derived table without OVERWRITING OPTIONS is
+    * an error. Extra declared columns append after the base's. */
   def resolveDdl(ddl: String): String = ddl.trim match {
     case LikeR(name, extraCols, optsTxt, baseName, likeOpts) =>
       val base = defs.getOrElse(baseName.toLowerCase,
         throw new IllegalArgumentException(
           s"CREATE TABLE $name LIKE $baseName: unknown base table '$baseName'"))
       val likeU = Option(likeOpts).getOrElse("").toUpperCase
-      val overwriting = likeU.contains("OVERWRITING OPTIONS")
-      val excluding = likeU.contains("EXCLUDING OPTIONS") || likeU.contains("EXCLUDING ALL")
+      // per-feature strategy: explicit "<STRATEGY> <FEATURE>" wins, else
+      // "<STRATEGY> ALL", else INCLUDING (MergeTableLikeUtil's defaults)
+      def strategy(feature: String): String =
+        s"(INCLUDING|EXCLUDING|OVERWRITING)\\s+$feature".r
+          .findFirstMatchIn(likeU).map(_.group(1))
+          .orElse("(INCLUDING|EXCLUDING)\\s+ALL".r
+            .findFirstMatchIn(likeU).map(_.group(1)))
+          .getOrElse("INCLUDING")
+      val optStrat = strategy("OPTIONS")
       val derived = parseOpts(Option(optsTxt).getOrElse(""))
-      val inherited = if (excluding) Map.empty[String, String] else base.opts
+      val inherited =
+        if (optStrat == "EXCLUDING") Map.empty[String, String] else base.opts
       val dup = inherited.keySet.intersect(derived.keySet)
-      if (dup.nonEmpty && !overwriting && !excluding)
+      if (dup.nonEmpty && optStrat != "OVERWRITING")
         throw new IllegalArgumentException(
           s"CREATE TABLE $name LIKE $baseName redeclares option(s) " +
             s"${dup.mkString(", ")} — add (OVERWRITING OPTIONS) to override")
       val merged = inherited ++ derived
-      val cols = Seq(
-        if (excluding && likeU.contains("EXCLUDING ALL")) "" else base.cols,
-        Option(extraCols).getOrElse("")).filter(_.trim.nonEmpty).mkString(", ")
+      // physical columns ALWAYS inherit; computed columns / watermark /
+      // constraints drop under their feature's EXCLUDING strategy
+      val keepComputed = strategy("GENERATED") != "EXCLUDING"
+      val keepWatermark = strategy("WATERMARKS") != "EXCLUDING"
+      val keepConstraints = strategy("CONSTRAINTS") != "EXCLUDING"
+      val baseCols = splitTopLevel(base.cols).filter { c =>
+        val u = c.toUpperCase
+        if (u.startsWith("WATERMARK")) keepWatermark
+        else if (u.startsWith("PRIMARY")) keepConstraints
+        else c match {
+          case ComputedR(_, _) => keepComputed
+          case _ => true // physical column: unconditional
+        }
+      }.mkString(", ")
+      val cols = Seq(baseCols, Option(extraCols).getOrElse(""))
+        .filter(_.trim.nonEmpty).mkString(", ")
       val optsSql = merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
       s"CREATE TABLE $name ($cols) WITH ($optsSql)"
@@ -157,10 +181,17 @@ object GraftDdl {
               // view (file-stream tailing the feed directory — the CDC
               // topic consumer posture); default is a bounded batch read
               // of the feed so far. The decode Column tree is identical.
+              // 'scan.files-per-trigger' caps files per micro-batch — a
+              // phased feed (one file per phase) then replays each phase as
+              // its own batch, preserving cross-phase causal order per key
+              // the way a keyed CDC topic partition does.
               val raw =
-                if (opts.get("scan.mode").contains("streaming"))
-                  spark.readStream.text(path)
-                else spark.read.text(path)
+                if (opts.get("scan.mode").contains("streaming")) {
+                  val reader = spark.readStream
+                  opts.get("scan.files-per-trigger")
+                    .foreach(n => reader.option("maxFilesPerTrigger", n))
+                  reader.text(path)
+                } else spark.read.text(path)
               // reference format options, same keys (JsonOptions.java):
               // <format>.ignore-parse-errors drops corrupt messages;
               // debezium-json.schema-include unwraps the Connect envelope
@@ -181,7 +212,8 @@ object GraftDdl {
             case _ =>
               val path = opts.getOrElse("path",
                 throw new IllegalArgumentException("WITH option 'path' is required"))
-              sinks(name.toLowerCase) = SinkDef(path, opts.getOrElse("format", "parquet"))
+              sinks(name.toLowerCase) =
+                SinkDef(path, opts.getOrElse("format", "parquet"), primaryKeyOf(cols))
               name
           }
         }
@@ -212,8 +244,22 @@ object GraftDdl {
 
   /** A registered sink: where INSERT INTO writes. Column declarations are
     * schema-on-write (the SELECT's schema is authoritative), matching the
-    * source-side schema-on-read stance documented above. */
-  final case class SinkDef(path: String, format: String)
+    * source-side schema-on-read stance documented above. `primaryKey` is
+    * the DDL's `PRIMARY KEY (…) NOT ENFORCED` constraint — the reference
+    * uses it to key upsert sinks (SqlCreateTable.java:56 constraint → sink
+    * getChangelogMode; upsert-kafka/JDBC key their writes by it), and the
+    * door's INSERT INTO derives retract-aware upsert materialization from
+    * it when the inserted query is a changelog. */
+  final case class SinkDef(path: String, format: String,
+      primaryKey: Seq[String] = Nil)
+
+  private val PkR = "(?is)PRIMARY\\s+KEY\\s*\\(([\\w,\\s]*)\\)".r
+
+  /** PRIMARY KEY column list of a declared column set (empty when none). */
+  private[streaming] def primaryKeyOf(cols: String): Seq[String] =
+    PkR.findFirstMatchIn(cols)
+      .map(_.group(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
 
   private val sinks = scala.collection.concurrent.TrieMap[String, SinkDef]()
 
@@ -232,7 +278,8 @@ object GraftDdl {
       case Some(sd) =>
         val opts = parseOpts(optsTxt)
         sinks(name.toLowerCase) = SinkDef(
-          opts.getOrElse("path", sd.path), opts.getOrElse("format", sd.format))
+          opts.getOrElse("path", sd.path), opts.getOrElse("format", sd.format),
+          sd.primaryKey)
         true
       case None => false
     }

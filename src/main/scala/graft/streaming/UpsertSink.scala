@@ -65,6 +65,9 @@ object UpsertSink {
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val cols = df.columns.toSeq
     val keyIdx = keyCols.map(cols.indexOf)
+    require(keyIdx.forall(_ >= 0),
+      s"upsert key column(s) ${keyCols.filter(!cols.contains(_)).mkString(", ")} " +
+        s"not in input schema ${cols.mkString("(", ", ", ")")}")
     // InMemoryStore's static registry is per-JVM: on a real cluster the
     // executors' writes would be invisible to the driver's snapshot().
     // Enforce the local-mode-only contract instead of just documenting it.
@@ -100,6 +103,14 @@ object UpsertSink {
     val cols = df.columns.toSeq
     val keyIdx = keyCols.map(cols.indexOf)
     val kindIdx = cols.indexOf(kindCol)
+    // fail at construction with the column named, not as a per-row
+    // IndexOutOfBoundsException on an executor mid-stream
+    require(kindIdx >= 0,
+      s"changelog kind column '$kindCol' not in input schema " +
+        cols.mkString("(", ", ", ")"))
+    require(keyIdx.forall(_ >= 0),
+      s"upsert key column(s) ${keyCols.filter(!cols.contains(_)).mkString(", ")} " +
+        s"not in input schema ${cols.mkString("(", ", ", ")")}")
     store match {
       case _: InMemoryStore =>
         require(df.sparkSession.sparkContext.master.startsWith("local"),

@@ -67,11 +67,65 @@ class DdlFeatureSpec extends GraftSpec {
     assert(e.getMessage.contains("OVERWRITING OPTIONS"))
   }
 
+  test("LIKE (EXCLUDING ALL) keeps the base's physical columns, drops features") {
+    GraftDdl.executeDdl(spark,
+      s"""CREATE TABLE like_feat (
+         |  event_id BIGINT, ts TIMESTAMP, v2 AS value * 2,
+         |  PRIMARY KEY (event_id) NOT ENFORCED,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECONDS
+         |) WITH ('path' = '$sfDir', 'table' = 'events')""".stripMargin)
+    val resolved = GraftDdl.resolveDdl(
+      "CREATE TABLE like_xall WITH ('path' = '/tmp/like-xall') " +
+        "LIKE like_feat (EXCLUDING ALL)")
+    // physical schema ALWAYS inherits (MergeTableLikeUtil); features drop
+    assert(resolved.contains("event_id BIGINT") && resolved.contains("ts TIMESTAMP"))
+    assert(!resolved.toUpperCase.contains("WATERMARK"))
+    assert(!resolved.toUpperCase.contains("PRIMARY"))
+    assert(!resolved.contains("v2 AS"))
+    assert(!resolved.contains("'table'")) // options excluded
+    assert(resolved.contains("'path' = '/tmp/like-xall'"))
+  }
+
+  test("LIKE per-feature strategies: EXCLUDING WATERMARKS keeps computed cols and constraints") {
+    val resolved = GraftDdl.resolveDdl(
+      "CREATE TABLE like_nowm WITH ('path' = '/tmp/like-nowm') " +
+        "LIKE like_feat (EXCLUDING WATERMARKS, OVERWRITING OPTIONS)")
+    assert(!resolved.toUpperCase.contains("WATERMARK"))
+    assert(resolved.contains("v2 AS value * 2"))
+    assert(resolved.toUpperCase.contains("PRIMARY KEY"))
+    assert(resolved.contains("'table' = 'events'")) // options still inherit
+    assert(resolved.contains("'path' = '/tmp/like-nowm'"))
+  }
+
+  test("LIKE (EXCLUDING ALL) on a watermarked base registers a usable sink, not an empty schema") {
+    val name = GraftDdl.executeDdl(spark,
+      "CREATE TABLE like_xall_sink WITH ('path' = '/tmp/like-xall-s') " +
+        "LIKE like_feat (EXCLUDING ALL)")
+    assert(name == "like_xall_sink")
+    // no watermark clause survives → registers as a sink with the derived path
+    assert(GraftDdl.sink("like_xall_sink").get.path == "/tmp/like-xall-s")
+  }
+
   test("LIKE of an unknown base is a clear error") {
     val e = intercept[IllegalArgumentException] {
       GraftDdl.resolveDdl("CREATE TABLE d WITH ('path' = '/x') LIKE nope")
     }
     assert(e.getMessage.contains("unknown base table"))
+  }
+
+  test("PRIMARY KEY in sink DDL registers the upsert key; ALTER preserves it") {
+    GraftDdl.executeDdl(spark,
+      """CREATE TABLE pk_sink (k BIGINT, g STRING, v DOUBLE,
+        |  PRIMARY KEY (k, g) NOT ENFORCED)
+        |WITH ('path' = '/tmp/pk-sink', 'format' = 'parquet')""".stripMargin)
+    assert(GraftDdl.sink("pk_sink").get.primaryKey == Seq("k", "g"))
+    GraftDdl.alterSink("pk_sink", "'path' = '/tmp/pk-sink-2'")
+    assert(GraftDdl.sink("pk_sink").get.primaryKey == Seq("k", "g"))
+    assert(GraftDdl.sink("pk_sink").get.path == "/tmp/pk-sink-2")
+    // no constraint → no upsert key
+    GraftDdl.executeDdl(spark,
+      "CREATE TABLE nopk_sink (k BIGINT) WITH ('path' = '/tmp/nopk-sink')")
+    assert(GraftDdl.sink("nopk_sink").get.primaryKey.isEmpty)
   }
 
   test("door: qualified names with the default catalog/database resolve") {

@@ -28,4 +28,26 @@ class UpsertSinkSpec extends GraftSpec {
     assert(got == Map(
       "a" -> (11.0, 2L), "b" -> (2.0, 1L), "c" -> (5.0, 1L)))
   }
+
+  test("a mistyped key or kind column fails at construction, naming the column") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Double)]
+    val df = mem.toDF().toDF("kind", "k", "v")
+    val store = new UpsertSink.InMemoryStore
+    val e1 = intercept[IllegalArgumentException] {
+      UpsertSink.foreachBatchChangelog(df, "kynd", Seq("k"), store)
+    }
+    assert(e1.getMessage.contains("kynd"))
+    val e2 = intercept[IllegalArgumentException] {
+      UpsertSink.foreachBatchChangelog(df, "kind", Seq("key_oops"), store)
+    }
+    assert(e2.getMessage.contains("key_oops"))
+    val e3 = intercept[IllegalArgumentException] {
+      UpsertSink.foreachBatchUpsert(df, Seq("nope"), store)
+    }
+    assert(e3.getMessage.contains("nope"))
+    store.close()
+  }
 }
