@@ -409,6 +409,36 @@ object GraftSql {
       val views = spark.catalog.listTables().collect().map(_.name.toLowerCase).toSeq
       (views ++ graft.streaming.GraftDdl.sinkNames).distinct.sorted.toDF("tableName")
     }
+    else if (upper.trim.matches("(?s)SHOW\\s+CATALOGS\\s*;?\\s*")) {
+      // SHOW CATALOGS (SqlCommandParser.java:139): the engine's single
+      // default catalog, plus Spark's own name for it — both USE-able
+      import spark.implicits._
+      Seq("default_catalog", "spark_catalog").toDF("catalogName")
+    }
+    else if (upper.trim.matches("(?s)SHOW\\s+DATABASES\\s*;?\\s*")) {
+      // SHOW DATABASES (SqlCommandParser.java:141): real Spark databases —
+      // each usable qualified through the resolveNameOpt fallthrough.
+      // default_database is the reference's spelling of the default.
+      import spark.implicits._
+      val real = spark.catalog.listDatabases().collect().map(_.name).toSeq
+      ("default_database" +: real.filterNot(_ == "default"))
+        .distinct.sorted.toDF("databaseName")
+    }
+    else if (upper.trim.matches("(?s)SHOW\\s+VIEWS\\s*;?\\s*")) {
+      // SHOW VIEWS (FLINK-17112, in the 1.11 client): temp views only —
+      // registry sinks and real tables stay with SHOW TABLES
+      import spark.implicits._
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).map(_.name.toLowerCase)
+        .toSeq.distinct.sorted.toDF("viewName")
+    }
+    else if (upper.trim.matches("(?s)SHOW\\s+MODULES\\s*;?\\s*")) {
+      // SHOW MODULES (SqlCommandParser.java:146): the reference ships the
+      // single 'core' module by default; this engine's function surface is
+      // likewise one flat registry
+      import spark.implicits._
+      Seq("core").toDF("moduleName")
+    }
     else if (upper.trim.matches("(?s)SHOW\\s+FUNCTIONS\\s*;?\\s*")) {
       // SHOW FUNCTIONS (SqlCommandParser.java:144) aligned with SHOW TABLES:
       // one sorted name column covering builtins AND door-registered

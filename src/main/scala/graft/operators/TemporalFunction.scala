@@ -74,6 +74,32 @@ object TemporalFunction {
     }
   }
 
+  /** PROCESSING-TIME temporal correlate (reference
+    * TemporalProcessTimeJoinOperator.java: `Rates(o.proctime)` joins each
+    * probe row with the key's CURRENT latest version, not an as-of-rowtime
+    * one). The versioned side collapses to its latest version per key
+    * (max_by over the time attribute — map-side partial aggregate) and the
+    * correlate becomes a plain equi-join against that snapshot: Catalyst
+    * broadcasts it when dim-sized, and a STREAMING probe takes it as a
+    * stream-static join — the snapshot re-evaluates per micro-batch, which
+    * IS the reference's "version current at processing time" semantics
+    * under micro-batching. Build columns return prefixed `r_` like
+    * [[joinLateral]]. */
+  def joinLatest(probe: DataFrame, fnName: String, probeKey: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val fn = TemporalFunction.get(fnName).getOrElse(throw new IllegalArgumentException(
+      s"unknown temporal table function '$fnName' — " +
+        "createTemporalTableFunction first"))
+    val hist = fn.history
+    val others = hist.columns.filterNot(_ == fn.primaryKey).toSeq
+    val latest = hist.groupBy(hist(fn.primaryKey).as("__k"))
+      .agg(max_by(struct(others.map(hist(_)): _*), hist(fn.timeAttr)).as("__v"))
+    val joined = probe.join(latest, probe(probeKey) === col("__k"))
+    joined.select(
+      probe.columns.toSeq.map(probe(_)) ++
+        others.map(c => col("__v").getField(c).as(s"r_$c")): _*)
+  }
+
   // SELECT <items> FROM <probe> [AS] o, LATERAL TABLE ( fn ( o.ts ) ) [AS] r
   // WHERE <conjuncts> [GROUP BY …] [ORDER BY …]
   private val StmtR =
@@ -219,5 +245,30 @@ object TemporalFunction {
            |GROUP BY a.user_id
            |ORDER BY a.user_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qTemporalFn, qTemporalFnSql)
+  /** q_temporal_fn_proctime: the processing-time correlate — every purchase
+    * enriched with the user's CURRENT latest signup value (version table
+    * collapsed to its latest snapshot, equi-join against it), vs the as-of
+    * row-time version q_temporal_fn picks. Inner correlate: users with no
+    * signup drop. */
+  val qTemporalFnProctime: Q = Q(
+    "q_temporal_fn_proctime",
+    (s, dir) => {
+      import s.implicits._
+      registerFixtureFn(s, dir)
+      val purchases = Tables.t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      joinLatest(purchases, "sigrate", "user_id")
+        .select($"event_id", $"r_value".as("current_signup_value"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT a.event_id, v.current_signup_value
+           |FROM events a JOIN (
+           |  SELECT user_id, arg_max(value, ts) AS current_signup_value
+           |  FROM events WHERE event_type = 'signup' GROUP BY user_id) v
+           |  ON a.user_id = v.user_id
+           |WHERE a.event_type = 'purchase'
+           |ORDER BY a.event_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qTemporalFn, qTemporalFnSql, qTemporalFnProctime)
 }

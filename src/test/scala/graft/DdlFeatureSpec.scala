@@ -161,6 +161,18 @@ class DdlFeatureSpec extends GraftSpec {
     assert(fns.contains("showfn_probe"))
   }
 
+  test("door: SHOW CATALOGS / DATABASES / VIEWS / MODULES (SqlCommandParser command set)") {
+    val cats = GraftSql.run(spark, "SHOW CATALOGS").collect().map(_.getString(0))
+    assert(cats.contains("default_catalog"))
+    val dbs = GraftSql.run(spark, "SHOW DATABASES").collect().map(_.getString(0))
+    assert(dbs.contains("default_database"))
+    spark.range(1).createOrReplaceTempView("showviews_probe")
+    val views = GraftSql.run(spark, "SHOW VIEWS").collect().map(_.getString(0))
+    assert(views.contains("showviews_probe"))
+    val mods = GraftSql.run(spark, "SHOW MODULES").collect().map(_.getString(0))
+    assert(mods.toSeq == Seq("core"))
+  }
+
   test("door: USE of the default catalog/database is a no-op success") {
     assert(GraftSql.run(spark, "USE CATALOG default_catalog").collect()
       .head.getString(1) == "in use")

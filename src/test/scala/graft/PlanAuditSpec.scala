@@ -251,4 +251,26 @@ class StreamingPlanAuditSpec extends GraftSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx == 1, s"expected exactly one hash shuffle, got $hashEx:\n$p")
   }
+
+  test("q_temporal_fn: the function correlate runs the single-shuffle as-of pass") {
+    val df = operators.TemporalFunction.qTemporalFn.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one keyed shuffle carries the union+window version pass; no join
+    // blowup (the correlate is NOT a range/cartesian join)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one hash shuffle, got $hashEx:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_temporal_fn_proctime: latest-version snapshot broadcasts to the probe") {
+    val df = operators.TemporalFunction.qTemporalFnProctime.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the collapsed per-key snapshot is dim-sized → broadcast equi-join,
+    // with partial+final max_by around its own aggregation
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -98,6 +98,42 @@ class TemporalFunctionSpec extends GraftSpec {
     assert(df.limit(1).count() == 1)
   }
 
+  test("joinLatest joins the CURRENT latest version (processing-time correlate)") {
+    import spark.implicits._
+    registerRates()
+    val orders = Seq(
+      (1L, "eur", 2L, 10.0), // as-of t=2 would see 114; latest is 119
+      (2L, "yen", 3L, 50.0),
+      (3L, "usd", 4L, 9.0)   // no usd version: drops
+    ).toDF("order_id", "currency", "t", "amount")
+      .withColumn("ot", timestamp_seconds(col("t"))).drop("t")
+    val out = TemporalFunction.joinLatest(orders, "rates", "currency")
+      .select($"order_id", $"r_rate").orderBy($"order_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 119.0), (2L, 1.0)))
+  }
+
+  test("joinLatest takes a STREAMING probe as a stream-static join") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    registerRates()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val probe = mem.toDF().toDF("order_id", "currency", "amount")
+    val joined = TemporalFunction.joinLatest(probe, "rates", "currency")
+      .select($"order_id", $"r_rate")
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory")
+      .queryName("ttf_latest_stream").outputMode("append").start()
+    mem.addData((1L, "eur", 10.0), (2L, "yen", 50.0), (3L, "usd", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttf_latest_stream")
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 119.0), (2L, 1.0)))
+  }
+
   test("unknown time-attribute / primary-key registrations fail fast") {
     import spark.implicits._
     val h = Seq(("a", 1L)).toDF("k", "t")
