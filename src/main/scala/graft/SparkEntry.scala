@@ -45,6 +45,7 @@ object SparkEntry {
       streaming.TwsOps.all ++
       streaming.DedupSql.all ++
       sources.CdcFormats.all ++
+      sources.DataGen.all ++
       dsl.DslOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -596,7 +596,9 @@ object GraftSql {
     val df = run(spark, select)
     val ckpt = graft.Tables.scratch(
       s"insert-ckpt/$name-${Integer.toHexString(sd.path.hashCode)}")
-    if (df.isStreaming) {
+    if (sd.format == "print" || sd.format == "blackhole")
+      executeUtilityInsert(spark, name, sd.format, df)
+    else if (df.isStreaming) {
       require(!mode.equalsIgnoreCase("OVERWRITE"),
         "INSERT OVERWRITE requires a batch SELECT — a streaming " +
           "query cannot overwrite its own sink (the reference " +
@@ -621,6 +623,43 @@ object GraftSql {
       deleteRecursively(new java.io.File(ckpt))
       val rb = spark.read.format(sd.format).load(sd.path)
       (rb, rb.count())
+    }
+  }
+
+  /** INSERT INTO the reference's pathless utility sinks: `print`
+    * (PrintTableSinkFactory — rows print on the EXECUTORS via
+    * foreachPartition, like the reference printing to taskmanager stdout;
+    * never a driver collect) and `blackhole` (BlackHoleTableSinkFactory —
+    * Spark's `noop` write format). Returns the rows written — for print
+    * the batch result itself; streaming drains AvailableNow and returns
+    * the drained count. */
+  private def executeUtilityInsert(spark: SparkSession, name: String,
+      format: String, df: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.Row
+    def printPartition(it: Iterator[Row]): Unit =
+      it.foreach(r => println(s"+I[${r.mkString(", ")}]"))
+    if (!df.isStreaming) {
+      if (format == "print") df.foreachPartition(printPartition _)
+      else df.write.format("noop").mode("overwrite").save()
+      (df, df.count())
+    } else {
+      val drained = spark.sparkContext.longAccumulator(s"graft-$name-rows")
+      val ckpt = graft.Tables.scratch(
+        s"insert-ckpt/$name-util-${java.util.UUID.randomUUID()}")
+      val q = df.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          drained.add(batch.count())
+          if (format == "print") batch.foreachPartition(printPartition _)
+          () // blackhole: counting IS the consumption
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally { q.stop(); deleteRecursively(new java.io.File(ckpt)) }
+      import spark.implicits._
+      (Seq((name, format, drained.value)).toDF("sink", "connector", "rows"),
+        drained.value)
     }
   }
 

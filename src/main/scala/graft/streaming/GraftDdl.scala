@@ -170,6 +170,24 @@ object GraftDdl {
             createStreamView(spark, dir, opts.getOrElse("table", name), name,
               wm.group(1), s"${wm.group(2)} ${wm.group(3).toLowerCase}s", computed)
             name
+          case None if opts.get("connector").contains("datagen") =>
+            // utility source (reference DataGenTableSourceFactory.java:62):
+            // declared columns are the generated schema
+            val schema = parsePayloadSchema(name, cols)
+            val projected = computed.foldLeft(
+              graft.sources.DataGen.relation(spark, schema, opts)) {
+              case (df, (n, e)) => df.withColumn(n, expr(e))
+            }
+            projected.createOrReplaceTempView(name)
+            name
+          case None if opts.get("connector").exists(c =>
+              c == "print" || c == "blackhole") =>
+            // utility sinks (reference PrintTableSinkFactory /
+            // BlackHoleTableSinkFactory): pathless — INSERT INTO prints on
+            // the executors / discards, handled by the door's executeInsert
+            sinks(name.toLowerCase) =
+              SinkDef("", opts("connector"), primaryKeyOf(cols))
+            name
           case None => opts.get("format") match {
             case Some(fmt @ ("debezium-json" | "canal-json")) =>
               // CDC ingestion table (reference: `'format'='debezium-json'`
