@@ -763,9 +763,55 @@ object TextOps {
            |       CAST(count(*) AS BIGINT) AS n_variants
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Deterministic training-shard export — the last pipeline stage before
+    * the trainer reads: every doc assigned to a shard by a REPRODUCIBLE
+    * md5-derived hash (never random(): partition-order dependent and
+    * irreproducible engine-over-engine), globally shuffled by a second
+    * independent hash (the "deterministic shuffle" a training run must be
+    * able to replay), written one file per shard, and AUDITED from the
+    * written files — per-shard doc counts, char mass, and the first/last
+    * docs in shard order, so a re-export is bit-reproducible. At 100 TB
+    * the same plan holds: one hash shuffle to co-locate shards (tasks =
+    * shards; raise the shard count, not the pattern), sortWithinPartitions
+    * is a per-task spillable sort, and no driver materialization. */
+  val qShardExport: Q = Q(
+    "q_shard_export",
+    (s, dir) => {
+      import s.implicits._
+      val h = graft.functions.FlinkFunctions.md5Hash31($"doc_id".cast("string"))
+      val ord = graft.functions.FlinkFunctions
+        .md5Hash31(concat($"doc_id".cast("string"), lit(":perm1")))
+      val out = Tables.scratch(
+        s"shard-export-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      Tables.t(s, dir, "documents")
+        .select($"doc_id", $"n_chars", (h % 8).as("shard"), ord.as("ord"))
+        .repartition(8, $"shard")
+        .sortWithinPartitions($"shard", $"ord")
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars"),
+          min_by($"doc_id", $"ord").as("first_doc"),
+          max_by($"doc_id", $"ord").as("last_doc"))
+        .orderBy($"shard")
+    },
+    Some("""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars,
+           |       arg_min(doc_id, ord) AS first_doc,
+           |       arg_max(doc_id, ord) AS last_doc
+           |FROM (
+           |  SELECT doc_id, n_chars,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |      % 2147483647 % 8 AS shard,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':perm1'), 1, 8)) AS BIGINT)
+           |      % 2147483647 AS ord
+           |  FROM documents)
+           |GROUP BY shard ORDER BY shard""".stripMargin))
+
   val all: Seq[Q] = Seq(qLangId, qQualityScore, qTokenCount, qFingerprint,
     qStratifiedSplit, qContamination, qPipelineE2e, qQualityRepetition,
     qDomainQuota, qMixtureResample, qSequencePack, qImportanceSample,
     qDupSpanFrac, qTokenDrift, qUnigramLogprob, qPiiMask, qLineDedup,
-    qUrlDedup)
+    qUrlDedup, qShardExport)
 }

@@ -167,6 +167,35 @@ object CdcFormats {
     when(isEven, col("o_totalprice")).otherwise(discounted)
   private val latestVersion: Column = when(isEven, lit(2)).otherwise(lit(1))
 
+  /** Each feed is a DETERMINISTIC function of the fixture dir, so the
+    * writers memoize on disk: a `_graft_feed_complete` marker (underscore
+    * prefix — Spark's file listing skips it like `_SUCCESS`) recording the
+    * generator version is written after a successful write, and later
+    * calls — from the OTHER CDC queries in the same run included — reuse
+    * the directory instead of re-deriving and re-writing the feed. Bump
+    * [[FeedVersion]] when changing any feed's content. */
+  private val FeedVersion = "v1"
+  // marker content = generator version + the source fixture's identity:
+  // the round driver REGENERATES /root/testdata between rounds while the
+  // tmpfs scratch can survive, so a version string alone would serve a
+  // feed derived from the previous round's orders
+  private def feedStamp(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "orders.parquet")
+    s"$FeedVersion:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:" +
+      s"${java.nio.file.Files.size(p)}"
+  }
+  private def cachedFeed(outDir: String, dir: String)(write: => Unit): String = {
+    val marker = java.nio.file.Paths.get(outDir, "_graft_feed_complete")
+    val stamp = feedStamp(dir)
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
+    if (!fresh) {
+      write
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    outDir
+  }
+
   /** Write the orders-derived change feed as debezium-json lines; returns
     * the directory. One JSON object per change event, exactly the
     * envelope the reference decoder expects. */
@@ -185,9 +214,10 @@ object CdcFormats {
       nul.as("after"), lit("d").as("op"))).as("value"))
     val outDir = Tables.scratch(
       s"cdc-debezium-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    ins.unionAll(upd).unionAll(del).coalesce(4)
-      .write.mode("overwrite").text(outDir)
-    outDir
+    cachedFeed(outDir, dir) {
+      ins.unionAll(upd).unionAll(del).coalesce(4)
+        .write.mode("overwrite").text(outDir)
+    }
   }
 
   /** Write the same feed as canal-json lines, batching 100 rows per message
@@ -220,10 +250,11 @@ object CdcFormats {
         lit("DELETE").as("type"))).as("value"))
     val outDir = Tables.scratch(
       s"cdc-canal-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    ins.select("value").unionAll(upd.select("value"))
-      .unionAll(del.select("value")).coalesce(4)
-      .write.mode("overwrite").text(outDir)
-    outDir
+    cachedFeed(outDir, dir) {
+      ins.select("value").unionAll(upd.select("value"))
+        .unionAll(del.select("value")).coalesce(4)
+        .write.mode("overwrite").text(outDir)
+    }
   }
 
   /** Write the debezium feed PHASED for streaming replay: inserts, updates
@@ -249,22 +280,23 @@ object CdcFormats {
       "2_del" -> orders.filter(col("o_orderstatus") === "F").select(to_json(struct(
         payloadCols(latestPrice, latestVersion).as("before"),
         nul.as("after"), lit("d").as("op"))).as("value")))
-    phases.zipWithIndex.foreach { case ((sub, df), i) =>
-      val d = s"$root/$sub"
-      // one file per phase: with maxFilesPerTrigger=1 that is one
-      // micro-batch per phase — the minimum that still forces every
-      // retraction to consume state persisted in an EARLIER batch, at half
-      // the per-batch state-commit cost of finer splits
-      df.coalesce(1).write.mode("overwrite").text(d)
-      // pin mod times per phase: sequential writes are normally ordered
-      // anyway, but same-millisecond ties would let the file source
-      // interleave phases and break per-key causal order
-      val t0 = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
-      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
-      try ls.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t0))
-      finally ls.close()
+    cachedFeed(root, dir) {
+      phases.zipWithIndex.foreach { case ((sub, df), i) =>
+        val d = s"$root/$sub"
+        // one file per phase: with maxFilesPerTrigger=1 that is one
+        // micro-batch per phase — the minimum that still forces every
+        // retraction to consume state persisted in an EARLIER batch, at half
+        // the per-batch state-commit cost of finer splits
+        df.coalesce(1).write.mode("overwrite").text(d)
+        // pin mod times per phase: sequential writes are normally ordered
+        // anyway, but same-millisecond ties would let the file source
+        // interleave phases and break per-key causal order
+        val t0 = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        try ls.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t0))
+        finally ls.close()
+      }
     }
-    root
   }
 
   /** q_cdc_ingest: text file of debezium-json → decode → retractable
