@@ -65,8 +65,10 @@ object GraftSql {
   }
 
   // batch-only in BOTH engines (SqlCommandParser.java:110 INSERT_OVERWRITE;
-  // Flink rejects streaming overwrite).
-  private val InsertR = s"(?is)\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$QN\\s+(.*)".r
+  // Flink rejects streaming overwrite). The optional PARTITION clause is
+  // the reference's static-partition insert (RichSqlInsert.java:125).
+  private val InsertR =
+    s"(?is)\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$QN\\s+(?:PARTITION\\s*\\(([^)]*)\\)\\s*)?(.*)".r
 
   // The rest of the reference SQL client's command set
   // (flink-table/flink-sql-client/.../cli/SqlCommandParser.java:108-166,303):
@@ -249,7 +251,7 @@ object GraftSql {
           case _ => (Set.empty[String], inner0)
         }
         val target = inner.trim match {
-          case InsertR(_, _, select) => select
+          case InsertR(_, _, _, select) => select
           case other => other
         }
         // the reference explains queries and INSERTs only (ExplainOperation
@@ -510,10 +512,11 @@ object GraftSql {
       // registered sink, and return the sink's contents for verification.
       // Batch SELECTs overwrite (re-running a statement is idempotent);
       // streaming SELECTs drain via AvailableNow into the sink path.
-      case InsertR(mode, name0, select) =>
+      case InsertR(mode, name0, partTxt, select) =>
         resolveNameOpt(spark, name0)
           .flatMap(n => graft.streaming.GraftDdl.sink(n).map(n -> _)) match {
-          case Some((name, sd)) => executeInsert(spark, mode, name, sd, select)._1
+          case Some((name, sd)) =>
+            executeInsert(spark, mode, name, sd, select, Option(partTxt))._1
           case None => spark.sql(text) // a real catalog table: Spark handles it
         }
       case _ => throw new IllegalArgumentException(
@@ -591,9 +594,26 @@ object GraftSql {
     * as the batch-overwrite one. The checkpoint key includes the sink PATH,
     * so `ALTER TABLE … SET ('path'=…)` re-drains fully into the new
     * location rather than inheriting offsets drained into the old one. */
+  // PARTITION (k='v', n=3) static values (RichSqlInsert.java:125)
+  private val PartValR = "(\\w+)\\s*=\\s*(?:'([^']*)'|([^,\\s]+))".r
+
   private def executeInsert(spark: SparkSession, mode: String, name: String,
-      sd: graft.streaming.GraftDdl.SinkDef, select: String): (DataFrame, Long) = {
-    val df = run(spark, select)
+      sd: graft.streaming.GraftDdl.SinkDef, select: String,
+      partitionTxt: Option[String] = None): (DataFrame, Long) = {
+    // static partition values become constant columns on every inserted
+    // row (the reference's static-partition insert); the DDL's PARTITIONED
+    // BY columns drive the physical layout below
+    val statics = partitionTxt.toSeq.flatMap(t =>
+      PartValR.findAllMatchIn(t).map(m =>
+        m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))))
+    statics.foreach { case (k, _) =>
+      require(sd.partitions.contains(k),
+        s"PARTITION ($k=…): '$k' is not a declared partition column of " +
+          s"$name ${sd.partitions.mkString("(", ", ", ")")} — declare it " +
+          "with PARTITIONED BY in the sink DDL") }
+    val df = statics.foldLeft(run(spark, select)) {
+      case (d, (k, v)) => d.withColumn(k, org.apache.spark.sql.functions.lit(v))
+    }
     val ckpt = graft.Tables.scratch(
       s"insert-ckpt/$name-${Integer.toHexString(sd.path.hashCode)}")
     if (sd.format == "print" || sd.format == "blackhole")
@@ -609,17 +629,22 @@ object GraftSql {
         val before =
           try spark.read.format(sd.format).load(sd.path).count()
           catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-        val q = df.writeStream.format(sd.format)
+        val writer0 = df.writeStream.format(sd.format)
           .option("checkpointLocation", ckpt)
           .option("path", sd.path)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
+        val writer = if (sd.partitions.nonEmpty)
+          writer0.partitionBy(sd.partitions: _*) else writer0
+        val q = writer.start()
         try q.awaitTermination() finally q.stop()
         val rb = spark.read.format(sd.format).load(sd.path)
         (rb, rb.count() - before)
       }
     } else {
-      df.write.mode("overwrite").format(sd.format).save(sd.path)
+      val writer0 = df.write.mode("overwrite").format(sd.format)
+      val writer = if (sd.partitions.nonEmpty)
+        writer0.partitionBy(sd.partitions: _*) else writer0
+      writer.save(sd.path)
       deleteRecursively(new java.io.File(ckpt))
       val rb = spark.read.format(sd.format).load(sd.path)
       (rb, rb.count())
@@ -822,7 +847,7 @@ object GraftSql {
       // StatementSet.addInsertSql throws immediately on non-INSERT text),
       // so execute() can never hit a MatchError on text that merely
       // started with the right prefix (r6 ADVICE)
-      case InsertR(mode, name, select) if mode.equalsIgnoreCase("INTO") =>
+      case InsertR(mode, name, _, select) if mode.equalsIgnoreCase("INTO") =>
         stmts += ((name, select, sql.trim))
         this
       case _ => throw new IllegalArgumentException(
@@ -1049,7 +1074,34 @@ object GraftSql {
            |       count(*) AS cnt
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q_partitioned_insert: the reference's filesystem-connector partition
+    * surface through the door — `PARTITIONED BY` sink DDL
+    * (SqlCreateTable.java:323) + a STATIC-partition INSERT
+    * (RichSqlInsert.java:125): the static value becomes a constant column
+    * on every row and the write lays out one directory per partition
+    * value, so downstream scans prune on it. Read back from the sink
+    * files; the partition column round-trips through the directory
+    * layout. */
+  val qPartitionedInsert: Q = Q(
+    "q_partitioned_insert",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val path = Tables.scratch(
+        s"insert-sink/graft_part-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      run(s,
+        s"""CREATE TABLE graft_part_sink (event_id BIGINT, value DOUBLE, etype STRING)
+           |PARTITIONED BY (etype)
+           |WITH ('path' = '$path', 'format' = 'parquet')""".stripMargin)
+      run(s,
+        """INSERT INTO graft_part_sink PARTITION (etype = 'purchase')
+          |SELECT event_id, value FROM events
+          |WHERE event_type = 'purchase'""".stripMargin)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, value, 'purchase' AS etype FROM events
+           |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto,
     qSqlWindowTopn, qSqlTemporalWindow, qSqlMatchWindow, qSqlView, qSqlFunction,
-    qDdlComputed, qDdlLike)
+    qDdlComputed, qDdlLike, qPartitionedInsert)
 }

@@ -37,9 +37,16 @@ object GraftDdl {
   private val OptR = "'([^']+)'\\s*=\\s*'([^']*)'".r
 
   // generic CREATE TABLE shape; cols may contain parens (DECIMAL(10,2)) —
-  // greedy match backtracks to the ')' before WITH
+  // greedy match backtracks to the ')' before WITH. The PARTITIONED BY
+  // variant (the reference's filesystem/hive partition clause,
+  // SqlCreateTable.java:323) is a SEPARATE mandatory-clause pattern tried
+  // first: inside one optional group the greedy cols match would swallow
+  // the clause instead of yielding it.
   private val TableR =
     "(?is)CREATE TABLE (\\w+)\\s*\\((.*)\\)\\s*WITH \\((.*)\\)\\s*;?\\s*".r
+  private val TablePartR =
+    ("(?is)CREATE TABLE (\\w+)\\s*\\((.*)\\)\\s*" +
+      "PARTITIONED\\s+BY\\s*\\(([\\w,\\s]*)\\)\\s*WITH \\((.*)\\)\\s*;?\\s*").r
   private val WatermarkR =
     ("(?is)WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+\\1\\s*-\\s*" +
       "INTERVAL\\s*'(\\d+)'\\s*(SECOND|MINUTE|HOUR|DAY)S?").r
@@ -84,7 +91,8 @@ object GraftDdl {
   /** Registered definition of every table this session created — what LIKE
     * clones (the reference resolves LIKE against CatalogTable metadata the
     * same way: SqlCreateTable.java:56 + FLIP-110 merge rules). */
-  final case class TableDef(cols: String, opts: Map[String, String])
+  final case class TableDef(cols: String, opts: Map[String, String],
+      partitions: Seq[String] = Nil)
   private val defs = scala.collection.concurrent.TrieMap[String, TableDef]()
 
   /** Resolve `CREATE TABLE … LIKE base (…)` into a SELF-CONTAINED CREATE
@@ -144,7 +152,13 @@ object GraftDdl {
         .filter(_.trim.nonEmpty).mkString(", ")
       val optsSql = merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-      s"CREATE TABLE $name ($cols) WITH ($optsSql)"
+      // PARTITIONS is its own FLIP-110 feature; physical-layout metadata
+      // inherits unless excluded
+      val partSql =
+        if (base.partitions.nonEmpty && strategy("PARTITIONS") != "EXCLUDING")
+          s" PARTITIONED BY (${base.partitions.mkString(", ")})"
+        else ""
+      s"CREATE TABLE $name ($cols)$partSql WITH ($optsSql)"
     case other => other
   }
 
@@ -159,9 +173,19 @@ object GraftDdl {
     * Returns the registered name. */
   def executeDdl(spark: SparkSession, ddl: String): String =
     resolveDdl(ddl) match {
+      case TablePartR(name, cols, partTxt, optsTxt) =>
+        registerTable(spark, name, cols,
+          partTxt.split(",").map(_.trim).filter(_.nonEmpty).toSeq, optsTxt)
       case TableR(name, cols, optsTxt) =>
+        registerTable(spark, name, cols, Nil, optsTxt)
+      case other => throw new IllegalArgumentException(
+        s"unparseable DDL (expected CREATE TABLE … [WATERMARK FOR …] [PARTITIONED BY (…)] WITH (…) [LIKE …]): $other")
+    }
+
+  private def registerTable(spark: SparkSession, name: String, cols: String,
+      partitions: Seq[String], optsTxt: String): String = {
         val opts = parseOpts(optsTxt)
-        defs(name.toLowerCase) = TableDef(cols.trim, opts)
+        defs(name.toLowerCase) = TableDef(cols.trim, opts, partitions)
         val computed = computedColumns(cols)
         WatermarkR.findFirstMatchIn(cols) match {
           case Some(wm) =>
@@ -231,13 +255,12 @@ object GraftDdl {
               val path = opts.getOrElse("path",
                 throw new IllegalArgumentException("WITH option 'path' is required"))
               sinks(name.toLowerCase) =
-                SinkDef(path, opts.getOrElse("format", "parquet"), primaryKeyOf(cols))
+                SinkDef(path, opts.getOrElse("format", "parquet"),
+                  primaryKeyOf(cols), partitions)
               name
           }
         }
-      case other => throw new IllegalArgumentException(
-        s"unparseable DDL (expected CREATE TABLE … [WATERMARK FOR …] WITH (…) [LIKE …]): $other")
-    }
+  }
 
   /** Declared columns → payload StructType for formats where the DDL is
     * schema-authoritative (CDC JSON). Computed columns and constraint
@@ -269,7 +292,7 @@ object GraftDdl {
     * door's INSERT INTO derives retract-aware upsert materialization from
     * it when the inserted query is a changelog. */
   final case class SinkDef(path: String, format: String,
-      primaryKey: Seq[String] = Nil)
+      primaryKey: Seq[String] = Nil, partitions: Seq[String] = Nil)
 
   private val PkR = "(?is)PRIMARY\\s+KEY\\s*\\(([\\w,\\s]*)\\)".r
 
@@ -297,7 +320,7 @@ object GraftDdl {
         val opts = parseOpts(optsTxt)
         sinks(name.toLowerCase) = SinkDef(
           opts.getOrElse("path", sd.path), opts.getOrElse("format", sd.format),
-          sd.primaryKey)
+          sd.primaryKey, sd.partitions)
         true
       case None => false
     }

@@ -128,6 +128,46 @@ class DdlFeatureSpec extends GraftSpec {
     assert(GraftDdl.sink("nopk_sink").get.primaryKey.isEmpty)
   }
 
+  test("PARTITIONED BY registers partition columns; LIKE inherits them unless excluded") {
+    GraftDdl.executeDdl(spark,
+      """CREATE TABLE part_ddl (id BIGINT, dt STRING, v DOUBLE)
+        |PARTITIONED BY (dt)
+        |WITH ('path' = '/tmp/part-ddl', 'format' = 'parquet')""".stripMargin)
+    assert(GraftDdl.sink("part_ddl").get.partitions == Seq("dt"))
+    val inherited = GraftDdl.resolveDdl(
+      "CREATE TABLE part_like WITH ('path' = '/tmp/part-like') " +
+        "LIKE part_ddl (OVERWRITING OPTIONS)")
+    assert(inherited.contains("PARTITIONED BY (dt)"))
+    val excluded = GraftDdl.resolveDdl(
+      "CREATE TABLE part_nolike WITH ('path' = '/tmp/part-nolike') " +
+        "LIKE part_ddl (EXCLUDING PARTITIONS, OVERWRITING OPTIONS)")
+    assert(!excluded.toUpperCase.contains("PARTITIONED"))
+  }
+
+  test("static PARTITION value outside the declared columns is a clear error") {
+    GraftSql.run(spark,
+      "CREATE TABLE part_err (x BIGINT, dt STRING) PARTITIONED BY (dt) " +
+        "WITH ('path' = '/tmp/part-err')")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark,
+        "INSERT INTO part_err PARTITION (nope = '1') SELECT id AS x FROM range(3)")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("dynamic partition insert lays out one directory per value") {
+    val p = Tables.scratch("part-dyn/part_dyn")
+    GraftSql.run(spark,
+      s"CREATE TABLE part_dyn (x BIGINT, par STRING) PARTITIONED BY (par) " +
+        s"WITH ('path' = '$p', 'format' = 'parquet')")
+    GraftSql.run(spark,
+      "INSERT INTO part_dyn SELECT id AS x, " +
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS par FROM range(10)")
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("par=even", "par=odd"))
+    assert(spark.read.parquet(p).where("par = 'even'").count() == 5)
+  }
+
   test("door: qualified names with the default catalog/database resolve") {
     GraftSql.run(spark,
       "CREATE VIEW default_catalog.default_database.qn_view AS " +
