@@ -106,4 +106,18 @@ class GraftCatalogSpec extends GraftSpec {
     GraftCatalog.restore(spark.newSession(), catDir)
     assert(GraftDdl.sink("cat_sink").exists(_.path == sinkPath))
   }
+
+  test("PARTITIONED BY and PRIMARY KEY survive catalog replay") {
+    val catDir = Tables.scratch("catalog/spec-partpk")
+    GraftCatalog.executeDdl(spark, catDir,
+      """CREATE TABLE cat_partpk (k BIGINT, dt STRING, v DOUBLE,
+        |  PRIMARY KEY (k) NOT ENFORCED)
+        |PARTITIONED BY (dt)
+        |WITH ('path' = '/tmp/cat-partpk', 'format' = 'parquet')""".stripMargin)
+    GraftDdl.dropSink("cat_partpk")
+    GraftCatalog.restore(spark.newSession(), catDir)
+    val sd = GraftDdl.sink("cat_partpk").get
+    assert(sd.primaryKey == Seq("k"))
+    assert(sd.partitions == Seq("dt"))
+  }
 }
