@@ -982,6 +982,61 @@ object GraftSql {
            |WHERE t0 = 'view' AND t1 = 'purchase'
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q_sql_session_match: the reference's SESSIONIZED-FUNNEL shape —
+    * StreamExecMatch chained into StreamExecGroupWindowAggregate with a
+    * SESSION window (the 1.11 planner chains exactly these two ExecNodes
+    * for `GROUP BY SESSION(...)` over a MATCH_RECOGNIZE relation) — from
+    * SQL TEXT ALONE: the NFA's one-row-per-match funnel starts are
+    * re-grouped into 30-minute gap sessions per user. Composes the door's
+    * MATCH subquery extraction with the SESSION group-window lowering
+    * (session_window). Same SKIP PAST LAST ROW = positional-oracle argument
+    * as q_sql_match_window (a two-symbol contiguous pattern admits no
+    * overlapping starts). */
+  val qSqlSessionMatch: Q = Q(
+    "q_sql_session_match",
+    (s, dir) => {
+      Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .createOrReplaceTempView("graft_smw_events")
+      run(s,
+        """SELECT user_id,
+          |       unix_timestamp(SESSION_START(a_ts, INTERVAL '30' MINUTE)) AS sess_start,
+          |       count(*) AS n_funnels
+          |FROM (
+          |  SELECT * FROM graft_smw_events MATCH_RECOGNIZE (
+          |    PARTITION BY user_id ORDER BY event_id
+          |    MEASURES A.ts AS a_ts
+          |    ONE ROW PER MATCH
+          |    AFTER MATCH SKIP PAST LAST ROW
+          |    PATTERN (A B)
+          |    DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+          |  )
+          |) m
+          |GROUP BY user_id, SESSION(a_ts, INTERVAL '30' MINUTE)
+          |ORDER BY user_id, sess_start""".stripMargin)
+    },
+    Some("""WITH m AS (
+           |  SELECT user_id, a_ts FROM (
+           |    SELECT user_id, ts AS a_ts, event_type AS t0,
+           |           lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS t1
+           |    FROM events)
+           |  WHERE t0 = 'view' AND t1 = 'purchase'),
+           |g AS (
+           |  SELECT user_id, a_ts,
+           |         CASE WHEN lag(a_ts) OVER w IS NULL
+           |              OR a_ts - lag(a_ts) OVER w >= INTERVAL 30 MINUTE
+           |              THEN 1 ELSE 0 END AS brk
+           |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY a_ts)),
+           |sess AS (
+           |  SELECT user_id, a_ts,
+           |         sum(brk) OVER (PARTITION BY user_id ORDER BY a_ts
+           |                        ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g)
+           |SELECT user_id, CAST(floor(epoch(min(a_ts))) AS BIGINT) AS sess_start,
+           |       count(*) AS n_funnels
+           |FROM sess GROUP BY user_id, sid
+           |ORDER BY user_id, sess_start""".stripMargin))
+
   /** q_sql_view: CREATE VIEW through the one door (reference
     * SqlCommandParser.java:118 CREATE_VIEW) — the view BODY is idiom text
     * (a TUMBLE group-window aggregate) that Spark's own CREATE TEMPORARY
@@ -1102,6 +1157,6 @@ object GraftSql {
            |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto,
-    qSqlWindowTopn, qSqlTemporalWindow, qSqlMatchWindow, qSqlView, qSqlFunction,
-    qDdlComputed, qDdlLike, qPartitionedInsert)
+    qSqlWindowTopn, qSqlTemporalWindow, qSqlMatchWindow, qSqlSessionMatch,
+    qSqlView, qSqlFunction, qDdlComputed, qDdlLike, qPartitionedInsert)
 }

@@ -74,6 +74,95 @@ object LookupJoin {
     }
   }
 
+  /** Async lookup cache with the reference JDBC connector's semantics
+    * (`lookup.cache.max-rows` + `lookup.cache.ttl`,
+    * JdbcRowDataLookupFunction.java: a Guava cache in front of the point
+    * reads): bounded LRU, per-entry TTL, and FUTURE memoization — an
+    * in-flight request for a key is shared by every concurrent probe of
+    * that key, so backend reads == cache misses exactly (no thundering
+    * herd). `clock` is injectable so TTL expiry is testable without
+    * sleeping. Thread-safe: submission happens under the cache lock while
+    * the fetch itself runs on the ExecutionContext. */
+  final class AsyncTtlCache(capacity: Int, ttlMillis: Long,
+      clock: () => Long = () => System.nanoTime() / 1000000L) {
+    var hits = 0L
+    var misses = 0L
+    private val cache = new java.util.LinkedHashMap[
+        Long, (scala.concurrent.Future[Option[String]], Long)](
+        math.max(capacity, 16), 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          Long, (scala.concurrent.Future[Option[String]], Long)]): Boolean =
+        size() > capacity
+    }
+    def getOrSubmit(key: Long)(fetch: => scala.concurrent.Future[Option[String]])
+        : scala.concurrent.Future[Option[String]] = synchronized {
+      val now = clock()
+      val cached = cache.get(key)
+      if (cached != null && now - cached._2 < ttlMillis) { hits += 1; cached._1 }
+      else {
+        misses += 1
+        val fut = fetch
+        cache.put(key, (fut, now))
+        fut
+      }
+    }
+  }
+
+  /** Parsed `lookup.*` WITH options, reference keys and defaults
+    * (JdbcLookupOptions: max-rows -1 = no cache → here a large default,
+    * ttl 10 min, async capacity 8). */
+  final case class LookupOptions(maxRows: Int, ttlMillis: Long, asyncCapacity: Int)
+  def lookupOptions(opts: Map[String, String]): LookupOptions = LookupOptions(
+    maxRows = opts.get("lookup.cache.max-rows").map(_.trim.toInt).getOrElse(10000),
+    ttlMillis = opts.get("lookup.cache.ttl").map(parseDuration).getOrElse(600000L),
+    asyncCapacity = opts.get("lookup.async.capacity").map(_.trim.toInt).getOrElse(8))
+
+  /** `"10 s"` / `"500ms"` / `"1 min"` / `"2 h"` → millis (the reference's
+    * Duration-typed options accept the same unit spellings). A bare number
+    * is millis. */
+  private[graft] def parseDuration(s: String): Long = {
+    val m = "(?i)^\\s*(\\d+)\\s*(ms|s|sec|seconds?|min|minutes?|h|hours?|d|days?)?\\s*$"
+      .r.findFirstMatchIn(s).getOrElse(
+        throw new IllegalArgumentException(s"unparseable duration: '$s'"))
+    val n = m.group(1).toLong
+    Option(m.group(2)).map(_.toLowerCase) match {
+      case None | Some("ms") => n
+      case Some(u) if u.startsWith("s") => n * 1000L
+      case Some(u) if u.startsWith("min") => n * 60000L
+      case Some(u) if u.startsWith("h") => n * 3600000L
+      case Some(u) if u.startsWith("d") => n * 86400000L
+      case Some(u) => throw new IllegalArgumentException(s"unknown unit '$u'")
+    }
+  }
+
+  /** ASYNC lookup join with a TTL'd LRU cache — the reference's
+    * AsyncLookupJoinRunner + JDBC lookup cache composed: per partition, one
+    * backend connection, one [[AsyncTtlCache]], and a bounded sliding
+    * window of in-flight futures emitted in input order
+    * ([[AsyncOps.asyncMapPartitionsWithSetup]], ORDERED mode). Cache hits
+    * and in-flight duplicates never touch the backend. Options come from
+    * the dim table's WITH() clause via [[lookupOptions]]. */
+  def lookupJoinAsyncCached(
+      probe: Dataset[(Long, Long)],
+      backendFactory: () => LookupBackend,
+      opts: LookupOptions,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(30, "s")): Dataset[(Long, Option[String])] = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    AsyncOps.asyncMapPartitionsWithSetup(probe, opts.asyncCapacity, timeout)(() => {
+      val conn = backendFactory()
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; conn.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      (conn, new AsyncTtlCache(opts.maxRows, opts.ttlMillis))
+    }) { case ((eid, key), (conn, cache), ec) =>
+      cache.getOrSubmit(key)(scala.concurrent.Future(conn.get(key))(ec))
+        .map(v => (eid, v))(ec)
+    }
+  }
+
   /** JDBC-connector-shaped point-read backend over a local key,value CSV —
     * the zero-egress stand-in for the reference's JDBC lookup source
     * (flink-connectors/flink-connector-jdbc/.../JdbcRowDataLookupFunction
@@ -112,5 +201,40 @@ object LookupJoin {
            |FROM events LEFT JOIN customer ON user_id = c_custkey
            |ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qLookupJoin)
+  /** q_lookup_async_cache: the reference's ASYNC lookup join with the JDBC
+    * connector's cache options, END-TO-END — the dim is DECLARED through
+    * the door with `'connector'='jdbc'` + `lookup.cache.max-rows` /
+    * `lookup.cache.ttl` / `lookup.async.capacity` WITH options
+    * (JdbcDynamicTableFactory's option set), the runtime reads those
+    * options back off the declared table, and every probe row resolves via
+    * the per-partition async TTL'd cache over point reads. The dim file is
+    * written by Spark (never collected to the driver); the backend loads
+    * it executor-side, standing in for a JDBC point-SELECT. */
+  val qLookupAsyncCache: Q = Q(
+    "q_lookup_async_cache",
+    (s, dir) => {
+      import s.implicits._
+      val dimDir = Tables.scratch("jdbc-dim")
+      Tables.t(s, dir, "customer")
+        .select(concat_ws(",", $"c_custkey", $"c_name").as("value"))
+        .coalesce(1).write.mode("overwrite").text(dimDir)
+      val csvFile = new java.io.File(dimDir).listFiles()
+        .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+      graft.operators.GraftSql.run(s,
+        s"""CREATE TABLE graft_jdbc_dim (c_custkey BIGINT, c_name STRING)
+           |WITH ('connector' = 'jdbc', 'url' = 'jdbc:graft:file://$csvFile',
+           |      'lookup.cache.max-rows' = '500',
+           |      'lookup.cache.ttl' = '10 min',
+           |      'lookup.async.capacity' = '8')""".stripMargin)
+      val opts = lookupOptions(
+        graft.streaming.GraftDdl.tableOptions("graft_jdbc_dim").get)
+      val probe = Tables.t(s, dir, "events")
+        .select($"event_id", $"user_id").as[(Long, Long)]
+      lookupJoinAsyncCached(probe, () => new CsvFileBackend(csvFile), opts)
+        .toDF("event_id", "c_name")
+        .orderBy($"event_id")
+    },
+    qLookupJoin.oracle) // same join semantics, async-cached execution path
+
+  val all: Seq[Q] = Seq(qLookupJoin, qLookupAsyncCache)
 }

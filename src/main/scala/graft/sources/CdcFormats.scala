@@ -299,6 +299,52 @@ object CdcFormats {
     }
   }
 
+  /** Write the debezium feed with AT-LEAST-ONCE delivery artifacts: after
+    * the ins/upd/del phases, the update and delete phases are RE-DELIVERED
+    * (a consumer restarting from an earlier checkpoint replays the suffix
+    * of the topic — duplicate -U/+U pairs and duplicate -D rows, in the
+    * original offset order), and every phase is written KEY-SHUFFLED
+    * (ordered by a hash of the key, not by key) so no consumer can lean on
+    * accidental key-sorted input. Per-key causal order still holds — the
+    * only ordering a real per-key-partitioned topic guarantees, and the
+    * only one the reference's consumer assumes (keyed FIFO; replay from a
+    * checkpoint repeats the same per-key sequence). Returns the feed root. */
+  def writeDebeziumFeedReplayed(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val orders = Tables.t(s, dir, "orders")
+    val nul = lit(null).cast(feedSchema)
+    val root = Tables.scratch(
+      s"cdc-debezium-replayed-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val ins = orders.select(to_json(struct(
+      nul.as("before"), payloadCols(discounted, 1).as("after"),
+      lit("c").as("op"))).as("value"), col("o_orderkey"))
+    val upd = orders.filter(isEven).select(to_json(struct(
+      payloadCols(discounted, 1).as("before"),
+      payloadCols(col("o_totalprice"), 2).as("after"),
+      lit("u").as("op"))).as("value"), col("o_orderkey"))
+    val del = orders.filter(col("o_orderstatus") === "F").select(to_json(struct(
+      payloadCols(latestPrice, latestVersion).as("before"),
+      nul.as("after"), lit("d").as("op"))).as("value"), col("o_orderkey"))
+    // the replayed suffix repeats upd THEN del — offset order of the
+    // original topic; replaying del before upd would be a reordering no
+    // at-least-once system produces
+    val phases = Seq("0_ins" -> ins, "1_upd" -> upd, "2_del" -> del,
+      "3_replay_upd" -> upd, "4_replay_del" -> del)
+    cachedFeed(root, dir) {
+      phases.zipWithIndex.foreach { case ((sub, df), i) =>
+        val d = s"$root/$sub"
+        // key-shuffled within the phase: deterministic (hash of the key)
+        // but decorrelated from key order
+        df.orderBy(hash(col("o_orderkey"))).select("value")
+          .coalesce(1).write.mode("overwrite").text(d)
+        val t0 = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        try ls.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t0))
+        finally ls.close()
+      }
+    }
+  }
+
   /** q_cdc_ingest: text file of debezium-json → decode → retractable
     * ChangelogAgg per priority → final materialized aggregate. The whole
     * reference story — CDC topic in, retraction-consuming aggregate out —
@@ -537,6 +583,48 @@ object CdcFormats {
            |FROM orders WHERE o_orderstatus <> 'F'
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** q_cdc_replay: CONVERGENCE UNDER AT-LEAST-ONCE DELIVERY — the replayed
+    * feed re-delivers the update+delete suffix (a consumer restart from an
+    * earlier checkpoint) with every phase key-shuffled, and the keyed
+    * upsert materialization still converges to the exact batch state.
+    * This is the reference's recovery contract made testable: changelog-
+    * consuming keyed state is idempotent under exact per-key replay
+    * (puts of the same image and deletes of absent keys are no-ops), so
+    * at-least-once transport + keyed upsert = effectively-once results.
+    * Oracle: the surviving final rows reconstructed relationally. */
+  val qCdcReplay: Q = Q(
+    "q_cdc_replay",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.UpsertSink
+      val feed = writeDebeziumFeedReplayed(s, dir)
+      val raw = s.readStream.option("maxFilesPerTrigger", 1)
+        .text(s"$feed/*/")
+      val changes = debezium(raw, feedSchema)
+        .select(col("kind"), col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("version"))
+      val store = new UpsertSink.InMemoryStore()
+      val ckptBase =
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+        else sys.props("java.io.tmpdir") + "/graft-ckpt"
+      val ckpt = s"$ckptBase/cdc-replay-${java.util.UUID.randomUUID()}"
+      val q = UpsertSink.foreachBatchChangelog(
+        changes, "kind", Seq("o_orderkey"), store)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val fin = store.snapshot().values.toSeq.map { row =>
+        (row(1).asInstanceOf[Long], row(2).asInstanceOf[String],
+          row(3).asInstanceOf[Double], row(4).asInstanceOf[Int])
+      }
+      store.close()
+      fin.toDF("o_orderkey", "o_orderpriority", "o_totalprice", "version")
+        .orderBy("o_orderkey")
+    },
+    qCdcCanal.oracle) // same surviving state despite duplicate delivery
+
   val all: Seq[Q] =
-    Seq(qCdcIngest, qCdcCanal, qCdcStream, qCdcDoor, qCdcUpsertDoor)
+    Seq(qCdcIngest, qCdcCanal, qCdcStream, qCdcDoor, qCdcUpsertDoor, qCdcReplay)
 }

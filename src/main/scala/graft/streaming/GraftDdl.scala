@@ -95,6 +95,13 @@ object GraftDdl {
       partitions: Seq[String] = Nil)
   private val defs = scala.collection.concurrent.TrieMap[String, TableDef]()
 
+  /** WITH options of a declared table — how runtime operators read
+    * connector knobs the DDL carried (the reference resolves e.g.
+    * `lookup.cache.max-rows` from the CatalogTable's options the same
+    * way: JdbcDynamicTableFactory.java reads them off the table config). */
+  def tableOptions(name: String): Option[Map[String, String]] =
+    defs.get(name.toLowerCase).map(_.opts)
+
   /** Resolve `CREATE TABLE … LIKE base (…)` into a SELF-CONTAINED CREATE
     * TABLE against the base's registered definition; non-LIKE DDL passes
     * through unchanged. Resolution (not the LIKE text) is what
@@ -203,6 +210,13 @@ object GraftDdl {
               case (df, (n, e)) => df.withColumn(n, expr(e))
             }
             projected.createOrReplaceTempView(name)
+            name
+          case None if opts.get("connector").contains("jdbc") =>
+            // JDBC lookup dim (reference JdbcDynamicTableFactory: point
+            // reads keyed by the join key, `lookup.cache.max-rows` /
+            // `lookup.cache.ttl` / `lookup.async` options): no scan view —
+            // the table is consumed through LookupJoin's backend SPI, which
+            // reads these options back via [[tableOptions]]
             name
           case None if opts.get("connector").exists(c =>
               c == "print" || c == "blackhole") =>

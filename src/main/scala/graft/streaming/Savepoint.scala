@@ -55,6 +55,66 @@ object Savepoint {
     }
   }
 
+  /** V2 state for [[RunningCountV2]]: the v1 bare total plus an ADDED
+    * field (`cnt`, rows seen since v2 started). */
+  case class CountStateV2(total: Long, cnt: Long)
+
+  /** STATE SCHEMA EVOLUTION (the reference's state-migration story: a
+    * savepoint taken by operator v1 is restored into v2 whose state type
+    * gained a field — POJO evolution fills new fields with defaults,
+    * flink-core/.../typeutils/ schema-compatibility): the state struct
+    * gains `cnt`; `handleInitialState` maps v1's bare-Long savepoint into
+    * the evolved struct with the added field defaulted to 0. */
+  class RunningCountV2
+      extends StatefulProcessorWithInitialState[String, (String, Long), (String, Long, Long), Long] {
+    @transient private var st: ValueState[CountStateV2] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CountStateV2]("totalv2",
+        Encoders.product[CountStateV2], TTLConfig.NONE)
+
+    override def handleInitialState(key: String, snapshot: Long,
+        timerValues: TimerValues): Unit =
+      st.update(CountStateV2(snapshot, 0L))
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      val prior = if (st.exists()) st.get() else CountStateV2(0L, 0L)
+      val rs = rows.toSeq
+      val updated = CountStateV2(prior.total + rs.map(_._2).sum, prior.cnt + rs.size)
+      st.update(updated)
+      Iterator.single((key, updated.total, updated.cnt))
+    }
+  }
+
+  /** [[runCounts]] for the evolved v2 operator: same contract, state seeded
+    * from a V1 savepoint (bare totals). */
+  def runCountsV2(spark: SparkSession, input: DataFrame,
+      initial: Dataset[(String, Long)], ckpt: String, sink: String): DataFrame = {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = input.as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new RunningCountV2, TimeMode.None(), OutputMode.Update(),
+          initial.groupByKey(_._1).mapValues(_._2))
+      val q = out.toDF("k", "total", "cnt").writeStream
+        .format("memory").queryName(sink).outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   /** Run the counting query over `input`, seeded from `initial` (empty
     * Dataset = fresh start), checkpointing at `ckpt`; returns the sink
     * output. RocksDB provider is required by transformWithState. */

@@ -73,6 +73,39 @@ class SavepointSpec extends GraftSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("state schema evolution: v1 savepoint restores into v2 with an added field") {
+    import spark.implicits._
+    val base = Tables.scratch(s"savepoint-evolve/${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+      .write.parquet(s"$base/in1")
+    Seq(("a", 10L), ("c", 7L)).toDF("k", "v")
+      .write.parquet(s"$base/in2")
+    def src(d: String) = spark.readStream.schema("k string, v long").parquet(d)
+
+    // operator v1 runs and is savepointed (bare-Long state)
+    streaming.Savepoint.runCounts(spark, src(s"$base/in1"),
+      spark.emptyDataset[(String, Long)], s"$base/ckpt1", "sp_ev1")
+    streaming.Savepoint.`export`(spark, s"$base/ckpt1",
+      s"$base/savepoint", Some("total"))(
+      _.select(col("key.value").as("k"), col("value.value").as("total")))
+
+    // operator v2 (state struct gained `cnt`) restores the v1 savepoint
+    val initial = spark.read.parquet(s"$base/savepoint").as[(String, Long)]
+    streaming.Savepoint.runCountsV2(spark, src(s"$base/in2"), initial,
+      s"$base/ckpt2", "sp_ev2")
+    val fin = streaming.QueryableState
+      .stateOf(spark, s"$base/ckpt2", stateVar = Some("totalv2"))
+      .select(col("key.value"), col("value.total"), col("value.cnt"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // totals continue across the version change; the ADDED field counts
+    // only v2-era rows — restored-but-untouched keys keep its default
+    assert(fin == Map(
+      "a" -> ((13L, 1L)),  // 1+2 savepointed, +10 in v2, 1 row seen by v2
+      "b" -> ((5L, 0L)),   // restored, no v2 input: new field at default
+      "c" -> ((7L, 1L))))  // born in v2
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("checkpoint time travel: state readable at an older committed batch") {
     import spark.implicits._
     val base = Tables.scratch(s"timetravel-spec/${java.util.UUID.randomUUID()}")
