@@ -44,6 +44,7 @@ object SparkEntry {
       streaming.QueryableState.all ++
       streaming.TwsOps.all ++
       streaming.DedupSql.all ++
+      streaming.PartitionCommit.all ++
       sources.CdcFormats.all ++
       sources.DataGen.all ++
       dsl.DslOps.all

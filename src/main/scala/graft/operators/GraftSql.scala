@@ -625,6 +625,30 @@ object GraftSql {
           "rejects streaming INSERT OVERWRITE the same way)")
       if (sd.primaryKey.nonEmpty && df.columns.contains("kind"))
         executeUpsertInsert(spark, name, sd, df)
+      else if (sd.opts.contains("sink.partition-commit.trigger")) {
+        // FLIP-115 streaming filesystem sink: partitioned append + the
+        // partition committer; read-back honors _SUCCESS only (the
+        // downstream Hive-consumer view)
+        import graft.streaming.PartitionCommit
+        require(sd.partitions.size == 1,
+          s"partition-commit sink $name needs exactly one PARTITIONED BY " +
+            s"column (epoch-second partition start), got ${sd.partitions}")
+        val pc = PartitionCommit.options(sd.opts)
+        require(pc.policy == "success-file",
+          s"unsupported sink.partition-commit.policy.kind '${pc.policy}'")
+        val tsCol = sd.opts.getOrElse("sink.partition-commit.watermark-column", "ts")
+        val durSec = sd.opts.get("partition.duration")
+          .map(graft.operators.LookupJoin.parseDuration(_) / 1000L)
+          .getOrElse(3600L)
+        val q = PartitionCommit.foreachBatchPartitioned(
+          df, sd.path, sd.partitions.head, durSec, tsCol, delaySec = pc.delaySec)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val rb = PartitionCommit.readCommitted(spark, sd.path, sd.partitions.head)
+        (rb, rb.count())
+      }
       else {
         val before =
           try spark.read.format(sd.format).load(sd.path).count()
@@ -1156,7 +1180,51 @@ object GraftSql {
     Some("""SELECT event_id, value, 'purchase' AS etype FROM events
            |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
 
+  /** q_file_sink_door: the FLIP-115 streaming filesystem sink from SQL
+    * TEXT ALONE — a watermarked streaming source table, a PARTITIONED BY
+    * sink declared with the reference's `sink.partition-commit.*` options,
+    * and a streaming INSERT INTO; the door routes the drain through the
+    * partition committer and the returned read-back honors `_SUCCESS`
+    * markers only, so the still-open partition holding the maximum
+    * timestamp is correctly ABSENT (the oracle replays that visibility
+    * rule). */
+  val qFileSinkDoor: Q = Q(
+    "q_file_sink_door",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val sinkPath = Tables.scratch(
+        s"fs-door/graft_fs_door-${java.util.UUID.randomUUID()}")
+      run(s,
+        s"""CREATE TABLE graft_fs_src (
+           |  WATERMARK FOR ts AS ts - INTERVAL '5' SECONDS
+           |) WITH ('path' = '$dir', 'table' = 'events')""".stripMargin)
+      run(s,
+        s"""CREATE TABLE graft_fs_door_sink (
+           |  event_id BIGINT, value DOUBLE, ts TIMESTAMP, hr BIGINT)
+           |PARTITIONED BY (hr)
+           |WITH ('path' = '$sinkPath', 'format' = 'parquet',
+           |      'sink.partition-commit.trigger' = 'partition-time',
+           |      'sink.partition-commit.delay' = '0 s',
+           |      'sink.partition-commit.policy.kind' = 'success-file',
+           |      'sink.partition-commit.watermark-column' = 'ts',
+           |      'partition.duration' = '1 h')""".stripMargin)
+      run(s,
+        """INSERT INTO graft_fs_door_sink
+          |SELECT event_id, value, ts,
+          |       CAST(floor(unix_seconds(ts) / 3600) * 3600 AS BIGINT) AS hr
+          |FROM graft_fs_src""".stripMargin)
+        .select(col("event_id"), col("value"), col("hr").cast("long").as("hr"))
+        .orderBy("event_id")
+    },
+    Some("""WITH w AS (SELECT max(epoch(ts)) AS wm FROM events)
+           |SELECT event_id, value,
+           |       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr
+           |FROM events, w
+           |WHERE floor(epoch(ts) / 3600) * 3600 + 3600 <= wm
+           |ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto,
     qSqlWindowTopn, qSqlTemporalWindow, qSqlMatchWindow, qSqlSessionMatch,
-    qSqlView, qSqlFunction, qDdlComputed, qDdlLike, qPartitionedInsert)
+    qSqlView, qSqlFunction, qDdlComputed, qDdlLike, qPartitionedInsert,
+    qFileSinkDoor)
 }

@@ -270,7 +270,7 @@ object GraftDdl {
                 throw new IllegalArgumentException("WITH option 'path' is required"))
               sinks(name.toLowerCase) =
                 SinkDef(path, opts.getOrElse("format", "parquet"),
-                  primaryKeyOf(cols), partitions)
+                  primaryKeyOf(cols), partitions, opts)
               name
           }
         }
@@ -306,7 +306,8 @@ object GraftDdl {
     * door's INSERT INTO derives retract-aware upsert materialization from
     * it when the inserted query is a changelog. */
   final case class SinkDef(path: String, format: String,
-      primaryKey: Seq[String] = Nil, partitions: Seq[String] = Nil)
+      primaryKey: Seq[String] = Nil, partitions: Seq[String] = Nil,
+      opts: Map[String, String] = Map.empty)
 
   private val PkR = "(?is)PRIMARY\\s+KEY\\s*\\(([\\w,\\s]*)\\)".r
 
@@ -334,7 +335,7 @@ object GraftDdl {
         val opts = parseOpts(optsTxt)
         sinks(name.toLowerCase) = SinkDef(
           opts.getOrElse("path", sd.path), opts.getOrElse("format", sd.format),
-          sd.primaryKey, sd.partitions)
+          sd.primaryKey, sd.partitions, sd.opts ++ opts)
         true
       case None => false
     }

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming filesystem sink with PARTITION COMMIT — the OTHER headline
+  * Flink 1.11 feature next to CDC (FLINK-14254/FLIP-115: the filesystem
+  * connector's streaming sink, reference flink-table/flink-table-runtime-
+  * blink/.../filesystem/stream/StreamingFileCommitter.java +
+  * PartitionCommitPolicy.java): a streaming INSERT keeps APPENDING files
+  * into time-partition directories, and a partition becomes VISIBLE to
+  * downstream batch readers only when the job's watermark passes the
+  * partition's end (plus `sink.partition-commit.delay`) and the commit
+  * policy runs — `success-file` drops an `_SUCCESS` marker into the
+  * partition directory, the Hive-ecosystem handshake.
+  *
+  * Spark mapping: the per-batch write is an ordinary dynamic
+  * `partitionBy().mode(append)` parquet write (executor-parallel, the same
+  * rolling-file behavior the reference's StreamingFileWriter gives);
+  * the COMMITTER is driver-side foreachBatch bookkeeping — exactly where
+  * the reference runs it (StreamingFileCommitter is a single-parallelism
+  * operator on the JobManager side of the topology). The watermark is
+  * tracked as max-event-time-so-far minus the declared out-of-orderness
+  * bound, the same value the reference's sink receives from upstream.
+  *
+  * Scale posture: data motion is the partitionBy write (map-only, no
+  * shuffle); committer work per batch is one max() aggregate (map-side
+  * partial) + a partition-directory listing (metadata-sized, bounded by
+  * partition count, never by rows) — the identical bound the reference's
+  * committer has.
+  */
+object PartitionCommit {
+
+  /** Reference option keys (FileSystemOptions.java), same spellings. */
+  final case class Options(trigger: String, delaySec: Long, policy: String)
+  def options(opts: Map[String, String]): Options = Options(
+    trigger = opts.getOrElse("sink.partition-commit.trigger", "partition-time"),
+    delaySec = opts.get("sink.partition-commit.delay")
+      .map(graft.operators.LookupJoin.parseDuration(_) / 1000L).getOrElse(0L),
+    policy = opts.getOrElse("sink.partition-commit.policy.kind", "success-file"))
+
+  /** Attach the partitioned streaming write + committer to `df`.
+    *
+    * `partCol` must be a BIGINT epoch-second partition START (e.g.
+    * `floor(unix_seconds(ts)/3600)*3600`) — the default partition-time
+    * extractor's output; `partDurSec` its width. `tsCol` is the event-time
+    * column the watermark tracks; `boundSec` the out-of-orderness bound.
+    * A partition `p` commits when `p + partDurSec + delaySec <= watermark`.
+    */
+  def foreachBatchPartitioned(df: DataFrame, path: String, partCol: String,
+      partDurSec: Long, tsCol: String, boundSec: Long = 0L, delaySec: Long = 0L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(df.columns.contains(partCol), s"partition column '$partCol' missing")
+    require(df.columns.contains(tsCol), s"event-time column '$tsCol' missing")
+    // driver-side committer state, like the reference's single-parallelism
+    // StreamingFileCommitter operator: survives across micro-batches for
+    // the lifetime of the query
+    var watermark = Long.MinValue
+    df.writeStream.outputMode("append").foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        batch.write.mode("append").partitionBy(partCol).parquet(path)
+        val mx = batch.agg(max(unix_seconds(col(tsCol)))).head()
+        if (!mx.isNullAt(0))
+          watermark = math.max(watermark, mx.getLong(0) - boundSec)
+        commitReady(path, partCol, partDurSec, delaySec, watermark)
+      }
+    }
+  }
+
+  /** Run the success-file policy over every ready, not-yet-committed
+    * partition. Idempotent — a partition that already carries `_SUCCESS`
+    * is skipped, so replayed batches re-run it harmlessly (the reference's
+    * policies are required to be idempotent for exactly this reason). */
+  private def commitReady(path: String, partCol: String, partDurSec: Long,
+      delaySec: Long, watermark: Long): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val ls = java.nio.file.Files.list(root)
+    try ls.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(s"$partCol=")) {
+        val start = n.substring(partCol.length + 1).toLong
+        val marker = p.resolve("_SUCCESS")
+        if (start + partDurSec + delaySec <= watermark &&
+            !java.nio.file.Files.exists(marker))
+          java.nio.file.Files.createFile(marker)
+      }
+    } finally ls.close()
+  }
+
+  /** Read back ONLY the committed partitions — what a downstream Hive/batch
+    * consumer honoring `_SUCCESS` sees. The listing is partition-count
+    * bounded; the read recovers `partCol` from the directory names. */
+  def readCommitted(spark: SparkSession, path: String, partCol: String): DataFrame = {
+    val root = java.nio.file.Paths.get(path)
+    val committed = {
+      val ls = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(s"$partCol=") &&
+            java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+          .map(_.toString).toSeq
+      } finally ls.close()
+    }
+    if (committed.isEmpty)
+      throw new IllegalStateException(s"no committed partitions under $path")
+    spark.read.option("basePath", path).parquet(committed: _*)
+  }
+
+  /** q_stream_file_sink: the 1.11 streaming filesystem sink END-TO-END —
+    * events stream into hour partitions, the committer drops `_SUCCESS`
+    * into every partition the final watermark passed, and the result is
+    * read back THROUGH the committed-partitions-only reader (the
+    * Hive-consumer view). The partition holding the maximum timestamp is
+    * still open (its end exceeds the watermark) and must be absent — the
+    * oracle replays exactly that visibility rule. */
+  val qStreamFileSink: graft.Q = graft.Q(
+    "q_stream_file_sink",
+    (s, dir) => {
+      import s.implicits._
+      val path = graft.Tables.scratch(
+        s"file-sink/graft_fs-${java.util.UUID.randomUUID()}")
+      val src = StreamingOps.streamTable(s, dir, "events")
+        .select($"event_id", $"value", $"ts")
+        .withColumn("hr", (floor(unix_seconds($"ts") / 3600) * 3600).cast("long"))
+      val ckptBase =
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+        else sys.props("java.io.tmpdir") + "/graft-ckpt"
+      val ckpt = s"$ckptBase/file-sink-${java.util.UUID.randomUUID()}"
+      val q = foreachBatchPartitioned(src, path, "hr", 3600L, "ts")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      readCommitted(s, path, "hr")
+        .select($"event_id", $"value", $"hr".cast("long").as("hr"))
+        .orderBy("event_id")
+    },
+    Some("""WITH w AS (SELECT max(epoch(ts)) AS wm FROM events)
+           |SELECT event_id, value,
+           |       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr
+           |FROM events, w
+           |WHERE floor(epoch(ts) / 3600) * 3600 + 3600 <= wm
+           |ORDER BY event_id""".stripMargin))
+
+  val all: Seq[graft.Q] = Seq(qStreamFileSink)
+}
