@@ -47,6 +47,7 @@ object SparkEntry {
       streaming.PartitionCommit.all ++
       sources.CdcFormats.all ++
       sources.DataGen.all ++
+      sources.SourceApi.all ++
       dsl.DslOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
