@@ -273,4 +273,30 @@ class StreamingPlanAuditSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_sql_session_match: the door lowers SESSION onto session_window, no cartesian") {
+    val df = operators.GraftSql.qSqlSessionMatch.run(spark, sfDir)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("session_window"), analyzed)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("async cached lookup join is one map stage — no shuffle, no UDF") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val f = java.nio.file.Files.createTempFile("dim-plan", ".csv")
+    java.nio.file.Files.writeString(f, "1,one\n")
+    val probe = Tables.t(spark, sfDir, "events")
+      .select($"event_id", $"user_id").as[(Long, Long)]
+    val ds = operators.LookupJoin.lookupJoinAsyncCached(
+      probe, () => new operators.LookupJoin.CsvFileBackend(f.toString),
+      operators.LookupJoin.LookupOptions(100, 60000L, 4))
+    val p = ds.queryExecution.executedPlan.toString
+    // point lookups ride the probe's partitioning: any Exchange here would
+    // mean the lookup operator itself introduced a shuffle
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.toLowerCase.contains("batchevalpython"), p)
+  }
 }
