@@ -521,7 +521,66 @@ object DedupOps {
     },
     qDedupClustersIterate.oracle)
 
+  /** q_bloom_dedup: INCOMING-VS-CORPUS span dedup with a BLOOM PREFILTER —
+    * the shape for deduplicating an arriving batch against a corpus too
+    * large to join wholesale. Corpus = 5-token chunks of even-id docs
+    * (stand-in for the already-ingested 100 TB side), incoming = chunks of
+    * odd-id docs. A bloom filter over the corpus chunks (built by one
+    * aggregate — KB..MB-sized REGARDLESS of corpus rows) is re-broadcast
+    * as a literal and prunes the incoming side BEFORE any shuffle; the
+    * surviving candidates exact-confirm via a semi-join, so false
+    * positives die there and the result is EXACT (bloom filters have no
+    * false negatives). Per odd doc: total chunks + chunks duplicated in
+    * the corpus.
+    *
+    * 100 TB posture: the expensive side is touched once (filter build,
+    * map-side partial agg); the probe side pays a map-only codegen'd
+    * membership test; the confirm join's left input is already pruned to
+    * candidates — at a 3% FP rate the shuffle carries ~3% of non-dup
+    * traffic instead of 100%. */
+  val qBloomDedup: Q = Q(
+    "q_bloom_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.BloomFunctions
+      val chunks = Tables.t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, cast(ceil(size(toks) / 5.0) as int) - 1),
+            |  i -> array_join(slice(toks, i * 5 + 1, 5), ' '))""".stripMargin))
+          .as("chunk"))
+      val corpus = chunks.filter($"doc_id" % 2 === 0).select($"chunk").distinct()
+      val incoming = chunks.filter($"doc_id" % 2 =!= 0)
+      // one row, KB-sized: the collected filter is the broadcast artifact,
+      // not data (row count of the corpus never reaches the driver)
+      val bloom = corpus
+        .agg(BloomFunctions.bloomFilterAgg($"chunk", 100000L).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val candidates = incoming
+        .filter(BloomFunctions.mightContain(lit(bloom), $"chunk"))
+      val dups = candidates.join(corpus, Seq("chunk"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_dup0"))
+      incoming.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(dups, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chunks",
+          coalesce($"n_dup0", lit(0L)).as("n_dup"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS INT)),
+           |           i -> array_to_string(toks[i*5+1:i*5+5], ' '))) AS chunk
+           |  FROM t),
+           |corpus AS (SELECT DISTINCT chunk FROM c WHERE doc_id % 2 = 0),
+           |inc AS (SELECT doc_id, chunk FROM c WHERE doc_id % 2 = 1)
+           |SELECT doc_id, count(*) AS n_chunks,
+           |       CAST(sum(CASE WHEN chunk IN (SELECT chunk FROM corpus)
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           |FROM inc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qNgramJaccardCapped,
     qMinhashLsh, qSimhash, qSimhashPairs, qSimhashBanded,
-    qDedupClustersIterate, qDedupClusters)
+    qDedupClustersIterate, qDedupClusters, qBloomDedup)
 }

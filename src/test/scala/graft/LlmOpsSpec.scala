@@ -129,4 +129,29 @@ class LlmOpsSpec extends GraftSpec {
       if (r.getAs[Long]("n_kept") == 0) assert(r.getAs[String]("cleaned").isEmpty)
     }
   }
+
+  test("bloom prefilter: no false negatives, real pruning, exact after confirm") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.graft.BloomFunctions
+    import org.apache.spark.sql.functions._
+    val corpus = (0 until 1000).map(i => s"member-$i").toDF("v")
+    val bloom = corpus
+      .agg(BloomFunctions.bloomFilterAgg($"v", 1000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probes = ((0 until 1000).map(i => s"member-$i") ++
+      (0 until 10000).map(i => s"absent-$i")).toDF("v")
+    val passed = probes
+      .filter(BloomFunctions.mightContain(lit(bloom), $"v"))
+      .as[String].collect().toSet
+    // NO false negatives: every true member passes the prefilter
+    (0 until 1000).foreach(i => assert(passed.contains(s"member-$i")))
+    // real pruning: default FP rate (3%) keeps the absent side mostly out
+    val fps = passed.count(_.startsWith("absent-"))
+    assert(fps < 1000, s"$fps false positives out of 10000 absents")
+    // the confirm join makes the composition exact despite FPs
+    val exact = probes.filter(BloomFunctions.mightContain(lit(bloom), $"v"))
+      .join(corpus, Seq("v"), "left_semi").as[String].collect().toSet
+    assert(exact == (0 until 1000).map(i => s"member-$i").toSet)
+  }
 }
