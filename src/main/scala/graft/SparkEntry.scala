@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.all ++
       operators.RelationalSql.all ++
       operators.TpchSql.all ++
+      operators.TpcdsShapes.all ++
       operators.TemporalSql.all ++
       operators.TemporalFunction.all ++
       operators.GroupWindowSql.all ++

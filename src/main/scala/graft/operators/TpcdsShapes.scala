@@ -1,0 +1,378 @@
+package graft.operators
+
+import graft.{Q, Tables}
+
+/** TPC-DS plan-shape sweep.
+  *
+  * The reference's SECOND benchmark bar (BASELINE.md) is the full 103-query
+  * TPC-DS suite at sf1: flink-end-to-end-tests/flink-tpcds-test/src/main/
+  * java/org/apache/flink/table/tpcds/TpcdsTestProgram.java:58-87 runs every
+  * query on the Blink batch planner and exact-compares answers
+  * (test-scripts/test_tpcds.sh:84-90). The 24 TPC-DS source tables don't
+  * ship in the read-only fixture, so — exactly like the partsupp-less TPC-H
+  * queries in [[TpchSql]] — this module expresses the DISTINCTIVE TPC-DS
+  * plan shapes that TPC-H does not exercise, on the fixture schema. Each
+  * query names the TPC-DS query whose optimizer/executor challenge it
+  * carries; the SQL text is engine-portable and doubles as the DuckDB
+  * oracle, so these check parser + optimizer + execution parity on:
+  *
+  *  - ROLLUP feeding a window RANK partitioned by the rollup's own
+  *    grouping level (q36's lochierarchy arithmetic, q67's category rank),
+  *  - cumulative ROWS-UNBOUNDED windows from two channels FULL-OUTER
+  *    merged then window-maxed over the coalesced keys (q51),
+  *  - period-over-period self-join of a pivoted aggregate CTE (q59),
+  *  - single-pass multi-band conditional counts (q88 — the reference's 8
+  *    cross-joined scalar subqueries fused into one scan: the formulation
+  *    a 100 TB deployment wants, one pass instead of eight),
+  *  - HAVING-band aggregate joined back to its dimensions (q73),
+  *  - multi-CTE semi-join pipeline with a scalar-subquery threshold over a
+  *    reused CTE (q23's frequent-items x best-customers),
+  *  - deviation-from-window-average filters (q89),
+  *  - two-channel year-over-year ratio comparison via double self-join of
+  *    one CTE (q11/q4 family),
+  *  - histogram re-aggregation of an aggregate (q54's revenue bands),
+  *  - fact-to-fact self-join with second-moment aggregates (q17's
+  *    avg/stddev/coefficient-of-variation over kept vs returned),
+  *  - revenue share against a window total (q98),
+  *  - chained INTERSECT feeding a semi join (q14's cross-channel parts),
+  *  - per-channel aggregates UNION ALL'd and re-aggregated (q33/q56),
+  *  - dual-measure top-N lists UNIONed with basis tags (q49),
+  *  - growth-chain of self-joins of one quarterly CTE (q31),
+  *  - the wide conditional CASE pivot in one pass (q66),
+  *  - net-of-returns conditional aggregation with a HAVING comparison of
+  *    two conditional sums (q93).
+  *
+  * Type pins: the driver's hash compare is type-sensitive, and
+  * year/month/weekofyear/rank/grouping return INT in Spark but BIGINT in
+  * DuckDB — every such output column carries an explicit CAST so one text
+  * yields one schema in both engines. Nullable ORDER BY columns pin NULLS
+  * FIRST because the engines' defaults differ.
+  */
+object TpcdsShapes {
+
+  private def sqlQ(name: String, sql: String): Q = Q(
+    name,
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) },
+    Some(sql))
+
+  /** q67: aggregate over ROLLUP, then rank within the top-level rollup
+    * column — the planner must keep ONE Expand + one window, not re-plan
+    * per grouping set. */
+  val q67: Q = sqlQ(
+    "q_tpcds_q67_shape",
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sumsales,
+      |         CAST(rank() OVER (PARTITION BY l_returnflag
+      |                    ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+      |                             l_linestatus NULLS FIRST, year(l_shipdate) NULLS FIRST)
+      |              AS INTEGER) AS rk
+      |  FROM lineitem
+      |  GROUP BY ROLLUP (l_returnflag, l_linestatus, year(l_shipdate))
+      |) ranked
+      |WHERE rk <= 5
+      |ORDER BY l_returnflag NULLS FIRST, rk""".stripMargin)
+
+  /** q36: gross-margin rollup with lochierarchy = grouping()+grouping()
+    * appearing in BOTH the output and the window PARTITION BY — the
+    * grouping-id must be available to the window operator above the
+    * Expand. */
+  val q36: Q = sqlQ(
+    "q_tpcds_q36_shape",
+    """SELECT * FROM (
+      |  SELECT round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6) AS margin,
+      |         l_returnflag, l_linestatus,
+      |         CAST(grouping(l_returnflag) + grouping(l_linestatus) AS INTEGER) AS lochierarchy,
+      |         CAST(rank() OVER (PARTITION BY grouping(l_returnflag) + grouping(l_linestatus),
+      |                                 CASE WHEN grouping(l_linestatus) = 0 THEN l_returnflag END
+      |                    ORDER BY round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6) ASC,
+      |                             l_returnflag NULLS FIRST, l_linestatus NULLS FIRST)
+      |              AS INTEGER) AS rk
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_size < 30
+      |  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |) h
+      |ORDER BY lochierarchy DESC, CASE WHEN lochierarchy = 0 THEN l_returnflag END NULLS FIRST, rk""".stripMargin)
+
+  /** q51: per-channel cumulative sums (window over an aggregate —
+    * sum(sum(x)) OVER), FULL OUTER merged on (key, day), running max over
+    * the coalesced spine, keep days where one channel's cumulative leads. */
+  val q51: Q = sqlQ(
+    "q_tpcds_q51_shape",
+    """WITH clicks AS (
+      |  SELECT user_id, cast(ts AS date) AS d,
+      |         sum(sum(value)) OVER (PARTITION BY user_id ORDER BY cast(ts AS date)
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, cast(ts AS date)),
+      |views AS (
+      |  SELECT user_id, cast(ts AS date) AS d,
+      |         sum(sum(value)) OVER (PARTITION BY user_id ORDER BY cast(ts AS date)
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, cast(ts AS date))
+      |SELECT user_id, d, round(click_cume, 2) AS click_cume, round(view_cume, 2) AS view_cume
+      |FROM (
+      |  SELECT coalesce(c.user_id, v.user_id) AS user_id, coalesce(c.d, v.d) AS d,
+      |         max(c.cume) OVER (PARTITION BY coalesce(c.user_id, v.user_id)
+      |                           ORDER BY coalesce(c.d, v.d)
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_cume,
+      |         max(v.cume) OVER (PARTITION BY coalesce(c.user_id, v.user_id)
+      |                           ORDER BY coalesce(c.d, v.d)
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_cume
+      |  FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id AND c.d = v.d
+      |) x
+      |WHERE round(click_cume, 2) > round(view_cume, 2)
+      |ORDER BY user_id, d""".stripMargin)
+
+  /** q59: week-over-week — one pivoted weekly-sales CTE self-joined a year
+    * apart on (supplier, week); the optimizer should build the CTE once. */
+  val q59: Q = sqlQ(
+    "q_tpcds_q59_shape",
+    """WITH wsales AS (
+      |  SELECT l_suppkey AS suppkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |         CAST(weekofyear(l_shipdate) AS INTEGER) AS wk,
+      |         sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END) AS a_sales,
+      |         sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END) AS n_sales,
+      |         sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) AS r_sales
+      |  FROM lineitem GROUP BY l_suppkey, year(l_shipdate), weekofyear(l_shipdate))
+      |SELECT y.suppkey, y.wk,
+      |       round(y.a_sales / nullif(x.a_sales, 0), 4) AS a_ratio,
+      |       round(y.n_sales / nullif(x.n_sales, 0), 4) AS n_ratio,
+      |       round(y.r_sales / nullif(x.r_sales, 0), 4) AS r_ratio
+      |FROM wsales y JOIN wsales x
+      |  ON y.suppkey = x.suppkey AND y.wk = x.wk AND y.yr = 1998 AND x.yr = 1997
+      |ORDER BY y.suppkey, y.wk""".stripMargin)
+
+  /** q88: the reference cross-joins 8 single-row time-band counts; fused
+    * here into ONE scan of conditional counts — the same answer in one
+    * pass instead of eight, which is the shape that survives 100 TB. */
+  val q88: Q = sqlQ(
+    "q_tpcds_q88_shape",
+    """SELECT count(*) FILTER (WHERE hour(ts) < 4)               AS h0_3,
+      |       count(*) FILTER (WHERE hour(ts) BETWEEN 4 AND 7)   AS h4_7,
+      |       count(*) FILTER (WHERE hour(ts) BETWEEN 8 AND 11)  AS h8_11,
+      |       count(*) FILTER (WHERE hour(ts) BETWEEN 12 AND 15) AS h12_15,
+      |       count(*) FILTER (WHERE hour(ts) BETWEEN 16 AND 19) AS h16_19,
+      |       count(*) FILTER (WHERE hour(ts) >= 20)             AS h20_23
+      |FROM events WHERE event_type IN ('click', 'view')""".stripMargin)
+
+  /** q73: orders whose line count falls in a band (HAVING BETWEEN on a
+    * grouped count), joined back out to their customers. */
+  val q73: Q = sqlQ(
+    "q_tpcds_q73_shape",
+    """SELECT c_name, c_custkey, o_orderkey, cnt
+      |FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem
+      |      GROUP BY l_orderkey HAVING count(*) BETWEEN 6 AND 7) t
+      |JOIN orders ON t.l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY cnt DESC, c_custkey, o_orderkey""".stripMargin)
+
+  /** q23: frequent parts (per-year count threshold) x best customers
+    * (scalar-subquery fraction of the max spend over a REUSED CTE), both
+    * applied as semi joins to the fact scan. */
+  val q23: Q = sqlQ(
+    "q_tpcds_q23_shape",
+    """WITH frequent_parts AS (
+      |  SELECT DISTINCT l_partkey FROM (
+      |    SELECT l_partkey, year(l_shipdate) AS yr, count(*) AS c
+      |    FROM lineitem GROUP BY l_partkey, year(l_shipdate) HAVING count(*) > 6) f),
+      |customer_spend AS (
+      |  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey)
+      |SELECT round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE year(o_orderdate) = 1998
+      |  AND l_partkey IN (SELECT l_partkey FROM frequent_parts)
+      |  AND o_custkey IN (SELECT o_custkey FROM customer_spend
+      |                    WHERE spend > (SELECT 0.5 * max(spend) FROM customer_spend))""".stripMargin)
+
+  /** q89: monthly sums vs the window average of the same partition's
+    * months; keep months deviating >30% from their year's mean. The
+    * measure is l_quantity (integral values): its sums are
+    * order-independent-exact in doubles, so the boundary-sensitive
+    * deviation filter and round() agree bit-for-bit across engines —
+    * sum(l_extendedprice) here flipped a cent at a rounding boundary
+    * under DuckDB-vs-Spark summation order. */
+  val q89: Q = sqlQ(
+    "q_tpcds_q89_shape",
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_suppkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |         CAST(month(l_shipdate) AS INTEGER) AS mon,
+      |         round(sum(l_quantity), 2) AS msum,
+      |         round(avg(sum(l_quantity)) OVER (
+      |           PARTITION BY l_returnflag, l_suppkey, year(l_shipdate)), 2) AS avg_monthly
+      |  FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)
+      |  GROUP BY l_returnflag, l_suppkey, year(l_shipdate), month(l_shipdate)
+      |) m
+      |WHERE avg_monthly > 0 AND abs(msum - avg_monthly) / avg_monthly > 0.3
+      |ORDER BY l_returnflag, l_suppkey, yr, mon""".stripMargin)
+
+  /** q11/q4 family: one per-customer-per-year two-channel CTE self-joined
+    * across consecutive years; keep customers whose first-channel growth
+    * ratio beats their second-channel growth ratio. */
+  val q11: Q = sqlQ(
+    "q_tpcds_q11_shape",
+    """WITH yearly AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) AS urgent,
+      |         sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice ELSE 0 END) AS low
+      |  FROM orders GROUP BY o_custkey, year(o_orderdate))
+      |SELECT c_custkey, c_name
+      |FROM yearly y97 JOIN yearly y98 ON y97.o_custkey = y98.o_custkey AND y97.yr = 1997 AND y98.yr = 1998
+      |JOIN customer ON c_custkey = y97.o_custkey
+      |WHERE y97.urgent > 0 AND y97.low > 0
+      |  AND y98.urgent / y97.urgent > y98.low / y97.low
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** q54: histogram of an aggregate — per-customer yearly revenue bucketed
+    * into fixed-width bands, then the band populations. */
+  val q54: Q = sqlQ(
+    "q_tpcds_q54_shape",
+    """SELECT segment, count(*) AS num_customers, segment * 5000 AS segment_base
+      |FROM (SELECT o_custkey, cast(floor(sum(o_totalprice) / 5000) AS int) AS segment
+      |      FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey) s
+      |GROUP BY segment ORDER BY segment""".stripMargin)
+
+  /** q17: fact-to-fact self-join (kept vs returned legs of the same
+    * part+supplier), second-moment aggregates incl. the coefficient of
+    * variation that q17 exists to compute. */
+  val q17: Q = sqlQ(
+    "q_tpcds_q17_shape",
+    """SELECT p_brand, count(*) AS cnt,
+      |       round(avg(k.l_quantity), 4) AS kept_avg,
+      |       round(stddev_samp(k.l_quantity), 4) AS kept_std,
+      |       round(avg(r.l_quantity), 4) AS ret_avg,
+      |       round(stddev_samp(r.l_quantity), 4) AS ret_std,
+      |       round(stddev_samp(k.l_quantity) / avg(k.l_quantity), 4) AS kept_cov
+      |FROM lineitem k JOIN lineitem r
+      |  ON k.l_partkey = r.l_partkey AND k.l_suppkey = r.l_suppkey
+      | AND k.l_orderkey <> r.l_orderkey
+      |JOIN part ON k.l_partkey = p_partkey
+      |WHERE k.l_returnflag = 'N' AND r.l_returnflag = 'R'
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
+  /** q98: per-item revenue share of its class — a window total in the
+    * denominator of each row's ratio. */
+  val q98: Q = sqlQ(
+    "q_tpcds_q98_shape",
+    """SELECT p_type, p_brand, round(itemrevenue, 2) AS itemrevenue,
+      |       round(itemrevenue * 100 / sum(itemrevenue) OVER (PARTITION BY p_type), 4) AS revenueratio
+      |FROM (SELECT p_type, p_brand, sum(l_extendedprice * (1 - l_discount)) AS itemrevenue
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1998-03-01 00:00:00'
+      |      GROUP BY p_type, p_brand) r
+      |ORDER BY p_type, p_brand""".stripMargin)
+
+  /** q14: parts present in ALL THREE channels — chained INTERSECT
+    * (distinct set semantics) feeding a semi join on the fact scan. */
+  val q14: Q = sqlQ(
+    "q_tpcds_q14_shape",
+    """WITH cross_parts AS (
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      |  INTERSECT
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+      |  INTERSECT
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sales,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE l_partkey IN (SELECT l_partkey FROM cross_parts)
+      |  AND year(l_shipdate) = 1998
+      |GROUP BY l_returnflag, year(l_shipdate)
+      |ORDER BY l_returnflag, yr""".stripMargin)
+
+  /** q33/q56 family: three per-channel aggregates UNION ALL'd, then
+    * re-aggregated to the cross-channel total. */
+  val q33: Q = sqlQ(
+    "q_tpcds_q33_shape",
+    """WITH chan1 AS (
+      |  SELECT p_brand, sum(l_extendedprice) AS rev FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'A' AND year(l_shipdate) = 1998 GROUP BY p_brand),
+      |chan2 AS (
+      |  SELECT p_brand, sum(l_extendedprice) AS rev FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'N' AND year(l_shipdate) = 1998 GROUP BY p_brand),
+      |chan3 AS (
+      |  SELECT p_brand, sum(l_extendedprice) AS rev FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'R' AND year(l_shipdate) = 1998 GROUP BY p_brand)
+      |SELECT p_brand, round(sum(rev), 2) AS total_rev
+      |FROM (SELECT * FROM chan1 UNION ALL SELECT * FROM chan2 UNION ALL SELECT * FROM chan3) u
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
+  /** q49: worst-return parts ranked by TWO different measures, the two
+    * top-10 lists UNIONed (distinct) with their basis tags. Rank order
+    * keys use the ROUNDED ratios so ulp-level summation differences
+    * cannot reorder the cutoff across engines (quantity ratios are
+    * integral-exact already). */
+  val q49: Q = sqlQ(
+    "q_tpcds_q49_shape",
+    """WITH ratios AS (
+      |  SELECT l_partkey,
+      |         cast(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS double)
+      |           / nullif(sum(l_quantity), 0) AS ret_ratio,
+      |         sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END)
+      |           / nullif(sum(l_extendedprice), 0) AS amt_ratio
+      |  FROM lineitem WHERE year(l_shipdate) = 1998
+      |  GROUP BY l_partkey HAVING sum(l_quantity) > 0),
+      |ranked AS (
+      |  SELECT l_partkey, round(ret_ratio, 6) AS ret_ratio, round(amt_ratio, 6) AS amt_ratio,
+      |         CAST(rank() OVER (ORDER BY round(ret_ratio, 6) DESC, l_partkey) AS INTEGER) AS qty_rank,
+      |         CAST(rank() OVER (ORDER BY round(amt_ratio, 6) DESC, l_partkey) AS INTEGER) AS amt_rank
+      |  FROM ratios)
+      |SELECT * FROM (
+      |  SELECT l_partkey, ret_ratio, amt_ratio, qty_rank AS rk, 'qty' AS basis FROM ranked WHERE qty_rank <= 10
+      |  UNION
+      |  SELECT l_partkey, ret_ratio, amt_ratio, amt_rank AS rk, 'amt' AS basis FROM ranked WHERE amt_rank <= 10) u
+      |ORDER BY basis, rk, l_partkey""".stripMargin)
+
+  /** q31: quarter-over-quarter growth comparison via a CHAIN of self-joins
+    * of one quarterly CTE (the reference's county/web-vs-store growth
+    * chain). */
+  val q31: Q = sqlQ(
+    "q_tpcds_q31_shape",
+    """WITH qsales AS (
+      |  SELECT n_name, CAST(quarter(o_orderdate) AS INTEGER) AS qtr, sum(o_totalprice) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) = 1998 GROUP BY n_name, quarter(o_orderdate))
+      |SELECT q1.n_name,
+      |       round(q2.rev / q1.rev, 6) AS g12,
+      |       round(q3.rev / q2.rev, 6) AS g23
+      |FROM qsales q1 JOIN qsales q2 ON q1.n_name = q2.n_name AND q1.qtr = 1 AND q2.qtr = 2
+      |     JOIN qsales q3 ON q1.n_name = q3.n_name AND q3.qtr = 3
+      |WHERE q1.rev > 0 AND q2.rev > 0 AND q2.rev / q1.rev > q3.rev / q2.rev
+      |ORDER BY q1.n_name""".stripMargin)
+
+  /** q66: the wide CASE pivot — per-supplier month columns over two
+    * measure families in one aggregate pass (12-way conditional
+    * projection, single shuffle). */
+  val q66: Q = sqlQ(
+    "q_tpcds_q66_shape",
+    """SELECT l_suppkey,
+      |       round(sum(CASE WHEN month(l_shipdate) = 1 THEN l_quantity ELSE 0 END), 2) AS jan_qty,
+      |       round(sum(CASE WHEN month(l_shipdate) = 2 THEN l_quantity ELSE 0 END), 2) AS feb_qty,
+      |       round(sum(CASE WHEN month(l_shipdate) = 3 THEN l_quantity ELSE 0 END), 2) AS mar_qty,
+      |       round(sum(CASE WHEN month(l_shipdate) = 4 THEN l_quantity ELSE 0 END), 2) AS apr_qty,
+      |       round(sum(CASE WHEN month(l_shipdate) = 5 THEN l_quantity ELSE 0 END), 2) AS may_qty,
+      |       round(sum(CASE WHEN month(l_shipdate) = 6 THEN l_quantity ELSE 0 END), 2) AS jun_qty,
+      |       round(sum(CASE WHEN month(l_shipdate) <= 6 THEN l_extendedprice ELSE 0 END), 2) AS h1_rev,
+      |       round(sum(CASE WHEN month(l_shipdate) > 6 THEN l_extendedprice ELSE 0 END), 2) AS h2_rev
+      |FROM lineitem WHERE year(l_shipdate) = 1998
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+
+  /** q93: net-of-returns per customer — the returned leg subtracted via
+    * conditional aggregation, keeping customers who returned more than
+    * they kept. */
+  val q93: Q = sqlQ(
+    "q_tpcds_q93_shape",
+    """SELECT c_custkey,
+      |       round(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_extendedprice END), 2) AS net_rev,
+      |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS returned_rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+      |WHERE year(o_orderdate) = 1998
+      |GROUP BY c_custkey
+      |HAVING sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) >
+      |       sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_extendedprice END)
+      |ORDER BY c_custkey""".stripMargin)
+
+  val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
+    q14, q33, q49, q31, q66, q93)
+}
