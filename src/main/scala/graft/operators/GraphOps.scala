@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms — the reference's Gelly library
+  * (flink-libraries/flink-gelly/src/main/java/org/apache/flink/graph/
+  * Graph.java; SURVEY maps it to "GraphFrames-style join patterns on two
+  * DataFrames", out of core scope but its headline algorithms are cheap to
+  * express Spark-first, so they're covered):
+  *
+  *  - PageRank (Gelly `library/linkanalysis/PageRank.java`): rank(v) =
+  *    0.15/n + 0.85 * Σ_in rank(u)/outdeg(u), a fixed number of bulk
+  *    iterations. One shuffle per iteration (groupBy dst); the node count
+  *    and nothing else crosses the driver — exactly Gelly's numVertices
+  *    parameter. At 100 TB: localCheckpoint every few rounds (the
+  *    [[IterateOps]] recipe) keeps lineage flat; edges partitioned by src
+  *    make the rank join co-located.
+  *  - Triangle count (Gelly `library/TriangleEnumerator.java`): the
+  *    node-iterator join on ORDERED edges (u < v) — each triangle counted
+  *    exactly once, no post-dedup; the standard distributed formulation
+  *    (at scale, degree-ordering the edge direction bounds the skew of
+  *    the wedge join).
+  *  - Single-source shortest paths (Gelly
+  *    `library/SingleSourceShortestPaths.java`): Bellman-Ford rounds as
+  *    min-aggregated frontier expansion; a fixed round count here (the
+  *    oracle unrolls the same rounds as chained CTEs). The open-ended
+  *    variant is [[IterateOps.iterateDelta]] — see
+  *    [[ConnectedComponents]] for the workset pattern.
+  *  - Vertex degrees (Gelly `Graph.outDegrees()`): one aggregate, then
+  *    the degree histogram.
+  *
+  * The graph is built from the fixture's part-supplier association:
+  * bipartite supply edges (supplier ↔ part, symmetric, for PageRank and
+  * degrees) and a co-supply similarity graph (suppliers sharing ≥1.12×
+  * the average number of common parts — the relative threshold adapts
+  * across scale factors) for triangles and SSSP. Part node ids are
+  * offset by 1,000,000 to keep the two id spaces disjoint.
+  */
+object GraphOps {
+
+  /** Distinct part-supplier association — the shared base relation. */
+  private[graft] def partSupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+
+  /** Symmetric bipartite supply edges (src, dst); part ids offset. */
+  private[graft] def supplyEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = partSupp(spark, dir)
+      .select(col("s").as("src"), (col("p") + 1000000L).as("dst"))
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Co-supply similarity edges between suppliers, kept when the shared
+    * part count is ≥ `1.12 × avg` (relative, so it survives SF changes).
+    * `ordered = true` keeps u < v (triangles); else both directions
+    * (BFS). The threshold is one metadata-sized aggregate on the driver —
+    * a Gelly-style algorithm parameter, not a data-path collect. */
+  private[graft] def coSupplyEdges(spark: SparkSession, dir: String,
+      ordered: Boolean): DataFrame = {
+    val ps = partSupp(spark, dir)
+    val cond = if (ordered) col("a.s") < col("b.s") else col("a.s") =!= col("b.s")
+    val pairs = ps.as("a").join(ps.as("b"), col("a.p") === col("b.p") && cond)
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val thr = pairs.agg(avg("w")).head.getDouble(0) * 1.12
+    pairs.filter(col("w") >= thr).select("u", "v")
+  }
+
+  /** Fixed-iteration PageRank over (src, dst) edges. Every node must
+    * appear as a src (symmetric graphs do) so outdeg is total. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // Gelly's numVertices — one count job, metadata-sized result
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("acc"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15 / n) + lit(damping) * coalesce(col("acc"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  /** Bellman-Ford rounds of min-aggregated frontier expansion over
+    * (u, v) edges; returns (node, dist) for nodes reached in ≤ rounds. */
+  def bfs(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    var dist = spark.range(1).select(lit(source).as("node"), lit(0).as("dist"))
+    for (_ <- 1 to rounds) {
+      val expanded = dist.join(edges, dist("node") === edges("u"))
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(expanded).groupBy("node").agg(min("dist").as("dist"))
+    }
+    dist
+  }
+
+  val qPageRank: Q = Q(
+    "q_graph_pagerank",
+    (s, dir) => {
+      val ranks = pageRank(supplyEdges(s, dir), iters = 3)
+      ranks.filter(col("node") < 1000000L)
+        .select(col("node"), round(col("rank") * 1000000, 6).as("rank_ppm"))
+        .orderBy("node")
+    },
+    Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+           |e0 AS (SELECT s AS src, p + 1000000 AS dst FROM ps),
+           |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+           |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |pr0 AS (SELECT node, cast(1.0 AS double) / (SELECT count(*) FROM nodes) AS rank FROM nodes),
+           |pr1 AS (SELECT n.node, 0.15 / (SELECT count(*) FROM nodes)
+           |               + 0.85 * coalesce(sum(p.rank / o.outdeg), 0) AS rank
+           |        FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+           |        LEFT JOIN pr0 p ON p.node = e.src LEFT JOIN outdeg o ON o.src = e.src
+           |        GROUP BY n.node),
+           |pr2 AS (SELECT n.node, 0.15 / (SELECT count(*) FROM nodes)
+           |               + 0.85 * coalesce(sum(p.rank / o.outdeg), 0) AS rank
+           |        FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+           |        LEFT JOIN pr1 p ON p.node = e.src LEFT JOIN outdeg o ON o.src = e.src
+           |        GROUP BY n.node),
+           |pr3 AS (SELECT n.node, 0.15 / (SELECT count(*) FROM nodes)
+           |               + 0.85 * coalesce(sum(p.rank / o.outdeg), 0) AS rank
+           |        FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+           |        LEFT JOIN pr2 p ON p.node = e.src LEFT JOIN outdeg o ON o.src = e.src
+           |        GROUP BY n.node)
+           |SELECT node, round(rank * 1000000, 6) AS rank_ppm FROM pr3
+           |WHERE node < 1000000 ORDER BY node""".stripMargin))
+
+  val qTriangles: Q = Q(
+    "q_graph_triangles",
+    (s, dir) => {
+      val e = coSupplyEdges(s, dir, ordered = true)
+      e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"), col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+        .agg(count(lit(1)).as("triangles"))
+    },
+    Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+           |e0 AS (SELECT a.s AS u, b.s AS v, count(*) AS w FROM ps a
+           |       JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY a.s, b.s),
+           |e AS (SELECT u, v FROM e0 WHERE w >= 1.12 * (SELECT avg(w) FROM e0))
+           |SELECT count(*) AS triangles
+           |FROM e e1 JOIN e e2 ON e1.v = e2.u
+           |JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""".stripMargin))
+
+  val qSssp: Q = Q(
+    "q_graph_sssp",
+    (s, dir) =>
+      bfs(coSupplyEdges(s, dir, ordered = false), source = 0L, rounds = 3)
+        .orderBy("node"),
+    Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+           |e0 AS (SELECT a.s AS u, b.s AS v, count(*) AS w FROM ps a
+           |       JOIN ps b ON a.p = b.p AND a.s <> b.s GROUP BY a.s, b.s),
+           |eu AS (SELECT u, v FROM e0 WHERE w >= 1.12 * (SELECT avg(w) FROM e0)),
+           |d0 AS (SELECT cast(0 AS bigint) AS node, 0 AS dist),
+           |d1 AS (SELECT node, min(dist) AS dist FROM (
+           |         SELECT node, dist FROM d0
+           |         UNION ALL SELECT eu.v, d0.dist + 1 FROM d0 JOIN eu ON d0.node = eu.u) x GROUP BY node),
+           |d2 AS (SELECT node, min(dist) AS dist FROM (
+           |         SELECT node, dist FROM d1
+           |         UNION ALL SELECT eu.v, d1.dist + 1 FROM d1 JOIN eu ON d1.node = eu.u) x GROUP BY node),
+           |d3 AS (SELECT node, min(dist) AS dist FROM (
+           |         SELECT node, dist FROM d2
+           |         UNION ALL SELECT eu.v, d2.dist + 1 FROM d2 JOIN eu ON d2.node = eu.u) x GROUP BY node)
+           |SELECT node, dist FROM d3 ORDER BY node""".stripMargin))
+
+  val qDegrees: Q = Q(
+    "q_graph_degrees",
+    (s, dir) =>
+      partSupp(s, dir)
+        .groupBy(col("s").as("node")).agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree"),
+    Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+           |deg AS (SELECT s AS node, count(*) AS degree FROM ps GROUP BY s)
+           |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+           |ORDER BY degree""".stripMargin))
+
+  val all: Seq[Q] = Seq(qPageRank, qTriangles, qSssp, qDegrees)
+}

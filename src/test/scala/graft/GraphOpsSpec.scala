@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Algorithm-property tests for [[operators.GraphOps]] on CONSTRUCTED
+  * graphs (fixture values are the oracle gate's job; these pin the
+  * algebra: rank conservation, BFS distances, triangle counting). */
+class GraphOpsSpec extends GraftSpec {
+
+  private def edgesDf(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toSeq.toDF("src", "dst")
+  }
+
+  test("pageRank on a symmetric 2-node graph is the uniform fixpoint") {
+    val e = edgesDf((1L, 2L), (2L, 1L))
+    val r = operators.GraphOps.pageRank(e, iters = 5).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-12, r)
+    assert(math.abs(r(2L) - 0.5) < 1e-12, r)
+  }
+
+  test("pageRank conserves total rank mass on a graph with no dangling nodes") {
+    // symmetric graphs have no dangling nodes, so Σrank stays 1 exactly
+    val e = edgesDf((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    val total = operators.GraphOps.pageRank(e, iters = 4)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, total)
+  }
+
+  test("pageRank: a hub out-ranks its spokes") {
+    val e = edgesDf((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (0L, 3L), (3L, 0L))
+    val r = operators.GraphOps.pageRank(e, iters = 10).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r(0L) > r(1L) && r(0L) > r(2L) && r(0L) > r(3L), r)
+  }
+
+  test("bfs on a path graph assigns hop distances, bounded by the round count") {
+    import spark.implicits._
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val d = operators.GraphOps.bfs(e, source = 0L, rounds = 3).collect()
+      .map(row => row.getLong(0) -> row.getInt(1)).toMap
+    assert(d == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3), d) // node 4 beyond 3 rounds
+  }
+
+  test("ordered-edge triangle join counts K4's triangles exactly once each") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val n = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"), col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .count()
+    assert(n == 4L, n) // C(4,3)
+  }
+
+  test("fixture graphs: bipartite ranks conserve mass; degree histogram covers all suppliers") {
+    val sf01 = "/root/testdata/sf0.01" // sf0.001's co-supply weights are too uniform
+    val ranks = operators.GraphOps.pageRank(
+      operators.GraphOps.supplyEdges(spark, sf01), iters = 3)
+    assert(math.abs(ranks.agg(sum("rank")).head.getDouble(0) - 1.0) < 1e-9)
+    val nodes = operators.GraphOps.partSupp(spark, sf01)
+      .select("s").distinct().count()
+    val histTotal = operators.GraphOps.qDegrees.run(spark, sf01)
+      .agg(sum("n_nodes")).head.getLong(0)
+    assert(histTotal == nodes, s"$histTotal vs $nodes")
+  }
+}
