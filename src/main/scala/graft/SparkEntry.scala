@@ -50,7 +50,8 @@ object SparkEntry {
       sources.CdcFormats.all ++
       sources.DataGen.all ++
       sources.SourceApi.all ++
-      dsl.DslOps.all
+      dsl.DslOps.all ++
+      dsl.TableApiOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,104 @@
+package graft.dsl
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries driven ENTIRELY through the fluent Table API
+  * facade ([[GraftTable]]) — each is the facade twin of a reference
+  * Table-API program (Table.java), lowering to the same Catalyst plans the
+  * equivalent SQL produces. */
+object TableApiOps {
+
+  /** filter → groupBy → select(aggs) → orderBy → fetch (Table.java
+    * select/filter/groupBy/orderBy/fetch; the reference's canonical
+    * fluent pipeline shape). */
+  val qPipeline: Q = Q(
+    "q_table_api_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      GraftTable(Tables.t(s, dir, "lineitem"))
+        .filter($"l_quantity" > 10)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .select(round(sum($"l_extendedprice"), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"revenue".desc, $"l_returnflag", $"l_linestatus")
+        .fetch(3)
+        .df
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+           |FROM lineitem WHERE l_quantity > 10
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY revenue DESC, l_returnflag, l_linestatus LIMIT 3""".stripMargin))
+
+  /** window(Tumble over … on … as "w").groupBy("w", …).select(aggs) —
+    * GroupWindowedTable (Table.java:1034 + Tumble.java builder chain). */
+  val qWindow: Q = Q(
+    "q_table_api_window",
+    (s, dir) => {
+      import s.implicits._
+      GraftTable(Tables.t(s, dir, "events"))
+        .window(Tumble over "5 minutes" on "ts" as "w")
+        .groupBy("w", "event_type")
+        .select(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+        .select(unix_timestamp($"w.start").as("wstart"),
+          $"event_type", $"cnt", $"total")
+        .orderBy($"wstart", $"event_type")
+        .df
+    },
+    Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS wstart,
+           |       event_type, count(*) AS cnt, round(sum(value), 2) AS total
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** minus / intersect / union — the reference's distinct-set semantics
+    * (union DEDUPS; Table.java:830/899/865): parts returned-but-never-kept
+    * unioned with parts kept-but-never-returned. */
+  val qSetOps: Q = Q(
+    "q_table_api_setops",
+    (s, dir) => {
+      import s.implicits._
+      def chan(flag: String) = GraftTable(
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_returnflag" === flag && $"l_quantity" >= 48)
+          .select($"l_partkey"))
+      chan("R").minus(chan("N"))
+        .union(chan("N").minus(chan("R")))
+        .orderBy($"l_partkey")
+        .df
+    },
+    Some("""SELECT l_partkey FROM (
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 48
+           |  EXCEPT
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N' AND l_quantity >= 48
+           |) UNION
+           |SELECT l_partkey FROM (
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N' AND l_quantity >= 48
+           |  EXCEPT
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 48
+           |) ORDER BY l_partkey""".stripMargin))
+
+  /** joinLateral(explode(…)) + addColumns + renameColumns + dropColumns —
+    * the correlate plus schema-manipulation family (Table.java:619/1117/
+    * 1207/1241). */
+  val qLateral: Q = Q(
+    "q_table_api_lateral",
+    (s, dir) => {
+      import s.implicits._
+      GraftTable(Tables.t(s, dir, "documents"))
+        .filter($"doc_id" < 20)
+        .joinLateral(explode(split($"text", " ")).as("word"))
+        .addColumns(length($"word").as("wlen"))
+        .groupBy($"doc_id")
+        .select(count(lit(1)).as("n_words"), sum($"wlen").as("n_chars"))
+        .renameColumns("n_chars" -> "word_chars")
+        .dropColumns("n_words")
+        .orderBy($"doc_id")
+        .df
+    },
+    Some("""SELECT doc_id, CAST(sum(length(word)) AS BIGINT) AS word_chars FROM (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |  FROM documents WHERE doc_id < 20)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qPipeline, qWindow, qSetOps, qLateral)
+}

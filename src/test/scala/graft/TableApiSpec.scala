@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import dsl.{GraftTable, Over, Session, Slide, Tumble}
+
+/** Semantics of the fluent Table API facade ([[dsl.GraftTable]]) — the
+  * contracts that differ between lookalike methods (reference Table.java):
+  * union dedups while unionAll keeps, minus vs minusAll multiplicity,
+  * outer lateral keeps empty fan-outs, offset/fetch compose, the window
+  * builders produce the right bucket, Over lowers to a native WindowSpec. */
+class TableApiSpec extends GraftSpec {
+
+  private def t(rows: Seq[(Long, String)]): GraftTable = {
+    import spark.implicits._
+    GraftTable(rows.toDF("k", "v"))
+  }
+
+  test("union dedups (reference SQL UNION semantics); unionAll keeps duplicates") {
+    val a = t(Seq((1L, "x"), (2L, "y")))
+    val b = t(Seq((2L, "y"), (3L, "z")))
+    assert(a.union(b).df.count() == 3)
+    assert(a.unionAll(b).df.count() == 4)
+  }
+
+  test("minus removes all occurrences; minusAll subtracts multiplicity") {
+    val a = t(Seq((1L, "x"), (1L, "x"), (2L, "y")))
+    val b = t(Seq((1L, "x")))
+    assert(a.minus(b).df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(a.minusAll(b).df.filter(col("k") === 1L).count() == 1)
+  }
+
+  test("leftOuterJoinLateral with an outer generator keeps empty fan-outs") {
+    import spark.implicits._
+    val docs = GraftTable(Seq((1L, "a b"), (2L, "")).toDF("id", "txt"))
+    val strict = docs.joinLateral(
+      explode(split(col("txt"), " ")).as("w")).df
+        .filter(length(col("w")) > 0)
+    val outer = docs.leftOuterJoinLateral(
+      explode_outer(nullif(split(col("txt"), " "), array(lit("")))).as("w")).df
+    assert(strict.filter(col("id") === 2L).count() == 0)
+    assert(outer.filter(col("id") === 2L).count() == 1) // row survives with NULL word
+  }
+
+  test("offset + fetch page through an ordered table") {
+    val a = t(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    val page = a.orderBy(col("k")).offset(1).fetch(2).df.collect().map(_.getLong(0))
+    assert(page.toSeq == Seq(2L, 3L))
+  }
+
+  test("addOrReplaceColumns replaces in place; addColumns refuses nothing and appends") {
+    val a = t(Seq((1L, "x")))
+    val replaced = a.addOrReplaceColumns("v" -> lit("z")).df
+    assert(replaced.columns.toSeq == Seq("k", "v"))
+    assert(replaced.head.getString(1) == "z")
+    val appended = a.addColumns(lit(7).as("n")).df
+    assert(appended.columns.toSeq == Seq("k", "v", "n"))
+  }
+
+  test("window builders bucket correctly: Tumble/Slide/Session chains parse and lower") {
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 00:01:00", 1.0), ("2024-01-01 00:06:00", 2.0),
+      ("2024-01-01 00:30:00", 4.0))
+      .toDF("ts_s", "x").select(to_timestamp(col("ts_s")).as("ts"), col("x"))
+    val tumbled = GraftTable(ev)
+      .window(Tumble over "5 minutes" on "ts" as "w")
+      .groupBy("w").select(sum(col("x")).as("sx"))
+      .df.select(col("w.start"), col("sx")).collect()
+    assert(tumbled.length == 3, tumbled.mkString(","))
+    val slid = GraftTable(ev)
+      .window(Slide over "10 minutes" every "5 minutes" on "ts" as "w")
+      .groupBy("w").select(count(lit(1)).as("c")).df.count()
+    assert(slid > 3) // every row lands in two hop windows
+    val sessions = GraftTable(ev)
+      .window(Session withGap "10 minutes" on "ts" as "w")
+      .groupBy("w").select(sum(col("x")).as("sx"))
+      .df.select(col("sx")).collect().map(_.getDouble(0)).sorted.toSeq
+    assert(sessions == Seq(3.0, 4.0), sessions) // first two merge, third separate
+  }
+
+  test("windowed groupBy demands the window alias among the keys") {
+    import spark.implicits._
+    val ev = Seq(("2024-01-01 00:01:00", 1.0)).toDF("ts_s", "x")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("x"))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable(ev).window(Tumble over "5 minutes" on "ts" as "w").groupBy("x")
+    }
+    assert(e.getMessage.contains("window alias"), e.getMessage)
+  }
+
+  test("Over builder is a native WindowSpec usable with agg.over") {
+    val a = t(Seq((1L, "g"), (2L, "g"), (5L, "h")))
+    val r = a.select(col("k"), col("v"),
+      sum(col("k")).over(Over.partitionBy(col("v")).orderBy(col("k"))).as("running"))
+      .df.orderBy("k").collect().map(_.getLong(2))
+    assert(r.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("createTemporalTableFunction through the facade registers for the correlate") {
+    import spark.implicits._
+    val hist = Seq((1L, 10L, "v1"), (1L, 20L, "v2")).toDF("pk", "t", "payload")
+    GraftTable(hist).createTemporalTableFunction("facade_rates", "t", "pk")
+    val probe = Seq((1L, 15L)).toDF("k", "pts")
+    val out = operators.TemporalFunction.joinLateral(probe, "facade_rates", "pts", "k")
+      .select("r_payload").head.getString(0)
+    assert(out == "v1")
+  }
+}
