@@ -184,5 +184,48 @@ object GraphOps {
            |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
            |ORDER BY degree""".stripMargin))
 
-  val all: Seq[Q] = Seq(qPageRank, qTriangles, qSssp, qDegrees)
+  /** Label propagation rounds (Gelly `library/LabelPropagation.java`):
+    * each node adopts its neighbors' most frequent label, ties to the
+    * HIGHEST label (the reference's tie rule). The adopt step is a
+    * max-aggregate over (count, label) structs — map-side partial, no
+    * window shuffle; the oracle expresses the same pick as a rank-1
+    * window because struct ordering isn't portable SQL. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val counts = edges
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+      labels = counts
+        .groupBy(col("u").as("node"))
+        .agg(max(struct(col("c"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
+    }
+    labels
+  }
+
+  val qLabelProp: Q = Q(
+    "q_graph_labelprop",
+    (s, dir) =>
+      labelPropagation(coSupplyEdges(s, dir, ordered = false), rounds = 2)
+        .orderBy("node"),
+    Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+           |e0 AS (SELECT a.s AS u, b.s AS v, count(*) AS w FROM ps a
+           |       JOIN ps b ON a.p = b.p AND a.s <> b.s GROUP BY a.s, b.s),
+           |eu AS (SELECT u, v FROM e0 WHERE w >= 1.12 * (SELECT avg(w) FROM e0)),
+           |l0 AS (SELECT DISTINCT u AS node, u AS label FROM eu),
+           |l1 AS (SELECT node, label FROM (
+           |  SELECT c.u AS node, c.label,
+           |         row_number() OVER (PARTITION BY c.u ORDER BY c.c DESC, c.label DESC) AS rn
+           |  FROM (SELECT e.u, l.label, count(*) AS c FROM eu e JOIN l0 l ON e.v = l.node
+           |        GROUP BY e.u, l.label) c) r WHERE rn = 1),
+           |l2 AS (SELECT node, label FROM (
+           |  SELECT c.u AS node, c.label,
+           |         row_number() OVER (PARTITION BY c.u ORDER BY c.c DESC, c.label DESC) AS rn
+           |  FROM (SELECT e.u, l.label, count(*) AS c FROM eu e JOIN l1 l ON e.v = l.node
+           |        GROUP BY e.u, l.label) c) r WHERE rn = 1)
+           |SELECT node, label FROM l2 ORDER BY node""".stripMargin))
+
+  val all: Seq[Q] = Seq(qPageRank, qTriangles, qSssp, qDegrees, qLabelProp)
 }

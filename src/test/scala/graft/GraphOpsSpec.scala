@@ -55,6 +55,29 @@ class GraphOpsSpec extends GraftSpec {
     assert(n == 4L, n) // C(4,3)
   }
 
+  test("labelPropagation: a two-clique barbell converges to one label per clique") {
+    import spark.implicits._
+    // cliques {1,2,3} and {10,11,12} joined by a single bridge 3-10;
+    // symmetric edge list
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val labels = operators.GraphOps.labelPropagation(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == labels(2L), labels)
+    assert(labels(10L) == labels(11L) && labels(11L) == labels(12L), labels)
+  }
+
+  test("labelPropagation tie-break picks the HIGHEST label (reference rule)") {
+    import spark.implicits._
+    // node 5's two neighbors carry labels 1 and 9 once each → adopt 9
+    val und = Seq((5L, 1L), (5L, 9L), (1L, 9L))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val l1 = operators.GraphOps.labelPropagation(e, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(5L) == 9L, l1)
+  }
+
   test("fixture graphs: bipartite ranks conserve mass; degree histogram covers all suppliers") {
     val sf01 = "/root/testdata/sf0.01" // sf0.001's co-supply weights are too uniform
     val ranks = operators.GraphOps.pageRank(
