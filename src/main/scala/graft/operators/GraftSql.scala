@@ -86,6 +86,17 @@ object GraftSql {
     ("(?is)\\s*DROP\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
       s"(IF\\s+EXISTS\\s+)?$QN\\s*;?\\s*").r
   private val SourceR = "(?is)\\s*SOURCE\\s+(\\S+)\\s*;?\\s*".r
+  private val CreateCatalogR =
+    "(?is)\\s*CREATE\\s+CATALOG\\s+(\\w+)\\s+WITH\\s*\\((.*)\\)\\s*;?\\s*".r
+  private val DropCatalogR =
+    "(?is)\\s*DROP\\s+CATALOG\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*".r
+  private val OptR = "'([^']*)'\\s*=\\s*'([^']*)'".r
+  private val AlterRenameR =
+    "(?is)\\s*ALTER\\s+(TABLE|VIEW)\\s+([\\w.]+)\\s+RENAME\\s+TO\\s+([\\w.]+)\\s*;?\\s*".r
+  private val AlterViewAsR =
+    "(?is)\\s*ALTER\\s+VIEW\\s+([\\w.]+)\\s+AS\\s+(.+?)\\s*;?\\s*".r
+  private val AlterFnR =
+    "(?is)\\s*ALTER\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+([\\w.]+)\\s+AS\\s+'([^']+)'\\s*;?\\s*".r
   private val AlterTableR =
     s"(?is)\\s*ALTER\\s+TABLE\\s+$QN\\s+SET\\s*\\((.*)\\)\\s*;?\\s*".r
   private val DescribeR =
@@ -207,8 +218,63 @@ object GraftSql {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Same, against already-registered views only (no fixture dir). */
+  /** Named catalogs registered through `CREATE CATALOG` (reference
+    * flink-sql-parser SqlCreateCatalog.java + CatalogManager
+    * registerCatalog/setCurrentCatalog). `'type'='graft'` persists every
+    * subsequently-executed persistable DDL at `'path'` via
+    * [[graft.streaming.GraftCatalog]] — the engine's durable HiveCatalog
+    * analogue, whose existing contents REPLAY on registration exactly like
+    * opening a HiveCatalog exposes its stored objects;
+    * `'type'='generic_in_memory'` is the reference's session-scoped
+    * catalog (nothing persisted). */
+  private val namedCatalogs =
+    scala.collection.concurrent.TrieMap[String, Option[String]]()
+  @volatile private var currentNamedCatalog: Option[(String, Option[String])] = None
+
+  private val DropObjR =
+    "(?is)\\s*DROP\\s+(TABLE|VIEW|FUNCTION)\\s+(?:IF\\s+EXISTS\\s+)?([\\w.]+).*".r
+
+  /** Test/iteration hygiene: forget every named catalog and return to the
+    * default (the state a fresh session starts in). */
+  private[graft] def resetNamedCatalogs(): Unit = {
+    namedCatalogs.clear()
+    currentNamedCatalog = None
+  }
+
+  /** Same, against already-registered views only (no fixture dir). When a
+    * persistent named catalog is current, successful persistable DDL is
+    * durably recorded there and DROPs remove the stored definition — the
+    * reference's catalog-routed DDL behavior. */
   def run(spark: SparkSession, text: String): DataFrame = {
+    val out = runNoRecord(spark, text)
+    currentNamedCatalog match {
+      case Some((_, Some(catDir))) =>
+        val up = text.trim.toUpperCase
+        if (up.startsWith("CREATE"))
+          graft.streaming.GraftCatalog.record(catDir, text.trim)
+        else if (up.startsWith("DROP")) text match {
+          case DropObjR(_, name) =>
+            graft.streaming.GraftCatalog.drop(catDir, name.split('.').last)
+          case _ => ()
+        }
+        else if (up.startsWith("ALTER")) text match {
+          // a rename invalidates the stored definition under the OLD name;
+          // the new name has no recorded DDL text (rename is a registry
+          // move), so the honest catalog state is to unrecord
+          case AlterRenameR(_, from, _) =>
+            graft.streaming.GraftCatalog.drop(catDir, from.split('.').last)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out
+  }
+
+  /** The dispatcher body, WITHOUT the named-catalog record hook — used by
+    * [[graft.streaming.GraftCatalog]] itself for validation and replay so
+    * a restore never re-records (or cross-records into whatever catalog
+    * happens to be current). */
+  private[graft] def runNoRecord(spark: SparkSession, text: String): DataFrame = {
     val upper = text.toUpperCase
     // keyword probes scan the literal-blanked text: 'MATCH_RECOGNIZE' as a
     // string VALUE must not route to the NFA recognizer
@@ -299,6 +365,51 @@ object GraftSql {
             org.apache.spark.sql.execution.FormattedMode)
         Seq(planText + extra).toDF("plan")
       case _ => throw new IllegalArgumentException(s"EXPLAIN what? $text")
+    }
+    else if (upper.trim.startsWith("CREATE CATALOG")) {
+      // CREATE CATALOG name WITH ('type'='graft'|'generic_in_memory'
+      // [, 'path'='…']) — reference SqlCreateCatalog.java; the catalog
+      // factory lookup error is mirrored for unknown types.
+      import spark.implicits._
+      text match {
+        case CreateCatalogR(name0, opts) =>
+          val name = name0.toLowerCase
+          val kv = OptR.findAllMatchIn(opts)
+            .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+          kv.getOrElse("type",
+            throw new IllegalArgumentException(
+              s"CREATE CATALOG requires a 'type' option: $text")) match {
+            case "generic_in_memory" =>
+              namedCatalogs(name) = None
+            case "graft" =>
+              val path = kv.getOrElse("path", throw new IllegalArgumentException(
+                s"catalog type 'graft' requires a 'path' option: $text"))
+              namedCatalogs(name) = Some(path)
+              // opening a persistent catalog exposes its stored objects
+              graft.streaming.GraftCatalog.restore(spark, path)
+            case other => throw new IllegalArgumentException(
+              s"unknown catalog type '$other' (supported: graft, " +
+                s"generic_in_memory): $text")
+          }
+          Seq((name, "created")).toDF("catalog", "status")
+        case _ => throw new IllegalArgumentException(
+          s"CREATE CATALOG must be CREATE CATALOG name WITH ('k'='v', …): $text")
+      }
+    }
+    else if (upper.trim.startsWith("DROP CATALOG")) {
+      import spark.implicits._
+      text match {
+        case DropCatalogR(ifExists, name0) =>
+          val name = name0.toLowerCase
+          if (currentNamedCatalog.exists(_._1 == name))
+            throw new IllegalArgumentException(
+              s"Cannot drop a catalog which is currently in use: $name")
+          if (namedCatalogs.remove(name).isEmpty && ifExists == null)
+            throw new IllegalArgumentException(s"catalog does not exist: $name")
+          Seq((name, "dropped")).toDF("catalog", "status")
+        case _ => throw new IllegalArgumentException(
+          s"DROP CATALOG must be DROP CATALOG [IF EXISTS] name: $text")
+      }
     }
     else if (upper.trim.startsWith("CREATE")) text match {
       // CREATE [TEMPORARY] VIEW (reference SqlCommandParser.java:118,
@@ -400,6 +511,61 @@ object GraftSql {
             .exists(graft.streaming.GraftDdl.alterSink(_, optsTxt)) =>
         import spark.implicits._
         Seq((resolveNameOpt(spark, name0).get, "altered")).toDF("name", "status")
+      // ALTER TABLE a RENAME TO b (reference SqlAlterTableRename.java):
+      // covers both halves of this engine's CREATE TABLE — the sink
+      // registry entry and/or the temp view a source registered as; a
+      // real catalog table falls through to Spark's own ALTER.
+      case AlterRenameR("TABLE", from0, to0) if {
+        val from = resolveNameOpt(spark, from0)
+        from.exists(f => graft.streaming.GraftDdl.sink(f).isDefined ||
+          spark.catalog.tableExists(f))
+      } =>
+        import spark.implicits._
+        val from = resolveNameOpt(spark, from0).get
+        val to = resolveNameOpt(spark, to0).getOrElse(
+          throw new IllegalArgumentException(s"bad rename target: $to0"))
+        val sinkMoved = graft.streaming.GraftDdl.renameSink(from, to)
+        if (spark.catalog.tableExists(from)) {
+          spark.table(from).createOrReplaceTempView(to)
+          spark.catalog.dropTempView(from)
+        }
+        require(sinkMoved || spark.catalog.tableExists(to),
+          s"nothing to rename: $from")
+        Seq((from, to)).toDF("from", "to")
+      case _ => spark.sql(text)
+    }
+    else if (upper.trim.startsWith("ALTER VIEW")) text match {
+      // ALTER VIEW v RENAME TO w / ALTER VIEW v AS <stmt> (reference
+      // SqlAlterViewRename.java / SqlAlterViewAs.java). Bodies route back
+      // through this dispatcher, so idiom text alters fine. The reference
+      // validates existence before altering — so does this.
+      case AlterRenameR("VIEW", from0, to0) =>
+        import spark.implicits._
+        val from = resolveNameOpt(spark, from0).getOrElse(from0)
+        require(spark.catalog.tableExists(from), s"view does not exist: $from")
+        spark.table(from).createOrReplaceTempView(
+          resolveNameOpt(spark, to0).getOrElse(to0))
+        spark.catalog.dropTempView(from)
+        Seq((from, to0)).toDF("from", "to")
+      case AlterViewAsR(name0, body) =>
+        import spark.implicits._
+        val name = resolveNameOpt(spark, name0).getOrElse(name0)
+        require(spark.catalog.tableExists(name), s"view does not exist: $name")
+        run(spark, body).createOrReplaceTempView(name)
+        Seq((name, "altered")).toDF("view", "status")
+      case _ => spark.sql(text)
+    }
+    else if (upper.trim.startsWith("ALTER FUNCTION")) text match {
+      // ALTER FUNCTION name AS 'impl' (reference SqlAlterFunction.java):
+      // re-point an existing alias; altering a function that was never
+      // created is the reference's ValidationException.
+      case AlterFnR(name0, impl) =>
+        import spark.implicits._
+        val name = resolveNameOpt(spark, name0).getOrElse(name0)
+        require(spark.catalog.functionExists(name),
+          s"function does not exist: $name")
+        org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
+        Seq((name, impl)).toDF("function", "impl")
       case _ => spark.sql(text)
     }
     else if (upper.trim.matches("(?s)SHOW\\s+TABLES\\s*;?\\s*")) {
@@ -413,9 +579,11 @@ object GraftSql {
     }
     else if (upper.trim.matches("(?s)SHOW\\s+CATALOGS\\s*;?\\s*")) {
       // SHOW CATALOGS (SqlCommandParser.java:139): the engine's single
-      // default catalog, plus Spark's own name for it — both USE-able
+      // default catalog, Spark's own name for it, and every CREATE
+      // CATALOG-registered name — all USE-able
       import spark.implicits._
-      Seq("default_catalog", "spark_catalog").toDF("catalogName")
+      (Seq("default_catalog", "spark_catalog") ++ namedCatalogs.keys)
+        .sorted.toDF("catalogName")
     }
     else if (upper.trim.matches("(?s)SHOW\\s+DATABASES\\s*;?\\s*")) {
       // SHOW DATABASES (SqlCommandParser.java:141): real Spark databases —
@@ -490,8 +658,16 @@ object GraftSql {
       val target = upper.trim.stripPrefix("USE").trim
         .stripPrefix("CATALOG").trim.stripSuffix(";").trim.toLowerCase
       if (Seq("default_catalog", "default_database", "spark_catalog", "default")
-          .contains(target))
+          .contains(target)) {
+        currentNamedCatalog = None // back to the default catalog
         Seq((target, "in use")).toDF("name", "status")
+      }
+      else if (namedCatalogs.contains(target)) {
+        // a CREATE CATALOG-registered catalog becomes current: persistable
+        // DDL is recorded there from now on (reference setCurrentCatalog)
+        currentNamedCatalog = Some(target -> namedCatalogs(target))
+        Seq((target, "in use")).toDF("name", "status")
+      }
       else spark.sql(text) // a real Spark database: Spark's own USE
     }
     else if (upper.trim.startsWith("SOURCE ")) text match {
@@ -854,6 +1030,46 @@ object GraftSql {
     Some("""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS wstart,
            |       count(*) AS cnt
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** The catalog LIFECYCLE from SQL text alone (reference SqlCreateCatalog +
+    * CatalogManager.setCurrentCatalog + HiveCatalog durability): register a
+    * persistent catalog, make it current, run sink DDL + INSERT under it —
+    * the DDL is durably recorded — then re-open the catalog under a fresh
+    * name and answer from the REPLAYED table. The oracle reconstructs the
+    * written aggregate relationally. */
+  val qCatalogDoor: Q = Q(
+    "q_catalog_door",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val catDir = Tables.scratch(
+        s"catalog-door/cat-${java.util.UUID.randomUUID()}")
+      val sink = Tables.scratch(
+        s"catalog-door/sink-${java.util.UUID.randomUUID()}")
+      try {
+        run(s, s"CREATE CATALOG door_cat WITH ('type'='graft', 'path'='$catDir')")
+        run(s, "USE CATALOG door_cat")
+        run(s,
+          s"""CREATE TABLE graft_cat_sink (o_orderpriority STRING, n BIGINT)
+             |WITH ('path' = '$sink', 'format' = 'parquet')""".stripMargin)
+        run(s,
+          """INSERT INTO graft_cat_sink
+            |SELECT o_orderpriority, count(*) AS n
+            |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        // drop the session object, then re-open the catalog: the recorded
+        // DDL replays and the sink is a FUNCTIONING table again — the
+        // INSERT (idempotent batch overwrite) returns its contents
+        run(s, "USE CATALOG default_catalog")
+        run(s, "DROP TABLE graft_cat_sink")
+        run(s, s"CREATE CATALOG door_cat2 WITH ('type'='graft', 'path'='$catDir')")
+        run(s,
+          """INSERT INTO graft_cat_sink
+            |SELECT o_orderpriority, count(*) AS n
+            |FROM orders GROUP BY o_orderpriority""".stripMargin)
+          .orderBy("o_orderpriority")
+      } finally resetNamedCatalogs()
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
   /** The reference's StatementSet (flink-table/flink-table-api-java/src/main/
     * java/org/apache/flink/table/api/StatementSet.java — 1.11's API for
@@ -1226,5 +1442,5 @@ object GraftSql {
   val all: Seq[Q] = Seq(qSqlMixed, qSqlMatchStmt, qSqlDedupEntry, qInsertInto,
     qSqlWindowTopn, qSqlTemporalWindow, qSqlMatchWindow, qSqlSessionMatch,
     qSqlView, qSqlFunction, qDdlComputed, qDdlLike, qPartitionedInsert,
-    qFileSinkDoor)
+    qFileSinkDoor, qCatalogDoor)
 }

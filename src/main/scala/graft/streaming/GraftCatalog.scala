@@ -71,12 +71,22 @@ object GraftCatalog {
   def executeSql(spark: SparkSession, catalogDir: String, ddl: String): String = {
     val (_, name) = classify(ddl).getOrElse(throw new IllegalArgumentException(
       s"not a persistable DDL (CREATE TABLE/VIEW/FUNCTION): $ddl"))
-    graft.operators.GraftSql.run(spark, ddl) // validate + register first
+    graft.operators.GraftSql.runNoRecord(spark, ddl) // validate + register first
     // LIKE resolves to a self-contained CREATE TABLE before persisting
     // (see executeDdl); other DDL classes pass through resolveDdl unchanged
     persist(catalogDir, name, GraftDdl.resolveDdl(ddl))
     name
   }
+
+  /** Persist an ALREADY-EXECUTED persistable DDL — the hook behind the
+    * door's `CREATE CATALOG`/`USE CATALOG` routing (GraftSql validates and
+    * executes first, then records here). Returns the recorded name; None
+    * when the text is not one of the three persistable classes. */
+  def record(catalogDir: String, ddl: String): Option[String] =
+    classify(ddl).map { case (_, name) =>
+      persist(catalogDir, name, GraftDdl.resolveDdl(ddl))
+      name
+    }
 
   private def persist(catalogDir: String, name: String, ddl: String): Unit = {
     Files.createDirectories(Paths.get(catalogDir))
@@ -113,7 +123,7 @@ object GraftCatalog {
       }
       .sortBy { case (ord, fn, _, _) => (ord, fn) }
       .map { case (_, _, name, ddl) =>
-        graft.operators.GraftSql.run(spark, ddl)
+        graft.operators.GraftSql.runNoRecord(spark, ddl)
         name
       }
   }

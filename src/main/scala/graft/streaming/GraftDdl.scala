@@ -326,6 +326,14 @@ object GraftDdl {
     * DropTableOperation, SqlCommandParser.java:113). True iff it existed. */
   def dropSink(name: String): Boolean = sinks.remove(name.toLowerCase).isDefined
 
+  /** `ALTER TABLE a RENAME TO b` on a registered sink (reference
+    * SqlAlterTableRename.java). True iff `from` existed. */
+  def renameSink(from: String, to: String): Boolean =
+    sinks.remove(from.toLowerCase) match {
+      case Some(sd) => sinks(to.toLowerCase) = sd; true
+      case None => false
+    }
+
   /** `ALTER TABLE name SET ('k'='v', …)` on a registered sink (reference
     * SqlAlterTableProperties — 1.11's table-options alter): merge the given
     * options into the SinkDef. True iff the sink existed. */

@@ -1,0 +1,109 @@
+package graft
+
+import operators.GraftSql
+
+/** CREATE/DROP/USE CATALOG through the door (reference SqlCreateCatalog +
+  * CatalogManager): a 'graft' catalog persists DDL at its path and replays
+  * its contents on registration; 'generic_in_memory' is session-scoped;
+  * the current catalog cannot be dropped. */
+class CatalogDdlSpec extends GraftSpec {
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-cat-$tag").toString
+
+  override def afterAll(): Unit = {
+    GraftSql.resetNamedCatalogs()
+    super.afterAll()
+  }
+
+  test("persistent catalog records DDL while current and replays it on re-registration") {
+    GraftSql.resetNamedCatalogs()
+    val dir = freshDir("persist")
+    GraftSql.run(spark, s"CREATE CATALOG cat1 WITH ('type'='graft', 'path'='$dir')")
+    GraftSql.run(spark, "USE CATALOG cat1")
+    val sink = java.nio.file.Files.createTempDirectory("graft-cat-sink").toString
+    GraftSql.run(spark,
+      s"CREATE TABLE cat_t1 (k BIGINT, v STRING) WITH ('path' = '$sink', 'format' = 'parquet')")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "cat_t1.ddl")),
+      "DDL not recorded in the current persistent catalog")
+    // a fresh 'session': forget everything, re-register the catalog → replay
+    GraftSql.resetNamedCatalogs()
+    spark.sql("DROP TABLE IF EXISTS cat_t1")
+    GraftSql.run(spark, "DROP VIEW IF EXISTS cat_t1")
+    GraftSql.run(spark, s"CREATE CATALOG cat1b WITH ('type'='graft', 'path'='$dir')")
+    // the sink table is back in the registry: DESCRIBE answers
+    val desc = GraftSql.run(spark, "DESCRIBE cat_t1").collect()
+    assert(desc.nonEmpty, "replayed catalog did not restore the sink table")
+    GraftSql.resetNamedCatalogs()
+  }
+
+  test("DROP of an object while a persistent catalog is current removes its stored DDL") {
+    GraftSql.resetNamedCatalogs()
+    val dir = freshDir("drop")
+    GraftSql.run(spark, s"CREATE CATALOG cat2 WITH ('type'='graft', 'path'='$dir')")
+    GraftSql.run(spark, "USE CATALOG cat2")
+    GraftSql.run(spark, "CREATE VIEW cat_v1 AS SELECT 1 AS one")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "cat_v1.ddl")))
+    GraftSql.run(spark, "DROP VIEW cat_v1")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "cat_v1.ddl")),
+      "stored definition survived the DROP")
+    GraftSql.resetNamedCatalogs()
+  }
+
+  test("generic_in_memory catalog persists nothing; SHOW CATALOGS lists registered names") {
+    GraftSql.resetNamedCatalogs()
+    GraftSql.run(spark, "CREATE CATALOG mem1 WITH ('type'='generic_in_memory')")
+    val names = GraftSql.run(spark, "SHOW CATALOGS").collect().map(_.getString(0)).toSet
+    assert(names.contains("mem1") && names.contains("default_catalog"), names)
+    GraftSql.run(spark, "USE CATALOG mem1")
+    GraftSql.run(spark, "CREATE VIEW cat_v2 AS SELECT 2 AS two")
+    // nothing recorded anywhere — in-memory catalogs have no path at all
+    GraftSql.run(spark, "USE CATALOG default_catalog")
+    GraftSql.run(spark, "DROP CATALOG mem1")
+    assert(!GraftSql.run(spark, "SHOW CATALOGS").collect()
+      .map(_.getString(0)).contains("mem1"))
+    GraftSql.run(spark, "DROP VIEW cat_v2")
+    GraftSql.resetNamedCatalogs()
+  }
+
+  test("the current catalog cannot be dropped; unknown types and missing options error") {
+    GraftSql.resetNamedCatalogs()
+    GraftSql.run(spark, "CREATE CATALOG mem2 WITH ('type'='generic_in_memory')")
+    GraftSql.run(spark, "USE CATALOG mem2")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "DROP CATALOG mem2")
+    }
+    assert(e.getMessage.contains("currently in use"), e.getMessage)
+    GraftSql.run(spark, "USE CATALOG default_catalog")
+    GraftSql.run(spark, "DROP CATALOG mem2")
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "CREATE CATALOG bad1 WITH ('type'='hive_metastore_9000')")
+    }.getMessage.contains("unknown catalog type"))
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "CREATE CATALOG bad2 WITH ('type'='graft')")
+    }.getMessage.contains("requires a 'path'"))
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "DROP CATALOG never_existed")
+    }.getMessage.contains("does not exist"))
+    GraftSql.run(spark, "DROP CATALOG IF EXISTS never_existed") // no error
+    GraftSql.resetNamedCatalogs()
+  }
+
+  test("restore never re-records: replay through a catalog leaves other catalogs untouched") {
+    GraftSql.resetNamedCatalogs()
+    val dirA = freshDir("a")
+    val dirB = freshDir("b")
+    GraftSql.run(spark, s"CREATE CATALOG catA WITH ('type'='graft', 'path'='$dirA')")
+    GraftSql.run(spark, "USE CATALOG catA")
+    GraftSql.run(spark, "CREATE VIEW cat_v3 AS SELECT 3 AS three")
+    // now switch current to B and re-open A: A's replay must not copy into B
+    GraftSql.resetNamedCatalogs()
+    GraftSql.run(spark, s"CREATE CATALOG catB WITH ('type'='graft', 'path'='$dirB')")
+    GraftSql.run(spark, "USE CATALOG catB")
+    GraftSql.run(spark, s"CREATE CATALOG catA2 WITH ('type'='graft', 'path'='$dirA')")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirB, "cat_v3.ddl")),
+      "replaying catalog A cross-recorded its objects into current catalog B")
+    GraftSql.run(spark, "DROP VIEW cat_v3")
+    GraftSql.resetNamedCatalogs()
+  }
+}
