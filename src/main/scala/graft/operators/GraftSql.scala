@@ -618,6 +618,38 @@ object GraftSql {
       spark.catalog.listFunctions().collect().map(_.name.toLowerCase)
         .distinct.sorted.toSeq.toDF("functionName")
     }
+    else if (upper.trim.matches("(?is)DESC(?:RIBE)?\\s+CATALOG\\s+.*")) {
+      // DESCRIBE CATALOG name (reference dql/SqlDescribeCatalog.java):
+      // name, type, whether current, and the persistence path if any.
+      import spark.implicits._
+      val name = upper.trim.replaceAll("(?is)DESC(?:RIBE)?\\s+CATALOG\\s+", "")
+        .stripSuffix(";").trim.toLowerCase
+      val isCurrent = currentNamedCatalog.exists(_._1 == name)
+      namedCatalogs.get(name) match {
+        case Some(pathOpt) =>
+          Seq((name, pathOpt.fold("generic_in_memory")(_ => "graft"),
+            isCurrent.toString, pathOpt.getOrElse("")))
+            .toDF("catalog", "type", "current", "path")
+        case None if Seq("default_catalog", "spark_catalog").contains(name) =>
+          Seq((name, "default", (currentNamedCatalog.isEmpty).toString, ""))
+            .toDF("catalog", "type", "current", "path")
+        case None => throw new IllegalArgumentException(
+          s"catalog does not exist: $name")
+      }
+    }
+    else if (upper.trim.matches("(?is)DESC(?:RIBE)?\\s+DATABASE\\s+.*")) {
+      // DESCRIBE DATABASE name (reference dql/SqlDescribeDatabase.java):
+      // Spark's catalog metadata for the database.
+      import spark.implicits._
+      val name0 = upper.trim.replaceAll("(?is)DESC(?:RIBE)?\\s+DATABASE\\s+", "")
+        .stripSuffix(";").trim.toLowerCase
+      val name = if (name0 == "default_database") "default" else name0
+      require(spark.catalog.databaseExists(name),
+        s"database does not exist: $name0")
+      val db = spark.catalog.getDatabase(name)
+      Seq((db.name, Option(db.description).getOrElse(""), db.locationUri))
+        .toDF("database", "description", "location")
+    }
     else if (upper.trim.startsWith("DESCRIBE") || upper.trim.startsWith("DESC "))
       text match {
         // DESCRIBE (SqlCommandParser.java:116) aligned with SHOW TABLES

@@ -89,6 +89,28 @@ class CatalogDdlSpec extends GraftSpec {
     GraftSql.resetNamedCatalogs()
   }
 
+  test("DESCRIBE CATALOG and DESCRIBE DATABASE answer; unknown names error") {
+    GraftSql.resetNamedCatalogs()
+    val dir = freshDir("desc")
+    GraftSql.run(spark, s"CREATE CATALOG desc_cat WITH ('type'='graft', 'path'='$dir')")
+    GraftSql.run(spark, "USE CATALOG desc_cat")
+    val row = GraftSql.run(spark, "DESCRIBE CATALOG desc_cat").head
+    assert(row.getString(1) == "graft" && row.getString(2) == "true" &&
+      row.getString(3) == dir, row)
+    GraftSql.run(spark, "USE CATALOG default_catalog")
+    assert(GraftSql.run(spark, "DESCRIBE CATALOG default_catalog")
+      .head.getString(2) == "true")
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "DESCRIBE CATALOG no_such_cat")
+    }.getMessage.contains("does not exist"))
+    val db = GraftSql.run(spark, "DESCRIBE DATABASE default_database").head
+    assert(db.getString(0) == "default", db)
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "DESCRIBE DATABASE no_such_db")
+    }.getMessage.contains("does not exist"))
+    GraftSql.resetNamedCatalogs()
+  }
+
   test("restore never re-records: replay through a catalog leaves other catalogs untouched") {
     GraftSql.resetNamedCatalogs()
     val dirA = freshDir("a")
