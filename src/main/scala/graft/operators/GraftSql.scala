@@ -90,7 +90,6 @@ object GraftSql {
     "(?is)\\s*CREATE\\s+CATALOG\\s+(\\w+)\\s+WITH\\s*\\((.*)\\)\\s*;?\\s*".r
   private val DropCatalogR =
     "(?is)\\s*DROP\\s+CATALOG\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*".r
-  private val OptR = "'([^']*)'\\s*=\\s*'([^']*)'".r
   private val AlterRenameR =
     "(?is)\\s*ALTER\\s+(TABLE|VIEW)\\s+([\\w.]+)\\s+RENAME\\s+TO\\s+([\\w.]+)\\s*;?\\s*".r
   private val AlterViewAsR =
@@ -231,8 +230,12 @@ object GraftSql {
     scala.collection.concurrent.TrieMap[String, Option[String]]()
   @volatile private var currentNamedCatalog: Option[(String, Option[String])] = None
 
-  private val DropObjR =
-    "(?is)\\s*DROP\\s+(TABLE|VIEW|FUNCTION)\\s+(?:IF\\s+EXISTS\\s+)?([\\w.]+).*".r
+  /** True iff `name` is a session temp view (the only kind of view/table
+    * this engine registers itself — real catalog tables take Spark's own
+    * DDL paths). */
+  private def isTempView(spark: SparkSession, name: String): Boolean =
+    try spark.catalog.getTable(name).isTemporary
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
 
   /** Test/iteration hygiene: forget every named catalog and return to the
     * default (the state a fresh session starts in). */
@@ -245,36 +248,38 @@ object GraftSql {
     * persistent named catalog is current, successful persistable DDL is
     * durably recorded there and DROPs remove the stored definition — the
     * reference's catalog-routed DDL behavior. */
-  def run(spark: SparkSession, text: String): DataFrame = {
-    val out = runNoRecord(spark, text)
-    currentNamedCatalog match {
+  // Recording is suppressed while GraftCatalog itself validates or replays
+  // DDL, so a restore never re-records (or cross-records into whatever
+  // catalog happens to be current).
+  private val recordingEnabled = new scala.util.DynamicVariable[Boolean](true)
+
+  /** Dispatcher entry WITHOUT named-catalog recording — used by
+    * [[graft.streaming.GraftCatalog]] for validation and replay. */
+  private[graft] def runNoRecord(spark: SparkSession, text: String): DataFrame =
+    recordingEnabled.withValue(false)(run(spark, text))
+
+  /** Durably record a door-REGISTERED object's DDL in the current
+    * persistent named catalog, if any. Called only from the dispatcher
+    * branches that actually register (so a plain-Spark fallthrough, whose
+    * durability is the metastore's own, and an IF NOT EXISTS no-op are
+    * never recorded). */
+  private def maybeRecord(ddl: String): Unit =
+    if (recordingEnabled.value) currentNamedCatalog match {
       case Some((_, Some(catDir))) =>
-        val up = text.trim.toUpperCase
-        if (up.startsWith("CREATE"))
-          graft.streaming.GraftCatalog.record(catDir, text.trim)
-        else if (up.startsWith("DROP")) text match {
-          case DropObjR(_, name) =>
-            graft.streaming.GraftCatalog.drop(catDir, name.split('.').last)
-          case _ => ()
-        }
-        else if (up.startsWith("ALTER")) text match {
-          // a rename invalidates the stored definition under the OLD name;
-          // the new name has no recorded DDL text (rename is a registry
-          // move), so the honest catalog state is to unrecord
-          case AlterRenameR(_, from, _) =>
-            graft.streaming.GraftCatalog.drop(catDir, from.split('.').last)
-          case _ => ()
-        }
+        graft.streaming.GraftCatalog.record(catDir, ddl)
       case _ => ()
     }
-    out
-  }
 
-  /** The dispatcher body, WITHOUT the named-catalog record hook — used by
-    * [[graft.streaming.GraftCatalog]] itself for validation and replay so
-    * a restore never re-records (or cross-records into whatever catalog
-    * happens to be current). */
-  private[graft] def runNoRecord(spark: SparkSession, text: String): DataFrame = {
+  /** Remove a dropped/renamed object's stored definition from the current
+    * persistent named catalog, if any. */
+  private def maybeUnrecord(name: String): Unit =
+    if (recordingEnabled.value) currentNamedCatalog match {
+      case Some((_, Some(catDir))) =>
+        graft.streaming.GraftCatalog.drop(catDir, name)
+      case _ => ()
+    }
+
+  def run(spark: SparkSession, text: String): DataFrame = {
     val upper = text.toUpperCase
     // keyword probes scan the literal-blanked text: 'MATCH_RECOGNIZE' as a
     // string VALUE must not route to the NFA recognizer
@@ -374,8 +379,7 @@ object GraftSql {
       text match {
         case CreateCatalogR(name0, opts) =>
           val name = name0.toLowerCase
-          val kv = OptR.findAllMatchIn(opts)
-            .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+          val kv = graft.streaming.GraftDdl.parseOpts(opts)
           kv.getOrElse("type",
             throw new IllegalArgumentException(
               s"CREATE CATALOG requires a 'type' option: $text")) match {
@@ -422,10 +426,12 @@ object GraftSql {
           case None => spark.sql(text) // real Spark database: Spark's own
           case Some(name) =>
             if (ifNotExists != null && spark.catalog.tableExists(name))
-              spark.table(name)
+              spark.table(name) // no-op: session keeps the OLD body, so
+                                // nothing is recorded either
             else {
               val df = run(spark, body)
               df.createOrReplaceTempView(name)
+              maybeRecord(text.trim)
               df
             }
         }
@@ -438,6 +444,7 @@ object GraftSql {
           case None => spark.sql(text) // real Spark database: Spark's own
           case Some(name) =>
             org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
+            maybeRecord(text.trim)
             Seq((name, impl)).toDF("function", "impl")
         }
       // the reference's DDL (SqlCreateTable.java:56) — a WATERMARK clause
@@ -454,6 +461,7 @@ object GraftSql {
           (blankLiterals(text).matches("(?is).*\\)\\s*WITH\\s*\\(.*") ||
             blankLiterals(text).matches("(?is).*\\sLIKE\\s+\\w+.*")) =>
         val name = graft.streaming.GraftDdl.executeDdl(spark, text)
+        maybeRecord(text.trim)
         if (spark.catalog.tableExists(name)) spark.table(name)
         else spark.emptyDataFrame
       case _ => spark.sql(text) // other DDL (plain CREATE TABLE, CREATE DATABASE, …): Spark's own
@@ -473,6 +481,7 @@ object GraftSql {
             case Some(name) =>
               val dropped = spark.catalog.dropTempView(name)
               require(dropped || ifExists != null, s"view does not exist: $name")
+              if (dropped) maybeUnrecord(name)
               Seq((name, dropped)).toDF("name", "dropped")
           }
         case DropTableR(ifExists, name0) =>
@@ -481,8 +490,10 @@ object GraftSql {
             case Some(name) =>
               val sinkDropped = graft.streaming.GraftDdl.dropSink(name)
               val viewDropped = spark.catalog.dropTempView(name)
-              if (sinkDropped || viewDropped)
+              if (sinkDropped || viewDropped) {
+                maybeUnrecord(name)
                 Seq((name, true)).toDF("name", "dropped")
+              }
               else if (ifExists != null) Seq((name, false)).toDF("name", "dropped")
               // a real catalog table (e.g. registered by the plain-Spark
               // CREATE TABLE fallthrough): Spark's own DROP handles it — and
@@ -496,6 +507,7 @@ object GraftSql {
               val dropped =
                 org.apache.spark.sql.graft.GraftSqlFunctions.dropFunction(spark, name)
               require(dropped || ifExists != null, s"function does not exist: $name")
+              if (dropped) maybeUnrecord(name)
               Seq((name, dropped)).toDF("name", "dropped")
           }
         case _ => spark.sql(text) // DROP DATABASE, …: Spark's own
@@ -513,24 +525,26 @@ object GraftSql {
         Seq((resolveNameOpt(spark, name0).get, "altered")).toDF("name", "status")
       // ALTER TABLE a RENAME TO b (reference SqlAlterTableRename.java):
       // covers both halves of this engine's CREATE TABLE — the sink
-      // registry entry and/or the temp view a source registered as; a
-      // real catalog table falls through to Spark's own ALTER.
+      // registry entry and/or the TEMP view a source registered as; a
+      // real catalog table (plain-Spark fallthrough, metastore) takes
+      // Spark's own ALTER ... RENAME below, which renames in place.
       case AlterRenameR("TABLE", from0, to0) if {
-        val from = resolveNameOpt(spark, from0)
-        from.exists(f => graft.streaming.GraftDdl.sink(f).isDefined ||
-          spark.catalog.tableExists(f))
+        resolveNameOpt(spark, from0).exists(f =>
+          graft.streaming.GraftDdl.sink(f).isDefined || isTempView(spark, f))
       } =>
         import spark.implicits._
         val from = resolveNameOpt(spark, from0).get
         val to = resolveNameOpt(spark, to0).getOrElse(
           throw new IllegalArgumentException(s"bad rename target: $to0"))
         val sinkMoved = graft.streaming.GraftDdl.renameSink(from, to)
-        if (spark.catalog.tableExists(from)) {
+        if (isTempView(spark, from)) {
           spark.table(from).createOrReplaceTempView(to)
           spark.catalog.dropTempView(from)
         }
         require(sinkMoved || spark.catalog.tableExists(to),
           s"nothing to rename: $from")
+        maybeUnrecord(from) // a rename invalidates the stored definition
+                            // under the OLD name; the move has no DDL text
         Seq((from, to)).toDF("from", "to")
       case _ => spark.sql(text)
     }
@@ -538,34 +552,50 @@ object GraftSql {
       // ALTER VIEW v RENAME TO w / ALTER VIEW v AS <stmt> (reference
       // SqlAlterViewRename.java / SqlAlterViewAs.java). Bodies route back
       // through this dispatcher, so idiom text alters fine. The reference
-      // validates existence before altering — so does this.
+      // validates existence before altering — so does this. A qualified
+      // name on a real database falls through to Spark's own ALTER VIEW,
+      // like every other command.
       case AlterRenameR("VIEW", from0, to0) =>
         import spark.implicits._
-        val from = resolveNameOpt(spark, from0).getOrElse(from0)
-        require(spark.catalog.tableExists(from), s"view does not exist: $from")
-        spark.table(from).createOrReplaceTempView(
-          resolveNameOpt(spark, to0).getOrElse(to0))
-        spark.catalog.dropTempView(from)
-        Seq((from, to0)).toDF("from", "to")
+        (resolveNameOpt(spark, from0), resolveNameOpt(spark, to0)) match {
+          case (Some(from), Some(to)) =>
+            require(isTempView(spark, from), s"view does not exist: $from")
+            spark.table(from).createOrReplaceTempView(to)
+            spark.catalog.dropTempView(from)
+            maybeUnrecord(from)
+            Seq((from, to)).toDF("from", "to")
+          case _ => spark.sql(text) // real Spark database: Spark's own
+        }
       case AlterViewAsR(name0, body) =>
         import spark.implicits._
-        val name = resolveNameOpt(spark, name0).getOrElse(name0)
-        require(spark.catalog.tableExists(name), s"view does not exist: $name")
-        run(spark, body).createOrReplaceTempView(name)
-        Seq((name, "altered")).toDF("view", "status")
+        resolveNameOpt(spark, name0) match {
+          case Some(name) =>
+            require(isTempView(spark, name), s"view does not exist: $name")
+            run(spark, body).createOrReplaceTempView(name)
+            // the stored definition must follow the NEW body, or a catalog
+            // re-open would resurrect the old one
+            maybeRecord(s"CREATE VIEW $name AS $body")
+            Seq((name, "altered")).toDF("view", "status")
+          case None => spark.sql(text) // real Spark database: Spark's own
+        }
       case _ => spark.sql(text)
     }
     else if (upper.trim.startsWith("ALTER FUNCTION")) text match {
       // ALTER FUNCTION name AS 'impl' (reference SqlAlterFunction.java):
       // re-point an existing alias; altering a function that was never
-      // created is the reference's ValidationException.
+      // created is the reference's ValidationException. Qualified names on
+      // real databases take Spark's own path.
       case AlterFnR(name0, impl) =>
         import spark.implicits._
-        val name = resolveNameOpt(spark, name0).getOrElse(name0)
-        require(spark.catalog.functionExists(name),
-          s"function does not exist: $name")
-        org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
-        Seq((name, impl)).toDF("function", "impl")
+        resolveNameOpt(spark, name0) match {
+          case Some(name) =>
+            require(spark.catalog.functionExists(name),
+              s"function does not exist: $name")
+            org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
+            maybeRecord(s"CREATE FUNCTION $name AS '$impl'")
+            Seq((name, impl)).toDF("function", "impl")
+          case None => spark.sql(text) // real Spark database: Spark's own
+        }
       case _ => spark.sql(text)
     }
     else if (upper.trim.matches("(?s)SHOW\\s+TABLES\\s*;?\\s*")) {
@@ -893,20 +923,29 @@ object GraftSql {
   private def executeUtilityInsert(spark: SparkSession, name: String,
       format: String, df: DataFrame): (DataFrame, Long) = {
     import org.apache.spark.sql.Row
-    def printPartition(it: Iterator[Row]): Unit =
-      it.foreach(r => println(s"+I[${r.mkString(", ")}]"))
+    // one pass per batch: count inside the same partition sweep that
+    // prints/discards, instead of a second count() job over the full plan
+    def consume(batch: DataFrame, counter: Long => Unit): Unit = {
+      val acc = spark.sparkContext.longAccumulator(s"graft-$name-rows")
+      val doPrint = format == "print"
+      batch.foreachPartition { it: Iterator[Row] =>
+        var c = 0L
+        it.foreach { r => c += 1; if (doPrint) println(s"+I[${r.mkString(", ")}]") }
+        acc.add(c)
+      }
+      counter(acc.value)
+    }
     if (!df.isStreaming) {
-      if (format == "print") df.foreachPartition(printPartition _)
-      else df.write.format("noop").mode("overwrite").save()
-      (df, df.count())
+      var n = 0L
+      consume(df, n = _)
+      (df, n)
     } else {
       val drained = spark.sparkContext.longAccumulator(s"graft-$name-rows")
       val ckpt = graft.Tables.scratch(
         s"insert-ckpt/$name-util-${java.util.UUID.randomUUID()}")
       val q = df.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          drained.add(batch.count())
-          if (format == "print") batch.foreachPartition(printPartition _)
+          consume(batch, drained.add(_))
           () // blackhole: counting IS the consumption
         }
         .option("checkpointLocation", ckpt)
@@ -1113,14 +1152,14 @@ object GraftSql {
     * per-sink affected-row counts. */
   final class StatementSet private[operators] (spark: SparkSession) {
     private val stmts =
-      scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Option[String], String)]
     def addInsertSql(sql: String): this.type = sql.trim match {
       // validate the FULL statement shape here (the reference's
       // StatementSet.addInsertSql throws immediately on non-INSERT text),
       // so execute() can never hit a MatchError on text that merely
       // started with the right prefix (r6 ADVICE)
-      case InsertR(mode, name, _, select) if mode.equalsIgnoreCase("INTO") =>
-        stmts += ((name, select, sql.trim))
+      case InsertR(mode, name, partTxt, select) if mode.equalsIgnoreCase("INTO") =>
+        stmts += ((name, select, Option(partTxt), sql.trim))
         this
       case _ => throw new IllegalArgumentException(
         s"StatementSet accepts only INSERT INTO <sink> <select> statements: $sql")
@@ -1128,13 +1167,15 @@ object GraftSql {
     def execute(): DataFrame = {
       import spark.implicits._
       require(stmts.nonEmpty, "empty statement set: call addInsertSql first")
-      stmts.toSeq.map { case (name, select, full) =>
+      stmts.toSeq.map { case (name, select, partTxt, full) =>
         // rows = THIS statement's written count (the reference
         // TableResult's per-sink affected-row count), not the sink's
         // cumulative contents, which diverge for streaming-append sinks
         // and pre-populated paths (r6 ADVICE)
         val rows = graft.streaming.GraftDdl.sink(name) match {
-          case Some(sd) => executeInsert(spark, "INTO", name, sd, select)._2
+          // a static PARTITION clause travels with its statement — the
+          // two door entry points (run / StatementSet) must not diverge
+          case Some(sd) => executeInsert(spark, "INTO", name, sd, select, partTxt)._2
           case None => GraftSql.run(spark, full).count()
         }
         name -> rows

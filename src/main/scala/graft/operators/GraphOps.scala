@@ -84,7 +84,8 @@ object GraphOps {
         .groupBy("dst").agg(sum("c").as("acc"))
       ranks = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          (lit(0.15 / n) + lit(damping) * coalesce(col("acc"), lit(0.0))).as("rank"))
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("acc"), lit(0.0))).as("rank"))
     }
     ranks
   }

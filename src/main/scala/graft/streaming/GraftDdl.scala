@@ -55,7 +55,7 @@ object GraftDdl {
     ("(?is)CREATE TABLE (\\w+)\\s*(?:\\((.*?)\\)\\s*)?" +
       "(?:WITH \\((.*?)\\)\\s*)?LIKE\\s+(\\w+)\\s*(?:\\(([^)]*)\\))?\\s*;?\\s*").r
 
-  private def parseOpts(optsTxt: String): Map[String, String] =
+  private[graft] def parseOpts(optsTxt: String): Map[String, String] =
     OptR.findAllMatchIn(optsTxt)
       .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
 

@@ -89,6 +89,35 @@ class CatalogDdlSpec extends GraftSpec {
     GraftSql.resetNamedCatalogs()
   }
 
+  test("recording follows SESSION truth: ALTER VIEW AS re-records, IF NOT EXISTS no-op and plain-Spark fallthrough record nothing") {
+    GraftSql.resetNamedCatalogs()
+    val dir = freshDir("truth")
+    GraftSql.run(spark, s"CREATE CATALOG cat_tr WITH ('type'='graft', 'path'='$dir')")
+    GraftSql.run(spark, "USE CATALOG cat_tr")
+    GraftSql.run(spark, "CREATE VIEW tr_v AS SELECT 1 AS x")
+    // ALTER ... AS must move the stored definition to the NEW body
+    GraftSql.run(spark, "ALTER VIEW tr_v AS SELECT 2 AS x")
+    val stored = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "tr_v.ddl"))
+    assert(stored.contains("SELECT 2"), stored)
+    // IF NOT EXISTS on an existing view is a session no-op → not recorded
+    GraftSql.run(spark, "CREATE VIEW IF NOT EXISTS tr_v AS SELECT 3 AS x")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "tr_v.ddl")).contains("SELECT 2"))
+    assert(spark.table("tr_v").head.getInt(0) == 2)
+    // a plain-Spark CREATE TABLE (metastore fallthrough) is the
+    // metastore's own durability, not this catalog's
+    spark.sql("DROP TABLE IF EXISTS tr_plain")
+    GraftSql.run(spark, "CREATE TABLE tr_plain (x INT) USING parquet")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tr_plain.ddl")),
+      "plain-Spark fallthrough DDL must not be recorded")
+    spark.sql("DROP TABLE tr_plain")
+    GraftSql.run(spark, "DROP VIEW tr_v")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tr_v.ddl")))
+    GraftSql.resetNamedCatalogs()
+  }
+
   test("DESCRIBE CATALOG and DESCRIBE DATABASE answer; unknown names error") {
     GraftSql.resetNamedCatalogs()
     val dir = freshDir("desc")

@@ -370,6 +370,25 @@ class GraftSqlSpec extends GraftSpec {
     }
   }
 
+  test("StatementSet carries a static PARTITION clause exactly like run()") {
+    GraftSql.sql(spark, sfDir, "SELECT 1 AS one")
+    val p = Tables.scratch("insert-sink/gsql_ss_part")
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql_ss_part (event_id BIGINT, value DOUBLE)
+         |PARTITIONED BY (etype) WITH ('path' = '$p')""".stripMargin)
+    val summary = GraftSql.createStatementSet(spark)
+      .addInsertSql(
+        """INSERT INTO gsql_ss_part PARTITION (etype='purchase')
+          |SELECT event_id, value FROM events
+          |WHERE event_type = 'purchase'""".stripMargin)
+      .execute().collect()
+    assert(summary.head.getLong(1) > 0)
+    val written = spark.read.parquet(p)
+    assert(written.columns.contains("etype"))
+    assert(written.select("etype").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("purchase"))
+  }
+
   test("full deployment script: SET + sink DDL + INSERT with nested temporal join") {
     val sparkS = spark
     import sparkS.implicits._

@@ -27,6 +27,11 @@ class GraphOpsSpec extends GraftSpec {
     val total = operators.GraphOps.pageRank(e, iters = 4)
       .agg(sum("rank")).head.getDouble(0)
     assert(math.abs(total - 1.0) < 1e-9, total)
+    // ... and for a NON-default damping too: the teleport term must be
+    // (1-d)/n, not a hardcoded 0.15/n
+    val total9 = operators.GraphOps.pageRank(e, iters = 4, damping = 0.9)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total9 - 1.0) < 1e-9, total9)
   }
 
   test("pageRank: a hub out-ranks its spokes") {
