@@ -279,7 +279,21 @@ object GraftSql {
       case _ => ()
     }
 
-  def run(spark: SparkSession, text: String): DataFrame = {
+  /** The reference's fully-qualified spelling `default_catalog.db.t` on a
+    * REAL Spark database must reach spark.sql under Spark's own name for
+    * that catalog — `spark_catalog` — or the fallthrough dies with
+    * CATALOG_NOT_FOUND. Rewritten OUTSIDE string literals only. */
+  private def mapDefaultCatalog(text: String): String = {
+    val parts = text.split("'", -1)
+    parts.zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 0)
+        seg.replaceAll("(?i)\\bdefault_catalog\\.(\\w+\\.\\w+)", "spark_catalog.$1")
+      else seg
+    }.mkString("'")
+  }
+
+  def run(spark: SparkSession, text0: String): DataFrame = {
+    val text = mapDefaultCatalog(text0)
     val upper = text.toUpperCase
     // keyword probes scan the literal-blanked text: 'MATCH_RECOGNIZE' as a
     // string VALUE must not route to the NFA recognizer
@@ -518,11 +532,13 @@ object GraftSql {
       // AlterTableOperation / 1.11 SqlAlterTableProperties): on a registered
       // sink the options merge into the SinkDef — later INSERTs observe the
       // new path/format. Anything else is Spark's own ALTER.
-      case AlterTableR(name0, optsTxt)
-          if resolveNameOpt(spark, name0)
-            .exists(graft.streaming.GraftDdl.alterSink(_, optsTxt)) =>
+      case AlterTableR(name0, optsTxt) =>
         import spark.implicits._
-        Seq((resolveNameOpt(spark, name0).get, "altered")).toDF("name", "status")
+        resolveNameOpt(spark, name0) match {
+          case Some(name) if graft.streaming.GraftDdl.alterSink(name, optsTxt) =>
+            Seq((name, "altered")).toDF("name", "status")
+          case _ => spark.sql(text) // not a registered sink: Spark's own ALTER
+        }
       // ALTER TABLE a RENAME TO b (reference SqlAlterTableRename.java):
       // covers both halves of this engine's CREATE TABLE — the sink
       // registry entry and/or the TEMP view a source registered as; a
@@ -903,9 +919,22 @@ object GraftSql {
         (rb, rb.count() - before)
       }
     } else {
+      // INSERT OVERWRITE … PARTITION (k='v') must replace ONLY the named
+      // partition (the reference's static-partition overwrite scope —
+      // RichSqlInsert.java:125 + filesystem sink semantics); Spark's
+      // dynamic partitionOverwriteMode scopes the overwrite to the
+      // partitions present in the written data, which with static
+      // constants is exactly the named one. A partition-less OVERWRITE
+      // (and this engine's idempotent batch INSERT INTO) replaces the
+      // whole sink as before.
+      val scoped = mode.equalsIgnoreCase("OVERWRITE") &&
+        statics.nonEmpty && sd.partitions.nonEmpty
       val writer0 = df.write.mode("overwrite").format(sd.format)
+      val writer1 =
+        if (scoped) writer0.option("partitionOverwriteMode", "dynamic")
+        else writer0
       val writer = if (sd.partitions.nonEmpty)
-        writer0.partitionBy(sd.partitions: _*) else writer0
+        writer1.partitionBy(sd.partitions: _*) else writer1
       writer.save(sd.path)
       deleteRecursively(new java.io.File(ckpt))
       val rb = spark.read.format(sd.format).load(sd.path)

@@ -457,10 +457,7 @@ object CdcFormats {
         }
       val agg = ChangelogAgg.agg(changes).toDF()
       val store = new UpsertSink.InMemoryStore()
-      val ckptBase =
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
-        else sys.props("java.io.tmpdir") + "/graft-ckpt"
-      val ckpt = s"$ckptBase/cdc-stream-${java.util.UUID.randomUUID()}"
+      val ckpt = graft.streaming.StreamingOps.freshCheckpoint("cdc-stream")
       val q = UpsertSink.foreachBatchChangelog(agg, "kind", Seq("key"), store)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -604,10 +601,7 @@ object CdcFormats {
         .select(col("kind"), col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice"), col("version"))
       val store = new UpsertSink.InMemoryStore()
-      val ckptBase =
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
-        else sys.props("java.io.tmpdir") + "/graft-ckpt"
-      val ckpt = s"$ckptBase/cdc-replay-${java.util.UUID.randomUUID()}"
+      val ckpt = graft.streaming.StreamingOps.freshCheckpoint("cdc-replay")
       val q = UpsertSink.foreachBatchChangelog(
         changes, "kind", Seq("o_orderkey"), store)
         .option("checkpointLocation", ckpt)

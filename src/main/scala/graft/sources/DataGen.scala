@@ -56,10 +56,14 @@ object DataGen {
           rand() * (num("max", Int.MaxValue).toDouble - num("min", Int.MinValue))).cast(IntegerType)
         case LongType => (lit(num("min", Long.MinValue)) +
           rand() * (num("max", Long.MaxValue).toDouble - num("min", Long.MinValue))).cast(LongType)
-        case FloatType => (lit(num("min", Float.MinValue)) +
-          rand() * (num("max", Float.MaxValue) - num("min", Float.MinValue))).cast(FloatType)
-        case DoubleType => lit(num("min", 0.0)) +
-          rand() * (num("max", 1.0) - num("min", 0.0))
+        case FloatType => (lit(num("min", java.lang.Float.MIN_VALUE)) +
+          rand() * (num("max", Float.MaxValue) - num("min", java.lang.Float.MIN_VALUE))).cast(FloatType)
+        // reference default = [Double.MIN_VALUE, Double.MAX_VALUE]
+        // (DataGenTableSourceFactory.java:160 — Java MIN_VALUE is the
+        // smallest POSITIVE double, a documented reference quirk that keeps
+        // defaults consistent with the FLOAT case above)
+        case DoubleType => lit(num("min", java.lang.Double.MIN_VALUE)) +
+          rand() * (num("max", Double.MaxValue) - num("min", java.lang.Double.MIN_VALUE))
         case TimestampType => current_timestamp() // reference: now-based
         case other => throw new IllegalArgumentException(
           s"datagen: unsupported random type ${other.simpleString} for field ${f.name}")

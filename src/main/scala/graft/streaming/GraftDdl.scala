@@ -142,11 +142,34 @@ object GraftDdl {
             s"${dup.mkString(", ")} — add (OVERWRITING OPTIONS) to override")
       val merged = inherited ++ derived
       // physical columns ALWAYS inherit; computed columns / watermark /
-      // constraints drop under their feature's EXCLUDING strategy
+      // constraints drop under their feature's EXCLUDING strategy. When the
+      // DERIVED table redeclares a single-instance feature (watermark,
+      // primary key), the reference's MergeTableLikeUtil either errors
+      // (INCLUDING — "there already exists a watermark spec") or lets the
+      // derived clause WIN (OVERWRITING); keeping both would make the
+      // registration regexes pick the BASE clause silently.
+      val derivedU = Option(extraCols).getOrElse("")
+      val derivedCols = splitTopLevel(derivedU).map(_.toUpperCase)
+      val derivedHasWatermark = derivedCols.exists(_.startsWith("WATERMARK"))
+      val derivedHasPk = derivedCols.exists(_.startsWith("PRIMARY"))
+      def mergeSingle(feature: String, baseHas: Boolean, derivedHas: Boolean): Boolean = {
+        // returns: keep the BASE clause?
+        val strat = strategy(feature)
+        if (strat == "EXCLUDING") false
+        else if (derivedHas && baseHas && strat == "OVERWRITING") false // derived wins
+        else if (derivedHas && baseHas)
+          throw new IllegalArgumentException(
+            s"CREATE TABLE $name LIKE $baseName redeclares its " +
+              s"${feature.toLowerCase} — add (OVERWRITING $feature) to override")
+        else true
+      }
+      val baseColSeq = splitTopLevel(base.cols)
+      val baseHasWatermark = baseColSeq.exists(_.toUpperCase.startsWith("WATERMARK"))
+      val baseHasPk = baseColSeq.exists(_.toUpperCase.startsWith("PRIMARY"))
       val keepComputed = strategy("GENERATED") != "EXCLUDING"
-      val keepWatermark = strategy("WATERMARKS") != "EXCLUDING"
-      val keepConstraints = strategy("CONSTRAINTS") != "EXCLUDING"
-      val baseCols = splitTopLevel(base.cols).filter { c =>
+      val keepWatermark = mergeSingle("WATERMARKS", baseHasWatermark, derivedHasWatermark)
+      val keepConstraints = mergeSingle("CONSTRAINTS", baseHasPk, derivedHasPk)
+      val baseCols = baseColSeq.filter { c =>
         val u = c.toUpperCase
         if (u.startsWith("WATERMARK")) keepWatermark
         else if (u.startsWith("PRIMARY")) keepConstraints

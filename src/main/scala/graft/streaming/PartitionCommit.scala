@@ -88,11 +88,17 @@ object PartitionCommit {
     try ls.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith(s"$partCol=")) {
-        val start = n.substring(partCol.length + 1).toLong
-        val marker = p.resolve("_SUCCESS")
-        if (start + partDurSec + delaySec <= watermark &&
-            !java.nio.file.Files.exists(marker))
-          java.nio.file.Files.createFile(marker)
+        // a null partition value writes `=__HIVE_DEFAULT_PARTITION__`;
+        // partition-TIME commit has no watermark instant for it, so it
+        // stays uncommitted (never crashes the committer) — the
+        // reference's partition-time trigger likewise only commits
+        // partitions whose name extracts a valid time
+        n.substring(partCol.length + 1).toLongOption.foreach { start =>
+          val marker = p.resolve("_SUCCESS")
+          if (start + partDurSec + delaySec <= watermark &&
+              !java.nio.file.Files.exists(marker))
+            java.nio.file.Files.createFile(marker)
+        }
       }
     } finally ls.close()
   }
@@ -136,10 +142,7 @@ object PartitionCommit {
       val src = StreamingOps.streamTable(s, dir, "events")
         .select($"event_id", $"value", $"ts")
         .withColumn("dy", (floor(unix_seconds($"ts") / 86400) * 86400).cast("long"))
-      val ckptBase =
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
-        else sys.props("java.io.tmpdir") + "/graft-ckpt"
-      val ckpt = s"$ckptBase/file-sink-${java.util.UUID.randomUUID()}"
+      val ckpt = StreamingOps.freshCheckpoint("file-sink")
       val q = foreachBatchPartitioned(src, path, "dy", 86400L, "ts")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -87,10 +87,13 @@ object Savepoint {
     }
   }
 
-  /** [[runCounts]] for the evolved v2 operator: same contract, state seeded
-    * from a V1 savepoint (bare totals). */
-  def runCountsV2(spark: SparkSession, input: DataFrame,
-      initial: Dataset[(String, Long)], ckpt: String, sink: String): DataFrame = {
+  /** The shared harness behind [[runCounts]]/[[runCountsV2]]: RocksDB
+    * provider pinned for the query (transformWithState requires it, conf
+    * restored after), savepoint-seeded initial state, memory-sink drain. */
+  private def runWith[S: org.apache.spark.sql.Encoder](spark: SparkSession,
+      input: DataFrame, initial: Dataset[(String, Long)], ckpt: String,
+      sink: String, processor: StatefulProcessorWithInitialState[String, (String, Long), S, Long],
+      outCols: Seq[String]): DataFrame = {
     import spark.implicits._
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = spark.conf.getOption(provKey)
@@ -100,9 +103,9 @@ object Savepoint {
       val out = input.as[(String, Long)]
         .groupByKey(_._1)
         .transformWithState(
-          new RunningCountV2, TimeMode.None(), OutputMode.Update(),
+          processor, TimeMode.None(), OutputMode.Update(),
           initial.groupByKey(_._1).mapValues(_._2))
-      val q = out.toDF("k", "total", "cnt").writeStream
+      val q = out.toDF(outCols: _*).writeStream
         .format("memory").queryName(sink).outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -121,26 +124,15 @@ object Savepoint {
   def runCounts(spark: SparkSession, input: DataFrame, initial: Dataset[(String, Long)],
       ckpt: String, sink: String): DataFrame = {
     import spark.implicits._
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val out = input.as[(String, Long)]
-        .groupByKey(_._1)
-        .transformWithState(
-          new RunningCount, TimeMode.None(), OutputMode.Update(),
-          initial.groupByKey(_._1).mapValues(_._2))
-      val q = out.toDF("k", "total").writeStream
-        .format("memory").queryName(sink).outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(sink)
-    } finally prevProv match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
-    }
+    runWith(spark, input, initial, ckpt, sink, new RunningCount, Seq("k", "total"))
+  }
+
+  /** [[runCounts]] for the evolved v2 operator: same contract, state seeded
+    * from a V1 savepoint (bare totals). */
+  def runCountsV2(spark: SparkSession, input: DataFrame,
+      initial: Dataset[(String, Long)], ckpt: String, sink: String): DataFrame = {
+    import spark.implicits._
+    runWith(spark, input, initial, ckpt, sink, new RunningCountV2,
+      Seq("k", "total", "cnt"))
   }
 }

@@ -49,15 +49,20 @@ object StreamingOps {
     * exactly one data-carrying micro-batch ran. That holds for the
     * single-file fixtures here; assert it so a future multi-file fixture
     * (or maxFilesPerTrigger) fails loudly instead of returning stale rows. */
-  def runToMemory(spark: SparkSession, stream: DataFrame, mode: String, name: String): DataFrame = {
-    // fresh per-run checkpoint dir on tmpfs when available: the offset/commit
-    // logs and state snapshots are fsynced every micro-batch, and these
-    // replay-a-bounded-fixture queries never need durable recovery — on a
-    // disk-backed /tmp the fsyncs are a measurable slice of query startup
+  /** Fresh per-run checkpoint dir on tmpfs when available: the
+    * offset/commit logs and state snapshots are fsynced every micro-batch,
+    * and replay-a-bounded-fixture queries never need durable recovery — on
+    * a disk-backed /tmp the fsyncs are a measurable slice of query
+    * startup. The ONE copy of the tmpfs-else-tmpdir choice. */
+  def freshCheckpoint(tag: String): String = {
     val ckptBase =
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
       else sys.props("java.io.tmpdir") + "/graft-ckpt"
-    val ckpt = s"$ckptBase/$name-${java.util.UUID.randomUUID()}"
+    s"$ckptBase/$tag-${java.util.UUID.randomUUID()}"
+  }
+
+  def runToMemory(spark: SparkSession, stream: DataFrame, mode: String, name: String): DataFrame = {
+    val ckpt = freshCheckpoint(name)
     val q = stream.writeStream
       .format("memory")
       .queryName(name)

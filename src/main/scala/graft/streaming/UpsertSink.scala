@@ -125,7 +125,11 @@ object UpsertSink {
           row(kindIdx) match {
             case "+I" | "+U" => store.put(keyIdx.map(row), row)
             case "-D" => store.delete(keyIdx.map(row))
-            case _ => () // -U: superseded by its paired +U
+            case "-U" => () // superseded by its paired +U
+            case other => throw new IllegalArgumentException(
+              s"changelog kind column '$kindCol' carries non-changelog " +
+                s"value '$other' (expected +I/-U/+U/-D) — a data column " +
+                "named 'kind' must not be routed into an upsert sink")
           }
         }
       }

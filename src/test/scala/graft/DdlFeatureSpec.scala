@@ -67,6 +67,38 @@ class DdlFeatureSpec extends GraftSpec {
     assert(e.getMessage.contains("OVERWRITING OPTIONS"))
   }
 
+  test("OVERWRITING WATERMARKS: the derived clause replaces the base's, INCLUDING errors on redeclare") {
+    GraftDdl.executeDdl(spark,
+      s"""CREATE TABLE like_wmbase (
+         |  event_id BIGINT, ts TIMESTAMP,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECONDS
+         |) WITH ('path' = '$sfDir', 'table' = 'events')""".stripMargin)
+    val resolved = GraftDdl.resolveDdl(
+      "CREATE TABLE like_wmd (WATERMARK FOR ts AS ts - INTERVAL '60' SECONDS) " +
+        "WITH ('path' = '/tmp/like-wm2') LIKE like_wmbase (OVERWRITING OPTIONS, OVERWRITING WATERMARKS)")
+    assert(resolved.contains("'60' SECONDS"), resolved)
+    assert(!resolved.contains("'5' SECONDS"),
+      s"base watermark must not survive OVERWRITING WATERMARKS:\n$resolved")
+    val e = intercept[IllegalArgumentException] {
+      GraftDdl.resolveDdl(
+        "CREATE TABLE like_wmd2 (WATERMARK FOR ts AS ts - INTERVAL '60' SECONDS) " +
+          "WITH ('path' = '/tmp/like-wm3') LIKE like_wmbase (OVERWRITING OPTIONS)")
+    }
+    assert(e.getMessage.contains("OVERWRITING WATERMARKS"), e.getMessage)
+  }
+
+  test("OVERWRITING CONSTRAINTS: the derived PRIMARY KEY wins") {
+    GraftDdl.executeDdl(spark,
+      "CREATE TABLE like_pkbase (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) " +
+        "WITH ('path' = '/tmp/like-pk', 'format' = 'parquet')")
+    val resolved = GraftDdl.resolveDdl(
+      "CREATE TABLE like_pkd (PRIMARY KEY (v) NOT ENFORCED) " +
+        "WITH ('path' = '/tmp/like-pk2') LIKE like_pkbase (OVERWRITING OPTIONS, OVERWRITING CONSTRAINTS)")
+    assert(resolved.contains("PRIMARY KEY (v)"), resolved)
+    assert(!resolved.contains("PRIMARY KEY (k)"),
+      s"base primary key must not survive OVERWRITING CONSTRAINTS:\n$resolved")
+  }
+
   test("LIKE (EXCLUDING ALL) keeps the base's physical columns, drops features") {
     GraftDdl.executeDdl(spark,
       s"""CREATE TABLE like_feat (
