@@ -130,4 +130,45 @@ class GraftSqlPropSpec extends GraftSpec {
         out.contains("SESSION_WINDOW(")
     }, n = 150)
   }
+
+  test("CREATE/USE/DROP CATALOG: any case/whitespace spelling round-trips") {
+    holds(Prop.forAll(
+      mixCase("create catalog"), mixCase("use catalog"),
+      mixCase("drop catalog"), ws) { (cc, uc, dc, w) =>
+      GraftSql.resetNamedCatalogs()
+      val name = "gsql_prop_cat"
+      GraftSql.run(spark, s"$cc$w$name${w}WITH$w('type'$w=$w'generic_in_memory')")
+      val listed = GraftSql.run(spark, "SHOW CATALOGS").collect()
+        .exists(_.getString(0) == name)
+      GraftSql.run(spark, s"$uc$w$name")
+      val inUse = GraftSql.run(spark, s"DESCRIBE CATALOG $name")
+        .head.getString(2) == "true"
+      GraftSql.run(spark, s"USE CATALOG default_catalog")
+      GraftSql.run(spark, s"$dc$w$name;")
+      val gone = !GraftSql.run(spark, "SHOW CATALOGS").collect()
+        .exists(_.getString(0) == name)
+      GraftSql.resetNamedCatalogs()
+      listed && inUse && gone
+    }, n = 40)
+  }
+
+  test("ALTER VIEW RENAME/AS + ALTER FUNCTION: any case/whitespace spelling") {
+    holds(Prop.forAll(
+      mixCase("alter view"), mixCase("rename to"),
+      mixCase("alter function"), ws) { (av, rt, af, w) =>
+      GraftSql.run(spark, "CREATE VIEW gsql_prop_av AS SELECT 1 AS x")
+      GraftSql.run(spark, s"$av${w}gsql_prop_av$w$rt${w}gsql_prop_av2")
+      val renamed = spark.catalog.tableExists("gsql_prop_av2") &&
+        !spark.catalog.tableExists("gsql_prop_av")
+      GraftSql.run(spark, s"$av${w}gsql_prop_av2${w}AS${w}SELECT 2 AS x")
+      val rebodied = spark.table("gsql_prop_av2").head.getInt(0) == 2
+      GraftSql.run(spark, "DROP VIEW gsql_prop_av2")
+      GraftSql.run(spark, "CREATE FUNCTION gsql_prop_afn AS 'upper'")
+      GraftSql.run(spark, s"$af${w}gsql_prop_afn${w}AS$w'lower'")
+      val repointed = spark.sql("SELECT gsql_prop_afn('A') AS s")
+        .head.getString(0) == "a"
+      GraftSql.run(spark, "DROP FUNCTION gsql_prop_afn")
+      renamed && rebodied && repointed
+    }, n = 30)
+  }
 }

@@ -96,6 +96,29 @@ class TableApiSpec extends GraftSpec {
     assert(r.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("set-op multiset laws hold on random inputs (reference Table.java semantics)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val smallList = Gen.listOfN(12, Gen.choose(0L, 4L))
+    val p = Prop.forAll(smallList, smallList) { (as, bs) =>
+      val a = GraftTable(as.toDF("k"))
+      val b = GraftTable(bs.toDF("k"))
+      val unionAllN = a.unionAll(b).df.count()
+      val unionN = a.union(b).df.count()
+      val minusSet = a.minus(b).df.collect().map(_.getLong(0)).toSet
+      val minusAllN = a.minusAll(b).df.count()
+      val countA = as.groupBy(identity).view.mapValues(_.size).toMap
+      val countB = bs.groupBy(identity).view.mapValues(_.size).toMap
+      unionAllN == as.size + bs.size &&
+        unionN == (as.toSet ++ bs.toSet).size &&
+        minusSet == (as.toSet -- bs.toSet) &&
+        minusAllN == countA.map { case (k, n) =>
+          math.max(0, n - countB.getOrElse(k, 0)) }.sum
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("createTemporalTableFunction through the facade registers for the correlate") {
     import spark.implicits._
     val hist = Seq((1L, 10L, "v1"), (1L, 20L, "v2")).toDF("pk", "t", "payload")
