@@ -104,6 +104,20 @@ final case class GraftTable(df: DataFrame) {
       primaryKey: String): Unit =
     graft.operators.TemporalFunction
       .createTemporalTableFunction(name, df, timeAttribute, primaryKey)
+
+  /** Write this table into a REGISTERED sink (reference
+    * Table.executeInsert:1441/insertInto:1015 — FLIP-84's deployment call):
+    * routes through the door's INSERT machinery, so PK-upsert sinks,
+    * partition-commit sinks and utility connectors all behave exactly as
+    * the SQL statement would. */
+  def executeInsert(tablePath: String, overwrite: Boolean = false): GraftTable = {
+    val tmp = s"graft_tbl_ins_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(tmp)
+    try GraftTable(graft.operators.GraftSql.run(df.sparkSession,
+      s"INSERT ${if (overwrite) "OVERWRITE" else "INTO"} $tablePath SELECT * FROM $tmp"))
+    finally df.sparkSession.catalog.dropTempView(tmp)
+  }
+  def insertInto(tablePath: String): GraftTable = executeInsert(tablePath)
 }
 
 /** Result of [[GraftTable.groupBy]]; `select`/`aggregate` emit the keys

@@ -100,5 +100,26 @@ object TableApiOps {
            |  FROM documents WHERE doc_id < 20)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qPipeline, qWindow, qSetOps, qLateral)
+  /** The TableEnvironment round trip (TableEnvironment.java:917/904 +
+    * Table.executeInsert:1441): executeSql DDL registers a sink, sqlQuery
+    * builds the aggregate, executeInsert deploys it — the reference's
+    * canonical three-call program, oracle-reconstructed relationally. */
+  val qEnv: Q = Q(
+    "q_table_env_e2e",
+    (s, dir) => {
+      val env = GraftTableEnv(s, dir)
+      val sink = graft.Tables.scratch(
+        s"table-env-sink/graft_env-${java.util.UUID.randomUUID()}")
+      env.executeSql(
+        s"""CREATE TABLE graft_env_sink (o_orderpriority STRING, n BIGINT)
+           |WITH ('path' = '$sink', 'format' = 'parquet')""".stripMargin)
+      env.sqlQuery(
+        "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority")
+        .executeInsert("graft_env_sink")
+        .df.orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  val all: Seq[Q] = Seq(qPipeline, qWindow, qSetOps, qLateral, qEnv)
 }

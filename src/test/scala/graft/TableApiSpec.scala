@@ -96,6 +96,46 @@ class TableApiSpec extends GraftSpec {
     assert(r.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("GraftTableEnv: listings see registry sinks and named catalogs; bridges round-trip") {
+    import dsl.GraftTableEnv
+    val env = GraftTableEnv(spark, sfDir)
+    // a door-registered sink appears in listTables (the reference's
+    // catalog-manager view), and a named catalog in listCatalogs
+    val sink = java.nio.file.Files.createTempDirectory("graft-env-sink").toString
+    env.executeSql(s"CREATE TABLE env_spec_sink (k BIGINT) WITH ('path' = '$sink')")
+    assert(env.listTables().contains("env_spec_sink"), env.listTables())
+    env.executeSql("CREATE CATALOG env_spec_cat WITH ('type'='generic_in_memory')")
+    assert(env.listCatalogs().contains("env_spec_cat"))
+    env.executeSql("DROP CATALOG env_spec_cat")
+    env.executeSql("DROP TABLE env_spec_sink")
+    assert(env.listDatabases().contains("default_database"))
+    assert(env.listFunctions().nonEmpty)
+    // Table ⇄ DataStream bridges
+    import spark.implicits._
+    val t = env.fromValues(Seq((1L, "a"), (2L, "b")))
+    val doubled = env.fromDataStream(
+      env.toDataStream[(Long, String)](t.as("k", "v")).map(p => (p._1 * 2, p._2)).ds)
+    assert(doubled.df.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    // sqlQuery goes through the DOOR: Flink idiom text works
+    val n = env.sqlQuery(
+      "SELECT count(*) AS n FROM events GROUP BY TUMBLE(ts, INTERVAL '1' DAY)")
+      .df.count()
+    assert(n > 0)
+  }
+
+  test("Table.executeInsert deploys into a registered sink and returns its contents") {
+    import dsl.GraftTableEnv
+    val env = GraftTableEnv(spark, sfDir)
+    val sink = java.nio.file.Files.createTempDirectory("graft-env-ins").toString
+    env.executeSql(s"CREATE TABLE env_ins_sink (t STRING, n BIGINT) WITH ('path' = '$sink')")
+    val out = env.sqlQuery(
+      "SELECT event_type AS t, count(*) AS n FROM events GROUP BY event_type")
+      .executeInsert("env_ins_sink")
+    assert(out.df.count() == 5) // one row per event type in the fixture
+    assert(spark.read.parquet(sink).count() == 5)
+    env.executeSql("DROP TABLE env_ins_sink")
+  }
+
   test("set-op multiset laws hold on random inputs (reference Table.java semantics)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
