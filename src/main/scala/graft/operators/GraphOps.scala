@@ -110,7 +110,12 @@ object GraphOps {
     * (u, v) edges; returns (node, dist) for nodes reached in ≤ rounds. */
   def bfs(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
-    var dist = spark.range(1).select(lit(source).as("node"), lit(0).as("dist"))
+    // node = id + source (id is 0) rather than lit(source): a literal key
+    // constant-folds the first round's join condition into `u = <const>`,
+    // which has no extractable equi-key and plans a nested-loop join —
+    // keeping it an attribute keeps every round a hash join
+    var dist = spark.range(1)
+      .select((col("id") + source).as("node"), lit(0).as("dist"))
     for (_ <- 1 to rounds) {
       val expanded = dist.join(edges, dist("node") === edges("u"))
         .select(col("v").as("node"), (col("dist") + 1).as("dist"))

@@ -186,7 +186,9 @@ class PlanAuditSpec extends GraftSpec {
       operators.CoGroupOps.all ++ operators.GraftSql.all ++
       operators.DedupOps.all ++ operators.SimilarityOps.all ++
       operators.TextOps.all ++ operators.LookupJoin.all ++
-      operators.SkewOps.all ++ operators.TimeWindows.all)
+      operators.SkewOps.all ++ operators.TimeWindows.all ++
+      operators.TpcdsShapes.all ++ operators.GraphOps.all ++
+      dsl.TableApiOps.all)
       .filterNot(q => exempt.contains(q.name))
     val offenders = batchQs.flatMap { q =>
       val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
