@@ -39,4 +39,10 @@ class PlanGoldenSpec extends GraftSpec {
   check("q_topn", operators.Relational.qTopN)
   check("q_window_tumble", operators.TimeWindows.qWindowTumble)
   check("q_cosine_topk_bucketed", operators.SimilarityOps.qCosineTopKBucketed)
+  // r9 flagships: the rollup→rank Expand shape and the graph edge-store
+  // consumers (any lost semi-join, re-derived edge relation, or join
+  // strategy change shows up as plan drift)
+  check("q_tpcds_q67_shape", operators.TpcdsShapes.q67)
+  check("q_tpcds_q23_shape", operators.TpcdsShapes.q23)
+  check("q_graph_pagerank", operators.GraphOps.qPageRank)
 }
