@@ -237,16 +237,21 @@ object Pattern {
         override def eventsFor(name: String): Vector[E] =
           acc.collect { case (si, ev) if p.steps(si).name == name => ev }
       }
+      // until is PERMANENT (Flink's stop condition, Pattern.java until): once
+      // it matches, the loop state stops accepting iterations for good — the
+      // branch must not survive AT the loop to take later events; branches
+      // already advanced past the loop by the epsilon closure carry on
+      val untilFired = st.until.exists(u => u(e))
       val takeOk = c < st.maxTimes && (!contiguous || !gap) &&
-        st.until.forall(u => !u(e)) && st.pred(e) &&
+        !untilFired && st.pred(e) &&
         st.iterPred.forall(f => f(e, ctx))
       if (takeOk)
         out += ((Run(i, c + 1, r.startOrd, r.startTs, gap = false, acc :+ ((i, e))), true))
       // survive without consuming: always possible on a relaxed non-match;
       // under non-deterministic contiguity also BESIDE a successful take
-      if (c < st.maxTimes && !contiguous && (!takeOk || nondet))
+      if (c < st.maxTimes && !contiguous && !untilFired && (!takeOk || nondet))
         out += ((Run(i, c, r.startOrd, r.startTs, gap = true, acc), false))
-      // strict miss (or count exhausted): this branch dies
+      // strict miss, count exhausted, or until fired: this branch dies
     }
 
     closure(p, r.step, r.cnt).foreach { case (i, c) =>

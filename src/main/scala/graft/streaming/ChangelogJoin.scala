@@ -48,7 +48,8 @@ object ChangelogJoin {
   final case class JoinedChange[K, L, R](key: K, kind: String, left: L, right: R)
 
   /** Count-multisets of both sides' live rows (retract state view). */
-  final case class JoinState[L, R](left: Map[L, Long], right: Map[R, Long])
+  final case class JoinState[L, R](left: Map[L, Long], right: Map[R, Long],
+      lastActivityMs: Long = Long.MinValue)
 
   private def isAccumulate(kind: String): Boolean = kind == "+I" || kind == "+U"
 
@@ -129,12 +130,18 @@ object ChangelogJoin {
               emissions += emitted
               if (c.seq > lastSeq) lastSeq = c.seq
             }
-            state.update(st)
+            // last activity = max over the key's WHOLE history, carried in
+            // state: arming from only this batch's max seq would let a
+            // late (below-high-watermark) change move the expiry EARLIER
+            // than the key's true last change and drop join state
+            // prematurely
+            val activity = math.max(st.lastActivityMs, lastSeq)
+            state.update(st.copy(lastActivityMs = activity))
             idleTtlMs.foreach { ttl =>
               // seq is the event-time clock in ms under the TTL contract;
               // the timeout must sit strictly past the current watermark
               val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(wm + 1, lastSeq + ttl))
+              state.setTimeoutTimestamp(math.max(wm + 1, activity + ttl))
             }
             emissions.result().iterator.flatten
               .map { case (k, lv, rv) => JoinedChange(key, k, lv, rv) }
@@ -306,6 +313,70 @@ object ChangelogJoin {
             .map { case (k, lv, rv) => FullChange(key, k, lv, rv) }
       }
 
+  // ---- shared builders for the three changelog-join oracle queries ----
+
+  private def eventTuples(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Dataset[(Long, Long, String, Double)] = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .as[(Long, Long, String, Double)]
+  }
+
+  /** Upsert changelog of the keyed LATEST-VALUE stream (side 0): +I on the
+    * key's first event, -U(previous)/+U(new) on each later one. seq =
+    * event_id*4 + phase keeps retract-before-accumulate order and breaks
+    * ties across sides deterministically. */
+  private def latestValueChanges(ev: Dataset[(Long, Long, String, Double)],
+      keep: ((Long, Long, String, Double)) => Boolean)
+      : Dataset[Change[Long, Double, Long]] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.filter(keep).groupByKey(_._2).flatMapGroups {
+      (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
+        val sorted = it.toSeq.sortBy(_._1)
+        sorted.zipWithIndex.flatMap { case ((eid, _, _, v), i) =>
+          if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+I", Some(v), None))
+          else Seq(
+            Change[Long, Double, Long](uid, eid * 4, 0, "-U", Some(sorted(i - 1)._4), None),
+            Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+U", Some(v), None))
+        }.iterator
+    }
+  }
+
+  /** Upsert changelog of the keyed RUNNING purchase COUNT (side 1). */
+  private def purchaseCountChanges(ev: Dataset[(Long, Long, String, Double)])
+      : Dataset[Change[Long, Double, Long]] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.filter(_._3 == "purchase").groupByKey(_._2).flatMapGroups {
+      (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
+        val sorted = it.toSeq.sortBy(_._1)
+        sorted.zipWithIndex.flatMap { case ((eid, _, _, _), i) =>
+          if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+I", None, Some(1L)))
+          else Seq(
+            Change[Long, Double, Long](uid, eid * 4 + 2, 1, "-U", None, Some(i.toLong)),
+            Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+U", None, Some(i + 1L)))
+        }.iterator
+    }
+  }
+
+  /** Materialize a joined changelog to its surviving (key, pair) rows:
+    * count-sum per pair is order-independent, positives survive. */
+  private def survivingPairs[C, P](joined: Dataset[C])(
+      keyOf: C => Long, kindOf: C => String, pairOf: C => P)(
+      implicit e: Encoder[(Long, P)]): Dataset[(Long, P)] =
+    joined.groupByKey(keyOf)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroups { (uid: Long, it: Iterator[C]) =>
+        val counts = scala.collection.mutable.Map[P, Long]()
+        it.foreach { jc =>
+          val d = if (isAccumulate(kindOf(jc))) 1L else -1L
+          val p = pairOf(jc)
+          counts(p) = counts.getOrElse(p, 0L) + d
+        }
+        counts.collect { case (p, c) if c > 0 => (uid, p) }.iterator
+      }
+
   /** q_changelog_full_outer_join: FULL OUTER over updating inputs — left =
     * latest SIGNUP value per user (only users who signed up), right =
     * purchase-count changelog (only users who purchased); users on one side
@@ -314,39 +385,12 @@ object ChangelogJoin {
     "q_changelog_full_outer_join",
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.t(s, dir, "events")
-        .select($"event_id", $"user_id", $"event_type", $"value")
-        .as[(Long, Long, String, Double)]
-      val leftChanges = ev.filter(_._3 == "signup").groupByKey(_._2).flatMapGroups {
-        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
-          val sorted = it.toSeq.sortBy(_._1)
-          sorted.zipWithIndex.flatMap { case ((eid, _, _, v), i) =>
-            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+I", Some(v), None))
-            else Seq(
-              Change[Long, Double, Long](uid, eid * 4, 0, "-U", Some(sorted(i - 1)._4), None),
-              Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+U", Some(v), None))
-          }.iterator
-      }
-      val rightChanges = ev.filter(_._3 == "purchase").groupByKey(_._2).flatMapGroups {
-        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
-          val sorted = it.toSeq.sortBy(_._1)
-          sorted.zipWithIndex.flatMap { case ((eid, _, _, _), i) =>
-            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+I", None, Some(1L)))
-            else Seq(
-              Change[Long, Double, Long](uid, eid * 4 + 2, 1, "-U", None, Some(i.toLong)),
-              Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+U", None, Some(i + 1L)))
-          }.iterator
-      }
-      val joined = joinFullOuter(leftChanges.union(rightChanges))
-      joined.groupByKey(_.key).flatMapGroups {
-        (uid: Long, it: Iterator[FullChange[Long, Double, Long]]) =>
-          val counts = scala.collection.mutable.Map[(Option[Double], Option[Long]), Long]()
-          it.foreach { jc =>
-            val d = if (isAccumulate(jc.kind)) 1L else -1L
-            counts((jc.left, jc.right)) = counts.getOrElse((jc.left, jc.right), 0L) + d
-          }
-          counts.collect { case ((lv, rv), c) if c > 0 => (uid, lv, rv) }.iterator
-      }.toDF("user_id", "last_signup_value", "n_purchases")
+      val ev = eventTuples(s, dir)
+      val joined = joinFullOuter(
+        latestValueChanges(ev, _._3 == "signup").union(purchaseCountChanges(ev)))
+      survivingPairs(joined)(_.key, _.kind, jc => (jc.left, jc.right))
+        .map { case (u, (lv, rv)) => (u, lv, rv) }
+        .toDF("user_id", "last_signup_value", "n_purchases")
         .orderBy("user_id")
     },
     Some("""SELECT COALESCE(l.user_id, r.user_id) AS user_id,
@@ -367,39 +411,12 @@ object ChangelogJoin {
     "q_changelog_outer_join",
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.t(s, dir, "events")
-        .select($"event_id", $"user_id", $"event_type", $"value")
-        .as[(Long, Long, String, Double)]
-      val leftChanges = ev.groupByKey(_._2).flatMapGroups {
-        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
-          val sorted = it.toSeq.sortBy(_._1)
-          sorted.zipWithIndex.flatMap { case ((eid, _, _, v), i) =>
-            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+I", Some(v), None))
-            else Seq(
-              Change[Long, Double, Long](uid, eid * 4, 0, "-U", Some(sorted(i - 1)._4), None),
-              Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+U", Some(v), None))
-          }.iterator
-      }
-      val rightChanges = ev.filter(_._3 == "purchase").groupByKey(_._2).flatMapGroups {
-        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
-          val sorted = it.toSeq.sortBy(_._1)
-          sorted.zipWithIndex.flatMap { case ((eid, _, _, _), i) =>
-            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+I", None, Some(1L)))
-            else Seq(
-              Change[Long, Double, Long](uid, eid * 4 + 2, 1, "-U", None, Some(i.toLong)),
-              Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+U", None, Some(i + 1L)))
-          }.iterator
-      }
-      val joined = joinOuter(leftChanges.union(rightChanges))
-      joined.groupByKey(_.key).flatMapGroups {
-        (uid: Long, it: Iterator[OuterChange[Long, Double, Long]]) =>
-          val counts = scala.collection.mutable.Map[(Double, Option[Long]), Long]()
-          it.foreach { jc =>
-            val d = if (isAccumulate(jc.kind)) 1L else -1L
-            counts((jc.left, jc.right)) = counts.getOrElse((jc.left, jc.right), 0L) + d
-          }
-          counts.collect { case ((lv, rv), c) if c > 0 => (uid, lv, rv) }.iterator
-      }.toDF("user_id", "last_value", "n_purchases")
+      val ev = eventTuples(s, dir)
+      val joined = joinOuter(
+        latestValueChanges(ev, _ => true).union(purchaseCountChanges(ev)))
+      survivingPairs(joined)(_.key, _.kind, jc => (jc.left, jc.right))
+        .map { case (u, (lv, rv)) => (u, lv, rv) }
+        .toDF("user_id", "last_value", "n_purchases")
         .orderBy("user_id")
     },
     Some("""SELECT l.user_id, l.last_value, r.n_purchases
@@ -420,46 +437,12 @@ object ChangelogJoin {
     "q_changelog_join",
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.t(s, dir, "events")
-        .select($"event_id", $"user_id", $"event_type", $"value")
-        .as[(Long, Long, String, Double)]
-
-      // seq = event_id*4 + phase keeps retract-before-accumulate order and
-      // breaks ties across sides deterministically
-      val leftChanges = ev.groupByKey(_._2).flatMapGroups {
-        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
-          val sorted = it.toSeq.sortBy(_._1)
-          sorted.zipWithIndex.flatMap { case ((eid, _, _, v), i) =>
-            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+I", Some(v), None))
-            else Seq(
-              Change[Long, Double, Long](uid, eid * 4, 0, "-U", Some(sorted(i - 1)._4), None),
-              Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+U", Some(v), None))
-          }.iterator
-      }
-      val rightChanges = ev.filter(_._3 == "purchase").groupByKey(_._2).flatMapGroups {
-        (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
-          val sorted = it.toSeq.sortBy(_._1)
-          sorted.zipWithIndex.flatMap { case ((eid, _, _, _), i) =>
-            if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+I", None, Some(1L)))
-            else Seq(
-              Change[Long, Double, Long](uid, eid * 4 + 2, 1, "-U", None, Some(i.toLong)),
-              Change[Long, Double, Long](uid, eid * 4 + 3, 1, "+U", None, Some(i + 1L)))
-          }.iterator
-      }
-
-      val joined = join(leftChanges.union(rightChanges))
-
-      // materialize: count-sum per (left,right) pair is order-independent;
-      // the surviving pair per user is (latest value, total purchases)
-      joined.groupByKey(_.key).flatMapGroups {
-        (uid: Long, it: Iterator[JoinedChange[Long, Double, Long]]) =>
-          val counts = scala.collection.mutable.Map[(Double, Long), Long]()
-          it.foreach { jc =>
-            val d = if (isAccumulate(jc.kind)) 1L else -1L
-            counts((jc.left, jc.right)) = counts.getOrElse((jc.left, jc.right), 0L) + d
-          }
-          counts.collect { case ((lv, rv), c) if c > 0 => (uid, lv, rv) }.iterator
-      }.toDF("user_id", "last_value", "n_purchases")
+      val ev = eventTuples(s, dir)
+      val joined = join(
+        latestValueChanges(ev, _ => true).union(purchaseCountChanges(ev)))
+      survivingPairs(joined)(_.key, _.kind, jc => (jc.left, jc.right))
+        .map { case (u, (lv, rv)) => (u, lv, rv) }
+        .toDF("user_id", "last_value", "n_purchases")
         .orderBy("user_id")
     },
     Some("""SELECT l.user_id, l.last_value, r.n_purchases

@@ -256,6 +256,12 @@ object StatefulOps {
   // ---- temporal sort + TTL (library ops, harness-tested with MemoryStream)
 
   case class EvT(event_id: Long, user_id: Long, value: Double, ts: java.sql.Timestamp)
+
+  /** µs-precision epoch of a Timestamp (getTime is ms-truncated; getNanos
+    * carries the sub-second). ONE copy — every operator that orders or
+    * frames by event time must agree on the precision. */
+  private[streaming] def usOf(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
   case class SortBuf(evs: List[EvT])
 
   /** Temporal (event-time) sort — reference StreamExecTemporalSort.scala /
@@ -281,7 +287,9 @@ object StatefulOps {
         val buf = st.map(_.evs).getOrElse(Nil)
         val (ready, rest) = buf.partition(_.ts.getTime <= t)
         (if (rest.isEmpty) None else Some(SortBuf(rest)),
-          ready.sortBy(e => (e.ts.getTime, e.event_id)))
+          // µs order: ms-truncated getTime would release same-millisecond
+          // rows out of event-time order (see the OVER operators' note)
+          ready.sortBy(e => (usOf(e.ts), e.event_id)))
       })
   }
 
@@ -316,8 +324,6 @@ object StatefulOps {
       : org.apache.spark.sql.Dataset[RangeOut] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    def usOf(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     TimerOps.processWithTimers[Long, EvT, RangeBuf, RangeOut](ds)(_.user_id, _.event_id)(
       onElement = (_, e, st, ctx) => {
         ctx.registerTimer(e.ts.getTime)
@@ -365,8 +371,6 @@ object StatefulOps {
       : org.apache.spark.sql.Dataset[RangeOut] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    def usOf(t: java.sql.Timestamp): Long =
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     TimerOps.processWithTimers[Long, EvT, RangeBuf, RangeOut](ds)(_.user_id, _.event_id)(
       onElement = (_, e, st, ctx) => {
         ctx.registerTimer(e.ts.getTime)
@@ -425,8 +429,11 @@ object StatefulOps {
       : org.apache.spark.sql.Dataset[EvT] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    TimerOps.processWithTimers[Long, EvT, SeenAt, EvT](ds)(
-      _.user_id, e => e.ts.getTime * 1000000 + e.event_id)(
+    // composite within-batch ordering (µs ts, then id): a packed
+    // `ms*1e6 + id` Long collides across milliseconds once id >= 1e6 and
+    // can emit the WRONG row as the key's first
+    TimerOps.processWithTimersBy[Long, EvT, SeenAt, EvT, (Long, Long)](ds)(
+      _.user_id, e => (usOf(e.ts), e.event_id))(
       onElement = (_, e, st, ctx) => st match {
         case Some(_) => (st, Nil) // within TTL: suppress
         case None =>

@@ -152,6 +152,19 @@ class CepQuantifierSpec extends GraftSpec {
     assert(Pattern.run(p, events.iterator, (_: Ev).ts_us).isEmpty)
   }
 
+  test("until() is PERMANENT on a relaxed loop: no iterations accepted after the stop event") {
+    val p = Pattern.begin[Ev]("a")(_.event_type == "A").oneOrMore
+      .until(_.value > 100)
+      .followedBy("b")(_.event_type == "B")
+    val events = Seq(ev(1, "A"), Ev(2, 1L, "A", 200.0, 2000000), ev(3, "A"), ev(4, "B"))
+    // the stop event at t=2 closes every live loop for good: the A at t=3
+    // must NOT extend the run started at t=1 (Flink's stop condition), and
+    // no run may START on the stop event itself — matches are (1,4) from
+    // the pre-stop loop and (3,4) from a fresh post-stop run
+    val ms = Pattern.run(p, events.iterator, (_: Ev).ts_us).map(ids).toSet
+    assert(ms == Set(Vector(1L, 4L), Vector(3L, 4L)), ms)
+  }
+
   test("notNext rejects when the immediate successor matches") {
     val p = Pattern.begin[Ev]("a")(_.event_type == "A")
       .notNext("x")(_.event_type == "X")

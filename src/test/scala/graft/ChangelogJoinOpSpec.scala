@@ -222,4 +222,45 @@ class ChangelogJoinOpSpec extends GraftSpec {
     assert(!emitted.exists(j => j.key == 1L && j.left == "l1"),
       s"expired l1 still joined: $emitted")
   }
+
+  test("idle TTL arms from the key's LAST activity: a late smaller-seq change cannot shorten it") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Change[Long, String, String]]
+    val withWm = mem.toDS()
+      .withColumn("__ts", timestamp_millis($"seq"))
+      .withWatermark("__ts", "0 seconds")
+      .as[Change[Long, String, String]]
+    val joined = ChangelogJoin.join(withWm, idleTtlMs = Some(5000L))
+    val emitted = scala.collection.mutable.ArrayBuffer[JoinedChange[Long, String, String]]()
+    val q = joined.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[JoinedChange[Long, String, String]], _: Long) =>
+        emitted.synchronized { emitted ++= batch.collect() }
+        ()
+    }.start()
+    try {
+      val base = 1000000000L
+      // key 1's true last activity: seq base+10000 → expiry base+15000
+      mem.addData(Change[Long, String, String](1L, base + 10000L, 0, "+I", Some("l1"), None))
+      q.processAllAvailable()
+      mem.addData(Change[Long, String, String](2L, base + 13000L, 0, "+I", Some("x"), None))
+      q.processAllAvailable()
+      // a LATE change for key 1 (seq below the key's last activity): the
+      // old per-batch re-arm would move the expiry to base+14000 (or the
+      // watermark) and drop the state before base+15000
+      mem.addData(Change[Long, String, String](1L, base + 9000L, 0, "+I", Some("late"), None))
+      q.processAllAvailable()
+      mem.addData(Change[Long, String, String](2L, base + 14500L, 0, "+I", Some("y"), None))
+      q.processAllAvailable()
+      mem.addData(Change[Long, String, String](2L, base + 14600L, 0, "+I", Some("z"), None))
+      q.processAllAvailable()
+      // still before base+15000: the join state must be alive
+      mem.addData(Change[Long, String, String](1L, base + 14800L, 1, "+I", None, Some("r1")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.exists(j => j.key == 1L && j.left == "l1" && j.right == "r1"),
+      s"state expired early — l1×r1 missing from: $emitted")
+  }
 }

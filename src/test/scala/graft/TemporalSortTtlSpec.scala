@@ -60,6 +60,50 @@ class TemporalSortTtlSpec extends GraftSpec {
     q.stop()
   }
 
+  test("temporal sort orders same-MILLISECOND rows by their microseconds, not by id") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvT]
+    val sorted = temporalSort(
+      mem.toDS().withWatermark("ts", "0 seconds").as[EvT])
+    val q = sorted.toDF().writeStream.format("memory")
+      .queryName("tsort_us").outputMode("append").start()
+    // 200µs row has the SMALLER id: an (ms, id) sort would emit it first
+    mem.addData(
+      EvT(5, 1L, 1.0, ts("2024-01-01 00:00:00.0002")),
+      EvT(10, 1L, 2.0, ts("2024-01-01 00:00:00.0001")))
+    q.processAllAvailable()
+    mem.addData(EvT(99, 1L, 9.0, ts("2024-01-01 00:09:00")))
+    q.processAllAvailable()
+    val emitted = spark.table("tsort_us").collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(emitted == Seq(10L, 5L),
+      s"same-ms rows must release in µs event-time order, got $emitted")
+    q.stop()
+  }
+
+  test("dedup first: within-batch order is (µs ts, id) — a large id cannot outrank an earlier timestamp") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvT]
+    val out = dedupFirstWithTtl(
+      mem.toDS().withWatermark("ts", "0 seconds").as[EvT], ttlMs = 600_000)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("ttl_dedup_ord").outputMode("append").start()
+    // same key, same batch: the EARLIER row carries event_id 2,000,000 — a
+    // packed ms*1e6+id key would rank it after the later row (id 500) and
+    // emit the wrong 'first'
+    mem.addData(
+      EvT(2000000, 7L, 1.0, ts("2024-01-01 00:00:00")),
+      EvT(500, 7L, 2.0, ts("2024-01-01 00:00:00.001")))
+    q.processAllAvailable()
+    val emitted = spark.table("ttl_dedup_ord").collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(emitted == Set(2000000L), s"got $emitted")
+    q.stop()
+  }
+
   test("time-RANGE bounded OVER emits per-row trailing sums and state shrinks with the watermark") {
     val sparkS = spark
     import sparkS.implicits._
