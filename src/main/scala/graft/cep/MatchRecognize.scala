@@ -67,7 +67,8 @@ object MatchRecognize {
   private final case class OLit(v: Any) extends Operand
   private final case class OCol(idx: Int) extends Operand // current row's col
   private final case class OPrev(idx: Int, n: Int) extends Operand
-  private final case class ONav(first: Boolean, sym: String, idx: Int) extends Operand
+  private final case class ONav(first: Boolean, sym: String, idx: Int,
+      self: Boolean = false) extends Operand
 
   private val PrevR = "(?i)PREV\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
   private val NavR = "(?i)(FIRST|LAST)\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
@@ -84,7 +85,12 @@ object MatchRecognize {
       case PrevR(_, col, n) =>
         OPrev(schema.fieldIndex(col), if (n == null) 1 else n.toInt)
       case NavR(fn, sym, col) =>
-        ONav(fn.equalsIgnoreCase("FIRST"), sym.toUpperCase, schema.fieldIndex(col))
+        // SQL:2016 RUNNING semantics: navigating the symbol BEING DEFINED
+        // includes the row under test in its own mapping (LAST(B.x) inside
+        // DEFINE B is the current row) — the Pattern ctx holds only rows
+        // accepted BEFORE this one, so self-navigation appends it
+        ONav(fn.equalsIgnoreCase("FIRST"), sym.toUpperCase,
+          schema.fieldIndex(col), self = sym.equalsIgnoreCase(curSym))
       case SymColR(sym, col) =>
         if (sym.equalsIgnoreCase(curSym)) OCol(schema.fieldIndex(col))
         else ONav(first = false, sym.toUpperCase, schema.fieldIndex(col))
@@ -92,9 +98,12 @@ object MatchRecognize {
         OLit(lit.stripPrefix("'").stripSuffix("'"))
       case BareColR(c) if schema.fieldNames.contains(c) => OCol(schema.fieldIndex(c))
       case num =>
-        try OLit(num.toDouble)
+        // integral literals stay Long (a Double would corrupt ids > 2^53)
+        try OLit(java.lang.Long.valueOf(num.toLong))
         catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"unparseable DEFINE operand: $txt") }
+          try OLit(num.toDouble)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"unparseable DEFINE operand: $txt") } }
     }
 
   private def opFn(op: String): Int => Boolean = op match {
@@ -115,8 +124,9 @@ object MatchRecognize {
     case OPrev(i, n) =>
       val idx = e._1 - n
       if (idx < 0) null else cell(buf(idx.toInt), i)
-    case ONav(first, sym, i) =>
-      val evs = ctx.eventsFor(sym)
+    case ONav(first, sym, i, self) =>
+      val evs0 = ctx.eventsFor(sym)
+      val evs = if (self) evs0 :+ e else evs0
       if (evs.isEmpty) null
       else cell((if (first) evs.head else evs.last)._2, i)
   }
@@ -126,7 +136,14 @@ object MatchRecognize {
     if (a == null || b == null) false
     else (a, b) match {
       case (x: Number, y: Number) =>
-        opFn(op)(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+        def integral(n: Number): Boolean = n.isInstanceOf[java.lang.Long] ||
+          n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Short] ||
+          n.isInstanceOf[java.lang.Byte]
+        // integral pairs compare exactly — routing longs through Double
+        // collapses ids beyond 2^53
+        if (integral(x) && integral(y))
+          opFn(op)(java.lang.Long.compare(x.longValue(), y.longValue()))
+        else opFn(op)(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
       case _ => opFn(op)(a.toString.compareTo(b.toString))
     }
 
@@ -285,7 +302,7 @@ object MatchRecognize {
         case None => m.eventsFor(sym)
       }
 
-    val measures: Vector[Measure] = measuresTxt.split(",").map(_.trim).map {
+    val measures: Vector[Measure] = splitTop(measuresTxt).map(_.trim).map {
       case MeasureR(mode, nav, s1, c1, cntSym, fn0, s2, c2, alias) =>
         val isFinal = mode != null && mode.equalsIgnoreCase("FINAL")
         if (cntSym != null)
@@ -301,21 +318,39 @@ object MatchRecognize {
           val (sym, col) = if (nav != null) (s1, c1) else (s2, c2)
           val idx = schema.fieldIndex(col)
           val fn = if (nav == null) "LAST" else nav.toUpperCase
+          if ((fn == "SUM" || fn == "AVG") &&
+              !schema(idx).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            throw new IllegalArgumentException(
+              s"$fn($col) requires a numeric column, got ${schema(idx).dataType.simpleString}")
           def num(r: Row): Double = r.get(idx).asInstanceOf[Number].doubleValue()
+          // SQL MIN/MAX are defined on any comparable type (strings,
+          // timestamps), and aggregates skip NULLs
+          val ord: Ordering[Any] = new Ordering[Any] {
+            def compare(a: Any, b: Any): Int = (a, b) match {
+              case (x: Number, y: Number) =>
+                java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+              case (x: Comparable[_], y) =>
+                x.asInstanceOf[Comparable[Any]].compareTo(y)
+              case _ => a.toString.compareTo(b.toString)
+            }
+          }
           val dt = fn match {
             case "SUM" | "AVG" => DoubleType
             case _ => schema(idx).dataType
           }
           Measure(alias, dt, isFinal, (m, _) => {
-            val evs = evsFor(m, sym.toUpperCase)
+            val evs0 = evsFor(m, sym.toUpperCase)
+            val evs =
+              if (fn == "FIRST" || fn == "LAST") evs0
+              else evs0.filterNot(_._2.isNullAt(idx)) // aggregates skip NULLs
             if (evs.isEmpty) null
             else fn match {
               case "FIRST" => evs.head._2.get(idx)
               case "LAST"  => evs.last._2.get(idx) // bare S.col = final LAST
               case "SUM"   => evs.map(e => num(e._2)).sum
               case "AVG"   => evs.map(e => num(e._2)).sum / evs.size
-              case "MIN"   => evs.minBy(e => num(e._2))._2.get(idx)
-              case "MAX"   => evs.maxBy(e => num(e._2))._2.get(idx)
+              case "MIN"   => evs.map(_._2.get(idx)).min(ord)
+              case "MAX"   => evs.map(_._2.get(idx)).max(ord)
             }
           })
         }
@@ -338,7 +373,14 @@ object MatchRecognize {
 
     val spark = df.sparkSession
     import spark.implicits._
-    df.groupByKey(r => String.valueOf(r.get(pIdx)))
+    df.groupByKey { r =>
+      r.get(pIdx) match {
+        // Array[Byte].toString is identity-based — equal binary keys would
+        // land in different groups; encode by content
+        case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+        case v => String.valueOf(v)
+      }
+    }
       // secondary sort: row order rides the shuffle; the NFA consumes each
       // partition's rows as a lazy iterator (no per-key materialization)
       .flatMapSortedGroups(org.apache.spark.sql.functions.col(oCol)) {

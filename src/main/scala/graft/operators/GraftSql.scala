@@ -1103,7 +1103,8 @@ object GraftSql {
     },
     Some("""SELECT user_id, arg_min(event_id, epoch_us(ts)) AS event_id,
            |       arg_min(event_type, epoch_us(ts)) AS event_type,
-           |       arg_min(epoch_us(ts), epoch_us(ts)) AS ts_us
+           |       arg_min(epoch_us(ts), epoch_us(ts)) AS ts_us,
+           |       CAST(1 AS INTEGER) AS rn
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   /** q_insert_into: the reference's end-to-end SQL deployment shape through

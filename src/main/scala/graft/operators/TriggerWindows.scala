@@ -126,18 +126,14 @@ object TriggerWindows {
             var lastFired = st.lastFired
             trigger.onElement(e, since, lastFired) match {
               case TriggerResult.Continue => ()
-              case TriggerResult.Fire =>
-                val window = evictor.fold(buf.reverse: Seq[E])(_.evict(buf.reverse))
+              case fire @ (TriggerResult.Fire | TriggerResult.FireAndPurge) =>
+                val arrival = buf.reverse
+                val window = evictor.fold(arrival: Seq[E])(_.evict(arrival))
                 out += emit(key, window, total)
-                // state keeps only the evicted window — the bounded-buffer
-                // invariant that makes count-sliding windows O(size) state
-                buf = window.reverse.toList
-                since = 0L
-                lastFired = Some(e)
-              case TriggerResult.FireAndPurge =>
-                val window = evictor.fold(buf.reverse: Seq[E])(_.evict(buf.reverse))
-                out += emit(key, window, total)
-                buf = Nil
+                // Fire keeps only the evicted window — the bounded-buffer
+                // invariant that makes count-sliding windows O(size) state;
+                // FireAndPurge drops it all
+                buf = if (fire == TriggerResult.Fire) window.reverse.toList else Nil
                 since = 0L
                 lastFired = Some(e)
               case TriggerResult.Purge =>
@@ -224,13 +220,19 @@ object TriggerWindows {
       onElement = (_, e, st, ctx) => {
         val ts = e.ts.getTime
         val ws = ts - java.lang.Math.floorMod(ts, windowMs)
-        val wins = st.map(_.wins).getOrElse(Nil)
-        val cur = wins.find(_.start == ws).getOrElse(CetWin(ws, 0L, 0.0))
-        val upd = CetWin(ws, cur.cnt + 1, cur.total + e.value)
-        ctx.registerTimer(ws + windowMs) // final fire
-        val nextBoundary = ts - java.lang.Math.floorMod(ts, intervalMs) + intervalMs
-        if (nextBoundary < ws + windowMs) ctx.registerTimer(nextBoundary)
-        (Some(CetState(upd :: wins.filterNot(_.start == ws))), Nil)
+        // lateness guard (reference: allowed lateness 0 — the trigger drops
+        // elements of already-finalized windows): without it a late row
+        // would RE-CREATE a purged window and duplicate its final fire
+        if (ws + windowMs <= ctx.watermarkMs) (st, Nil)
+        else {
+          val wins = st.map(_.wins).getOrElse(Nil)
+          val cur = wins.find(_.start == ws).getOrElse(CetWin(ws, 0L, 0.0))
+          val upd = CetWin(ws, cur.cnt + 1, cur.total + e.value)
+          ctx.registerTimer(ws + windowMs) // final fire
+          val nextBoundary = ts - java.lang.Math.floorMod(ts, intervalMs) + intervalMs
+          if (nextBoundary < ws + windowMs) ctx.registerTimer(nextBoundary)
+          (Some(CetState(upd :: wins.filterNot(_.start == ws))), Nil)
+        }
       },
       onTimer = (k, t, st, ctx) => {
         val wins = st.map(_.wins).getOrElse(Nil)
@@ -239,7 +241,11 @@ object TriggerWindows {
           .map(w => CetOut(k, w.start / 1000, w.cnt, w.total, is_final = true))
         val partials = live.filter(_.start <= t).sortBy(_.start)
           .map(w => CetOut(k, w.start / 1000, w.cnt, w.total, is_final = false))
-        if (live.nonEmpty) ctx.registerTimer(t + intervalMs)
+        // chain the NEXT early-fire boundary ALIGNED to the interval grid:
+        // re-arming blindly from a window-END timer would drift the chain
+        // off-grid whenever windowMs is not a multiple of intervalMs
+        if (live.nonEmpty)
+          ctx.registerTimer(t - java.lang.Math.floorMod(t, intervalMs) + intervalMs)
         (if (live.isEmpty) None else Some(CetState(live)), finals ++ partials)
       })
   }

@@ -36,8 +36,16 @@ object DedupSql {
   def dedup(df: DataFrame, sql: String): DataFrame = {
     val norm = sql.replaceAll("\\s+", " ").trim
     norm match {
-      case RnR(partTxt, orderCol, desc, _, _, orderTail) =>
-        val partCols = partTxt.split(",").map(_.trim).toSeq
+      case RnR(partTxt, orderCol0, desc, _, _, orderTail) =>
+        // the idiom matches case-insensitively, so resolve the captured
+        // names to the relation's OWN spelling before set arithmetic — a
+        // `PARTITION BY USER_ID` over a user_id column must not leave the
+        // partition column inside `rest` (duplicated output column, polluted
+        // tie-break)
+        def resolve(n: String): String =
+          df.columns.find(_.equalsIgnoreCase(n)).getOrElse(n)
+        val partCols = partTxt.split(",").map(_.trim).toSeq.map(resolve)
+        val orderCol = resolve(orderCol0)
         val rest = df.columns.filterNot(partCols.contains).toSeq
         // Tie-break DETERMINISTICALLY: min_by/max_by over the bare order
         // column picks an arbitrary winner when two rows per key share the
@@ -49,9 +57,13 @@ object DedupSql {
         val winner =
           if (desc == null) min_by(struct(rest.map(col): _*), orderKey)
           else max_by(struct(rest.map(col): _*), orderKey)
+        // the intercepted text's outer `SELECT *` projects the rank column
+        // (constant 1 on every surviving row) — emit it too, or the lowered
+        // schema diverges from what the same SQL returns un-intercepted
         val lowered = df.groupBy(partCols.map(col): _*)
           .agg(winner.as("__r"))
-          .select(partCols.map(col) ++ rest.map(c => col(s"__r.$c")): _*)
+          .select(partCols.map(col) ++ rest.map(c => col(s"__r.$c")) :+
+            lit(1).as("rn"): _*)
         Option(orderTail).map(_.trim).filter(_.nonEmpty) match {
           case Some(o) => lowered.orderBy(o.split(",").map(_.trim).map(col).toSeq: _*)
           case None    => lowered
@@ -94,7 +106,8 @@ object DedupSql {
     },
     Some("""SELECT user_id, arg_min(event_id, epoch_us(ts)) AS event_id,
            |       arg_min(event_type, epoch_us(ts)) AS event_type,
-           |       arg_min(epoch_us(ts), epoch_us(ts)) AS ts_us
+           |       arg_min(epoch_us(ts), epoch_us(ts)) AS ts_us,
+           |       CAST(1 AS INTEGER) AS rn
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   /** q_dedup_sql_last: the DESC variant — keep-last per key. */
@@ -113,7 +126,8 @@ object DedupSql {
     },
     Some("""SELECT user_id, arg_max(event_id, epoch_us(ts)) AS event_id,
            |       arg_max(event_type, epoch_us(ts)) AS event_type,
-           |       arg_max(epoch_us(ts), epoch_us(ts)) AS ts_us
+           |       arg_max(epoch_us(ts), epoch_us(ts)) AS ts_us,
+           |       CAST(1 AS INTEGER) AS rn
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   /** Stream-stream LEFT OUTER interval join (reference StreamingJoinOperator

@@ -640,4 +640,20 @@ class GraftSqlSpec extends GraftSpec {
         .addInsertSql("INSERT OVERWRITE s SELECT 1 AS x")
     }
   }
+
+  test("dedup idiom: case-insensitive names resolve once, output carries the constant rn") {
+    import org.apache.spark.sql.functions._
+    Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .createOrReplaceTempView("gsql_dedup_case")
+    val out = GraftSql.run(spark,
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY USER_ID ORDER BY TS_US) AS rn
+        |  FROM gsql_dedup_case) WHERE rn = 1""".stripMargin)
+    // the partition column appears ONCE (no case-mismatch duplicate), and
+    // the outer SELECT *'s rn column survives as the constant 1
+    assert(out.columns.count(_.equalsIgnoreCase("user_id")) == 1, out.columns.toSeq)
+    assert(out.columns.contains("rn"), out.columns.toSeq)
+    assert(out.select("rn").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
 }

@@ -143,4 +143,55 @@ class MatchNavSpec extends GraftSpec {
     assert(out.head.getLong(1) == 3L) // both A rows + the B row
     assert(out.head.getDouble(2) == 1.0 && out.head.getDouble(3) == 3.0)
   }
+
+  test("own-symbol LAST in DEFINE includes the row under test (SQL:2016 running semantics)") {
+    val d = mk((1, 1, "x", 10.0), (1, 2, "x", 3.0))
+    val out = matchRecognize(d,
+      """PARTITION BY user_id ORDER BY event_id
+        |MEASURES B.event_id AS b_id
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (B)
+        |DEFINE B AS LAST(B.value) > 5""".stripMargin).collect()
+    // the candidate row IS the last B while it is being tested: row 1
+    // (value 10) matches, row 2 (value 3) does not
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L), out.mkString(","))
+  }
+
+  test("integral DEFINE comparisons are exact beyond 2^53") {
+    val big = 9007199254740993L // 2^53 + 1 — collapses to 2^53 as a Double
+    val d = mk((1, big, "x", 1.0), (1, big + 10, "x", 1.0))
+    val out = matchRecognize(d,
+      s"""PARTITION BY user_id ORDER BY event_id
+        |MEASURES B.event_id AS b_id
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (B)
+        |DEFINE B AS B.event_id = $big""".stripMargin).collect()
+    // double-routed comparison would also match big+10's neighbors or
+    // mis-evaluate; exact long compare matches exactly one row
+    assert(out.map(_.getLong(1)).toSeq == Seq(big), out.mkString(","))
+  }
+
+  test("MIN/MAX measures work on strings; SUM on a string column is rejected at parse") {
+    val d = mk((1, 1, "b", 1.0), (1, 2, "a", 2.0))
+    val out = matchRecognize(d,
+      """PARTITION BY user_id ORDER BY event_id
+        |MEASURES MIN(U.event_type) AS lo, MAX(U.event_type) AS hi
+        |ONE ROW PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (B C)
+        |SUBSET U = (B, C)
+        |DEFINE B AS B.value > 0, C AS C.value > 0""".stripMargin).collect()
+    assert(out.head.getString(1) == "a" && out.head.getString(2) == "b")
+    val e = intercept[IllegalArgumentException] {
+      matchRecognize(d,
+        """PARTITION BY user_id ORDER BY event_id
+          |MEASURES SUM(B.event_type) AS s
+          |ONE ROW PER MATCH
+          |PATTERN (B)
+          |DEFINE B AS B.value > 0""".stripMargin)
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
 }

@@ -144,6 +144,16 @@ class ContinuousTriggerSpec extends GraftSpec {
     q.processAllAvailable()
     // wm = 00:12 > window end 00:10: final fire, full aggregate
     assert(rows().contains((1L, 3L, 7.0, true)))
+    // LATE element for the finalized [00:00,00:10) window: must be DROPPED
+    // (allowed lateness 0) — re-creating the purged window would fire a
+    // duplicate, wrong final row
+    mem.addData(EvT(6, 1L, 100.0, ts("2024-01-01 00:04:00")))
+    q.processAllAvailable()
+    mem.addData(EvT(7, 2L, 1.0, ts("2024-01-01 00:25:00")))
+    q.processAllAvailable()
+    val finals = rows().filter(r => r._1 == 1L && r._4)
+    assert(finals == Seq((1L, 3L, 7.0, true)),
+      s"late data re-fired a finalized window: $finals")
     q.stop()
   }
 }
