@@ -156,6 +156,8 @@ class CepQuantifierSpec extends GraftSpec {
     val p = Pattern.begin[Ev]("a")(_.event_type == "A").oneOrMore
       .until(_.value > 100)
       .followedBy("b")(_.event_type == "B")
+      .afterMatchSkip(AfterMatch.NoSkip) // see every match: the default
+                                         // skip would suppress the overlap
     val events = Seq(ev(1, "A"), Ev(2, 1L, "A", 200.0, 2000000), ev(3, "A"), ev(4, "B"))
     // the stop event at t=2 closes every live loop for good: the A at t=3
     // must NOT extend the run started at t=1 (Flink's stop condition), and
