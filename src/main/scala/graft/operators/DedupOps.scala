@@ -54,7 +54,7 @@ object DedupOps {
   // signatures, and band keys are shared by several dedup/cluster queries —
   // compute once per session, like the signature table a 100 TB pipeline
   // materializes once and joins from every downstream job.
-  private def shinglesM(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shinglesM(s: SparkSession, dir: String): DataFrame =
     Materialized.of(s, s"shingles:$dir")(
       shingles(Tables.t(s, dir, "documents")))
   private def shinglesCappedM(s: SparkSession, dir: String): DataFrame =
@@ -123,10 +123,11 @@ object DedupOps {
     * df-capped variants): |A∩B| via shingle-key equi-join, sizes via one
     * groupBy — the shuffle key is the shingle, never a cross join. */
   private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val cached = sh.cache()
-    val sizes = cached.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cached.as("a")
-      .join(cached.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    // callers pass Materialized relations — already persisted; a second
+    // cache() here was a no-op warning and an unmanaged pin
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -439,7 +440,7 @@ object DedupOps {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager = true) // rounds re-read it; released with the session, not leaked as an unmanaged cache pin
       val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
       val labels0 = docs.select($"doc_id".as("node"), $"doc_id".as("label"))
       // Delta (workset) iteration — reference DataSet.iterateDelta:1179:
@@ -545,10 +546,7 @@ object DedupOps {
       import org.apache.spark.sql.graft.BloomFunctions
       val chunks = Tables.t(s, dir, "documents")
         .select($"doc_id", split($"text", " ").as("toks"))
-        .select($"doc_id", explode(expr(
-          """transform(sequence(0, cast(ceil(size(toks) / 5.0) as int) - 1),
-            |  i -> array_join(slice(toks, i * 5 + 1, 5), ' '))""".stripMargin))
-          .as("chunk"))
+        .select($"doc_id", explode(expr(TextOps.chunk5Expr)).as("chunk"))
       val corpus = chunks.filter($"doc_id" % 2 === 0).select($"chunk").distinct()
       val incoming = chunks.filter($"doc_id" % 2 =!= 0)
       // one row, KB-sized: the collected filter is the broadcast artifact,

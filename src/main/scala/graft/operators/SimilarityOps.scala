@@ -153,34 +153,49 @@ object SimilarityOps {
     * cell. Probing more cells = joining against the top-P assignment ranks
     * instead of rank 1 — the standard recall knob. The centroid table is tiny
     * (cells x dims) and broadcast; search is an equi-join on the cell id. */
+  /** Embeddings as double vectors with precomputed norms — the probe/corpus
+    * relation every ANN query scans. */
+  private def embDouble(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("dvec"))
+      .withColumn("dnorm", sqrt(dotProduct($"dvec", $"dvec")))
+  }
+
+  /** The IVF index relation, trained and assigned ONCE per (session, dir)
+    * via [[Materialized]]: per-cell centroids (rounded to 6 so both engines
+    * share identical values), every vector assigned to its TOP-2 nearest
+    * cells by cosine (`arn` = 1 is the primary assignment; `arn` <= 2 is
+    * the nprobe=2 probe set). All three ANN queries — the index search and
+    * both recall audits — read this one persisted relation, exactly the
+    * index table a real IVF deployment stores; rebuilding and re-pinning
+    * it per query (the pre-r9 shape) held three redundant cached copies. */
+  private[graft] def ivfAssign2(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = Materialized.of(s, s"ivf-assign2:$dir") {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val cents = Tables.t(s, dir, "embeddings")
+      .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
+      .groupBy($"label", $"pos").agg(round(avg($"col"), 6).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => x.getField("c")).as("cvec"))
+      .withColumn("cnorm", sqrt(dotProduct($"cvec", $"cvec")))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"csim".desc, $"label")
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" <= 2)
+      .select($"vec_id", $"label".as("cell"), $"arn", $"dvec", $"dnorm")
+  }
+
   val qAnnIvf: Q = Q(
     "q_ann_ivf",
     (s, dir) => {
       import s.implicits._
-      val e = Tables.t(s, dir, "embeddings")
-        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("dvec"))
-        .withColumn("dnorm", sqrt(dotProduct($"dvec", $"dvec")))
-      val cents = Tables.t(s, dir, "embeddings")
-        .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
-        .groupBy($"label", $"pos").agg(round(avg($"col"), 6).as("c"))
-        .groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-          x => x.getField("c")).as("cvec"))
-        .withColumn("cnorm", sqrt(dotProduct($"cvec", $"cvec")))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy($"vec_id").orderBy($"csim".desc, $"label")
-      // persisted: the search below self-joins `assigned`, and without the
-      // cache Catalyst recomputes the whole train+assign subplan (centroid
-      // agg, broadcast, window) once per join side — the assignment table is
-      // #vectors x (id, cell, vec) and is exactly what a real IVF index
-      // stores, so materializing it is the honest physical analogue
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter($"arn" === 1)
-        .select($"vec_id", $"label".as("cell"), $"dvec", $"dnorm")
-        .persist()
+      val assigned = ivfAssign2(s, dir).filter($"arn" === 1).drop("arn")
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"sim".desc, $"cid")
       assigned.select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
@@ -283,25 +298,8 @@ object SimilarityOps {
     "q_ann_recall",
     (s, dir) => {
       import s.implicits._
-      val e = Tables.t(s, dir, "embeddings")
-        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("dvec"))
-        .withColumn("dnorm", sqrt(dotProduct($"dvec", $"dvec")))
-      val cents = Tables.t(s, dir, "embeddings")
-        .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
-        .groupBy($"label", $"pos").agg(round(avg($"col"), 6).as("c"))
-        .groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-          x => x.getField("c")).as("cvec"))
-        .withColumn("cnorm", sqrt(dotProduct($"cvec", $"cvec")))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy($"vec_id").orderBy($"csim".desc, $"label")
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter($"arn" === 1)
-        .select($"vec_id", $"label".as("cell"), $"dvec", $"dnorm")
-        .persist()
+      val e = embDouble(s, dir)
+      val assigned = ivfAssign2(s, dir).filter($"arn" === 1).drop("arn")
       val probes = assigned.filter($"vec_id" % 25 === 0)
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"sim".desc, $"cid")
@@ -383,25 +381,8 @@ object SimilarityOps {
     "q_ann_recall_nprobe2",
     (s, dir) => {
       import s.implicits._
-      val e = Tables.t(s, dir, "embeddings")
-        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("dvec"))
-        .withColumn("dnorm", sqrt(dotProduct($"dvec", $"dvec")))
-      val cents = Tables.t(s, dir, "embeddings")
-        .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
-        .groupBy($"label", $"pos").agg(round(avg($"col"), 6).as("c"))
-        .groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-          x => x.getField("c")).as("cvec"))
-        .withColumn("cnorm", sqrt(dotProduct($"cvec", $"cvec")))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy($"vec_id").orderBy($"csim".desc, $"label")
-      val assign2 = e.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter($"arn" <= 2)
-        .select($"vec_id", $"label".as("cell"), $"arn", $"dvec", $"dnorm")
-        .persist()
+      val e = embDouble(s, dir)
+      val assign2 = ivfAssign2(s, dir)
       val candidates = assign2.filter($"arn" === 1)
       val probeCells = assign2.filter($"vec_id" % 25 === 0)
       val wRank = org.apache.spark.sql.expressions.Window

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The C4-family 5-token span expression over a `toks` array column —
+    * ONE definition shared by the span-dedup operators (q_line_dedup here,
+    * the Bloom-prefiltered q_bloom_dedup in DedupOps): a chunk-size or
+    * boundary change must move both operators together or their span
+    * definitions silently diverge. */
+  private[graft] val chunk5Expr: String =
+    """transform(sequence(0, cast(ceil(size(toks) / 5.0) as int) - 1),
+      |  i -> array_join(slice(toks, i * 5 + 1, 5), ' '))""".stripMargin
+
   private val stop = Map(
     "en" -> Seq("the", "and", "of", "a", "is", "to", "in"),
     "de" -> Seq("der", "und", "die", "das", "ist"),
@@ -205,8 +214,7 @@ object TextOps {
     "q_contamination",
     (s, dir) => {
       import s.implicits._
-      val sh = Materialized.of(s, s"shingles:$dir")(
-        DedupOps.shingles(Tables.t(s, dir, "documents")))
+      val sh = DedupOps.shinglesM(s, dir) // the ONE shared shingle relation
       val probes = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
         .orderBy($"df".desc, $"sh").limit(5).select($"sh")
       sh.join(broadcast(probes), "sh")
@@ -283,8 +291,12 @@ object TextOps {
       Tables.t(s, dir, "documents")
         .withColumn("words", split($"text", " "))
         .withColumn("bigrams", expr(
-          "transform(sequence(1, size(words) - 1), " +
-            "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"))
+          // guard the single-token document: sequence(1, 0) is the
+          // DESCENDING [1, 0] in Spark and element_at(words, 0) always
+          // throws — an empty bigram list matches DuckDB's empty range(1,1)
+          "CASE WHEN size(words) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(words) - 1), " +
+            "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1))) END"))
         .select($"doc_id",
           round(expr(
             "array_max(transform(array_distinct(words), " +
@@ -467,8 +479,7 @@ object TextOps {
     "q_dup_span_frac",
     (s, dir) => {
       import s.implicits._
-      val sh = Materialized.of(s, s"shingles:$dir")(
-        DedupOps.shingles(Tables.t(s, dir, "documents")))
+      val sh = DedupOps.shinglesM(s, dir) // the ONE shared shingle relation
       // shingles() is distinct per (doc_id, sh), so count(*) per sh is the
       // document frequency
       val dupSh = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
@@ -671,11 +682,12 @@ object TextOps {
       import s.implicits._
       val chunks = Tables.t(s, dir, "documents")
         .select($"doc_id", split($"text", " ").as("toks"))
-        .select($"doc_id", posexplode(expr(
-          """transform(sequence(0, cast(ceil(size(toks) / 5.0) as int) - 1),
-            |  i -> array_join(slice(toks, i * 5 + 1, 5), ' '))""".stripMargin)))
+        .select($"doc_id", posexplode(expr(chunk5Expr)))
         .withColumnRenamed("col", "chunk")
-        .withColumn("ord", $"doc_id" * 1000000L + $"pos")
+        // 32-bit shift, not *1e6: a document beyond 1M chunks would
+        // collide ord across documents and break the deterministic global
+        // keep-first (pos < 2^32 chunks ≈ 20B tokens/doc is a safe bound)
+        .withColumn("ord", $"doc_id" * 4294967296L + $"pos")
       val firstOrd = chunks.groupBy($"chunk").agg(min($"ord").as("min_ord"))
       val kept = chunks.join(firstOrd, "chunk").where($"ord" === $"min_ord")
       val docStats = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
@@ -698,7 +710,7 @@ object TextOps {
            |  FROM t),
            |chunks AS (
            |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk,
-           |         doc_id * 1000000 + u.pos AS ord
+           |         doc_id * 4294967296 + u.pos AS ord
            |  FROM c),
            |first_ord AS (SELECT chunk, min(ord) AS min_ord FROM chunks GROUP BY chunk),
            |kept AS (
@@ -746,6 +758,10 @@ object TextOps {
         .withColumn("u", regexp_replace($"url", "#.*$", ""))
         .withColumn("u",
           regexp_replace($"u", "[?&](utm_[^&#=]*|fbclid)=[^&#]*", ""))
+        // stripping a LEADING tracking param eats the '?': promote the
+        // first remaining '&' back to '?' so ...?utm_a=1&q=2 and ...?q=2
+        // canonicalize identically ("keeping any other query" contract)
+        .withColumn("u", regexp_replace($"u", "^([^?]*)&", "$1?"))
         .withColumn("u", regexp_replace($"u", "[?&]$", ""))
         .withColumn("host", lower(regexp_extract($"u", "^(?i)https?://([^/?#]*)", 1)))
         .withColumn("host", regexp_replace($"host", "^www\\.", ""))

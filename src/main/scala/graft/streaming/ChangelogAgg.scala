@@ -45,7 +45,8 @@ object ChangelogAgg {
       vmin: Double, vmax: Double)
 
   /** Retractable accumulator: running count/sum + live-value multiset. */
-  final case class AggState(cnt: Long, total: Double, values: Map[Double, Long])
+  final case class AggState(cnt: Long, total: Double, values: Map[Double, Long],
+      lastActivityMs: Long = Long.MinValue)
 
   val empty: AggState = AggState(0L, 0.0, Map.empty)
 
@@ -59,7 +60,7 @@ object ChangelogAgg {
   /** Pure core: fold one change into the accumulator. */
   def applyChange(st: AggState, kind: String, v: Double): AggState = {
     val d = if (isAccumulate(kind)) 1L else -1L
-    AggState(st.cnt + d, st.total + d * v, bump(st.values, v, d))
+    AggState(st.cnt + d, st.total + d * v, bump(st.values, v, d), st.lastActivityMs)
   }
 
   /** The aggregate's current result; None when no live rows. */
@@ -101,10 +102,16 @@ object ChangelogAgg {
             val after = result(st)
             if (after.isEmpty) state.remove()
             else {
-              state.update(st)
+              // last activity = max over the key's WHOLE history (carried
+              // in state): re-arming from only this batch's max seq would
+              // let a late smaller-seq change move the expiry earlier and
+              // drop the accumulator prematurely (same contract as
+              // ChangelogJoin's idle TTL)
+              val activity = math.max(st.lastActivityMs, lastSeq)
+              state.update(st.copy(lastActivityMs = activity))
               idleTtlMs.foreach { ttl =>
                 val wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(math.max(wm + 1, lastSeq + ttl))
+                state.setTimeoutTimestamp(math.max(wm + 1, activity + ttl))
               }
             }
             val out = (before, after) match {
@@ -197,6 +204,29 @@ object ChangelogAgg {
     * instance of the multiset), so cross-user duplicate values would make
     * arrival attribution ambiguous — the reference leaves that case
     * undefined too, and the fixture has 2k+ cross-user duplicates. */
+  /** Shared oracle-query generator: each user's latest-value upsert
+    * changelog keyed by user-bucket, values qualified by `tv(uid, v)` —
+    * the ONE copy of the seq encoding (eid*2 + phase) and the
+    * retract-previous logic both changelog-agg queries rely on. */
+  private def latestValueChanges(
+      ev: org.apache.spark.sql.Dataset[(Long, Long, Double)])(
+      tv: (Long, Double) => Double)
+      : org.apache.spark.sql.Dataset[AggChange[Long]] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.groupByKey(_._2).flatMapGroups {
+      (uid: Long, it: Iterator[(Long, Long, Double)]) =>
+        val sorted = it.toSeq.sortBy(_._1)
+        val bucket = uid % 10
+        sorted.zipWithIndex.flatMap { case ((eid, _, v), i) =>
+          if (i == 0) Seq(AggChange[Long](bucket, eid * 2 + 1, "+I", tv(uid, v)))
+          else Seq(
+            AggChange[Long](bucket, eid * 2, "-U", tv(uid, sorted(i - 1)._3)),
+            AggChange[Long](bucket, eid * 2 + 1, "+U", tv(uid, v)))
+        }.iterator
+    }
+  }
+
   val qChangelogFirstLast: Q = Q(
     "q_changelog_firstlast",
     (s, dir) => {
@@ -205,18 +235,8 @@ object ChangelogAgg {
       val ev = Tables.t(s, dir, "events")
         .select($"event_id", $"user_id", $"value")
         .as[(Long, Long, Double)]
-      val changes = ev.groupByKey(_._2).flatMapGroups {
-        (uid: Long, it: Iterator[(Long, Long, Double)]) =>
-          val sorted = it.toSeq.sortBy(_._1)
-          val bucket = uid % 10
-          def tv(v: Double): Double = uid * 100000.0 + v
-          sorted.zipWithIndex.flatMap { case ((eid, _, v), i) =>
-            if (i == 0) Seq(AggChange[Long](bucket, eid * 2 + 1, "+I", tv(v)))
-            else Seq(
-              AggChange[Long](bucket, eid * 2, "-U", tv(sorted(i - 1)._3)),
-              AggChange[Long](bucket, eid * 2 + 1, "+U", tv(v)))
-          }.iterator
-      }
+      // value qualified by uid so first/last attribution is checkable
+      val changes = latestValueChanges(ev)((uid, v) => uid * 100000.0 + v)
       aggOrdered(changes).filter(_.kind == "+I").toDF()
         .select($"key".as("bucket"),
           round($"first_v", 2).as("first_v"), round($"last_v", 2).as("last_v"))
@@ -249,17 +269,7 @@ object ChangelogAgg {
         .select($"event_id", $"user_id", $"value")
         .as[(Long, Long, Double)]
       // upsert changelog of each user's LATEST value, keyed by user-bucket
-      val changes = ev.groupByKey(_._2).flatMapGroups {
-        (uid: Long, it: Iterator[(Long, Long, Double)]) =>
-          val sorted = it.toSeq.sortBy(_._1)
-          val bucket = uid % 10
-          sorted.zipWithIndex.flatMap { case ((eid, _, v), i) =>
-            if (i == 0) Seq(AggChange[Long](bucket, eid * 2 + 1, "+I", v))
-            else Seq(
-              AggChange[Long](bucket, eid * 2, "-U", sorted(i - 1)._3),
-              AggChange[Long](bucket, eid * 2 + 1, "+U", v))
-          }.iterator
-      }
+      val changes = latestValueChanges(ev)((_, v) => v)
       // one data batch → the net output per bucket is its single +I row
       agg(changes).filter(_.kind == "+I").toDF()
         .select($"key".as("bucket"), $"cnt",

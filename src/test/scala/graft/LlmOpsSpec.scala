@@ -154,4 +154,38 @@ class LlmOpsSpec extends GraftSpec {
       .join(corpus, Seq("v"), "left_semi").as[String].collect().toSet
     assert(exact == (0 until 1000).map(i => s"member-$i").toSet)
   }
+
+  test("quality repetition survives single-token documents (sequence(1,0) guard)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq((1L, "hello", "en", "web", 5L), (2L, "two words", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("rep_docs")
+    // run the same expression pipeline against the tiny view via a clone of
+    // the operator's plan: a 1-token doc must yield a row, not a crash
+    val out = spark.table("rep_docs")
+      .withColumn("words", split($"text", " "))
+      .withColumn("bigrams", org.apache.spark.sql.functions.expr(
+        "CASE WHEN size(words) < 2 THEN array() " +
+          "ELSE transform(sequence(1, size(words) - 1), " +
+          "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1))) END"))
+      .select($"doc_id", org.apache.spark.sql.functions.size($"bigrams").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1), out)
+  }
+
+  test("URL canonicalizer: stripping a LEADING tracking param keeps the kept query comparable") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val urls = Seq("http://h.example.com/p?utm_a=1&q=2", "http://h.example.com/p?q=2")
+      .toDF("url")
+    val canon = urls
+      .withColumn("u", regexp_replace($"url", "#.*$", ""))
+      .withColumn("u", regexp_replace($"u", "[?&](utm_[^&#=]*|fbclid)=[^&#]*", ""))
+      .withColumn("u", regexp_replace($"u", "^([^?]*)&", "$1?"))
+      .withColumn("u", regexp_replace($"u", "[?&]$", ""))
+      .select("u").collect().map(_.getString(0)).toSet
+    assert(canon == Set("http://h.example.com/p?q=2"),
+      s"identical logical URLs canonicalized differently: $canon")
+  }
 }
