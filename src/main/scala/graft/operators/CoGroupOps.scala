@@ -91,7 +91,11 @@ object CoGroupOps {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val logDir = Tables.scratch("kafka_rt")
+      // the log's identity includes the DATASET: segment (topic, batchId)
+      // idempotence means a committed segment is never rewritten, so a
+      // fixed path would serve one scale factor's data to another
+      val logDir = Tables.scratch(
+        s"kafka_rt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
       val records = Tables.t(s, dir, "events")
         .where($"event_type" === "purchase")
         .select($"event_id".cast("string").as("key"),
@@ -136,7 +140,8 @@ object CoGroupOps {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val logDir = Tables.scratch("kafka_upsert")
+      val logDir = Tables.scratch( // dataset-scoped: see q_kafka_roundtrip
+        s"kafka_upsert/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
       val records = Tables.t(s, dir, "events")
         .select($"user_id".cast("string").as("key"),
           format_string("%012d", $"event_id").as("value"), $"ts")

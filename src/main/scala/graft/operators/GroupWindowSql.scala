@@ -42,8 +42,43 @@ object GroupWindowSql {
   private val Hop = s"""(?i)HOP\\(\\s*$Col\\s*,\\s*($I)\\s*,\\s*($I)\\s*\\)""".r
   private val Session = s"""(?i)SESSION\\(\\s*$Col\\s*,\\s*($I)\\s*\\)""".r
 
+  // capture variants for auxiliary validation (the lowering regexes above
+  // deliberately don't capture the args they replace)
+  private val TumbleAuxV = s"""(?i)TUMBLE_(?:START|END)\\(\\s*$Col\\s*,\\s*($I)\\s*\\)""".r
+  private val HopAuxV = s"""(?i)HOP_(?:START|END)\\(\\s*$Col\\s*,\\s*($I)\\s*,\\s*($I)\\s*\\)""".r
+  private val SessionAuxV = s"""(?i)SESSION_(?:START|END)\\(\\s*$Col\\s*,\\s*($I)\\s*\\)""".r
+
+  /** The reference validates that every auxiliary's (column, interval…)
+    * EQUALS the grouped window's (SqlValidator window matching); silently
+    * rewriting a mismatched aux to `window.start` would present one
+    * window's bounds as another's. */
+  private def validateAux(sql: String): Unit = {
+    def eqc(a: String, b: String) = a.equalsIgnoreCase(b)
+    val tumble = Tumble.findFirstMatchIn(sql).map(m => (m.group(1), dur(m.group(2))))
+    val hop = Hop.findFirstMatchIn(sql).map(m => (m.group(1), dur(m.group(2)), dur(m.group(3))))
+    val session = Session.findFirstMatchIn(sql).map(m => (m.group(1), dur(m.group(2))))
+    TumbleAuxV.findAllMatchIn(sql).foreach { m =>
+      val ok = tumble.exists { case (c, d) => eqc(c, m.group(1)) && d == dur(m.group(2)) }
+      require(ok, s"TUMBLE_START/END(${m.group(1)}, ${m.group(2)}) does not match " +
+        s"the grouped window ${tumble.getOrElse("(none)")} — the reference " +
+        "rejects mismatched window auxiliaries")
+    }
+    HopAuxV.findAllMatchIn(sql).foreach { m =>
+      val ok = hop.exists { case (c, sl, sz) =>
+        eqc(c, m.group(1)) && sl == dur(m.group(2)) && sz == dur(m.group(3)) }
+      require(ok, s"HOP_START/END(${m.group(1)}, …) does not match the " +
+        s"grouped window ${hop.getOrElse("(none)")}")
+    }
+    SessionAuxV.findAllMatchIn(sql).foreach { m =>
+      val ok = session.exists { case (c, g) => eqc(c, m.group(1)) && g == dur(m.group(2)) }
+      require(ok, s"SESSION_START/END(${m.group(1)}, ${m.group(2)}) does not " +
+        s"match the grouped window ${session.getOrElse("(none)")}")
+    }
+  }
+
   /** Rewrite reference group-window SQL text into Spark SQL. */
   def rewrite(sql: String): String = {
+    validateAux(sql)
     var out = sql
     out = TumbleAux.replaceAllIn(out, m => s"window.${m.group(1).toLowerCase}")
     out = HopAux.replaceAllIn(out, m => s"window.${m.group(1).toLowerCase}")

@@ -22,10 +22,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LateralSql {
 
+  // split_rows(col, 'd'): the delimiter is a LITERAL in the reference UDTF,
+  // but Spark's split() takes a REGEX — a '.', '|' or '+' delimiter would
+  // silently split on everything/nothing. Escape regex metachars in the
+  // literal before templating (the DuckDB oracle's string_split is literal).
+  private val SplitArgsR = "(?s)\\s*(.+?)\\s*,\\s*'(.*)'\\s*".r
+  private def literalSplit(args: String): String = args match {
+    case SplitArgsR(c, d) =>
+      val quoted = d.replaceAll("([\\\\.\\[\\]{}()*+?^$|])", "\\\\\\\\$1")
+      s"split($c, '$quoted')"
+    case other => s"split($other)" // non-literal delimiter: regex semantics
+  }
+
   /** UDTF name → args → Spark generator expression text. */
   private val registry: Map[String, String => String] = Map(
-    "split_rows" -> (args => s"explode(split($args))"),
-    "split_rows_indexed" -> (args => s"posexplode(split($args))"))
+    "split_rows" -> (args => s"explode(${literalSplit(args)})"),
+    "split_rows_indexed" -> (args => s"posexplode(${literalSplit(args)})"))
 
   private val CrossR =
     """(?i),\s*LATERAL TABLE\(\s*(\w+)\(([^)]*)\)\s*\)\s+AS\s+(\w+)\(([\w, ]+)\)""".r
@@ -39,11 +51,15 @@ object LateralSql {
         s"unknown table function '$fn' — register a lowering template"))(args)
 
   def rewrite(sql: String): String = {
+    // quoteReplacement: the generated text is a LITERAL replacement —
+    // without it replaceAllIn would halve the escaped-delimiter
+    // backslashes and read a '$' in user args as a group reference
+    val q = scala.util.matching.Regex.quoteReplacement _
     var out = sql
     out = LeftR.replaceAllIn(out,
-      m => s"LATERAL VIEW OUTER ${gen(m.group(1), m.group(2))} ${m.group(3)} AS ${m.group(4)}")
+      m => q(s"LATERAL VIEW OUTER ${gen(m.group(1), m.group(2))} ${m.group(3)} AS ${m.group(4)}"))
     out = CrossR.replaceAllIn(out,
-      m => s" LATERAL VIEW ${gen(m.group(1), m.group(2))} ${m.group(3)} AS ${m.group(4)}")
+      m => q(s" LATERAL VIEW ${gen(m.group(1), m.group(2))} ${m.group(3)} AS ${m.group(4)}"))
     out
   }
 

@@ -102,7 +102,18 @@ object LookupJoin {
       else {
         misses += 1
         val fut = fetch
-        cache.put(key, (fut, now))
+        if (capacity > 0) {
+          cache.put(key, (fut, now))
+          // a FAILED load must not be memoized for the TTL (the reference's
+          // Guava cache discards failed loads): evict so the next probe
+          // refetches from the (possibly recovered) backend
+          fut.failed.foreach { _ =>
+            AsyncTtlCache.this.synchronized {
+              val cur = cache.get(key)
+              if (cur != null && (cur._1 eq fut)) cache.remove(key)
+            }
+          }(scala.concurrent.ExecutionContext.global)
+        }
         fut
       }
     }
@@ -113,7 +124,12 @@ object LookupJoin {
     * ttl 10 min, async capacity 8). */
   final case class LookupOptions(maxRows: Int, ttlMillis: Long, asyncCapacity: Int)
   def lookupOptions(opts: Map[String, String]): LookupOptions = LookupOptions(
-    maxRows = opts.get("lookup.cache.max-rows").map(_.trim.toInt).getOrElse(10000),
+    // the reference's documented cache-disabled value is -1; a negative
+    // capacity would make the LRU evict EVERY entry (including in-flight
+    // futures — duplicate backend reads) and crashes LinkedHashMap as an
+    // initial capacity, so normalize nonpositive to 0 = bypass
+    maxRows = opts.get("lookup.cache.max-rows").map(_.trim.toInt)
+      .map(n => math.max(n, 0)).getOrElse(10000),
     ttlMillis = opts.get("lookup.cache.ttl").map(parseDuration).getOrElse(600000L),
     asyncCapacity = opts.get("lookup.async.capacity").map(_.trim.toInt).getOrElse(8))
 
@@ -174,8 +190,12 @@ object LookupJoin {
     @transient private lazy val table: Map[Long, String] = {
       val src = scala.io.Source.fromFile(path)
       try src.getLines().map { line =>
-        val Array(k, v) = line.split(",", 2)
-        k.trim.toLong -> v
+        // a NULL dim value writes as a bare key (concat_ws skips nulls) —
+        // treat the missing field as empty instead of a MatchError
+        line.split(",", 2) match {
+          case Array(k, v) => k.trim.toLong -> v
+          case Array(k) => k.trim.toLong -> ""
+        }
       }.toMap
       finally src.close()
     }

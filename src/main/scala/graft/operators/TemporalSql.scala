@@ -42,14 +42,23 @@ object TemporalSql {
       leftJoin: Boolean): DataFrame = {
     val bVals = build.columns.filterNot(_ == buildKey).toSeq
     val bStruct = struct(bVals.map(build(_)): _*)
-    val bSide = build.select(build(buildKey).as("__k"), build(buildTs).as("__t"),
+    // a NULL build key can never satisfy the equi-predicate (SQL: NULL = x
+    // is never true) — without this filter the window's null partition
+    // would hand null-key probes a null-key version
+    val bSide = build.where(build(buildKey).isNotNull)
+      .select(build(buildKey).as("__k"), build(buildTs).as("__t"),
       lit(0).as("__tag"), bStruct.as("__b"),
       lit(null).cast(probe.schema).as("__p"))
     val pSide = probe.select(probe(probeKey).as("__k"), probe(probeTs).as("__t"),
       lit(1).as("__tag"), lit(null).cast(bSide.schema("__b").dataType).as("__b"),
       struct(probe.columns.toSeq.map(probe(_)): _*).as("__p"))
-    // build sorts before probe at equal ts -> "<=" version visibility
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tag"))
+    // build sorts before probe at equal ts -> "<=" version visibility;
+    // the __b struct content as the final key makes equal-(key, ts)
+    // version picks DETERMINISTIC (max by content) instead of
+    // shuffle-order-dependent — the reference leaves equal version times
+    // undefined, but a flaky pick would make oracle queries flaky too
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__tag"), col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = bSide.unionByName(pSide)
       .withColumn("__asof", last(col("__b"), ignoreNulls = true).over(w))
@@ -89,6 +98,10 @@ object TemporalSql {
         case ItemR(a, c, as) =>
           val base =
             if (a.equalsIgnoreCase(pAlias)) col(c)
+            // b.<joinkey> equals p.<joinkey> by the join predicate; the
+            // struct deliberately omits the build key, so serve the probe's
+            else if (a.equalsIgnoreCase(bAlias) && c.equalsIgnoreCase(bKey))
+              col(pKey)
             else if (a.equalsIgnoreCase(bAlias)) col(s"__b_$c")
             else throw new IllegalArgumentException(s"unknown alias $a")
           base.as(if (as != null) as else c)

@@ -52,9 +52,18 @@ object KafkaLog {
   }
 
   /** Write one batch of (key, value[, ts]) rows as a log segment. Idempotent
-    * per (topic, batchId): redelivery overwrites the same segment. */
+    * per (topic, batchId): a redelivered batch whose segment already
+    * COMMITTED is a no-op — overwriting would mint new part-file names (and
+    * fresh `current_timestamp` values for ts-less inputs), which a
+    * file-stream READER's checkpoint has never seen, re-ingesting the whole
+    * batch downstream and breaking the exactly-once contract. The _SUCCESS
+    * marker Spark drops at write completion is the commit record; a crash
+    * MID-write leaves no marker and the redelivery legitimately rewrites. */
   def writeBatch(batch: DataFrame, dir: String, topic: String,
       numPartitions: Int, batchId: Long): Unit = {
+    val seg = s"${topicDir(dir, topic)}/segment=$batchId"
+    val committed = new java.io.File(seg, "_SUCCESS")
+    if (committed.exists()) return // redelivery of a committed segment
     val cols = batch.columns.toSet
     val withTs =
       if (cols.contains("ts")) batch
@@ -62,7 +71,7 @@ object KafkaLog {
     withPartitionAndOffset(withTs, "key", numPartitions, batchId)
       .select("partition", "offset", "key", "value", "ts")
       .write.mode("overwrite")
-      .parquet(s"${topicDir(dir, topic)}/segment=$batchId")
+      .parquet(seg)
   }
 
   /** Exactly-once streaming sink: foreachBatch → idempotent segment writes.
@@ -104,6 +113,10 @@ object KafkaLog {
     spark.readStream.schema(schema)
       .option("basePath", topicDir(dir, topic))
       .parquet(topicDir(dir, topic) + "/segment=*")
+      // basePath + segment=* infers a `segment` partition column the record
+      // contract (partition, offset, key, value, ts) does not carry; drop it
+      // so streaming and batch reads share one schema
+      .drop("segment")
 
   /** Committed (= fully written) end offsets per partition — the
     * `endOffsets` consumer API. */

@@ -28,6 +28,19 @@ class GroupWindowSqlSpec extends GraftSpec {
     val untouched = "GROUP BY TUMBLE(ts, INTERVAL '1' YEAR)"
     assert(rewrite(untouched) == untouched)
   }
+
+  test("mismatched window auxiliaries are rejected like the reference's validator") {
+    val e = intercept[IllegalArgumentException] {
+      rewrite("SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) " +
+        "FROM e GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)")
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      rewrite("SELECT TUMBLE_START(other_ts, INTERVAL '5' MINUTE) " +
+        "FROM e GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)")
+    }
+    assert(e2.getMessage.contains("does not match"), e2.getMessage)
+  }
 }
 
 /** LATERAL TABLE lowering (reference Correlate SQL surface). */
@@ -46,5 +59,19 @@ class LateralSqlSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       rewrite("SELECT * FROM t, LATERAL TABLE(nope(a)) AS T(w)")
     }
+  }
+
+  test("regex-metachar delimiters split LITERALLY (Spark split takes a regex)") {
+    val out = rewrite("SELECT w FROM t, LATERAL TABLE(split_rows(a, '.')) AS T(w)")
+    assert(out.contains("split(a, '\\\\.')"), out)
+    // end-to-end: '.' must not split every character
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq("x.y", "plain").toDF("a").createOrReplaceTempView("lat_dot")
+    val rows = spark.sql(
+      graft.operators.LateralSql.rewrite(
+        "SELECT a, w FROM lat_dot, LATERAL TABLE(split_rows(a, '.')) AS T(w)"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("x.y", "x"), ("x.y", "y"), ("plain", "plain")), rows.toSeq)
   }
 }

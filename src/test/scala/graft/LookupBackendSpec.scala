@@ -54,6 +54,38 @@ class LookupBackendSpec extends GraftSpec {
     assert(reads == 3 && cache.misses == 3)
   }
 
+  test("AsyncTtlCache: a FAILED load is not memoized; max-rows<=0 bypasses the cache") {
+    import scala.concurrent.{Future, Promise}
+    var now = 0L
+    val cache = new LookupJoin.AsyncTtlCache(capacity = 10, ttlMillis = 60000L,
+      clock = () => now)
+    var reads = 0
+    val failing = Promise[Option[String]]()
+    cache.getOrSubmit(9L)({ reads += 1; failing.future })
+    failing.failure(new RuntimeException("blip"))
+    Thread.sleep(100) // let the eviction callback run
+    cache.getOrSubmit(9L)({ reads += 1; Future.successful(Some("ok")) })
+    assert(reads == 2, s"failed load stayed memoized: reads=$reads")
+    // the reference's -1 = cache disabled normalizes to bypass, not to a
+    // negative LRU capacity that would evict in-flight futures
+    assert(LookupJoin.lookupOptions(
+      Map("lookup.cache.max-rows" -> "-1")).maxRows == 0)
+    val off = new LookupJoin.AsyncTtlCache(capacity = 0, ttlMillis = 60000L,
+      clock = () => now)
+    off.getOrSubmit(1L)(Future.successful(Some("a")))
+    off.getOrSubmit(1L)(Future.successful(Some("a")))
+    assert(off.misses == 2) // nothing cached — every probe reads
+  }
+
+  test("CsvFileBackend tolerates a bare-key line (NULL dim value)") {
+    val f = java.nio.file.Files.createTempFile("graft-csv", ".csv")
+    java.nio.file.Files.writeString(f, "1,alpha\n2\n3,gamma\n")
+    val b = new LookupJoin.CsvFileBackend(f.toString)
+    assert(b.get(1L).contains("alpha"))
+    assert(b.get(2L).contains("")) // null value survives as empty, no crash
+    assert(b.get(3L).contains("gamma"))
+  }
+
   test("lookup.* WITH options parse with reference keys and unit spellings") {
     val o = LookupJoin.lookupOptions(Map(
       "lookup.cache.max-rows" -> "500",
