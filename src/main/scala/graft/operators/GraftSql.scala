@@ -1281,7 +1281,7 @@ object GraftSql {
            |       round(sum(round(100 * v)) / 100.0, 2) AS total
            |FROM (
            |  SELECT a.ts AS ts,
-           |         (SELECT arg_max(b.value, b.event_id) FROM events b
+           |         (SELECT arg_max(b.value, printf('%020d-%012d', epoch_us(b.ts), b.event_id)) FROM events b
            |          WHERE b.user_id = a.user_id AND b.event_type = 'signup'
            |            AND b.ts <= a.ts) AS v
            |  FROM events a WHERE a.event_type = 'purchase')

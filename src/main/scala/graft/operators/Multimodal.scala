@@ -29,7 +29,13 @@ object Multimodal {
       $"doc_id".as("id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         ($"doc_id" % 3 + 1).cast("int")).as("kind"),
-      encode($"text", "UTF-8").as("payload"))
+      // ASCII-sanitize BEFORE encoding: the deterministic fake payload's
+      // oracle reads per-CHARACTER (ascii(substr(text, …))) while the
+      // engine reads per-BYTE — identical only when every char is one
+      // byte, so pin that by construction instead of trusting the fixture
+      // generator to stay ASCII (round-7-style drift insurance)
+      encode(regexp_replace($"text", "[^\\x00-\\x7F]", "?"), "UTF-8")
+        .as("payload"))
   }
 
   /** STUB decode kernel — stands in for an image/audio decoder. Deterministic
@@ -75,13 +81,14 @@ object Multimodal {
     Some("""WITH m AS (
            |  SELECT doc_id AS id,
            |         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-           |         text, length(text) AS n
+           |         regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text,
+           |         length(regexp_replace(text, '[^\x00-\x7F]', '?', 'g')) AS n
            |  FROM documents)
            |SELECT id, kind, CAST(n AS INTEGER) AS n_bytes,
            |       CAST(64 + n % 512 AS INTEGER) AS width,
            |       CAST(64 + (n * 7) % 512 AS INTEGER) AS height,
-           |       CAST(list_sum(list_transform(range(1, n + 1),
-           |         i -> ascii(substr(text, CAST(i AS INTEGER), 1)) * ((i - 1) % 31 + 1)))
+           |       CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+           |         i -> ascii(substr(text, CAST(i AS INTEGER), 1)) * ((i - 1) % 31 + 1))), 0)
            |         AS BIGINT) AS checksum
            |FROM m ORDER BY id""".stripMargin))
 
@@ -126,15 +133,16 @@ object Multimodal {
     Some("""WITH m AS (
            |  SELECT doc_id AS id,
            |         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-           |         text, length(text) AS n,
-           |         greatest(1, length(text) // 256) AS stride
+           |         regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text,
+           |         length(regexp_replace(text, '[^\x00-\x7F]', '?', 'g')) AS n,
+           |         greatest(1, length(regexp_replace(text, '[^\x00-\x7F]', '?', 'g')) // 256) AS stride
            |  FROM documents)
            |SELECT id, kind, CAST(n AS INTEGER) AS orig_bytes,
            |       CAST(stride AS INTEGER) AS stride,
            |       CAST((n + stride - 1) // stride AS INTEGER) AS resized_bytes,
-           |       CAST(list_sum(list_transform(range(0, (n + stride - 1) // stride),
+           |       CAST(coalesce(list_sum(list_transform(range(0, (n + stride - 1) // stride),
            |         j -> ascii(substr(text, CAST(j * stride + 1 AS INTEGER), 1))
-           |              * (j % 31 + 1))) AS BIGINT) AS resized_checksum
+           |              * (j % 31 + 1))), 0) AS BIGINT) AS resized_checksum
            |FROM m ORDER BY id""".stripMargin))
 
   case class Frame(id: Long, frame_idx: Int, frame_len: Int, head: String,
@@ -179,7 +187,9 @@ object Multimodal {
         .orderBy($"id", $"frame_idx")
     },
     Some("""WITH v AS (
-           |  SELECT doc_id AS id, text, length(text) AS n
+           |  SELECT doc_id AS id,
+           |         regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text,
+           |         length(regexp_replace(text, '[^\x00-\x7F]', '?', 'g')) AS n
            |  FROM documents WHERE doc_id % 3 = 2),
            |idx AS (
            |  SELECT id, text, n,
@@ -189,10 +199,10 @@ object Multimodal {
            |       CAST(least(100, n - fi * 100) AS INTEGER) AS frame_len,
            |       substr(text, CAST(fi * 100 + 1 AS INTEGER),
            |              CAST(least(8, least(100, n - fi * 100)) AS INTEGER)) AS head,
-           |       CAST(list_sum(list_transform(
+           |       CAST(coalesce(list_sum(list_transform(
            |         range(0, least(100, n - fi * 100)),
            |         i -> ascii(substr(text, CAST(fi * 100 + i + 1 AS INTEGER), 1))
-           |              * (i % 31 + 1))) AS BIGINT) AS frame_checksum
+           |              * (i % 31 + 1))), 0) AS BIGINT) AS frame_checksum
            |FROM idx WHERE fi % 3 = 0
            |ORDER BY id, frame_idx""".stripMargin))
 

@@ -197,7 +197,7 @@ object TemporalFunction {
     },
     Some("""SELECT a.event_id, v.last_signup_value
            |FROM events a, LATERAL (
-           |  SELECT arg_max(b.value, b.event_id) AS last_signup_value
+           |  SELECT arg_max(b.value, printf('%020d-%012d', epoch_us(b.ts), b.event_id)) AS last_signup_value
            |  FROM events b
            |  WHERE b.user_id = a.user_id AND b.event_type = 'signup'
            |    AND b.ts <= a.ts) v
@@ -237,7 +237,7 @@ object TemporalFunction {
            |         AS weighted_value,
            |       COUNT(*) AS n
            |FROM events a, LATERAL (
-           |  SELECT arg_max(b.value, b.event_id) AS sig_value
+           |  SELECT arg_max(b.value, printf('%020d-%012d', epoch_us(b.ts), b.event_id)) AS sig_value
            |  FROM events b
            |  WHERE b.user_id = a.user_id AND b.event_type = 'signup'
            |    AND b.ts <= a.ts) v

@@ -145,7 +145,7 @@ object TemporalSql {
           |ORDER BY event_id""".stripMargin)
     },
     Some("""SELECT a.event_id,
-           |  (SELECT arg_max(b.value, b.event_id)
+           |  (SELECT arg_max(b.value, printf('%020d-%012d', epoch_us(b.ts), b.event_id))
            |   FROM events b
            |   WHERE b.user_id = a.user_id AND b.event_type = 'signup'
            |     AND b.ts <= a.ts) AS last_signup_value

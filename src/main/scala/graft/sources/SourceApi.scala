@@ -62,8 +62,15 @@ object SourceApi {
       spark: SparkSession, source: Source[S, T], checkpointed: Set[String],
       parallelism: Int = 0): (Dataset[T], Set[String]) = {
     val fresh = source.createEnumerator().discoverSplits(checkpointed)
-    (incremental(spark, source, fresh, parallelism),
-      checkpointed ++ fresh.map(_.splitId))
+    // materialize BEFORE returning the advanced checkpoint: the returned
+    // Dataset is otherwise lazy, and persisting the checkpoint ahead of a
+    // failed read would silently skip those splits on the next round
+    // (at-most-once). localCheckpoint pins the rows the moment the caller
+    // holds the new split set — FLIP-27's enumerator state commits WITH
+    // read progress, not ahead of it.
+    val data = incremental(spark, source, fresh, parallelism)
+      .localCheckpoint(true)
+    (data, checkpointed ++ fresh.map(_.splitId))
   }
 
   private def incremental[S <: SourceSplit : ClassTag, T: Encoder : ClassTag](
@@ -91,7 +98,11 @@ object SourceApi {
           val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
           try {
             import scala.jdk.CollectionConverters._
-            ls.iterator().asScala.map(_.toString)
+            ls.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_)) // a stray
+              // subdirectory is not a split; readAllLines on it would
+              // fail the executor task
+              .map(_.toString)
               .filter(p => !checkpointed.contains(p))
               .filter { p =>
                 val n = p.substring(p.lastIndexOf('/') + 1)
@@ -121,8 +132,11 @@ object SourceApi {
     "q_source_api",
     (s, dir) => {
       import s.implicits._
+      // per-invocation stage: a deterministic path would let a concurrent
+      // session's overwrite delete files between THIS run's driver-side
+      // enumeration and its executor reads
       val stage = Tables.scratch(
-        s"source-api/graft_src-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        s"source-api/graft_src-${java.util.UUID.randomUUID()}")
       Tables.t(s, dir, "events")
         .select(concat_ws(",", $"event_id", $"user_id").as("value"))
         .coalesce(4).write.mode("overwrite").text(stage)

@@ -139,7 +139,18 @@ object IterateStream {
       // feedback files written during batch N ARE new for batch N+1, so this
       // returns exactly when a round produces no feedback (loop converged).
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // only out/ outlives the query (the returned DataFrame reads it
+      // lazily); the seed, every round's feedback files, the staging tree
+      // and the checkpoint are dead — and the scratch root is RAM-backed
+      // tmpfs when available, so leaking a dataset-sized tree per
+      // invocation would exhaust it across bench runs (the repo-wide
+      // post-stop cleanup convention)
+      Seq(srcDir, ckpt, s"$base/stage").foreach { d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      }
+    }
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(outDir)))
       spark.read.schema(seed.schema).parquet(outDir)
     else // every row fed back until maxRounds=∞ convergence emitted nothing
