@@ -38,9 +38,20 @@ final case class GraftTableEnv(spark: SparkSession, dir: String) {
     GraftTable(GraftSql.sql(spark, dir, query))
 
   /** Any statement through the unified door (TableEnvironment
-    * .executeSql:917 — DDL, DML, SHOW/DESCRIBE/USE, EXPLAIN). */
-  def executeSql(statement: String): DataFrame =
-    GraftSql.sql(spark, dir, statement)
+    * .executeSql:917 — DDL, DML, SHOW/DESCRIBE/USE, EXPLAIN), returning a
+    * [[GraftTableResult]] — 1.11's TableResult.java surface: `collect()`
+    * iterator, `print()`, result kind, and job semantics for INSERTs
+    * (submitted async; `await()`/`stop()` are the JobClient analogue). */
+  def executeSql(statement: String): GraftTableResult =
+    if (statement.trim.toUpperCase.startsWith("INSERT"))
+      GraftTableResult.submit(spark)(GraftSql.sql(spark, dir, statement))
+    else GraftTableResult.completed(spark, GraftSql.sql(spark, dir, statement))
+
+  /** The descriptor entry (TableEnvironment.connect():  reference
+    * ConnectTableDescriptor chain — withFormat → withSchema →
+    * createTemporaryTable), lowering onto the same DDL door. */
+  def connect(connector: ConnectorDescriptor): ConnectTableDescriptor =
+    ConnectTableDescriptor(this, connector)
 
   /** TableEnvironment.createTemporaryView:546. */
   def createTemporaryView(path: String, view: GraftTable): Unit =

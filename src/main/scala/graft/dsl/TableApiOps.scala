@@ -121,5 +121,61 @@ object TableApiOps {
     Some("""SELECT o_orderpriority, count(*) AS n FROM orders
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Seq[Q] = Seq(qPipeline, qWindow, qSetOps, qLateral, qEnv)
+  /** The descriptor chain end-to-end (TableEnvironment.connect() +
+    * ConnectTableDescriptor.createTemporaryTable — 1.11's programmatic
+    * third registration path): a sink declared via FileSystem()/Parquet()/
+    * Schema() builders, deployed into with INSERT, read back. The builders
+    * synthesize the CREATE TABLE text and route through the door, so the
+    * registration is byte-identical to the DDL path's. */
+  val qConnect: Q = Q(
+    "q_connect_descriptor",
+    (s, dir) => {
+      val env = GraftTableEnv(s, dir)
+      val sink = graft.Tables.scratch(
+        s"connect-desc-sink/graft_desc-${java.util.UUID.randomUUID()}")
+      env.connect(FileSystem().path(sink))
+        .withFormat(Parquet())
+        .withSchema(Schema()
+          .field("l_returnflag", "STRING")
+          .field("sum_qty", "DOUBLE"))
+        .inAppendMode()
+        .createTemporaryTable("graft_desc_sink")
+      env.executeSql(
+        """INSERT INTO graft_desc_sink
+          |SELECT l_returnflag, sum(l_quantity) AS sum_qty
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        .await().df.orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** A deployment driven entirely through [[GraftTableResult]] (reference
+    * TableResult.java, 1.11's headline API change): DDL acknowledged, the
+    * INSERT submitted with job semantics and awaited, and the final answer
+    * materialized through the `collect()` row iterator — every step goes
+    * through the result object, none through a bare DataFrame. */
+  val qTableResult: Q = Q(
+    "q_table_result",
+    (s, dir) => {
+      import s.implicits._
+      val env = GraftTableEnv(s, dir)
+      val sink = graft.Tables.scratch(
+        s"table-result-sink/graft_tr-${java.util.UUID.randomUUID()}")
+      val ddl = env.executeSql(
+        s"""CREATE TABLE graft_tr_sink (event_type STRING, n BIGINT)
+           |WITH ('path' = '$sink', 'format' = 'parquet')""".stripMargin)
+      require(ddl.isDone && !ddl.hasJobClient, "DDL executes eagerly")
+      val ins = env.executeSql(
+        """INSERT INTO graft_tr_sink
+          |SELECT event_type, count(*) AS n FROM events GROUP BY event_type""".stripMargin)
+      require(ins.hasJobClient, "INSERT is a submitted job")
+      ins.await()
+      val rows = ins.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      rows.toDF("event_type", "n").orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n FROM events
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(qPipeline, qWindow, qSetOps, qLateral, qEnv, qConnect, qTableResult)
 }

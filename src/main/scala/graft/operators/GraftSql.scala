@@ -226,9 +226,23 @@ object GraftSql {
     * opening a HiveCatalog exposes its stored objects;
     * `'type'='generic_in_memory'` is the reference's session-scoped
     * catalog (nothing persisted). */
-  private val namedCatalogs =
-    scala.collection.concurrent.TrieMap[String, Option[String]]()
-  @volatile private var currentNamedCatalog: Option[(String, Option[String])] = None
+  // Keyed by SparkSession, matching the reference's CatalogManager scope
+  // (one per TableEnvironment, never JVM-global): two concurrent sessions
+  // cannot observe each other's registered catalogs or current-catalog
+  // pointer, so DDL executed in one can never be durably recorded into a
+  // catalog made current by another (r9 ADVICE). Bounded by live sessions
+  // per JVM (a handful); resetNamedCatalogs() clears all for test hygiene.
+  private val namedCatalogsBySession =
+    scala.collection.concurrent.TrieMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Option[String]]]()
+  private val currentCatalogBySession =
+    scala.collection.concurrent.TrieMap[SparkSession, (String, Option[String])]()
+  private def namedCatalogs(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, Option[String]] =
+    namedCatalogsBySession.getOrElseUpdate(spark,
+      scala.collection.concurrent.TrieMap[String, Option[String]]())
+  private def currentNamedCatalog(spark: SparkSession): Option[(String, Option[String])] =
+    currentCatalogBySession.get(spark)
 
   /** True iff `name` is a session temp view (the only kind of view/table
     * this engine registers itself — real catalog tables take Spark's own
@@ -240,8 +254,8 @@ object GraftSql {
   /** Test/iteration hygiene: forget every named catalog and return to the
     * default (the state a fresh session starts in). */
   private[graft] def resetNamedCatalogs(): Unit = {
-    namedCatalogs.clear()
-    currentNamedCatalog = None
+    namedCatalogsBySession.clear()
+    currentCatalogBySession.clear()
   }
 
   /** Same, against already-registered views only (no fixture dir). When a
@@ -263,19 +277,40 @@ object GraftSql {
     * branches that actually register (so a plain-Spark fallthrough, whose
     * durability is the metastore's own, and an IF NOT EXISTS no-op are
     * never recorded). */
-  private def maybeRecord(ddl: String): Unit =
-    if (recordingEnabled.value) currentNamedCatalog match {
+  private def maybeRecord(spark: SparkSession, ddl: String): Unit =
+    if (recordingEnabled.value) currentNamedCatalog(spark) match {
       case Some((_, Some(catDir))) =>
         graft.streaming.GraftCatalog.record(catDir, ddl)
       case _ => ()
     }
 
-  /** Remove a dropped/renamed object's stored definition from the current
+  /** Remove a dropped object's stored definition from the current
     * persistent named catalog, if any. */
-  private def maybeUnrecord(name: String): Unit =
-    if (recordingEnabled.value) currentNamedCatalog match {
+  private def maybeUnrecord(spark: SparkSession, name: String): Unit =
+    if (recordingEnabled.value) currentNamedCatalog(spark) match {
       case Some((_, Some(catDir))) =>
         graft.streaming.GraftCatalog.drop(catDir, name)
+      case _ => ()
+    }
+
+  /** Move a renamed object's stored definition to its new name in the
+    * current persistent named catalog: the stored DDL text is rewritten to
+    * declare the NEW name and recorded there, then the old entry dropped —
+    * so re-opening the catalog restores the object under its new name, the
+    * reference's catalog-rename semantics (a bare unrecord would silently
+    * lose the object on replay, r9 ADVICE). */
+  private def maybeRerecordRename(spark: SparkSession, from: String, to: String): Unit =
+    if (recordingEnabled.value) currentNamedCatalog(spark) match {
+      case Some((_, Some(catDir))) =>
+        graft.streaming.GraftCatalog.stored(catDir, from).foreach { ddl =>
+          val renamed = ddl.replaceFirst(
+            "(?is)^(\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?" +
+              "(?:TABLE|VIEW|FUNCTION)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?)" +
+              java.util.regex.Pattern.quote(from),
+            "$1" + java.util.regex.Matcher.quoteReplacement(to))
+          graft.streaming.GraftCatalog.record(catDir, renamed)
+        }
+        graft.streaming.GraftCatalog.drop(catDir, from)
       case _ => ()
     }
 
@@ -283,13 +318,34 @@ object GraftSql {
     * REAL Spark database must reach spark.sql under Spark's own name for
     * that catalog — `spark_catalog` — or the fallthrough dies with
     * CATALOG_NOT_FOUND. Rewritten OUTSIDE string literals only. */
+  // Scanner, not split-on-quote: SQL-escaped quotes ('') are consumed as
+  // part of the literal, so text after them can never be classified on the
+  // wrong side of a literal boundary (r9 ADVICE).
   private def mapDefaultCatalog(text: String): String = {
-    val parts = text.split("'", -1)
-    parts.zipWithIndex.map { case (seg, i) =>
-      if (i % 2 == 0)
-        seg.replaceAll("(?i)\\bdefault_catalog\\.(\\w+\\.\\w+)", "spark_catalog.$1")
-      else seg
-    }.mkString("'")
+    val out = new StringBuilder(text.length)
+    val plain = new StringBuilder
+    def flushPlain(): Unit = {
+      out.append(plain.toString.replaceAll(
+        "(?i)\\bdefault_catalog\\.(\\w+\\.\\w+)", "spark_catalog.$1"))
+      plain.clear()
+    }
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      if (text.charAt(i) == '\'') {
+        flushPlain()
+        out.append('\''); i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (text.charAt(i) == '\'') {
+            if (i + 1 < n && text.charAt(i + 1) == '\'') { out.append("''"); i += 2 }
+            else { out.append('\''); i += 1; closed = true }
+          } else { out.append(text.charAt(i)); i += 1 }
+        }
+      } else { plain.append(text.charAt(i)); i += 1 }
+    }
+    flushPlain()
+    out.toString
   }
 
   def run(spark: SparkSession, text0: String): DataFrame = {
@@ -398,11 +454,11 @@ object GraftSql {
             throw new IllegalArgumentException(
               s"CREATE CATALOG requires a 'type' option: $text")) match {
             case "generic_in_memory" =>
-              namedCatalogs(name) = None
+              namedCatalogs(spark)(name) = None
             case "graft" =>
               val path = kv.getOrElse("path", throw new IllegalArgumentException(
                 s"catalog type 'graft' requires a 'path' option: $text"))
-              namedCatalogs(name) = Some(path)
+              namedCatalogs(spark)(name) = Some(path)
               // opening a persistent catalog exposes its stored objects
               graft.streaming.GraftCatalog.restore(spark, path)
             case other => throw new IllegalArgumentException(
@@ -419,10 +475,10 @@ object GraftSql {
       text match {
         case DropCatalogR(ifExists, name0) =>
           val name = name0.toLowerCase
-          if (currentNamedCatalog.exists(_._1 == name))
+          if (currentNamedCatalog(spark).exists(_._1 == name))
             throw new IllegalArgumentException(
               s"Cannot drop a catalog which is currently in use: $name")
-          if (namedCatalogs.remove(name).isEmpty && ifExists == null)
+          if (namedCatalogs(spark).remove(name).isEmpty && ifExists == null)
             throw new IllegalArgumentException(s"catalog does not exist: $name")
           Seq((name, "dropped")).toDF("catalog", "status")
         case _ => throw new IllegalArgumentException(
@@ -445,7 +501,7 @@ object GraftSql {
             else {
               val df = run(spark, body)
               df.createOrReplaceTempView(name)
-              maybeRecord(text.trim)
+              maybeRecord(spark, text.trim)
               df
             }
         }
@@ -458,7 +514,7 @@ object GraftSql {
           case None => spark.sql(text) // real Spark database: Spark's own
           case Some(name) =>
             org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
-            maybeRecord(text.trim)
+            maybeRecord(spark, text.trim)
             Seq((name, impl)).toDF("function", "impl")
         }
       // the reference's DDL (SqlCreateTable.java:56) — a WATERMARK clause
@@ -475,7 +531,7 @@ object GraftSql {
           (blankLiterals(text).matches("(?is).*\\)\\s*WITH\\s*\\(.*") ||
             blankLiterals(text).matches("(?is).*\\sLIKE\\s+\\w+.*")) =>
         val name = graft.streaming.GraftDdl.executeDdl(spark, text)
-        maybeRecord(text.trim)
+        maybeRecord(spark, text.trim)
         if (spark.catalog.tableExists(name)) spark.table(name)
         else spark.emptyDataFrame
       case _ => spark.sql(text) // other DDL (plain CREATE TABLE, CREATE DATABASE, …): Spark's own
@@ -495,7 +551,7 @@ object GraftSql {
             case Some(name) =>
               val dropped = spark.catalog.dropTempView(name)
               require(dropped || ifExists != null, s"view does not exist: $name")
-              if (dropped) maybeUnrecord(name)
+              if (dropped) maybeUnrecord(spark, name)
               Seq((name, dropped)).toDF("name", "dropped")
           }
         case DropTableR(ifExists, name0) =>
@@ -505,7 +561,7 @@ object GraftSql {
               val sinkDropped = graft.streaming.GraftDdl.dropSink(name)
               val viewDropped = spark.catalog.dropTempView(name)
               if (sinkDropped || viewDropped) {
-                maybeUnrecord(name)
+                maybeUnrecord(spark, name)
                 Seq((name, true)).toDF("name", "dropped")
               }
               else if (ifExists != null) Seq((name, false)).toDF("name", "dropped")
@@ -521,7 +577,7 @@ object GraftSql {
               val dropped =
                 org.apache.spark.sql.graft.GraftSqlFunctions.dropFunction(spark, name)
               require(dropped || ifExists != null, s"function does not exist: $name")
-              if (dropped) maybeUnrecord(name)
+              if (dropped) maybeUnrecord(spark, name)
               Seq((name, dropped)).toDF("name", "dropped")
           }
         case _ => spark.sql(text) // DROP DATABASE, …: Spark's own
@@ -559,8 +615,9 @@ object GraftSql {
         }
         require(sinkMoved || spark.catalog.tableExists(to),
           s"nothing to rename: $from")
-        maybeUnrecord(from) // a rename invalidates the stored definition
-                            // under the OLD name; the move has no DDL text
+        maybeRerecordRename(spark, from, to) // the stored definition moves
+                                             // to the NEW name (catalog-rename
+                                             // preserves the object)
         Seq((from, to)).toDF("from", "to")
       case _ => spark.sql(text)
     }
@@ -578,7 +635,7 @@ object GraftSql {
             require(isTempView(spark, from), s"view does not exist: $from")
             spark.table(from).createOrReplaceTempView(to)
             spark.catalog.dropTempView(from)
-            maybeUnrecord(from)
+            maybeRerecordRename(spark, from, to)
             Seq((from, to)).toDF("from", "to")
           case _ => spark.sql(text) // real Spark database: Spark's own
         }
@@ -590,7 +647,7 @@ object GraftSql {
             run(spark, body).createOrReplaceTempView(name)
             // the stored definition must follow the NEW body, or a catalog
             // re-open would resurrect the old one
-            maybeRecord(s"CREATE VIEW $name AS $body")
+            maybeRecord(spark, s"CREATE VIEW $name AS $body")
             Seq((name, "altered")).toDF("view", "status")
           case None => spark.sql(text) // real Spark database: Spark's own
         }
@@ -608,7 +665,7 @@ object GraftSql {
             require(spark.catalog.functionExists(name),
               s"function does not exist: $name")
             org.apache.spark.sql.graft.GraftSqlFunctions.registerAlias(spark, name, impl)
-            maybeRecord(s"CREATE FUNCTION $name AS '$impl'")
+            maybeRecord(spark, s"CREATE FUNCTION $name AS '$impl'")
             Seq((name, impl)).toDF("function", "impl")
           case None => spark.sql(text) // real Spark database: Spark's own
         }
@@ -628,7 +685,7 @@ object GraftSql {
       // default catalog, Spark's own name for it, and every CREATE
       // CATALOG-registered name — all USE-able
       import spark.implicits._
-      (Seq("default_catalog", "spark_catalog") ++ namedCatalogs.keys)
+      (Seq("default_catalog", "spark_catalog") ++ namedCatalogs(spark).keys)
         .sorted.toDF("catalogName")
     }
     else if (upper.trim.matches("(?s)SHOW\\s+DATABASES\\s*;?\\s*")) {
@@ -670,14 +727,14 @@ object GraftSql {
       import spark.implicits._
       val name = upper.trim.replaceAll("(?is)DESC(?:RIBE)?\\s+CATALOG\\s+", "")
         .stripSuffix(";").trim.toLowerCase
-      val isCurrent = currentNamedCatalog.exists(_._1 == name)
-      namedCatalogs.get(name) match {
+      val isCurrent = currentNamedCatalog(spark).exists(_._1 == name)
+      namedCatalogs(spark).get(name) match {
         case Some(pathOpt) =>
           Seq((name, pathOpt.fold("generic_in_memory")(_ => "graft"),
             isCurrent.toString, pathOpt.getOrElse("")))
             .toDF("catalog", "type", "current", "path")
         case None if Seq("default_catalog", "spark_catalog").contains(name) =>
-          Seq((name, "default", (currentNamedCatalog.isEmpty).toString, ""))
+          Seq((name, "default", (currentNamedCatalog(spark).isEmpty).toString, ""))
             .toDF("catalog", "type", "current", "path")
         case None => throw new IllegalArgumentException(
           s"catalog does not exist: $name")
@@ -737,13 +794,13 @@ object GraftSql {
         .stripPrefix("CATALOG").trim.stripSuffix(";").trim.toLowerCase
       if (Seq("default_catalog", "default_database", "spark_catalog", "default")
           .contains(target)) {
-        currentNamedCatalog = None // back to the default catalog
+        currentCatalogBySession.remove(spark) // back to the default catalog
         Seq((target, "in use")).toDF("name", "status")
       }
-      else if (namedCatalogs.contains(target)) {
+      else if (namedCatalogs(spark).contains(target)) {
         // a CREATE CATALOG-registered catalog becomes current: persistable
         // DDL is recorded there from now on (reference setCurrentCatalog)
-        currentNamedCatalog = Some(target -> namedCatalogs(target))
+        currentCatalogBySession(spark) = target -> namedCatalogs(spark)(target)
         Seq((target, "in use")).toDF("name", "status")
       }
       else spark.sql(text) // a real Spark database: Spark's own USE

@@ -85,43 +85,91 @@ object GraphOps {
     else e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
   }
 
-  /** Fixed-iteration PageRank over (src, dst) edges. Every node must
-    * appear as a src (symmetric graphs do) so outdeg is total. */
+  /** Generic vertex-centric iteration — the reference Gelly's reusable
+    * iteration MODEL rather than per-algorithm loops (flink-libraries/
+    * flink-gelly/.../spargel/ScatterGatherIteration.java; the pregel
+    * VertexCentricIteration.java and gsa/GatherSumApplyIteration.java are
+    * the same three phases with the compute/combine split drawn
+    * differently). A user brings the kernel; the framework runs the rounds:
+    *
+    *  - `scatter` sees each edge joined with its SOURCE vertex's state
+    *    (columns: src, dst, the edge's own columns, the state columns) and
+    *    produces message rows keyed by `node` — Gelly's
+    *    ScatterFunction.sendMessages / the pregel sendMessageTo.
+    *  - `gather` combines the raw messages to one row per `node` — Gelly's
+    *    GatherFunction + MessageCombiner (GSA's gather+sum); expressed as a
+    *    DataFrame aggregation so Spark's map-side partial agg IS the
+    *    combiner, applied before the shuffle like Gelly's combine-on-sender.
+    *  - `apply` merges the previous state with the gathered messages into
+    *    the next state (node, state…) — GSA's apply /
+    *    GatherFunction.updateVertex.
+    *
+    * Spark-first posture: each phase is declarative (join → project →
+    * aggregate per round, all codegen'd; one shuffle for the gather, one
+    * for the apply join when the kernel joins), the rounds are a driver
+    * loop over [[IterateOps.iterate]] with periodic localCheckpoint to keep
+    * lineage flat — the Spark expression of the reference's
+    * iteration-aware scheduler. At 100 TB: edges partitioned by src make
+    * the scatter join co-located across rounds; state stays (node, …) and
+    * never touches the driver. State columns must not collide with edge
+    * column names (document, as Gelly requires distinct vertex/edge value
+    * types). */
+  def vertexIterate(
+      edges: DataFrame,
+      initial: DataFrame,
+      rounds: Int,
+      checkpointEvery: Int = 5)(
+      scatter: DataFrame => DataFrame,
+      gather: DataFrame => DataFrame,
+      apply: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    IterateOps.iterate(initial, rounds, checkpointEvery) { state =>
+      val scatterIn = edges.join(state.withColumnRenamed("node", "src"), "src")
+      apply(state, gather(scatter(scatterIn)))
+    }
+
+  /** Fixed-iteration PageRank over (src, dst) edges, expressed on
+    * [[vertexIterate]] (Gelly library/linkanalysis/PageRank.java is itself
+    * a scatter-gather program). Every node must appear as a src (symmetric
+    * graphs do) so outdeg is total. The out-degree is attached to the edge
+    * relation ONCE before iterating — Gelly's Graph.outDegrees() join done
+    * outside the loop, so each round is one scatter join + one gather
+    * shuffle instead of two joins. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = edges.select(col("src").as("node")).distinct()
     val n = nodes.count() // Gelly's numVertices — one count job, metadata-sized result
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
-        .groupBy("dst").agg(sum("c").as("acc"))
-      ranks = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+    val withDeg = edges.join(outdeg, "src")
+    vertexIterate(withDeg, nodes.select(col("node"), lit(1.0 / n).as("rank")), iters)(
+      scatter = df => df.select(col("dst").as("node"), (col("rank") / col("outdeg")).as("msg")),
+      gather = m => m.groupBy("node").agg(sum("msg").as("acc")),
+      apply = (state, g) => state.select("node").join(g, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("acc"), lit(0.0))).as("rank"))
-    }
-    ranks
+            lit(damping) * coalesce(col("acc"), lit(0.0))).as("rank")))
   }
 
   /** Bellman-Ford rounds of min-aggregated frontier expansion over
-    * (u, v) edges; returns (node, dist) for nodes reached in ≤ rounds. */
+    * (u, v) edges, expressed on [[vertexIterate]] (Gelly
+    * library/SingleSourceShortestPaths.java is the canonical
+    * scatter-gather program); returns (node, dist) for nodes reached in
+    * ≤ rounds. The state holds only REACHED nodes — the frontier-sparse
+    * representation — so the apply is a full outer merge taking the min
+    * distance, exactly the reference's updateVertex-if-smaller rule. */
   def bfs(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     // node = id + source (id is 0) rather than lit(source): a literal key
     // constant-folds the first round's join condition into `u = <const>`,
     // which has no extractable equi-key and plans a nested-loop join —
     // keeping it an attribute keeps every round a hash join
-    var dist = spark.range(1)
+    val init = spark.range(1)
       .select((col("id") + source).as("node"), lit(0).as("dist"))
-    for (_ <- 1 to rounds) {
-      val expanded = dist.join(edges, dist("node") === edges("u"))
-        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(expanded).groupBy("node").agg(min("dist").as("dist"))
-    }
-    dist
+    vertexIterate(edges.select(col("u").as("src"), col("v").as("dst")), init, rounds)(
+      scatter = df => df.select(col("dst").as("node"), (col("dist") + 1).as("msg")),
+      gather = m => m.groupBy("node").agg(min("msg").as("msg")),
+      // least() skips nulls, so an unreached-then-messaged node takes the
+      // message and an unmessaged reached node keeps its distance
+      apply = (state, g) => state.join(g, Seq("node"), "full")
+        .select(col("node"), least(col("dist"), col("msg")).as("dist")))
   }
 
   val qPageRank: Q = Q(
@@ -213,18 +261,22 @@ object GraphOps {
     * window shuffle; the oracle expresses the same pick as a rank-1
     * window because struct ordering isn't portable SQL. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    var labels = edges.select(col("u").as("node")).distinct()
+    // on [[vertexIterate]] (Gelly library/LabelPropagation.java extends
+    // ScatterGatherIteration): scatter each node's label along its out
+    // edges; the symmetric edge set makes "labels my neighbors sent me"
+    // equal the original "labels I collect from my neighbors"
+    val init = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
-      val counts = edges
-        .join(labels.withColumnRenamed("node", "v"), "v")
-        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
-      labels = counts
-        .groupBy(col("u").as("node"))
-        .agg(max(struct(col("c"), col("label"))).as("m"))
-        .select(col("node"), col("m.label").as("label"))
-    }
-    labels
+    vertexIterate(edges.select(col("u").as("src"), col("v").as("dst")), init, rounds)(
+      scatter = df => df.select(col("dst").as("node"), col("label").as("msg")),
+      gather = m => m
+        .groupBy(col("node"), col("msg")).agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), col("msg"))).as("m"))
+        .select(col("node"), col("m.msg").as("label")),
+      // every node has ≥1 neighbor (nodes come from the edge list), so the
+      // gathered labels ARE the full next state — GatherFunction.updateVertex
+      apply = (_, g) => g)
   }
 
   val qLabelProp: Q = Q(

@@ -54,25 +54,31 @@ object GroupWindowSql {
     * window's bounds as another's. */
   private def validateAux(sql: String): Unit = {
     def eqc(a: String, b: String) = a.equalsIgnoreCase(b)
-    val tumble = Tumble.findFirstMatchIn(sql).map(m => (m.group(1), dur(m.group(2))))
-    val hop = Hop.findFirstMatchIn(sql).map(m => (m.group(1), dur(m.group(2)), dur(m.group(3))))
-    val session = Session.findFirstMatchIn(sql).map(m => (m.group(1), dur(m.group(2))))
+    // ALL grouped windows in the statement, not just the first: a UNION ALL
+    // of two differently-windowed subqueries is legal, and each subquery's
+    // auxiliaries must match SOME grouped window (per-SELECT scoping would
+    // need a real parser; any-window matching accepts every statement the
+    // reference accepts and still rejects an auxiliary matching no window)
+    val tumbles = Tumble.findAllMatchIn(sql).map(m => (m.group(1), dur(m.group(2)))).toList
+    val hops = Hop.findAllMatchIn(sql)
+      .map(m => (m.group(1), dur(m.group(2)), dur(m.group(3)))).toList
+    val sessions = Session.findAllMatchIn(sql).map(m => (m.group(1), dur(m.group(2)))).toList
     TumbleAuxV.findAllMatchIn(sql).foreach { m =>
-      val ok = tumble.exists { case (c, d) => eqc(c, m.group(1)) && d == dur(m.group(2)) }
+      val ok = tumbles.exists { case (c, d) => eqc(c, m.group(1)) && d == dur(m.group(2)) }
       require(ok, s"TUMBLE_START/END(${m.group(1)}, ${m.group(2)}) does not match " +
-        s"the grouped window ${tumble.getOrElse("(none)")} — the reference " +
-        "rejects mismatched window auxiliaries")
+        s"any grouped window ${if (tumbles.isEmpty) "(none)" else tumbles.mkString(", ")} — " +
+        "the reference rejects mismatched window auxiliaries")
     }
     HopAuxV.findAllMatchIn(sql).foreach { m =>
-      val ok = hop.exists { case (c, sl, sz) =>
+      val ok = hops.exists { case (c, sl, sz) =>
         eqc(c, m.group(1)) && sl == dur(m.group(2)) && sz == dur(m.group(3)) }
-      require(ok, s"HOP_START/END(${m.group(1)}, …) does not match the " +
-        s"grouped window ${hop.getOrElse("(none)")}")
+      require(ok, s"HOP_START/END(${m.group(1)}, …) does not match any " +
+        s"grouped window ${if (hops.isEmpty) "(none)" else hops.mkString(", ")}")
     }
     SessionAuxV.findAllMatchIn(sql).foreach { m =>
-      val ok = session.exists { case (c, g) => eqc(c, m.group(1)) && g == dur(m.group(2)) }
+      val ok = sessions.exists { case (c, g) => eqc(c, m.group(1)) && g == dur(m.group(2)) }
       require(ok, s"SESSION_START/END(${m.group(1)}, ${m.group(2)}) does not " +
-        s"match the grouped window ${session.getOrElse("(none)")}")
+        s"match any grouped window ${if (sessions.isEmpty) "(none)" else sessions.mkString(", ")}")
     }
   }
 

@@ -33,8 +33,12 @@ object Multimodal {
       // oracle reads per-CHARACTER (ascii(substr(text, …))) while the
       // engine reads per-BYTE — identical only when every char is one
       // byte, so pin that by construction instead of trusting the fixture
-      // generator to stay ASCII (round-7-style drift insurance)
-      encode(regexp_replace($"text", "[^\\x00-\\x7F]", "?"), "UTF-8")
+      // generator to stay ASCII (round-7-style drift insurance). A non-ASCII
+      // RUN collapses to one '?' — run-collapsing makes the guard identical
+      // whether a regex engine iterates code units or codepoints (a
+      // supplementary-plane char is 2 UTF-16 units but 1 codepoint; '+'
+      // erases the difference on both engines).
+      encode(regexp_replace($"text", "[^\\x00-\\x7F]+", "?"), "UTF-8")
         .as("payload"))
   }
 
@@ -81,8 +85,8 @@ object Multimodal {
     Some("""WITH m AS (
            |  SELECT doc_id AS id,
            |         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-           |         regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text,
-           |         length(regexp_replace(text, '[^\x00-\x7F]', '?', 'g')) AS n
+           |         regexp_replace(text, '[^\x00-\x7F]+', '?', 'g') AS text,
+           |         length(regexp_replace(text, '[^\x00-\x7F]+', '?', 'g')) AS n
            |  FROM documents)
            |SELECT id, kind, CAST(n AS INTEGER) AS n_bytes,
            |       CAST(64 + n % 512 AS INTEGER) AS width,
@@ -133,9 +137,9 @@ object Multimodal {
     Some("""WITH m AS (
            |  SELECT doc_id AS id,
            |         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-           |         regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text,
-           |         length(regexp_replace(text, '[^\x00-\x7F]', '?', 'g')) AS n,
-           |         greatest(1, length(regexp_replace(text, '[^\x00-\x7F]', '?', 'g')) // 256) AS stride
+           |         regexp_replace(text, '[^\x00-\x7F]+', '?', 'g') AS text,
+           |         length(regexp_replace(text, '[^\x00-\x7F]+', '?', 'g')) AS n,
+           |         greatest(1, length(regexp_replace(text, '[^\x00-\x7F]+', '?', 'g')) // 256) AS stride
            |  FROM documents)
            |SELECT id, kind, CAST(n AS INTEGER) AS orig_bytes,
            |       CAST(stride AS INTEGER) AS stride,
@@ -188,8 +192,8 @@ object Multimodal {
     },
     Some("""WITH v AS (
            |  SELECT doc_id AS id,
-           |         regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text,
-           |         length(regexp_replace(text, '[^\x00-\x7F]', '?', 'g')) AS n
+           |         regexp_replace(text, '[^\x00-\x7F]+', '?', 'g') AS text,
+           |         length(regexp_replace(text, '[^\x00-\x7F]+', '?', 'g')) AS n
            |  FROM documents WHERE doc_id % 3 = 2),
            |idx AS (
            |  SELECT id, text, n,

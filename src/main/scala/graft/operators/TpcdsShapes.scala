@@ -373,6 +373,135 @@ object TpcdsShapes {
       |       sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_extendedprice END)
       |ORDER BY c_custkey""".stripMargin)
 
+  /** q72: the many-dimension star with DATE LOGIC in the join — seven
+    * relations and an inter-table date-offset predicate (q72's
+    * d1.d_date + 5 days < d2.d_date between promotion/ship/inventory
+    * dates). The planner must order the star joins and keep the date
+    * arithmetic a post-join filter, not a join-breaking expression. */
+  val q72: Q = sqlQ(
+    "q_tpcds_q72_shape",
+    """SELECT p_brand, n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |       count(*) AS n_late, round(sum(l_quantity), 2) AS late_qty
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE r_name IN ('EUROPE', 'ASIA') AND p_size < 25
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY p_brand, n_name, year(o_orderdate)
+      |HAVING count(*) >= 2
+      |ORDER BY n_late DESC, p_brand, n_name, yr
+      |LIMIT 100""".stripMargin)
+
+  /** q64: the twice-sold chain — ONE per-(customer, part, year) sales CTE
+    * instantiated twice and chained on the same (customer, part) across
+    * consecutive years with a cross-instance measure comparison, then the
+    * surviving pairs joined back out to both dimensions (q64's
+    * cross_sales cs1/cs2 self-join on item with cnt <= cnt). Quantities
+    * are integral, so the s2 >= s1 cutoff is exact in both engines. */
+  val q64: Q = sqlQ(
+    "q_tpcds_q64_shape",
+    """WITH sales AS (
+      |  SELECT o_custkey AS cust, l_partkey AS part,
+      |         CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |         count(*) AS cnt, sum(l_quantity) AS qty
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY o_custkey, l_partkey, year(o_orderdate))
+      |SELECT c_name, p_name, s1.cnt AS cnt97, s2.cnt AS cnt98,
+      |       round(s1.qty, 2) AS qty97, round(s2.qty, 2) AS qty98
+      |FROM sales s1
+      |JOIN sales s2 ON s1.cust = s2.cust AND s1.part = s2.part
+      |JOIN customer ON s1.cust = c_custkey
+      |JOIN part ON s1.part = p_partkey
+      |WHERE s1.yr = 1997 AND s2.yr = 1998 AND s2.qty >= s1.qty
+      |ORDER BY c_name, p_name""".stripMargin)
+
+  /** q78: the channel comparison NET OF RETURNS — each channel's leg
+    * ANTI-joins the returned (order, part) pairs (q78's
+    * ws_ret.wr_order_number IS NULL outer-join-filter shape, expressed as
+    * NOT EXISTS), the two channels FULL-OUTER merge on (supplier, year),
+    * and the share ratio compares them. Integral quantities keep the
+    * ratio bit-identical across engines. */
+  val q78: Q = sqlQ(
+    "q_tpcds_q78_shape",
+    """WITH ret AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |             WHERE l_returnflag = 'R'),
+      |chan_n AS (
+      |  SELECT l_suppkey AS suppkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |         sum(l_quantity) AS qty
+      |  FROM lineitem l
+      |  WHERE l_returnflag = 'N'
+      |    AND NOT EXISTS (SELECT 1 FROM ret r
+      |                    WHERE r.l_orderkey = l.l_orderkey
+      |                      AND r.l_partkey = l.l_partkey)
+      |  GROUP BY l_suppkey, year(l_shipdate)),
+      |chan_a AS (
+      |  SELECT l_suppkey AS suppkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |         sum(l_quantity) AS qty
+      |  FROM lineitem l
+      |  WHERE l_returnflag = 'A'
+      |    AND NOT EXISTS (SELECT 1 FROM ret r
+      |                    WHERE r.l_orderkey = l.l_orderkey
+      |                      AND r.l_partkey = l.l_partkey)
+      |  GROUP BY l_suppkey, year(l_shipdate))
+      |SELECT coalesce(n.suppkey, a.suppkey) AS suppkey,
+      |       coalesce(n.yr, a.yr) AS yr,
+      |       round(coalesce(n.qty, 0), 2) AS n_qty,
+      |       round(coalesce(a.qty, 0), 2) AS a_qty,
+      |       round(coalesce(n.qty, 0)
+      |             / nullif(coalesce(n.qty, 0) + coalesce(a.qty, 0), 0), 6) AS n_share
+      |FROM chan_n n FULL OUTER JOIN chan_a a
+      |  ON n.suppkey = a.suppkey AND n.yr = a.yr
+      |ORDER BY suppkey, yr""".stripMargin)
+
+  /** q35/q10: the EXISTS-AND-(EXISTS-OR-EXISTS) correlation — a customer
+    * qualifies by presence in one channel AND presence in at least one of
+    * two others. The planner must decorrelate a DISJUNCTION of correlated
+    * EXISTS (q10/q35's exists(ss) and (exists(ws) or exists(cs))) — the
+    * decorrelation TPC-H never asks for. Balance sums are 2-dec inputs:
+    * their sums round exactly. */
+  val q35: Q = sqlQ(
+    "q_tpcds_q35_shape",
+    """SELECT n_name, c_mktsegment, count(*) AS cnt,
+      |       round(sum(c_acctbal), 2) AS bal_sum,
+      |       round(max(c_acctbal), 2) AS bal_max
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+      |              AND year(o.o_orderdate) = 1998)
+      |  AND (EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+      |               AND o.o_orderpriority = '1-URGENT')
+      |       OR EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+      |                  AND o.o_orderstatus = 'F'))
+      |GROUP BY n_name, c_mktsegment
+      |ORDER BY n_name, c_mktsegment""".stripMargin)
+
+  /** q47/q57: the lag/lead NEIGHBOR window over an aggregate — each
+    * month's sum beside its partition's mean AND its previous/next
+    * month's sums, three window functions over one grouped relation; keep
+    * months deviating >20% from the mean with both neighbors present.
+    * Integral quantity sums make the deviation cutoff exact. */
+  val q47: Q = sqlQ(
+    "q_tpcds_q47_shape",
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_suppkey, CAST(month(l_shipdate) AS INTEGER) AS mon,
+      |         round(sum(l_quantity), 2) AS msum,
+      |         round(avg(sum(l_quantity)) OVER (
+      |           PARTITION BY l_returnflag, l_suppkey), 2) AS avg_all,
+      |         round(lag(sum(l_quantity)) OVER (
+      |           PARTITION BY l_returnflag, l_suppkey
+      |           ORDER BY month(l_shipdate)), 2) AS prev_sum,
+      |         round(lead(sum(l_quantity)) OVER (
+      |           PARTITION BY l_returnflag, l_suppkey
+      |           ORDER BY month(l_shipdate)), 2) AS next_sum
+      |  FROM lineitem WHERE year(l_shipdate) = 1998
+      |  GROUP BY l_returnflag, l_suppkey, month(l_shipdate)) v
+      |WHERE avg_all > 0 AND abs(msum - avg_all) / avg_all > 0.2
+      |  AND prev_sum IS NOT NULL AND next_sum IS NOT NULL
+      |ORDER BY l_returnflag, l_suppkey, mon""".stripMargin)
+
   val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
-    q14, q33, q49, q31, q66, q93)
+    q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47)
 }

@@ -375,22 +375,34 @@ object CdcFormats {
           val phase = kind match {
             case "+I" => 0L; case "-U" => 1L; case "+U" => 2L; case _ => 3L
           }
-          AggChange[String](prio, k * 4 + phase, kind, price)
+          // the measure is QUANTIZED to integral 1e-4 units before it
+          // enters the retractable sum: integer-valued doubles add and
+          // retract EXACTLY (well under 2^53), so the accumulated total is
+          // order-independent — the raw-double sum flipped a half-cent
+          // rounding boundary against the oracle's batch sum at sf0.1
+          // (retraction arithmetic visits values in a different order
+          // than any batch sum; quantization is the drift-proof fix)
+          AggChange[String](prio, k * 4 + phase, kind,
+            math.round(price * 10000).toDouble)
         }
       ChangelogAgg.agg(changes).filter(_.kind == "+I").toDF()
         .select($"key".as("o_orderpriority"), $"cnt",
-          round($"total", 2).as("total"),
-          round($"vmin", 2).as("vmin"), round($"vmax", 2).as("vmax"))
+          round($"total" / 10000, 2).as("total"),
+          round($"vmin" / 10000, 2).as("vmin"),
+          round($"vmax" / 10000, 2).as("vmax"))
         .orderBy("o_orderpriority")
     },
+    // the oracle mirrors the quantization exactly: round(x*1e4) per row
+    // (half-up == half-away for positive prices), exact integral sum, then
+    // /1e4 and the display rounding
     Some("""SELECT o_orderpriority,
            |       CAST(count(*) AS BIGINT) AS cnt,
-           |       round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
-           |                      ELSE o_totalprice * 0.9 END), 2) AS total,
-           |       round(min(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
-           |                      ELSE o_totalprice * 0.9 END), 2) AS vmin,
-           |       round(max(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
-           |                      ELSE o_totalprice * 0.9 END), 2) AS vmax
+           |       round(sum(round((CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |                      ELSE o_totalprice * 0.9 END) * 10000)) / 10000, 2) AS total,
+           |       round(round(min(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |                      ELSE o_totalprice * 0.9 END) * 10000) / 10000, 2) AS vmin,
+           |       round(round(max(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |                      ELSE o_totalprice * 0.9 END) * 10000) / 10000, 2) AS vmax
            |FROM orders WHERE o_orderstatus <> 'F'
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
@@ -453,7 +465,15 @@ object CdcFormats {
           val phase = kind match {
             case "+I" => 0L; case "-U" => 1L; case "+U" => 2L; case _ => 3L
           }
-          AggChange[String](prio, k * 4 + phase, kind, price)
+          // the measure is QUANTIZED to integral 1e-4 units before it
+          // enters the retractable sum: integer-valued doubles add and
+          // retract EXACTLY (well under 2^53), so the accumulated total is
+          // order-independent — the raw-double sum flipped a half-cent
+          // rounding boundary against the oracle's batch sum at sf0.1
+          // (retraction arithmetic visits values in a different order
+          // than any batch sum; quantization is the drift-proof fix)
+          AggChange[String](prio, k * 4 + phase, kind,
+            math.round(price * 10000).toDouble)
         }
       val agg = ChangelogAgg.agg(changes).toDF()
       val store = new UpsertSink.InMemoryStore()
@@ -472,8 +492,10 @@ object CdcFormats {
       }
       store.close()
       fin.toDF("o_orderpriority", "cnt", "total0", "vmin0", "vmax0")
-        .select($"o_orderpriority", $"cnt", round($"total0", 2).as("total"),
-          round($"vmin0", 2).as("vmin"), round($"vmax0", 2).as("vmax"))
+        .select($"o_orderpriority", $"cnt",
+          round($"total0" / 10000, 2).as("total"),
+          round($"vmin0" / 10000, 2).as("vmin"),
+          round($"vmax0" / 10000, 2).as("vmax"))
         .orderBy("o_orderpriority")
     },
     qCdcIngest.oracle) // same final state as the batch pipeline

@@ -171,10 +171,14 @@ object DedupSql {
            |ORDER BY p_id, c_id""".stripMargin))
 
   /** Stream-stream FULL OUTER interval join: both sides null-pad once the
-    * combined watermark closes their window — the eviction bound is
-    * symmetric (ts + window ≤ wm on each side, Spark's conservative state
-    * watermark from the join inequalities; calibrated empirically at
-    * sf0.001: 2 pairs + 198 + 207 = 407 rows exactly). */
+    * combined watermark proves no match can arrive — and the two bounds are
+    * ASYMMETRIC, because the condition `p_ts <= c_ts <= p_ts + 10min` binds
+    * the sides differently: a purchase can still match clicks up to
+    * p_ts + 10min (evictable at p_ts + 10min ≤ wm), but a click only
+    * matches purchases AT OR BEFORE it (evictable as soon as c_ts ≤ wm —
+    * Spark's state-value watermark solves each side's inequalities exactly
+    * this way, surfaced by the sf0.1 scale sweep where 2 unmatched clicks
+    * fell in the 10-minute twilight zone the old symmetric bound missed). */
   val qStreamFullOuterJoin: Q = Q(
     "q_stream_full_outer_join",
     (s, dir) => StreamingOps.withStatePartitions(s, 8) {
@@ -210,11 +214,13 @@ object DedupSql {
            |  FROM c, wm
            |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
            |          AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE)
-           |    AND epoch_ms(c.ts) + 600000 <= wm.w)
+           |    AND epoch_us(c.ts) <= wm.w * 1000)
            |ORDER BY p_id, c_id""".stripMargin))
 
-  /** Stream-stream RIGHT OUTER: the mirror of the left-outer rule — clicks
-    * null-pad once their window closes under the combined watermark. */
+  /** Stream-stream RIGHT OUTER: clicks null-pad once the watermark passes
+    * the click itself (NOT click + window — a matching purchase must lie at
+    * or before the click, so wm ≥ c_ts already proves no future match; see
+    * the full-outer scaladoc for the asymmetry). */
   val qStreamRightOuterJoin: Q = Q(
     "q_stream_right_outer_join",
     (s, dir) => StreamingOps.withStatePartitions(s, 8) {
@@ -244,7 +250,7 @@ object DedupSql {
            |  FROM c, wm
            |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
            |          AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE)
-           |    AND epoch_ms(c.ts) + 600000 <= wm.w)
+           |    AND epoch_us(c.ts) <= wm.w * 1000)
            |ORDER BY p_id, c_id""".stripMargin))
 
   /** Stream-stream LEFT SEMI join (reference StreamingSemiAntiJoinOperator

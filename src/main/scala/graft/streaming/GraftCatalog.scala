@@ -131,6 +131,15 @@ object GraftCatalog {
   private def dropExt(f: Path): String =
     f.getFileName.toString.stripSuffix(".ddl")
 
+  /** Read an object's stored DDL text, if recorded — the hook behind the
+    * door's catalog-preserving RENAME (the reference's
+    * `Catalog.renameTable` reads the existing CatalogBaseTable before
+    * re-registering it under the new name). */
+  def stored(catalogDir: String, name: String): Option[String] = {
+    val f = fileFor(catalogDir, name)
+    if (Files.isRegularFile(f)) Some(Files.readString(f)) else None
+  }
+
   /** Remove an object's stored definition (the reference's
     * `Catalog.dropTable`). True iff something was dropped. Session temp
     * views are untouched — like the reference, dropping from the catalog

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.Q
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions.unix_micros
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** transformWithState — Spark's CURRENT arbitrary-stateful-processing API
   * (the successor to flatMapGroupsWithState): named state variables
@@ -109,6 +110,21 @@ object TwsOps {
     }
   }
 
+  /** transformWithState requires the RocksDB state store provider (like the
+    * reference pairing KeyedProcessFunction state with RocksDBStateBackend);
+    * swap it in for the body, restore after. */
+  private[graft] def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   /** q_tws_dedup: same answer as q_stream_dedup (DISTINCT user_id ×
     * event_type) but computed by the transformWithState runtime — named
     * RocksDB-backed state, emit-on-first-touch. */
@@ -116,11 +132,7 @@ object TwsOps {
     "q_tws_dedup",
     (s, dir) => StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.getOption(provKey)
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDb(s) {
         implicit val outEnc: Encoder[TwsOut] = Encoders.product[TwsOut]
         val out = StreamingOps.streamTable(s, dir, "events")
           .select($"user_id", $"event_type").as[(Long, String)]
@@ -128,13 +140,88 @@ object TwsOps {
           .transformWithState(new DedupFirstProcessor, TimeMode.None(), OutputMode.Append())
         StreamingOps.runToMemory(s, out.toDF(), "append", "graft_tws_dedup")
           .orderBy($"user_id", $"event_type")
-      } finally prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
       }
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
            |ORDER BY user_id, event_type""".stripMargin))
 
-  val all: Seq[Q] = Seq(qTwsDedup)
+  /** Temporal (event-time) sort migrated from fMGWS to transformWithState —
+    * the r9 verdict's ordered migration of a stateful hot path onto the
+    * current API (reference operator: RowTimeSortOperator.java:88, buffer
+    * per key + registerEventTimeTimer per row, release on watermark).
+    *
+    * What the migration buys over [[StatefulOps.temporalSort]]'s
+    * fMGWS+[[TimerOps]] build:
+    *  - the buffer is NATIVE ListState: arrivals are incremental RocksDB
+    *    appends, where fMGWS re-serializes the whole per-key buffer (one
+    *    GroupState value) on every batch that touches the key — the
+    *    per-key-per-batch rewrite bound COVERAGE §2.7 documents;
+    *  - timers are NATIVE event-time timers: handleExpiredTimer is driven
+    *    by the watermark without a hand-built timer heap in state, and only
+    *    the due slice is sorted at each firing (the reference operator's
+    *    exact shape — same-timestamp rows sort, the rest stay buffered). */
+  class TemporalSortProcessor
+      extends StatefulProcessor[Long, StatefulOps.EvT, StatefulOps.EvT] {
+    @transient private var buf: ListState[StatefulOps.EvT] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[StatefulOps.EvT]("buf",
+        Encoders.product[StatefulOps.EvT], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[StatefulOps.EvT],
+        timerValues: TimerValues): Iterator[StatefulOps.EvT] = {
+      rows.foreach { e =>
+        buf.appendValue(e)
+        // one timer at the row's own timestamp: fires when the watermark
+        // guarantees no earlier row can still arrive (same-expiry repeats
+        // coalesce in the timer state)
+        getHandle.registerTimer(e.ts.getTime)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.EvT] = {
+      val t = expiredTimerInfo.getExpiryTimeInMs
+      val (ready, rest) = buf.get().toSeq.partition(_.ts.getTime <= t)
+      if (rest.isEmpty) buf.clear() else buf.put(rest.toArray)
+      // µs order within the due slice (see StatefulOps.usOf) — timers fire
+      // in expiry order, so the overall output is per-key event-time order
+      ready.sortBy(e => (StatefulOps.usOf(e.ts), e.event_id)).iterator
+    }
+  }
+
+  /** The fMGWS temporal sort's exact API shape on the new runtime. */
+  def temporalSortTws(ds: org.apache.spark.sql.Dataset[StatefulOps.EvT])
+      : org.apache.spark.sql.Dataset[StatefulOps.EvT] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[StatefulOps.EvT] = Encoders.product[StatefulOps.EvT]
+    ds.groupByKey(_.user_id)
+      .transformWithState(new TemporalSortProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** q_tws_temporal_sort: the q_stream_temporal_sort oracle on the migrated
+    * operator — watermark delay 0, so the final no-data micro-batch's
+    * watermark releases every buffered row through the native timers. */
+  val qTwsTemporalSort: Q = Q(
+    "q_tws_temporal_sort",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      withRocksDb(s) {
+        val in = StreamingOps.streamTable(s, dir, "events")
+          .withWatermark("ts", "0 seconds")
+          .select($"event_id", $"user_id", $"value", $"ts").as[StatefulOps.EvT]
+        val out = temporalSortTws(in).toDF()
+          .select($"event_id", $"user_id", $"value", unix_micros($"ts").as("ts_us"))
+        StreamingOps.runToMemory(s, out, "append", "graft_tws_temporal_sort")
+          .orderBy($"event_id")
+      }
+    },
+    Some("""SELECT event_id, user_id, value,
+           |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qTwsDedup, qTwsTemporalSort)
 }

@@ -83,6 +83,39 @@ class GraphOpsSpec extends GraftSpec {
     assert(l1(5L) == 9L, l1)
   }
 
+  test("vertexIterate: a user-supplied max-id kernel labels each component with its max node id") {
+    import spark.implicits._
+    // two components: a path 1-2-3 and a pair 10-11; symmetric edges
+    val und = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val init = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("maxid"))
+    // the kernel is entirely user code — scatter my current max along my
+    // edges, combine by max, keep the larger of mine and the best message
+    val labeled = operators.GraphOps.vertexIterate(e, init, rounds = 3)(
+      scatter = df => df.select(col("dst").as("node"), col("maxid").as("msg")),
+      gather = m => m.groupBy("node").agg(max("msg").as("msg")),
+      apply = (state, g) => state.join(g, Seq("node"), "left")
+        .select(col("node"), greatest(col("maxid"), col("msg")).as("maxid")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labeled == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 11L, 11L -> 11L), labeled)
+  }
+
+  test("vertexIterate: scatter sees edge columns alongside the source state") {
+    import spark.implicits._
+    // weighted edges: the kernel reads the edge's own `w` column — the
+    // framework must present edge attrs + src state to scatter (Gelly's
+    // ScatterFunction sees the Edge value)
+    val e = Seq((1L, 2L, 5L), (2L, 1L, 7L)).toDF("src", "dst", "w")
+    val init = Seq((1L, 0L), (2L, 0L)).toDF("node", "acc")
+    val out = operators.GraphOps.vertexIterate(e, init, rounds = 1)(
+      scatter = df => df.select(col("dst").as("node"), (col("acc") + col("w")).as("msg")),
+      gather = m => m.groupBy("node").agg(sum("msg").as("msg")),
+      apply = (_, g) => g.select(col("node"), col("msg").as("acc")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 7L, 2L -> 5L), out)
+  }
+
   test("fixture graphs: bipartite ranks conserve mass; degree histogram covers all suppliers") {
     val sf01 = "/root/testdata/sf0.01" // sf0.001's co-supply weights are too uniform
     val ranks = operators.GraphOps.pageRank(

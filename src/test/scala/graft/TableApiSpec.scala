@@ -136,6 +136,66 @@ class TableApiSpec extends GraftSpec {
     env.executeSql("DROP TABLE env_ins_sink")
   }
 
+  test("TableResult: eager statements carry result kind, schema, collect iterator and print") {
+    import dsl.GraftTableEnv
+    val env = GraftTableEnv(spark, sfDir)
+    val res = env.executeSql("SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority")
+    assert(res.isDone && !res.hasJobClient) // DQL executes eagerly, no job client
+    assert(res.getResultKind == "SUCCESS_WITH_CONTENT")
+    assert(res.getTableSchema.fieldNames.toSeq == Seq("o_orderpriority", "n"))
+    val rows = res.collect().toSeq
+    assert(rows.size == 5 && rows.map(_.getLong(1)).sum > 0, rows)
+    res.print() // must not throw
+    res.stop()  // no-op on a completed result
+    assert(res.await(1000), "await(timeout) is true once done")
+  }
+
+  test("TableResult: INSERT is a submitted job — jobClient present, await drains, collect reads the sink") {
+    import dsl.GraftTableEnv
+    val env = GraftTableEnv(spark, sfDir)
+    val sink = java.nio.file.Files.createTempDirectory("graft-tr-ins").toString
+    env.executeSql(s"CREATE TABLE tr_ins_sink (t STRING, n BIGINT) WITH ('path' = '$sink')")
+    val ins = env.executeSql(
+      "INSERT INTO tr_ins_sink SELECT event_type AS t, count(*) AS n FROM events GROUP BY event_type")
+    assert(ins.hasJobClient, "INSERT must carry job semantics")
+    ins.await()
+    assert(ins.isDone)
+    assert(ins.collect().size == 5) // read-back through the result iterator
+    assert(spark.read.parquet(sink).count() == 5)
+    env.executeSql("DROP TABLE tr_ins_sink")
+  }
+
+  test("connect() descriptors: a rowtime schema registers a WATERMARKED streaming source view") {
+    import dsl.{FileSystem, GraftTableEnv, Parquet, Rowtime, Schema}
+    val env = GraftTableEnv(spark, sfDir)
+    env.connect(FileSystem().path(sfDir).table("events"))
+      .withFormat(Parquet())
+      .withSchema(Schema()
+        .field("event_id", "BIGINT").field("ts", "TIMESTAMP")
+        .rowtime(Rowtime().timestampsFromField("ts").watermarksPeriodicBounded(5000)))
+      .createTemporaryTable("desc_events_src")
+    val v = spark.table("desc_events_src")
+    assert(v.isStreaming, "rowtime descriptor must register a streaming view")
+    assert(v.columns.contains("ts"))
+    spark.catalog.dropTempView("desc_events_src")
+  }
+
+  test("connect() descriptors: missing schema or sub-second watermark bound are rejected") {
+    import dsl.{FileSystem, GraftTableEnv, Parquet, Rowtime, Schema}
+    val env = GraftTableEnv(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      env.connect(FileSystem().path("/tmp/x")).withFormat(Parquet())
+        .createTemporaryTable("desc_bad1")
+    }
+    intercept[IllegalArgumentException] {
+      env.connect(FileSystem().path(sfDir).table("events"))
+        .withFormat(Parquet())
+        .withSchema(Schema().field("ts", "TIMESTAMP")
+          .rowtime(Rowtime().timestampsFromField("ts").watermarksPeriodicBounded(500)))
+        .createTemporaryTable("desc_bad2")
+    }
+  }
+
   test("set-op multiset laws hold on random inputs (reference Table.java semantics)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._

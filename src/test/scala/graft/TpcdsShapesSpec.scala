@@ -78,6 +78,46 @@ class TpcdsShapesSpec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(p).length == 2, p) // partial + final, not per-column
   }
 
+  test("q72: seven-table star stays equi-joined with the date offset as a filter") {
+    val p = finalPlan(operators.TpcdsShapes.q72)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the date-offset predicate must not break the equi-join:\n$p")
+    // the four small dims broadcast; the fact side never does
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("q64: the twice-sold chain reuses one aggregate shape and stays equi-joined") {
+    val p = finalPlan(operators.TpcdsShapes.q64)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q78: both channel anti-joins plan as LeftAnti, channels merge FullOuter") {
+    val p = finalPlan(operators.TpcdsShapes.q78)
+    assert("LeftAnti".r.findAllIn(p).length == 2, p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q35: the EXISTS disjunction decorrelates — no per-row subquery execution") {
+    val p = finalPlan(operators.TpcdsShapes.q35)
+    // the conjunct EXISTS decorrelates to a semi join; the OR-of-EXISTS
+    // must become joins (Spark plans ExistenceJoin, printed as a join with
+    // an exists# attr), never a cartesian or nested-loop-per-row
+    assert(p.contains("LeftSemi"), p)
+    assert(p.toLowerCase.contains("existencejoin") || p.contains("exists#"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q47: three window functions share ONE window sort over the grouped relation") {
+    val p = finalPlan(operators.TpcdsShapes.q47)
+    // avg (unordered frame) and lag/lead (ordered frame) = 2 Window nodes
+    // max, NOT one per function; one aggregate pair below
+    assert("Window".r.findAllIn(p).length <= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("all 18 shapes return non-vacuous results on the spec fixture or sf0.01") {
     // shapes with year-specific predicates can be empty at sf0.001; the
     // oracle gate runs them at sf0.01 — here just require they all PLAN
