@@ -33,8 +33,14 @@ final class GraftTableResult private (
   /** The result relation; blocks until a submitted INSERT finishes
     * (TableResult.await() + collect() composed — every downstream
     * accessor goes through this, so none can observe a half-written
-    * sink). */
-  def df: DataFrame = fut.join()
+    * sink). A failed submission rethrows its ORIGINAL error, not the
+    * CompletionException wrapper. */
+  def df: DataFrame =
+    try fut.join()
+    catch {
+      case e: java.util.concurrent.CompletionException if e.getCause != null =>
+        throw e.getCause
+    }
 
   /** TableResult.await(): block until the job completes. */
   def await(): GraftTableResult = { fut.join(); this }

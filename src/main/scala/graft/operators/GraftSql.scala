@@ -321,7 +321,7 @@ object GraftSql {
   // Scanner, not split-on-quote: SQL-escaped quotes ('') are consumed as
   // part of the literal, so text after them can never be classified on the
   // wrong side of a literal boundary (r9 ADVICE).
-  private def mapDefaultCatalog(text: String): String = {
+  private[graft] def mapDefaultCatalog(text: String): String = {
     val out = new StringBuilder(text.length)
     val plain = new StringBuilder
     def flushPlain(): Unit = {

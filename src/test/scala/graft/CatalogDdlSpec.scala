@@ -50,6 +50,61 @@ class CatalogDdlSpec extends GraftSpec {
     GraftSql.resetNamedCatalogs()
   }
 
+  test("RENAME under a persistent catalog re-records the object under its NEW name") {
+    GraftSql.resetNamedCatalogs()
+    val dir = freshDir("rename")
+    GraftSql.run(spark, s"CREATE CATALOG catr WITH ('type'='graft', 'path'='$dir')")
+    GraftSql.run(spark, "USE CATALOG catr")
+    val sink = java.nio.file.Files.createTempDirectory("graft-cat-ren-sink").toString
+    GraftSql.run(spark,
+      s"CREATE TABLE ren_a (k BIGINT) WITH ('path' = '$sink', 'format' = 'parquet')")
+    GraftSql.run(spark, "ALTER TABLE ren_a RENAME TO ren_b")
+    // the stored definition MOVED: old name gone, new name present and
+    // declaring the new table name (the reference's catalog renameTable)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "ren_a.ddl")))
+    val stored = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "ren_b.ddl"))
+    assert(stored.toLowerCase.contains("create table ren_b"), stored)
+    // a fresh session re-opening the catalog restores the RENAMED object
+    GraftSql.resetNamedCatalogs()
+    graft.streaming.GraftDdl.dropSink("ren_b")
+    GraftSql.run(spark, s"CREATE CATALOG catr2 WITH ('type'='graft', 'path'='$dir')")
+    assert(graft.streaming.GraftDdl.sink("ren_b").isDefined,
+      "re-opened catalog must expose the object under its new name")
+    // views rename the same way (re-persisted from the retained body)
+    GraftSql.run(spark, "USE CATALOG catr2")
+    GraftSql.run(spark, "CREATE VIEW ren_v1 AS SELECT 1 AS one")
+    GraftSql.run(spark, "ALTER VIEW ren_v1 RENAME TO ren_v2")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "ren_v1.ddl")))
+    val storedV = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "ren_v2.ddl"))
+    assert(storedV.toLowerCase.contains("ren_v2"), storedV)
+    spark.catalog.dropTempView("ren_v2")
+    graft.streaming.GraftDdl.dropSink("ren_b")
+    GraftSql.resetNamedCatalogs()
+  }
+
+  test("named catalogs and the current-catalog pointer are PER-SESSION state") {
+    GraftSql.resetNamedCatalogs()
+    val dir = freshDir("scoped")
+    GraftSql.run(spark, s"CREATE CATALOG cat_s1 WITH ('type'='graft', 'path'='$dir')")
+    GraftSql.run(spark, "USE CATALOG cat_s1")
+    // a SECOND session sees neither the registered catalog nor the current
+    // pointer (the reference scopes CatalogManager per TableEnvironment)
+    val other = spark.newSession()
+    val cats = GraftSql.run(other, "SHOW CATALOGS").collect().map(_.getString(0))
+    assert(!cats.contains("cat_s1"), cats.toSeq)
+    intercept[Exception] { GraftSql.run(other, "DROP CATALOG cat_s1") }
+    // DDL in the other session is NOT recorded into session 1's catalog
+    val sink = java.nio.file.Files.createTempDirectory("graft-cat-scope-sink").toString
+    GraftSql.run(other,
+      s"CREATE TABLE scoped_t (k BIGINT) WITH ('path' = '$sink', 'format' = 'parquet')")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "scoped_t.ddl")),
+      "cross-session DDL must not be recorded into another session's catalog")
+    graft.streaming.GraftDdl.dropSink("scoped_t")
+    GraftSql.resetNamedCatalogs()
+  }
+
   test("generic_in_memory catalog persists nothing; SHOW CATALOGS lists registered names") {
     GraftSql.resetNamedCatalogs()
     GraftSql.run(spark, "CREATE CATALOG mem1 WITH ('type'='generic_in_memory')")

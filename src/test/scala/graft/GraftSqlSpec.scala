@@ -656,4 +656,26 @@ class GraftSqlSpec extends GraftSpec {
     assert(out.columns.contains("rn"), out.columns.toSeq)
     assert(out.select("rn").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
   }
+
+  test("mapDefaultCatalog: rewrites outside literals only, SQL-escaped quotes included") {
+    import graft.operators.GraftSql.mapDefaultCatalog
+    // plain rewrite outside any literal
+    assert(mapDefaultCatalog("SELECT * FROM default_catalog.db.t") ==
+      "SELECT * FROM spark_catalog.db.t")
+    // inside a literal: untouched
+    assert(mapDefaultCatalog("SELECT 'default_catalog.db.t' AS s") ==
+      "SELECT 'default_catalog.db.t' AS s")
+    // an ESCAPED quote inside the literal must not flip the inside/outside
+    // classification of the text after it (r9 ADVICE): the literal keeps
+    // its spelling, the reference after the literal still rewrites
+    assert(mapDefaultCatalog(
+      "SELECT 'it''s default_catalog.db.a' AS s FROM default_catalog.db.t") ==
+      "SELECT 'it''s default_catalog.db.a' AS s FROM spark_catalog.db.t")
+    // empty literal directly before a rewrite site
+    assert(mapDefaultCatalog("SELECT '' FROM default_catalog.db.t") ==
+      "SELECT '' FROM spark_catalog.db.t")
+    // unterminated literal: everything after the quote stays untouched
+    assert(mapDefaultCatalog("SELECT 'oops default_catalog.db.t") ==
+      "SELECT 'oops default_catalog.db.t")
+  }
 }

@@ -47,6 +47,25 @@ class GroupWindowSqlSpec extends GraftSpec {
 class LateralSqlSpec extends GraftSpec {
   import graft.operators.LateralSql.rewrite
 
+  test("a statement with TWO different grouped windows accepts each window's own auxiliaries") {
+    // UNION ALL of two differently-windowed subqueries: each TUMBLE_START
+    // matches SOME grouped window in the statement — first-window-only
+    // validation spuriously rejected the second subquery's auxiliaries
+    val out = rewrite(
+      "SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) FROM e GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE) " +
+        "UNION ALL " +
+        "SELECT TUMBLE_START(ts, INTERVAL '10' MINUTE) FROM e GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+    assert(out ==
+      "SELECT window.start FROM e GROUP BY window(ts, '5 minutes') " +
+        "UNION ALL " +
+        "SELECT window.start FROM e GROUP BY window(ts, '10 minutes')")
+    // an auxiliary matching NO grouped window still rejects
+    intercept[IllegalArgumentException] {
+      rewrite("SELECT TUMBLE_START(ts, INTERVAL '7' MINUTE) FROM e " +
+        "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)")
+    }
+  }
+
   test("comma-join correlate lowers to LATERAL VIEW") {
     val out = rewrite("SELECT a, w FROM t, LATERAL TABLE(split_rows(a, ',')) AS T(w)")
     assert(out == "SELECT a, w FROM t LATERAL VIEW explode(split(a, ',')) T AS w")
