@@ -99,6 +99,8 @@ final case class ConnectTableDescriptor(
     * (reference ConnectTableDescriptor.createTemporaryTable → catalog
     * registration of the resolved CatalogTable). */
   def createTemporaryTable(name: String): Unit = {
+    require(name.matches("\\w+"),
+      s"createTemporaryTable: '$name' is not a valid table identifier")
     val sch = schema.getOrElse(throw new IllegalArgumentException(
       s"connect(...).createTemporaryTable($name): withSchema(...) is required"))
     require(sch.fields.nonEmpty,
@@ -106,6 +108,9 @@ final case class ConnectTableDescriptor(
     val wmClause = sch.rowtimeOpt.map { rt =>
       val f = rt.fieldOpt.getOrElse(throw new IllegalArgumentException(
         "Rowtime needs timestampsFromField(...)"))
+      require(sch.fields.exists(_._1.equalsIgnoreCase(f)),
+        s"Rowtime.timestampsFromField($f): no such field in the schema " +
+          s"(declared: ${sch.fields.map(_._1).mkString(", ")})")
       val delayMs = rt.boundedMsOpt.getOrElse(0L)
       require(delayMs % 1000 == 0,
         s"watermarksPeriodicBounded($delayMs): sub-second bounds are not " +
@@ -116,6 +121,14 @@ final case class ConnectTableDescriptor(
     val opts = connector.options ++ format.map(_.options).getOrElse(Map.empty)
     require(opts.contains("path"),
       s"createTemporaryTable($name): the connector declares no path")
+    // the engine's option grammar ('k' = 'v', parsed without ''-escapes)
+    // cannot carry embedded single quotes — reject them HERE with the
+    // descriptor named, instead of synthesizing DDL that misparses
+    opts.foreach { case (k, v) =>
+      require(!v.contains("'"),
+        s"createTemporaryTable($name): option '$k' value contains a single " +
+          s"quote, which the WITH-options grammar cannot carry: $v")
+    }
     val optsSql = opts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
     env.executeSql(s"CREATE TABLE $name ($cols$wmClause) WITH ($optsSql)")

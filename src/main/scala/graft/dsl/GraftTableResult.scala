@@ -42,13 +42,19 @@ final class GraftTableResult private (
         throw e.getCause
     }
 
-  /** TableResult.await(): block until the job completes. */
-  def await(): GraftTableResult = { fut.join(); this }
+  /** TableResult.await(): block until the job completes; a failed job
+    * rethrows its ORIGINAL error (same contract as [[df]]). */
+  def await(): GraftTableResult = { df; this }
 
-  /** TableResult.await(timeout): true iff completed within the timeout. */
+  /** TableResult.await(timeout): true iff completed within the timeout;
+    * a failed job rethrows its original error. */
   def await(timeoutMs: Long): Boolean =
     try { fut.get(timeoutMs, TimeUnit.MILLISECONDS); true }
-    catch { case _: java.util.concurrent.TimeoutException => false }
+    catch {
+      case _: java.util.concurrent.TimeoutException => false
+      case e: java.util.concurrent.ExecutionException if e.getCause != null =>
+        throw e.getCause
+    }
 
   def isDone: Boolean = fut.isDone
 

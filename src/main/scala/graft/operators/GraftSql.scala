@@ -230,19 +230,29 @@ object GraftSql {
   // (one per TableEnvironment, never JVM-global): two concurrent sessions
   // cannot observe each other's registered catalogs or current-catalog
   // pointer, so DDL executed in one can never be durably recorded into a
-  // catalog made current by another (r9 ADVICE). Bounded by live sessions
-  // per JVM (a handful); resetNamedCatalogs() clears all for test hygiene.
+  // catalog made current by another (r9 ADVICE). WEAK keys: a session that
+  // goes unreferenced releases its entry — a session-per-request JVM does
+  // not pin every dead session's state for its lifetime.
+  // resetNamedCatalogs() clears all for test hygiene.
   private val namedCatalogsBySession =
-    scala.collection.concurrent.TrieMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Option[String]]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, Option[String]]]())
   private val currentCatalogBySession =
-    scala.collection.concurrent.TrieMap[SparkSession, (String, Option[String])]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (String, Option[String])]())
   private def namedCatalogs(spark: SparkSession)
       : scala.collection.concurrent.TrieMap[String, Option[String]] =
-    namedCatalogsBySession.getOrElseUpdate(spark,
-      scala.collection.concurrent.TrieMap[String, Option[String]]())
+    namedCatalogsBySession.synchronized {
+      var m = namedCatalogsBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, Option[String]]()
+        namedCatalogsBySession.put(spark, m)
+      }
+      m
+    }
   private def currentNamedCatalog(spark: SparkSession): Option[(String, Option[String])] =
-    currentCatalogBySession.get(spark)
+    Option(currentCatalogBySession.get(spark))
 
   /** True iff `name` is a session temp view (the only kind of view/table
     * this engine registers itself — real catalog tables take Spark's own
@@ -302,7 +312,12 @@ object GraftSql {
   private def maybeRerecordRename(spark: SparkSession, from: String, to: String): Unit =
     if (recordingEnabled.value) currentNamedCatalog(spark) match {
       case Some((_, Some(catDir))) =>
-        graft.streaming.GraftCatalog.stored(catDir, from).foreach { ddl =>
+        // read → drop → record, in THAT order: a case-only rename (foo →
+        // FOO) stores both names in the same lowercased file, so dropping
+        // after recording would delete the record just written
+        val storedDdl = graft.streaming.GraftCatalog.stored(catDir, from)
+        graft.streaming.GraftCatalog.drop(catDir, from)
+        storedDdl.foreach { ddl =>
           val renamed = ddl.replaceFirst(
             "(?is)^(\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?" +
               "(?:TABLE|VIEW|FUNCTION)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?)" +
@@ -310,7 +325,6 @@ object GraftSql {
             "$1" + java.util.regex.Matcher.quoteReplacement(to))
           graft.streaming.GraftCatalog.record(catDir, renamed)
         }
-        graft.streaming.GraftCatalog.drop(catDir, from)
       case _ => ()
     }
 
@@ -800,7 +814,7 @@ object GraftSql {
       else if (namedCatalogs(spark).contains(target)) {
         // a CREATE CATALOG-registered catalog becomes current: persistable
         // DDL is recorded there from now on (reference setCurrentCatalog)
-        currentCatalogBySession(spark) = target -> namedCatalogs(spark)(target)
+        currentCatalogBySession.put(spark, target -> namedCatalogs(spark)(target))
         Seq((target, "in use")).toDF("name", "status")
       }
       else spark.sql(text) // a real Spark database: Spark's own USE

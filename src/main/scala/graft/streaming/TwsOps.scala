@@ -157,36 +157,63 @@ object TwsOps {
     *    GroupState value) on every batch that touches the key — the
     *    per-key-per-batch rewrite bound COVERAGE §2.7 documents;
     *  - timers are NATIVE event-time timers: handleExpiredTimer is driven
-    *    by the watermark without a hand-built timer heap in state, and only
-    *    the due slice is sorted at each firing (the reference operator's
-    *    exact shape — same-timestamp rows sort, the rest stay buffered). */
+    *    by the watermark without a hand-built timer heap in state. ONE
+    *    timer per key is kept armed at the minimum buffered timestamp
+    *    (re-armed cheaper on arrival, re-armed at the next minimum after
+    *    each drain), so a watermark advance past k distinct timestamps
+    *    costs one buffer read + one rewrite, not k. */
   class TemporalSortProcessor
       extends StatefulProcessor[Long, StatefulOps.EvT, StatefulOps.EvT] {
     @transient private var buf: ListState[StatefulOps.EvT] = _
+    // the single ARMED timer's expiry — one timer per key at the MINIMUM
+    // buffered timestamp, not one per row: k distinct due timestamps then
+    // cost ONE firing (one buffer read + one rewrite) instead of k full
+    // buffer read/rewrites per watermark advance
+    @transient private var armed: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[StatefulOps.EvT]("buf",
         Encoders.product[StatefulOps.EvT], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[StatefulOps.EvT],
         timerValues: TimerValues): Iterator[StatefulOps.EvT] = {
+      var newMin = Long.MaxValue
       rows.foreach { e =>
         buf.appendValue(e)
-        // one timer at the row's own timestamp: fires when the watermark
-        // guarantees no earlier row can still arrive (same-expiry repeats
-        // coalesce in the timer state)
-        getHandle.registerTimer(e.ts.getTime)
+        if (e.ts.getTime < newMin) newMin = e.ts.getTime
+      }
+      // re-arm earlier if this batch brought an earlier row — the min is
+      // over the NEW rows only, so arrival cost stays O(batch), never O(buffer)
+      if (newMin != Long.MaxValue) {
+        if (!armed.exists()) {
+          getHandle.registerTimer(newMin); armed.update(newMin)
+        } else if (newMin < armed.get()) {
+          getHandle.deleteTimer(armed.get())
+          getHandle.registerTimer(newMin); armed.update(newMin)
+        }
       }
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.EvT] = {
-      val t = expiredTimerInfo.getExpiryTimeInMs
-      val (ready, rest) = buf.get().toSeq.partition(_.ts.getTime <= t)
-      if (rest.isEmpty) buf.clear() else buf.put(rest.toArray)
-      // µs order within the due slice (see StatefulOps.usOf) — timers fire
-      // in expiry order, so the overall output is per-key event-time order
+      // drain the WHOLE due slice up to the current watermark in this one
+      // firing (the wm may be far past the armed min), then re-arm at the
+      // earliest surviving row
+      val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
+        timerValues.getCurrentWatermarkInMs())
+      val (ready, rest) = buf.get().toSeq.partition(_.ts.getTime <= releaseUpTo)
+      if (rest.isEmpty) { buf.clear(); armed.clear() }
+      else {
+        buf.put(rest.toArray)
+        val nextMin = rest.iterator.map(_.ts.getTime).min
+        getHandle.registerTimer(nextMin); armed.update(nextMin)
+      }
+      // µs order within the due slice (see StatefulOps.usOf); successive
+      // firings release disjoint ascending slices, so the overall output
+      // is per-key event-time order
       ready.sortBy(e => (StatefulOps.usOf(e.ts), e.event_id)).iterator
     }
   }

@@ -118,7 +118,7 @@ class TpcdsShapesSpec extends GraftSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("all 18 shapes return non-vacuous results on the spec fixture or sf0.01") {
+  test("all shapes in TpcdsShapes.all plan and return non-vacuous results") {
     // shapes with year-specific predicates can be empty at sf0.001; the
     // oracle gate runs them at sf0.01 — here just require they all PLAN
     // and the filterless ones return rows
