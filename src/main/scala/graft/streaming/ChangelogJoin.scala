@@ -313,6 +313,76 @@ object ChangelogJoin {
             .map { case (k, lv, rv) => FullChange(key, k, lv, rv) }
       }
 
+  // ---- transformWithState build of the same operator (r10: the SECOND
+  // fMGWS hot-path migration, after the temporal sort) ----
+
+  /** The inner changelog join as a StatefulProcessor: both sides' live-row
+    * multisets are NATIVE MapStates, so a change batch writes only the
+    * entries it touched — the fMGWS build re-serializes the whole
+    * JoinState value on every batch that touches the key (the per-key
+    * rewrite bound COVERAGE §2.7 documents). The per-batch slice still
+    * loads into immutable maps first, for exactly the snapshot semantics
+    * [[applyChange]] encodes (emitting δL ⋈ R-as-of-the-change while later
+    * changes in the same batch mutate the multiset); the write-back is the
+    * DIFF against that load. */
+  class ChangelogJoinProcessor[K, L, R](el: Encoder[L], er: Encoder[R])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        K, Change[K, L, R], JoinedChange[K, L, R]] {
+    import org.apache.spark.sql.streaming.{ListState => _, _}
+    @transient private var leftRows: MapState[L, Long] = _
+    @transient private var rightRows: MapState[R, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      leftRows = getHandle.getMapState[L, Long]("left", el,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      rightRows = getHandle.getMapState[R, Long]("right", er,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[Change[K, L, R]],
+        timerValues: TimerValues): Iterator[JoinedChange[K, L, R]] = {
+      val lm0 = leftRows.iterator().map { case (k, v) => k -> v }.toMap
+      val rm0 = rightRows.iterator().map { case (k, v) => k -> v }.toMap
+      var st = JoinState[L, R](lm0, rm0)
+      val emissions = Vector.newBuilder[Iterator[(String, L, R)]]
+      rows.toSeq.sortBy(_.seq).foreach { c =>
+        val (emitted, st1) = applyChange(st, c.side, c.kind, c.left, c.right)
+        st = st1
+        emissions += emitted
+      }
+      (lm0.keySet ++ st.left.keySet).foreach { k =>
+        (lm0.get(k), st.left.get(k)) match {
+          case (a, b) if a == b => ()
+          case (_, Some(v)) => leftRows.updateValue(k, v)
+          case (_, None) => leftRows.removeKey(k)
+        }
+      }
+      (rm0.keySet ++ st.right.keySet).foreach { k =>
+        (rm0.get(k), st.right.get(k)) match {
+          case (a, b) if a == b => ()
+          case (_, Some(v)) => rightRows.updateValue(k, v)
+          case (_, None) => rightRows.removeKey(k)
+        }
+      }
+      emissions.result().iterator.flatten
+        .map { case (kk, lv, rv) => JoinedChange(key, kk, lv, rv) }
+    }
+  }
+
+  /** [[join]]'s exact API shape on the transformWithState runtime. Works in
+    * batch too (TwS batch execution hardwires a RocksDB store;
+    * [[TwsOps.ensureStateCoordinator]] registers the driver endpoint it
+    * needs). */
+  def joinTws[K, L, R](changes: Dataset[Change[K, L, R]])(
+      implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
+      eo: Encoder[JoinedChange[K, L, R]]): Dataset[JoinedChange[K, L, R]] = {
+    TwsOps.ensureStateCoordinator(changes.sparkSession)
+    changes.groupByKey(_.key)
+      .transformWithState(new ChangelogJoinProcessor[K, L, R](el, er),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   // ---- shared builders for the three changelog-join oracle queries ----
 
   private def eventTuples(s: org.apache.spark.sql.SparkSession, dir: String)
@@ -453,5 +523,23 @@ object ChangelogJoin {
            |  ON l.user_id = r.user_id
            |ORDER BY l.user_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qChangelogJoin, qChangelogOuterJoin, qChangelogFullOuterJoin)
+  /** q_tws_changelog_join: the q_changelog_join oracle on the migrated
+    * operator — same changelogs, same telescoping contract, MapState-backed
+    * retract state views instead of one fMGWS blob. */
+  val qTwsChangelogJoin: Q = Q(
+    "q_tws_changelog_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventTuples(s, dir)
+      val joined = joinTws(
+        latestValueChanges(ev, _ => true).union(purchaseCountChanges(ev)))
+      survivingPairs(joined)(_.key, _.kind, jc => (jc.left, jc.right))
+        .map { case (u, (lv, rv)) => (u, lv, rv) }
+        .toDF("user_id", "last_value", "n_purchases")
+        .orderBy("user_id")
+    },
+    qChangelogJoin.oracle)
+
+  val all: Seq[Q] = Seq(qChangelogJoin, qChangelogOuterJoin,
+    qChangelogFullOuterJoin, qTwsChangelogJoin)
 }

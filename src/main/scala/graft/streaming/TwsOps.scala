@@ -125,6 +125,29 @@ object TwsOps {
     }
   }
 
+  /** Batch-mode transformWithState loads a real state store, which needs
+    * the driver's StateStoreCoordinator RPC endpoint — registered only
+    * once a streaming query has run in this SparkContext (probed: a batch
+    * TwS in a fresh session dies with RpcEndpointNotFoundException).
+    * Run a one-row stateful memory stream once per session to register it. */
+  private val coordinatorWarmed =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+  private[graft] def ensureStateCoordinator(s: SparkSession): Unit =
+    if (!coordinatorWarmed.contains(s)) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val name = s"graft_state_coord_warm_${java.util.UUID.randomUUID().toString.take(8)}"
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = mem.toDS().groupBy().count().writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try { mem.addData(1L); q.processAllAvailable() }
+      finally { q.stop(); s.catalog.dropTempView(name); () }
+      coordinatorWarmed.add(s)
+      ()
+    }
+
   /** q_tws_dedup: same answer as q_stream_dedup (DISTINCT user_id ×
     * event_type) but computed by the transformWithState runtime — named
     * RocksDB-backed state, emit-on-first-touch. */

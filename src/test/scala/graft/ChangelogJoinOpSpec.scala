@@ -83,6 +83,42 @@ class ChangelogJoinOpSpec extends GraftSpec {
     assert(emitted.exists(j => j.kind == "-D" && j.right == "r1"))
   }
 
+  test("transformWithState build: retractions across micro-batches keep the join consistent (MapState retract views)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.streaming.TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[Change[Long, String, String]]
+      val joined = ChangelogJoin.joinTws(mem.toDS())
+      val emitted = scala.collection.mutable.ArrayBuffer[JoinedChange[Long, String, String]]()
+      val q = joined.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[JoinedChange[Long, String, String]], _: Long) =>
+          emitted.synchronized { emitted ++= batch.collect() }
+          ()
+      }.start()
+      // the same three-batch retraction script as the fMGWS test above —
+      // the multisets now live in named MapStates and must carry across
+      // batch boundaries identically
+      mem.addData(
+        Change(7L, 1, 0, "+I", Some("v1"), None),
+        Change(7L, 2, 1, "+I", None, Some("r1")))
+      q.processAllAvailable()
+      mem.addData(
+        Change(7L, 3, 0, "-U", Some("v1"), None),
+        Change(7L, 4, 0, "+U", Some("v2"), None))
+      q.processAllAvailable()
+      mem.addData(
+        Change(7L, 5, 1, "-D", None, Some("r1")),
+        Change(7L, 6, 1, "+I", None, Some("r2")))
+      q.processAllAvailable()
+      q.stop()
+      val fin = materialize(emitted.toSeq)
+      assert(fin == Map((7L, "v2", "r2") -> 1L), fin)
+      assert(emitted.exists(j => j.kind == "-U" && j.left == "v1"), emitted)
+      assert(emitted.exists(j => j.kind == "-D" && j.right == "r1"), emitted)
+    }
+  }
+
   test("multiset semantics: duplicate rows join with multiplicity") {
     import ChangelogJoin.{applyChange, JoinState}
     val st0 = JoinState[String, String](Map.empty, Map.empty)
