@@ -34,6 +34,26 @@ final case class FileSystem(
     pathOpt.map("path" -> _).toMap ++ tableOpt.map("table" -> _)
 }
 
+/** `new Kafka().topic(…)` (reference descriptors/Kafka.java — the
+  * connect() form of the Kafka connector). The file-log base dir stands in
+  * for `property("bootstrap.servers", …)` in the zero-egress environment
+  * (sources/KafkaLog documents the contract); `startFromEarliest()` is the
+  * one startup mode a bounded log replay honors; `streamingScan()` (engine
+  * extension) tails new segments instead of a bounded read. */
+final case class Kafka(
+    topicOpt: Option[String] = None,
+    logDirOpt: Option[String] = None,
+    streaming: Boolean = false) extends ConnectorDescriptor {
+  def topic(t: String): Kafka = copy(topicOpt = Some(t))
+  def logDir(d: String): Kafka = copy(logDirOpt = Some(d))
+  def startFromEarliest(): Kafka = this
+  def streamingScan(): Kafka = copy(streaming = true)
+  def options: Map[String, String] =
+    Map("connector" -> "kafka") ++ topicOpt.map("topic" -> _) ++
+      logDirOpt.map("path" -> _) ++
+      (if (streaming) Map("scan.mode" -> "streaming") else Map.empty)
+}
+
 /** Format half (reference FormatDescriptor.java). */
 sealed trait FormatDescriptor { def options: Map[String, String] }
 

@@ -176,6 +176,45 @@ object TableApiOps {
     Some("""SELECT event_type, count(*) AS n FROM events
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** The Kafka dynamic table from the DESCRIPTOR chain (reference
+    * descriptors/Kafka.java + KafkaDynamicTableFactory): a topic of
+    * JSON-valued records on the file-log broker, registered via
+    * connect(Kafka()).withFormat(Json()).withSchema(...), decoded into the
+    * declared payload columns and aggregated. The oracle recomputes from
+    * `orders` — the JSON value round-trip must be loss-free. */
+  val qKafkaTableSource: Q = Q(
+    "q_kafka_table_source",
+    (s, dir) => {
+      import s.implicits._
+      // dataset-scoped log dir: segment (topic, batchId) idempotence means
+      // a committed segment is never rewritten (see q_kafka_roundtrip)
+      val logDir = graft.Tables.scratch(
+        s"kafka_tbl/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      val records = graft.Tables.t(s, dir, "orders")
+        .select($"o_orderkey".cast("string").as("key"),
+          to_json(struct($"o_orderkey", $"o_orderpriority", $"o_totalprice"))
+            .as("value"))
+      graft.sources.KafkaLog.writeBatch(records, logDir, "orders_json",
+        numPartitions = 4, batchId = 0L)
+      val env = GraftTableEnv(s, dir)
+      env.connect(Kafka().topic("orders_json").logDir(logDir).startFromEarliest())
+        .withFormat(Json())
+        .withSchema(Schema()
+          .field("o_orderkey", "BIGINT")
+          .field("o_orderpriority", "STRING")
+          .field("o_totalprice", "DOUBLE"))
+        .createTemporaryTable("graft_kafka_orders")
+      s.table("graft_kafka_orders")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |       round(sum(o_totalprice), 2) AS total
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(qPipeline, qWindow, qSetOps, qLateral, qEnv, qConnect, qTableResult)
+    Seq(qPipeline, qWindow, qSetOps, qLateral, qEnv, qConnect, qTableResult,
+      qKafkaTableSource)
 }

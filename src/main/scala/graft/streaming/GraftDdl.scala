@@ -217,6 +217,47 @@ object GraftDdl {
         val opts = parseOpts(optsTxt)
         defs(name.toLowerCase) = TableDef(cols.trim, opts, partitions)
         val computed = computedColumns(cols)
+        // Kafka dynamic table (reference flink-connector-kafka
+        // KafkaDynamicTableFactory.java: 'connector'='kafka', 'topic',
+        // value format) over the file-backed log broker
+        // ([[graft.sources.KafkaLog]] — 'path' is the log base dir, this
+        // zero-egress environment's bootstrap.servers analogue). Checked
+        // BEFORE the watermark dispatch: a watermarked kafka table applies
+        // its watermark over the DECODED record stream, not the
+        // parquet-fixture path. Value format: 'format'='json' decodes the
+        // record VALUE into the declared payload columns (the reference's
+        // json value format); absent/'raw' exposes the record contract
+        // (partition, offset, key, value, ts). 'scan.mode'='streaming'
+        // tails new segments; default is a bounded batch read — the only
+        // startup mode ('earliest-offset') a bounded replay can honor.
+        if (opts.get("connector").contains("kafka")) {
+          import org.apache.spark.sql.functions.{col => c, from_json}
+          val topic = opts.getOrElse("topic", throw new IllegalArgumentException(
+            "WITH option 'topic' is required for connector=kafka"))
+          val path = opts.getOrElse("path", throw new IllegalArgumentException(
+            "WITH option 'path' (log base dir) is required for connector=kafka"))
+          val raw =
+            if (opts.get("scan.mode").contains("streaming"))
+              graft.sources.KafkaLog.readStream(spark, path, topic)
+            else graft.sources.KafkaLog.readBatch(spark, path, topic)
+          val decoded = opts.get("format") match {
+            case Some("json") =>
+              val payload = parsePayloadSchema(name, cols)
+              raw.select(from_json(c("value"), payload).as("v"))
+                .select(payload.fieldNames.toIndexedSeq.map(f => c(s"v.$f")): _*)
+            case _ => raw
+          }
+          val projected = computed.foldLeft(decoded) {
+            case (df, (n, e)) => df.withColumn(n, expr(e))
+          }
+          val withWm = WatermarkR.findFirstMatchIn(cols) match {
+            case Some(wm) => projected.withWatermark(wm.group(1),
+              s"${wm.group(2)} ${wm.group(3).toLowerCase}s")
+            case None => projected
+          }
+          withWm.createOrReplaceTempView(name)
+          return name
+        }
         WatermarkR.findFirstMatchIn(cols) match {
           case Some(wm) =>
             val dir = opts.getOrElse("path",

@@ -251,4 +251,63 @@ class DdlFeatureSpec extends GraftSpec {
     assert(GraftSql.run(spark, "USE default_database").collect()
       .head.getString(1) == "in use")
   }
+
+  test("connector=kafka DDL: json value decode, streaming scan, watermark over the decoded stream") {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val logDir = java.nio.file.Files.createTempDirectory("graft-kafka-ddl").toString
+    val records = Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"event_id".cast("string").as("key"),
+        to_json(struct($"event_id", $"user_id", $"value", $"ts")).as("value"))
+    graft.sources.KafkaLog.writeBatch(records, logDir, "ev_json",
+      numPartitions = 2, batchId = 0L)
+    // batch + json: declared payload columns come back decoded
+    GraftSql.run(spark,
+      s"""CREATE TABLE kddl_batch (
+         |  event_id BIGINT, user_id BIGINT, value DOUBLE, ts TIMESTAMP
+         |) WITH ('connector' = 'kafka', 'topic' = 'ev_json',
+         |        'path' = '$logDir', 'format' = 'json')""".stripMargin)
+    val batch = spark.table("kddl_batch")
+    assert(!batch.isStreaming)
+    assert(batch.columns.toSeq == Seq("event_id", "user_id", "value", "ts"))
+    val expected = Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === "purchase").count()
+    assert(batch.count() == expected)
+    // streaming + watermark: the view streams and windows aggregate over it
+    GraftSql.run(spark,
+      s"""CREATE TABLE kddl_stream (
+         |  event_id BIGINT, user_id BIGINT, value DOUBLE, ts TIMESTAMP,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'kafka', 'topic' = 'ev_json',
+         |        'path' = '$logDir', 'format' = 'json',
+         |        'scan.mode' = 'streaming')""".stripMargin)
+    val sv = spark.table("kddl_stream")
+    assert(sv.isStreaming, "scan.mode=streaming must register a streaming view")
+    // stateless pass-through emits EVERY record (decode + stream intact)
+    val through = StreamingOps.runToMemory(spark,
+      sv.select($"event_id"), "append", "kddl_through")
+    assert(through.count() == expected)
+    // windowed agg emits the CLOSED windows; each must match the batch
+    // count for the same day (the unclosed tail window is correctly absent)
+    val winOut = StreamingOps.runToMemory(spark,
+      sv.groupBy(window($"ts", "1 day")).agg(count(lit(1)).as("n"))
+        .select($"window.start".as("d"), $"n"),
+      "append", "kddl_agg")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val batchWin = batch.groupBy(window($"ts", "1 day")).agg(count(lit(1)).as("n"))
+      .select($"window.start".as("d"), $"n")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(winOut.nonEmpty, "no window closed under the final watermark")
+    assert(winOut.forall { case (d, n) => batchWin.get(d).contains(n) },
+      s"closed windows disagree with batch: $winOut vs $batchWin")
+    // raw format (default): the record contract itself
+    GraftSql.run(spark,
+      s"""CREATE TABLE kddl_raw (x INT) WITH ('connector' = 'kafka',
+         |  'topic' = 'ev_json', 'path' = '$logDir')""".stripMargin)
+    assert(spark.table("kddl_raw").columns.toSeq ==
+      Seq("partition", "offset", "key", "value", "ts"))
+    Seq("kddl_batch", "kddl_stream", "kddl_raw").foreach(spark.catalog.dropTempView)
+  }
 }
