@@ -118,14 +118,26 @@ object GraphOps {
       edges: DataFrame,
       initial: DataFrame,
       rounds: Int,
-      checkpointEvery: Int = 5)(
+      checkpointEvery: Int = 5,
+      converged: (DataFrame, DataFrame) => Boolean = (_, _) => false)(
       scatter: DataFrame => DataFrame,
       gather: DataFrame => DataFrame,
       apply: (DataFrame, DataFrame) => DataFrame): DataFrame =
-    IterateOps.iterate(initial, rounds, checkpointEvery) { state =>
-      val scatterIn = edges.join(state.withColumnRenamed("node", "src"), "src")
-      apply(state, gather(scatter(scatterIn)))
-    }
+    IterateOps.iterate(initial, rounds, checkpointEvery)(
+      step = { state =>
+        val scatterIn = edges.join(state.withColumnRenamed("node", "src"), "src")
+        apply(state, gather(scatter(scatterIn)))
+      },
+      converged = converged)
+
+  /** Convergence test for [[vertexIterate]]: the state is a fixpoint when
+    * NO row changed between rounds — Gelly's default scatter-gather
+    * termination (a superstep in which no vertex updates its value ends
+    * the iteration; ScatterGatherIteration.java's convergence behavior).
+    * Costs one exceptAll-emptiness job per round, the analogue of the
+    * reference's per-superstep updated-vertices aggregator. */
+  def fixpoint(prev: DataFrame, next: DataFrame): Boolean =
+    prev.exceptAll(next).isEmpty
 
   /** Fixed-iteration PageRank over (src, dst) edges, expressed on
     * [[vertexIterate]] (Gelly library/linkanalysis/PageRank.java is itself

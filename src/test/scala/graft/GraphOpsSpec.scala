@@ -101,6 +101,29 @@ class GraphOpsSpec extends GraftSpec {
     assert(labeled == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 11L, 11L -> 11L), labeled)
   }
 
+  test("vertexIterate: fixpoint convergence stops the rounds early (Gelly's no-update termination)") {
+    import spark.implicits._
+    // max-id on a 3-node path converges after 2 effective rounds; with
+    // rounds=25 and fixpoint convergence the driver loop must stop well
+    // before the cap (observed via the scatter invocation counter — one
+    // scatter call per executed round)
+    val und = Seq((1L, 2L), (2L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val init = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("maxid"))
+    var roundsRun = 0
+    val labeled = operators.GraphOps.vertexIterate(
+      e, init, rounds = 25, converged = operators.GraphOps.fixpoint)(
+      scatter = df => { roundsRun += 1; df.select(col("dst").as("node"), col("maxid").as("msg")) },
+      gather = m => m.groupBy("node").agg(max("msg").as("msg")),
+      apply = (state, g) => state.join(g, Seq("node"), "left")
+        .select(col("node"), greatest(col("maxid"), col("msg")).as("maxid")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labeled == Map(1L -> 3L, 2L -> 3L, 3L -> 3L), labeled)
+    assert(roundsRun < 25, s"fixpoint convergence should stop early, ran $roundsRun rounds")
+    assert(roundsRun >= 2, s"the path graph needs at least 2 rounds, ran $roundsRun")
+  }
+
   test("vertexIterate: scatter sees edge columns alongside the source state") {
     import spark.implicits._
     // weighted edges: the kernel reads the edge's own `w` column — the
