@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Q
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions.unix_micros
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** transformWithState — Spark's CURRENT arbitrary-stateful-processing API
   * (the successor to flatMapGroupsWithState): named state variables
@@ -252,6 +252,129 @@ object TwsOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One ms-bucket of buffered rows (the MapState value — arrivals append
+    * to their own bucket instead of rewriting the whole buffer). */
+  case class TsBucket(evs: List[StatefulOps.EvT])
+
+  /** Streaming time-RANGE bounded OVER on transformWithState — the THIRD
+    * fMGWS hot-path migration (after temporal sort and changelog join),
+    * closing the per-key whole-buffer-rewrite bound for the OVER family
+    * (reference RowTimeRangeBoundedPrecedingFunction.java, whose state is
+    * likewise MapState<ts, rows>):
+    *  - retained rows live in a MapState keyed by their millisecond
+    *    timestamp — an arrival touches exactly one bucket;
+    *  - ONE armed event-time timer per key at the minimum PENDING
+    *    (unemitted) timestamp; a firing drains every row the watermark has
+    *    passed, computes each frame over one read of the retained buckets,
+    *    and re-arms at the next pending minimum;
+    *  - `emittedThrough` (ValueState) splits retained rows into emitted
+    *    (kept only while a future frame can reference them) and pending;
+    *    eviction applies the fMGWS operator's exact per-row rule. */
+  class OverRangeProcessor(rangeUs: Long)
+      extends StatefulProcessor[Long, StatefulOps.EvT, StatefulOps.RangeOut] {
+    @transient private var buckets: MapState[Long, TsBucket] = _
+    @transient private var armed: ValueState[Long] = _
+    @transient private var emittedThrough: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buckets = getHandle.getMapState[Long, TsBucket]("buckets",
+        Encoders.scalaLong, Encoders.product[TsBucket], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+      emittedThrough = getHandle.getValueState[Long]("emittedThrough",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[StatefulOps.EvT],
+        timerValues: TimerValues): Iterator[StatefulOps.RangeOut] = {
+      var newMin = Long.MaxValue
+      rows.foreach { e =>
+        val ms = e.ts.getTime
+        val cur = if (buckets.containsKey(ms)) buckets.getValue(ms).evs else Nil
+        buckets.updateValue(ms, TsBucket(e :: cur))
+        if (ms < newMin) newMin = ms
+      }
+      if (newMin != Long.MaxValue) {
+        if (!armed.exists()) { getHandle.registerTimer(newMin); armed.update(newMin) }
+        else if (newMin < armed.get()) {
+          getHandle.deleteTimer(armed.get())
+          getHandle.registerTimer(newMin); armed.update(newMin)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.RangeOut] = {
+      import StatefulOps.usOf
+      val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
+        timerValues.getCurrentWatermarkInMs())
+      val prevThrough = if (emittedThrough.exists()) emittedThrough.get() else Long.MinValue
+      // ONE read of the retained buckets serves every frame this firing
+      val all = buckets.iterator().flatMap { case (_, b) => b.evs }.toVector
+      val due = all.filter(e => e.ts.getTime > prevThrough && e.ts.getTime <= releaseUpTo)
+        .sortBy(e => (usOf(e.ts), e.event_id))
+      val out = due.map { e =>
+        val us = usOf(e.ts)
+        val s = all.filter(x => usOf(x.ts) >= us - rangeUs && usOf(x.ts) <= us)
+          .sortBy(x => (usOf(x.ts), x.event_id)).map(_.value).sum
+        StatefulOps.RangeOut(e.event_id, key,
+          BigDecimal(s).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      // eviction: the fMGWS operator's exact per-row rule — an emitted row
+      // survives only while a pending row's frame (or a possible future
+      // arrival above the watermark) can still reference it
+      val pending = all.filter(_.ts.getTime > releaseUpTo)
+      val minPendingUs = pending.iterator.map(e => usOf(e.ts))
+        .minOption.getOrElse(Long.MaxValue)
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
+      val keep = pending ++ all.filter(e => e.ts.getTime <= releaseUpTo).filter(e =>
+        usOf(e.ts) + rangeUs >= minPendingUs || usOf(e.ts) + rangeUs >= wmUs)
+      buckets.clear()
+      keep.groupBy(_.ts.getTime).foreach { case (ms, evs) =>
+        buckets.updateValue(ms, TsBucket(evs.toList))
+      }
+      emittedThrough.update(releaseUpTo)
+      if (pending.isEmpty) armed.clear()
+      else {
+        val nextMin = pending.iterator.map(_.ts.getTime).min
+        getHandle.registerTimer(nextMin); armed.update(nextMin)
+      }
+      out.iterator
+    }
+  }
+
+  /** [[StatefulOps.overRangePreceding]]'s API shape on the new runtime. */
+  def overRangeTws(ds: org.apache.spark.sql.Dataset[StatefulOps.EvT], rangeUs: Long)
+      : org.apache.spark.sql.Dataset[StatefulOps.RangeOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[StatefulOps.RangeOut] = Encoders.product[StatefulOps.RangeOut]
+    ds.groupByKey(_.user_id)
+      .transformWithState(new OverRangeProcessor(rangeUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** q_tws_over_range: the q_stream_over_range oracle on the migrated
+    * operator — trailing 1-hour sum per user, watermark delay 0. */
+  val qTwsOverRange: Q = Q(
+    "q_tws_over_range",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      withRocksDb(s) {
+        val in = StreamingOps.streamTable(s, dir, "events")
+          .withWatermark("ts", "0 seconds")
+          .select($"event_id", $"user_id", $"value", $"ts").as[StatefulOps.EvT]
+        val out = overRangeTws(in, rangeUs = 3600L * 1000000).toDF()
+        StreamingOps.runToMemory(s, out, "append", "graft_tws_over_range")
+          .orderBy($"user_id", $"event_id")
+      }
+    },
+    Some("""SELECT event_id, user_id,
+           |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+           |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+           |         AS range_sum
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
   /** q_tws_temporal_sort: the q_stream_temporal_sort oracle on the migrated
     * operator — watermark delay 0, so the final no-data micro-batch's
     * watermark releases every buffered row through the native timers. */
@@ -273,5 +396,5 @@ object TwsOps {
            |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qTwsDedup, qTwsTemporalSort)
+  val all: Seq[Q] = Seq(qTwsDedup, qTwsTemporalSort, qTwsOverRange)
 }

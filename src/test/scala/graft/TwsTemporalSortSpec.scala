@@ -79,6 +79,43 @@ class TwsTemporalSortSpec extends GraftSpec {
     }
   }
 
+  test("tws over-range emits exact trailing frames and evicts rows no future frame can reference") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[EvT]
+      val out = TwsOps.overRangeTws(
+        mem.toDS().withWatermark("ts", "0 seconds").as[EvT],
+        rangeUs = 60L * 1000000) // 1-minute trailing frame
+      val q = out.toDF().writeStream.format("memory")
+        .queryName("tws_over_range").outputMode("append").start()
+      // same script as the fMGWS spec: frames {10}, {10,5}, {2}
+      mem.addData(
+        EvT(1, 1L, 10.0, ts("2024-01-01 00:00:00")),
+        EvT(2, 1L, 5.0, ts("2024-01-01 00:00:30")),
+        EvT(3, 1L, 2.0, ts("2024-01-01 00:01:45")))
+      q.processAllAvailable()
+      mem.addData(EvT(9, 2L, 1.0, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      mem.addData(EvT(10, 2L, 1.0, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      mem.addData(EvT(11, 2L, 1.0, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("tws_over_range").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toMap
+      val expected = Map(1L -> 10.0, 2L -> 15.0, 3L -> 2.0, 9L -> 1.0, 10L -> 1.0)
+      assert(expected.forall { case (k, v) => got.get(k).contains(v) }, s"got $got")
+      // key 1's rows are long past wm + range: its buckets were evicted
+      // (only key 2's recent row + the per-key scalar states survive) —
+      // state growth is bounded by the trailing window, not the stream
+      val numRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(numRows <= 6,
+        s"expected only the trailing-window state to survive eviction, got $numRows")
+      q.stop()
+    }
+  }
+
   test("tws temporal sort keeps keys independent: one key's watermark release does not drain another's pending rows") {
     val sparkS = spark
     import sparkS.implicits._
