@@ -186,10 +186,10 @@ object TableApiOps {
     "q_kafka_table_source",
     (s, dir) => {
       import s.implicits._
-      // dataset-scoped log dir: segment (topic, batchId) idempotence means
-      // a committed segment is never rewritten (see q_kafka_roundtrip)
-      val logDir = graft.Tables.scratch(
-        s"kafka_tbl/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      // dataset- and fixture-stamped log dir: a committed segment is never
+      // rewritten, so the path identity must track the fixture's
+      // (KafkaLog.stagedLogDir — the r7 drift-class insurance)
+      val logDir = graft.sources.KafkaLog.stagedLogDir("kafka_tbl", dir, "orders")
       val records = graft.Tables.t(s, dir, "orders")
         .select($"o_orderkey".cast("string").as("key"),
           to_json(struct($"o_orderkey", $"o_orderpriority", $"o_totalprice"))

@@ -91,11 +91,10 @@ object CoGroupOps {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      // the log's identity includes the DATASET: segment (topic, batchId)
-      // idempotence means a committed segment is never rewritten, so a
-      // fixed path would serve one scale factor's data to another
-      val logDir = Tables.scratch(
-        s"kafka_rt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      // log identity includes dataset AND fixture stamp: a committed
+      // segment is never rewritten, so a fixed path would serve one scale
+      // factor's (or a regenerated fixture's) stale data to another
+      val logDir = KafkaLog.stagedLogDir("kafka_rt", dir, "events")
       val records = Tables.t(s, dir, "events")
         .where($"event_type" === "purchase")
         .select($"event_id".cast("string").as("key"),
@@ -140,8 +139,8 @@ object CoGroupOps {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val logDir = Tables.scratch( // dataset-scoped: see q_kafka_roundtrip
-        s"kafka_upsert/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      val logDir = // dataset- and fixture-stamped: see q_kafka_roundtrip
+        KafkaLog.stagedLogDir("kafka_upsert", dir, "events")
       val records = Tables.t(s, dir, "events")
         .select($"user_id".cast("string").as("key"),
           format_string("%012d", $"event_id").as("value"), $"ts")

@@ -134,10 +134,13 @@ object GraphOps {
     * NO row changed between rounds — Gelly's default scatter-gather
     * termination (a superstep in which no vertex updates its value ends
     * the iteration; ScatterGatherIteration.java's convergence behavior).
-    * Costs one exceptAll-emptiness job per round, the analogue of the
-    * reference's per-superstep updated-vertices aggregator. */
+    * MULTISET equality needs both directions: exceptAll alone proves
+    * prev ⊆ next, which a row-accumulating kernel (transitive closure)
+    * satisfies from round one while still growing — the count comparison
+    * closes that hole. Two jobs per round, the analogue of the reference's
+    * per-superstep updated-vertices aggregator. */
   def fixpoint(prev: DataFrame, next: DataFrame): Boolean =
-    prev.exceptAll(next).isEmpty
+    prev.count() == next.count() && prev.exceptAll(next).isEmpty
 
   /** Fixed-iteration PageRank over (src, dst) edges, expressed on
     * [[vertexIterate]] (Gelly library/linkanalysis/PageRank.java is itself

@@ -118,6 +118,21 @@ object KafkaLog {
       // so streaming and batch reads share one schema
       .drop("segment")
 
+  /** Dataset-scoped, CONTENT-STAMPED log directory for fixture-staged
+    * topics: segment (topic, batchId) idempotence means a committed segment
+    * is never rewritten, so the directory identity must include the source
+    * fixture's identity (mtime + size, the CdcFormats.feedStamp recipe) —
+    * a driver-regenerated fixture then stages into a FRESH log instead of
+    * serving stale records under the old _SUCCESS marker (the r7 fixture-
+    * drift class, which would surface as an engine-vs-oracle mismatch). */
+  def stagedLogDir(tag: String, dir: String, table: String): String = {
+    val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+    val stamp = s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}_" +
+      s"${java.nio.file.Files.size(p)}"
+    graft.Tables.scratch(
+      s"$tag/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$stamp")
+  }
+
   /** Committed (= fully written) end offsets per partition — the
     * `endOffsets` consumer API. */
   def endOffsets(spark: SparkSession, dir: String, topic: String): Map[Int, Long] =

@@ -245,7 +245,11 @@ object GraftDdl {
               val payload = parsePayloadSchema(name, cols)
               raw.select(from_json(c("value"), payload).as("v"))
                 .select(payload.fieldNames.toIndexedSeq.map(f => c(s"v.$f")): _*)
-            case _ => raw
+            case Some("raw") | None => raw
+            case Some(other) => throw new IllegalArgumentException(
+              s"connector=kafka table '$name': unsupported value format " +
+                s"'$other' (supported: json, raw) — silently exposing the " +
+                "raw record contract would drop the declared schema")
           }
           val projected = computed.foldLeft(decoded) {
             case (df, (n, e)) => df.withColumn(n, expr(e))

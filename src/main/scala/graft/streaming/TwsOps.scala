@@ -185,13 +185,32 @@ object TwsOps {
     *    (re-armed cheaper on arrival, re-armed at the next minimum after
     *    each drain), so a watermark advance past k distinct timestamps
     *    costs one buffer read + one rewrite, not k. */
+  /** The per-key MIN-TIMER protocol shared by the TwS migrations: one
+    * armed event-time timer per key at the minimum relevant timestamp.
+    * `armEarlier` on arrival (min over the NEW rows only — O(batch), never
+    * O(buffer)); `rearmAt` after a drain, at the next minimum or disarmed.
+    * The protocol is subtle enough (delete-before-register, disarm on
+    * empty) that it lives ONCE — both processors call these. */
+  private def armEarlier(
+      handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      armed: ValueState[Long], newMin: Long): Unit =
+    if (!armed.exists()) { handle.registerTimer(newMin); armed.update(newMin) }
+    else if (newMin < armed.get()) {
+      handle.deleteTimer(armed.get())
+      handle.registerTimer(newMin); armed.update(newMin)
+    }
+
+  private def rearmAt(
+      handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      armed: ValueState[Long], nextMin: Option[Long]): Unit =
+    nextMin match {
+      case Some(m) => handle.registerTimer(m); armed.update(m)
+      case None => armed.clear()
+    }
+
   class TemporalSortProcessor
       extends StatefulProcessor[Long, StatefulOps.EvT, StatefulOps.EvT] {
     @transient private var buf: ListState[StatefulOps.EvT] = _
-    // the single ARMED timer's expiry — one timer per key at the MINIMUM
-    // buffered timestamp, not one per row: k distinct due timestamps then
-    // cost ONE firing (one buffer read + one rewrite) instead of k full
-    // buffer read/rewrites per watermark advance
     @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -207,16 +226,7 @@ object TwsOps {
         buf.appendValue(e)
         if (e.ts.getTime < newMin) newMin = e.ts.getTime
       }
-      // re-arm earlier if this batch brought an earlier row — the min is
-      // over the NEW rows only, so arrival cost stays O(batch), never O(buffer)
-      if (newMin != Long.MaxValue) {
-        if (!armed.exists()) {
-          getHandle.registerTimer(newMin); armed.update(newMin)
-        } else if (newMin < armed.get()) {
-          getHandle.deleteTimer(armed.get())
-          getHandle.registerTimer(newMin); armed.update(newMin)
-        }
-      }
+      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin)
       Iterator.empty
     }
 
@@ -228,15 +238,14 @@ object TwsOps {
       val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
         timerValues.getCurrentWatermarkInMs())
       val (ready, rest) = buf.get().toSeq.partition(_.ts.getTime <= releaseUpTo)
-      if (rest.isEmpty) { buf.clear(); armed.clear() }
-      else {
-        buf.put(rest.toArray)
-        val nextMin = rest.iterator.map(_.ts.getTime).min
-        getHandle.registerTimer(nextMin); armed.update(nextMin)
-      }
+      if (rest.isEmpty) buf.clear() else buf.put(rest.toArray)
+      rearmAt(getHandle, armed, rest.iterator.map(_.ts.getTime).minOption)
       // µs order within the due slice (see StatefulOps.usOf); successive
-      // firings release disjoint ascending slices, so the overall output
-      // is per-key event-time order
+      // firings release ascending slices — the one exception is a
+      // late-admitted sub-millisecond row (above the µs watermark but in an
+      // already-released millisecond), which releases at the NEXT firing,
+      // after rows beyond it: the same tail behavior as the fMGWS operator,
+      // whose per-ms timer for such a row likewise fires on a later batch
       ready.sortBy(e => (StatefulOps.usOf(e.ts), e.event_id)).iterator
     }
   }
@@ -261,27 +270,33 @@ object TwsOps {
     * closing the per-key whole-buffer-rewrite bound for the OVER family
     * (reference RowTimeRangeBoundedPrecedingFunction.java, whose state is
     * likewise MapState<ts, rows>):
-    *  - retained rows live in a MapState keyed by their millisecond
-    *    timestamp — an arrival touches exactly one bucket;
-    *  - ONE armed event-time timer per key at the minimum PENDING
-    *    (unemitted) timestamp; a firing drains every row the watermark has
-    *    passed, computes each frame over one read of the retained buckets,
+    *  - rows live in TWO per-millisecond-bucket MapStates, `pending`
+    *    (unemitted) and `emitted` (released but still referenceable by a
+    *    future frame) — an arrival touches exactly one pending bucket, and
+    *    emission is MEMBERSHIP, not a timestamp marker, so a late-admitted
+    *    sub-millisecond row in an already-released millisecond still
+    *    emits (it lands in pending and drains at the next firing — a
+    *    through-timestamp marker silently dropped exactly that row);
+    *  - ONE armed event-time timer per key at the minimum pending
+    *    timestamp; a firing drains every pending row the watermark has
+    *    passed, computes each frame over the emitted history + due slice,
     *    and re-arms at the next pending minimum;
-    *  - `emittedThrough` (ValueState) splits retained rows into emitted
-    *    (kept only while a future frame can reference them) and pending;
-    *    eviction applies the fMGWS operator's exact per-row rule. */
+    *  - eviction applies the fMGWS operator's exact per-row rule, written
+    *    back as a DIFF: only buckets whose contents changed touch the
+    *    store (the ChangelogJoinProcessor write discipline — no
+    *    clear()+rewrite of untouched buckets). */
   class OverRangeProcessor(rangeUs: Long)
       extends StatefulProcessor[Long, StatefulOps.EvT, StatefulOps.RangeOut] {
-    @transient private var buckets: MapState[Long, TsBucket] = _
+    @transient private var pending: MapState[Long, TsBucket] = _
+    @transient private var emitted: MapState[Long, TsBucket] = _
     @transient private var armed: ValueState[Long] = _
-    @transient private var emittedThrough: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buckets = getHandle.getMapState[Long, TsBucket]("buckets",
+      pending = getHandle.getMapState[Long, TsBucket]("pending",
+        Encoders.scalaLong, Encoders.product[TsBucket], TTLConfig.NONE)
+      emitted = getHandle.getMapState[Long, TsBucket]("emitted",
         Encoders.scalaLong, Encoders.product[TsBucket], TTLConfig.NONE)
       armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
-      emittedThrough = getHandle.getValueState[Long]("emittedThrough",
-        Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[StatefulOps.EvT],
@@ -289,56 +304,56 @@ object TwsOps {
       var newMin = Long.MaxValue
       rows.foreach { e =>
         val ms = e.ts.getTime
-        val cur = if (buckets.containsKey(ms)) buckets.getValue(ms).evs else Nil
-        buckets.updateValue(ms, TsBucket(e :: cur))
+        val cur = if (pending.containsKey(ms)) pending.getValue(ms).evs else Nil
+        pending.updateValue(ms, TsBucket(e :: cur))
         if (ms < newMin) newMin = ms
       }
-      if (newMin != Long.MaxValue) {
-        if (!armed.exists()) { getHandle.registerTimer(newMin); armed.update(newMin) }
-        else if (newMin < armed.get()) {
-          getHandle.deleteTimer(armed.get())
-          getHandle.registerTimer(newMin); armed.update(newMin)
-        }
-      }
+      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin)
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.RangeOut] = {
       import StatefulOps.usOf
+      def canon(evs: Seq[StatefulOps.EvT]): List[StatefulOps.EvT] =
+        evs.sortBy(e => (usOf(e.ts), e.event_id)).toList
       val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
         timerValues.getCurrentWatermarkInMs())
-      val prevThrough = if (emittedThrough.exists()) emittedThrough.get() else Long.MinValue
-      // ONE read of the retained buckets serves every frame this firing
-      val all = buckets.iterator().flatMap { case (_, b) => b.evs }.toVector
-      val due = all.filter(e => e.ts.getTime > prevThrough && e.ts.getTime <= releaseUpTo)
-        .sortBy(e => (usOf(e.ts), e.event_id))
+      val pendingAll = pending.iterator().toVector
+      val (dueBuckets, stillPending) = pendingAll.partition(_._1 <= releaseUpTo)
+      val due = canon(dueBuckets.flatMap(_._2.evs))
+      // one read of the emitted history serves every frame this firing;
+      // still-pending rows all lie AFTER releaseUpTo, so no due frame
+      // (which trails its row) can reference them
+      val histByMs = emitted.iterator().toVector.toMap
+      val referable = histByMs.valuesIterator.flatMap(_.evs).toVector ++ due
       val out = due.map { e =>
         val us = usOf(e.ts)
-        val s = all.filter(x => usOf(x.ts) >= us - rangeUs && usOf(x.ts) <= us)
+        val s = referable.filter(x => usOf(x.ts) >= us - rangeUs && usOf(x.ts) <= us)
           .sortBy(x => (usOf(x.ts), x.event_id)).map(_.value).sum
         StatefulOps.RangeOut(e.event_id, key,
           BigDecimal(s).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
-      // eviction: the fMGWS operator's exact per-row rule — an emitted row
-      // survives only while a pending row's frame (or a possible future
-      // arrival above the watermark) can still reference it
-      val pending = all.filter(_.ts.getTime > releaseUpTo)
-      val minPendingUs = pending.iterator.map(e => usOf(e.ts))
+      // eviction (the fMGWS operator's exact per-row rule): an emitted row
+      // survives only while a pending row's frame, or a possible future
+      // arrival above the watermark, can still reference it
+      val minPendingUs = stillPending.iterator.flatMap(_._2.evs).map(e => usOf(e.ts))
         .minOption.getOrElse(Long.MaxValue)
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
-      val keep = pending ++ all.filter(e => e.ts.getTime <= releaseUpTo).filter(e =>
+      val finalByMs = referable.filter(e =>
         usOf(e.ts) + rangeUs >= minPendingUs || usOf(e.ts) + rangeUs >= wmUs)
-      buckets.clear()
-      keep.groupBy(_.ts.getTime).foreach { case (ms, evs) =>
-        buckets.updateValue(ms, TsBucket(evs.toList))
+        .groupBy(_.ts.getTime).view.mapValues(canon).toMap
+      // DIFF write-back against the loaded history (canonical bucket order
+      // keeps the comparison meaningful); drained pending buckets removed
+      (histByMs.keySet ++ finalByMs.keySet).foreach { ms =>
+        (histByMs.get(ms).map(_.evs), finalByMs.get(ms)) match {
+          case (a, b) if a == b => ()
+          case (_, Some(evs)) => emitted.updateValue(ms, TsBucket(evs))
+          case (_, None) => emitted.removeKey(ms)
+        }
       }
-      emittedThrough.update(releaseUpTo)
-      if (pending.isEmpty) armed.clear()
-      else {
-        val nextMin = pending.iterator.map(_.ts.getTime).min
-        getHandle.registerTimer(nextMin); armed.update(nextMin)
-      }
+      dueBuckets.foreach { case (ms, _) => pending.removeKey(ms) }
+      rearmAt(getHandle, armed, stillPending.iterator.map(_._1).minOption)
       out.iterator
     }
   }
