@@ -502,6 +502,26 @@ object TpcdsShapes {
       |  AND prev_sum IS NOT NULL AND next_sum IS NOT NULL
       |ORDER BY l_returnflag, l_suppkey, mon""".stripMargin)
 
+  /** q1: the correlated scalar aggregate OVER THE QUERY'S OWN CTE — each
+    * row of `ctr` compares against a scaled average of the SAME CTE
+    * restricted to its correlation group (q1's
+    * ctr_total_return > 1.2 * avg(...) where same store). The optimizer
+    * must decorrelate the per-row subquery into one grouped aggregate of
+    * the CTE joined back — and build the CTE once, not per side. Integral
+    * quantity sums keep the 1.2× threshold exact in both engines. */
+  val q1: Q = sqlQ(
+    "q_tpcds_q1_shape",
+    """WITH ctr AS (
+      |  SELECT o_custkey AS cust, c_nationkey AS nat, sum(l_quantity) AS ret
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE l_returnflag = 'R' GROUP BY o_custkey, c_nationkey)
+      |SELECT c_name, round(ctr1.ret, 2) AS ret
+      |FROM ctr ctr1 JOIN customer ON ctr1.cust = c_custkey
+      |WHERE ctr1.ret > (SELECT 1.2 * avg(ctr2.ret) FROM ctr ctr2
+      |                  WHERE ctr2.nat = ctr1.nat)
+      |ORDER BY c_name, ret""".stripMargin)
+
   val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
-    q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47)
+    q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47, q1)
 }

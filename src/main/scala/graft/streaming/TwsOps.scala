@@ -369,6 +369,111 @@ object TwsOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming ROWS bounded-preceding OVER on transformWithState — the
+    * RANGE variant's sibling (reference
+    * RowTimeRowsBoundedPrecedingFunction.java), completing the OVER
+    * family's migration. Same pending/emitted bucket design as
+    * [[OverRangeProcessor]]; the emitted history is CAPPED at nRows−1 rows
+    * after every firing (exactly the rows any future frame can reference —
+    * the reference operator's retract-when-full state), so the retained
+    * state is count-bounded, not time-bounded. */
+  class OverRowsProcessor(nRows: Int)
+      extends StatefulProcessor[Long, StatefulOps.EvT, StatefulOps.RangeOut] {
+    @transient private var pending: MapState[Long, TsBucket] = _
+    @transient private var emitted: MapState[Long, TsBucket] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getMapState[Long, TsBucket]("pending",
+        Encoders.scalaLong, Encoders.product[TsBucket], TTLConfig.NONE)
+      emitted = getHandle.getMapState[Long, TsBucket]("emitted",
+        Encoders.scalaLong, Encoders.product[TsBucket], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[StatefulOps.EvT],
+        timerValues: TimerValues): Iterator[StatefulOps.RangeOut] = {
+      var newMin = Long.MaxValue
+      rows.foreach { e =>
+        val ms = e.ts.getTime
+        val cur = if (pending.containsKey(ms)) pending.getValue(ms).evs else Nil
+        pending.updateValue(ms, TsBucket(e :: cur))
+        if (ms < newMin) newMin = ms
+      }
+      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.RangeOut] = {
+      import StatefulOps.usOf
+      def canon(evs: Seq[StatefulOps.EvT]): List[StatefulOps.EvT] =
+        evs.sortBy(e => (usOf(e.ts), e.event_id)).toList
+      val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
+        timerValues.getCurrentWatermarkInMs())
+      val pendingAll = pending.iterator().toVector
+      val (dueBuckets, stillPending) = pendingAll.partition(_._1 <= releaseUpTo)
+      val due = canon(dueBuckets.flatMap(_._2.evs))
+      val histByMs = emitted.iterator().toVector.toMap
+      // the full referable relation in total (µs, id) order — the fMGWS
+      // operator's sorted buffer, with history already capped at nRows−1
+      val ordered = canon(histByMs.valuesIterator.flatMap(_.evs).toVector ++ due)
+      val out = due.map { e =>
+        val eUs = usOf(e.ts)
+        val upTo = ordered.takeWhile(x =>
+          usOf(x.ts) < eUs || (usOf(x.ts) == eUs && x.event_id <= e.event_id))
+        StatefulOps.RangeOut(e.event_id, key,
+          BigDecimal(upTo.takeRight(nRows).map(_.value).sum)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      // retain the nRows−1 most recent emitted rows — count-bounded state
+      val finalByMs = ordered.takeRight(nRows - 1)
+        .groupBy(_.ts.getTime).view.mapValues(canon).toMap
+      (histByMs.keySet ++ finalByMs.keySet).foreach { ms =>
+        (histByMs.get(ms).map(_.evs), finalByMs.get(ms)) match {
+          case (a, b) if a == b => ()
+          case (_, Some(evs)) => emitted.updateValue(ms, TsBucket(evs))
+          case (_, None) => emitted.removeKey(ms)
+        }
+      }
+      dueBuckets.foreach { case (ms, _) => pending.removeKey(ms) }
+      rearmAt(getHandle, armed, stillPending.iterator.map(_._1).minOption)
+      out.iterator
+    }
+  }
+
+  /** [[StatefulOps.overRowsPreceding]]'s API shape on the new runtime. */
+  def overRowsTws(ds: org.apache.spark.sql.Dataset[StatefulOps.EvT], nRows: Int)
+      : org.apache.spark.sql.Dataset[StatefulOps.RangeOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[StatefulOps.RangeOut] = Encoders.product[StatefulOps.RangeOut]
+    ds.groupByKey(_.user_id)
+      .transformWithState(new OverRowsProcessor(nRows),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** q_tws_over_rows: the q_stream_over_rows oracle on the migrated
+    * operator — sum of the last 3 values per user in (ts, event_id)
+    * order, watermark delay 0. */
+  val qTwsOverRows: Q = Q(
+    "q_tws_over_rows",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      withRocksDb(s) {
+        val in = StreamingOps.streamTable(s, dir, "events")
+          .withWatermark("ts", "0 seconds")
+          .select($"event_id", $"user_id", $"value", $"ts").as[StatefulOps.EvT]
+        val out = overRowsTws(in, nRows = 3).toDF()
+        StreamingOps.runToMemory(s, out, "append", "graft_tws_over_rows")
+          .orderBy($"user_id", $"event_id")
+      }
+    },
+    Some("""SELECT event_id, user_id,
+           |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS range_sum
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
   /** q_tws_over_range: the q_stream_over_range oracle on the migrated
     * operator — trailing 1-hour sum per user, watermark delay 0. */
   val qTwsOverRange: Q = Q(
@@ -411,5 +516,5 @@ object TwsOps {
            |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qTwsDedup, qTwsTemporalSort, qTwsOverRange)
+  val all: Seq[Q] = Seq(qTwsDedup, qTwsTemporalSort, qTwsOverRange, qTwsOverRows)
 }

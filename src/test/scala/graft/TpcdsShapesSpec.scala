@@ -118,6 +118,13 @@ class TpcdsShapesSpec extends GraftSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q1: the correlated scalar over the CTE decorrelates into one aggregate join") {
+    val p = finalPlan(operators.TpcdsShapes.q1)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the correlated scalar must decorrelate, not nest per row:\n$p")
+  }
+
   test("all shapes in TpcdsShapes.all plan and return non-vacuous results") {
     // shapes with year-specific predicates can be empty at sf0.001; the
     // oracle gate runs them at sf0.01 — here just require they all PLAN
