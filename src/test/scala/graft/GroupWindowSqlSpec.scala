@@ -41,11 +41,6 @@ class GroupWindowSqlSpec extends GraftSpec {
     }
     assert(e2.getMessage.contains("does not match"), e2.getMessage)
   }
-}
-
-/** LATERAL TABLE lowering (reference Correlate SQL surface). */
-class LateralSqlSpec extends GraftSpec {
-  import graft.operators.LateralSql.rewrite
 
   test("a statement with TWO different grouped windows accepts each window's own auxiliaries") {
     // UNION ALL of two differently-windowed subqueries: each TUMBLE_START
@@ -65,6 +60,12 @@ class LateralSqlSpec extends GraftSpec {
         "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)")
     }
   }
+
+}
+
+/** LATERAL TABLE lowering (reference Correlate SQL surface). */
+class LateralSqlSpec extends GraftSpec {
+  import graft.operators.LateralSql.rewrite
 
   test("comma-join correlate lowers to LATERAL VIEW") {
     val out = rewrite("SELECT a, w FROM t, LATERAL TABLE(split_rows(a, ',')) AS T(w)")
