@@ -109,15 +109,22 @@ final case class GraftTable(df: DataFrame) {
     * Table.executeInsert:1441/insertInto:1015 — FLIP-84's deployment call):
     * routes through the door's INSERT machinery, so PK-upsert sinks,
     * partition-commit sinks and utility connectors all behave exactly as
-    * the SQL statement would. */
-  def executeInsert(tablePath: String, overwrite: Boolean = false): GraftTable = {
+    * the SQL statement would. Returns a [[GraftTableResult]] — in 1.11
+    * executeInsert is a SUBMITTED job with a JobClient (TableResult.java),
+    * so the deployment runs async; `await()`/`.df` join it. The staging
+    * view is dropped inside the submitted body, after the door has read
+    * it. */
+  def executeInsert(tablePath: String, overwrite: Boolean = false): GraftTableResult = {
+    val spark = df.sparkSession
     val tmp = s"graft_tbl_ins_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     df.createOrReplaceTempView(tmp)
-    try GraftTable(graft.operators.GraftSql.run(df.sparkSession,
-      s"INSERT ${if (overwrite) "OVERWRITE" else "INTO"} $tablePath SELECT * FROM $tmp"))
-    finally df.sparkSession.catalog.dropTempView(tmp)
+    GraftTableResult.submit(spark) {
+      try graft.operators.GraftSql.run(spark,
+        s"INSERT ${if (overwrite) "OVERWRITE" else "INTO"} $tablePath SELECT * FROM $tmp")
+      finally spark.catalog.dropTempView(tmp)
+    }
   }
-  def insertInto(tablePath: String): GraftTable = executeInsert(tablePath)
+  def insertInto(tablePath: String): GraftTableResult = executeInsert(tablePath)
 }
 
 /** Result of [[GraftTable.groupBy]]; `select`/`aggregate` emit the keys
