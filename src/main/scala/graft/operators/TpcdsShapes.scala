@@ -506,8 +506,10 @@ object TpcdsShapes {
     * row of `ctr` compares against a scaled average of the SAME CTE
     * restricted to its correlation group (q1's
     * ctr_total_return > 1.2 * avg(...) where same store). The optimizer
-    * must decorrelate the per-row subquery into one grouped aggregate of
-    * the CTE joined back — and build the CTE once, not per side. Integral
+    * must decorrelate the per-row subquery into a grouped aggregate of
+    * the CTE joined back, never a per-row nested loop (Spark inlines the
+    * CTE into the scalar subquery rather than reusing one build — the
+    * audit pins the decorrelation, not CTE reuse). Integral
     * quantity sums keep the 1.2× threshold exact in both engines. */
   val q1: Q = sqlQ(
     "q_tpcds_q1_shape",

@@ -376,7 +376,7 @@ object StatefulOps {
         ctx.registerTimer(e.ts.getTime)
         (Some(RangeBuf(e :: st.map(_.evs).getOrElse(Nil))), Nil)
       },
-      onTimer = (key, t, st, _) => {
+      onTimer = (key, t, st, ctx) => {
         val buf = st.map(_.evs).getOrElse(Nil)
         val ordered = buf.sortBy(x => (usOf(x.ts), x.event_id))
         val due = ordered.filter(_.ts.getTime == t)
@@ -389,7 +389,16 @@ object StatefulOps {
               .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
         val (emitted, pending) = ordered.partition(_.ts.getTime <= t)
-        val keep = emitted.takeRight(nRows - 1) ++ pending
+        // retention must be watermark-aware, not a bare takeRight: a FUTURE
+        // row (late-admissible = usOf above the µs watermark) may slot
+        // between already-emitted rows above the watermark, and its frame
+        // then needs the nRows−1 rows BEFORE that region too — a bare
+        // takeRight(nRows−1) can evict them and corrupt the late row's
+        // frame sum (r10 review). Still count-bounded: at most the
+        // boundary millisecond's rows plus nRows−1.
+        val wmUs = ctx.watermarkMs * 1000
+        val (aboveWm, belowWm) = emitted.partition(x => usOf(x.ts) > wmUs)
+        val keep = belowWm.takeRight(nRows - 1) ++ aboveWm ++ pending
         (if (keep.isEmpty) None else Some(RangeBuf(keep)), out)
       })
   }

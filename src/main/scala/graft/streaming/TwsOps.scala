@@ -265,6 +265,30 @@ object TwsOps {
     * to their own bucket instead of rewriting the whole buffer). */
   case class TsBucket(evs: List[StatefulOps.EvT])
 
+  /** The per-ms-bucket disciplines shared by the OVER processors — like
+    * the armed-timer protocol, each lives ONCE. */
+  private def appendToPending(pending: MapState[Long, TsBucket],
+      e: StatefulOps.EvT): Long = {
+    val ms = e.ts.getTime
+    val cur = if (pending.containsKey(ms)) pending.getValue(ms).evs else Nil
+    pending.updateValue(ms, TsBucket(e :: cur))
+    ms
+  }
+
+  /** Write `finalByMs` back as a DIFF against the loaded history: only
+    * buckets whose contents changed touch the store (the
+    * ChangelogJoinProcessor write discipline). */
+  private def writeBackDiff(state: MapState[Long, TsBucket],
+      histByMs: Map[Long, TsBucket],
+      finalByMs: Map[Long, List[StatefulOps.EvT]]): Unit =
+    (histByMs.keySet ++ finalByMs.keySet).foreach { ms =>
+      (histByMs.get(ms).map(_.evs), finalByMs.get(ms)) match {
+        case (a, b) if a == b => ()
+        case (_, Some(evs)) => state.updateValue(ms, TsBucket(evs))
+        case (_, None) => state.removeKey(ms)
+      }
+    }
+
   /** Streaming time-RANGE bounded OVER on transformWithState — the THIRD
     * fMGWS hot-path migration (after temporal sort and changelog join),
     * closing the per-key whole-buffer-rewrite bound for the OVER family
@@ -303,9 +327,7 @@ object TwsOps {
         timerValues: TimerValues): Iterator[StatefulOps.RangeOut] = {
       var newMin = Long.MaxValue
       rows.foreach { e =>
-        val ms = e.ts.getTime
-        val cur = if (pending.containsKey(ms)) pending.getValue(ms).evs else Nil
-        pending.updateValue(ms, TsBucket(e :: cur))
+        val ms = appendToPending(pending, e)
         if (ms < newMin) newMin = ms
       }
       if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin)
@@ -343,15 +365,9 @@ object TwsOps {
       val finalByMs = referable.filter(e =>
         usOf(e.ts) + rangeUs >= minPendingUs || usOf(e.ts) + rangeUs >= wmUs)
         .groupBy(_.ts.getTime).view.mapValues(canon).toMap
-      // DIFF write-back against the loaded history (canonical bucket order
-      // keeps the comparison meaningful); drained pending buckets removed
-      (histByMs.keySet ++ finalByMs.keySet).foreach { ms =>
-        (histByMs.get(ms).map(_.evs), finalByMs.get(ms)) match {
-          case (a, b) if a == b => ()
-          case (_, Some(evs)) => emitted.updateValue(ms, TsBucket(evs))
-          case (_, None) => emitted.removeKey(ms)
-        }
-      }
+      // canonical bucket order keeps the diff comparison meaningful;
+      // drained pending buckets removed
+      writeBackDiff(emitted, histByMs, finalByMs)
       dueBuckets.foreach { case (ms, _) => pending.removeKey(ms) }
       rearmAt(getHandle, armed, stillPending.iterator.map(_._1).minOption)
       out.iterator
@@ -395,9 +411,7 @@ object TwsOps {
         timerValues: TimerValues): Iterator[StatefulOps.RangeOut] = {
       var newMin = Long.MaxValue
       rows.foreach { e =>
-        val ms = e.ts.getTime
-        val cur = if (pending.containsKey(ms)) pending.getValue(ms).evs else Nil
-        pending.updateValue(ms, TsBucket(e :: cur))
+        val ms = appendToPending(pending, e)
         if (ms < newMin) newMin = ms
       }
       if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin)
@@ -426,16 +440,18 @@ object TwsOps {
           BigDecimal(upTo.takeRight(nRows).map(_.value).sum)
             .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
-      // retain the nRows−1 most recent emitted rows — count-bounded state
-      val finalByMs = ordered.takeRight(nRows - 1)
+      // retention: a FUTURE row (late-admissible = usOf above the µs
+      // watermark) may slot anywhere past wmUs, so its ROWS frame can
+      // reference (a) any emitted row above wmUs and (b) the nRows−1 rows
+      // immediately before that region. A bare takeRight(nRows−1) loses
+      // (a)-preceding rows and corrupts the late row's frame sum (r10
+      // review); the retained set stays count-bounded — at most the
+      // boundary millisecond's rows plus nRows−1.
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
+      val (aboveWm, belowWm) = ordered.partition(e => usOf(e.ts) > wmUs)
+      val finalByMs = (belowWm.takeRight(nRows - 1) ++ aboveWm)
         .groupBy(_.ts.getTime).view.mapValues(canon).toMap
-      (histByMs.keySet ++ finalByMs.keySet).foreach { ms =>
-        (histByMs.get(ms).map(_.evs), finalByMs.get(ms)) match {
-          case (a, b) if a == b => ()
-          case (_, Some(evs)) => emitted.updateValue(ms, TsBucket(evs))
-          case (_, None) => emitted.removeKey(ms)
-        }
-      }
+      writeBackDiff(emitted, histByMs, finalByMs)
       dueBuckets.foreach { case (ms, _) => pending.removeKey(ms) }
       rearmAt(getHandle, armed, stillPending.iterator.map(_._1).minOption)
       out.iterator
