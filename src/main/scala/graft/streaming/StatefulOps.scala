@@ -334,15 +334,10 @@ object StatefulOps {
         val buf = st.map(_.evs).getOrElse(Nil)
         val due = buf.filter(x => x.ts.getTime == t)
           .sortBy(x => (usOf(x.ts), x.event_id))
-        val out = due.map { e =>
-          val us = usOf(e.ts)
-          // deterministic accumulation order (ts, event_id) — a List built
-          // by arrival-order prepend would sum in nondeterministic order
-          val s = buf.filter(x => usOf(x.ts) >= us - rangeUs && usOf(x.ts) <= us)
-            .sortBy(x => (usOf(x.ts), x.event_id)).map(_.value).sum
-          RangeOut(e.event_id, key,
-            BigDecimal(s).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }
+        // one ordered sweep with exact prefix sums (OverFrames) — rows past
+        // a due row's timestamp are never counted, so the whole buffer
+        // (pending rows included) is a valid referable relation
+        val out = OverFrames.rangeSums(key, due, OverFrames.canon(buf), rangeUs)
         // evict emitted rows that can no longer appear in any frame: not in
         // a still-buffered unemitted row's frame, and every future arrival
         // is above the watermark
@@ -378,16 +373,11 @@ object StatefulOps {
       },
       onTimer = (key, t, st, ctx) => {
         val buf = st.map(_.evs).getOrElse(Nil)
-        val ordered = buf.sortBy(x => (usOf(x.ts), x.event_id))
+        val ordered = OverFrames.canon(buf)
         val due = ordered.filter(_.ts.getTime == t)
-        val out = due.map { e =>
-          val eUs = usOf(e.ts)
-          val upTo = ordered.takeWhile(x =>
-            usOf(x.ts) < eUs || (usOf(x.ts) == eUs && x.event_id <= e.event_id))
-          RangeOut(e.event_id, key,
-            BigDecimal(upTo.takeRight(nRows).map(_.value).sum)
-              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }
+        // positional sweep with prefix sums (OverFrames) — replaces the
+        // per-due-row takeWhile prefix scan
+        val out = OverFrames.rowsSums(key, due, ordered, nRows)
         val (emitted, pending) = ordered.partition(_.ts.getTime <= t)
         // retention must be watermark-aware, not a bare takeRight: a FUTURE
         // row (late-admissible = usOf above the µs watermark) may slot

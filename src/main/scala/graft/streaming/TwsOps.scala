@@ -337,8 +337,7 @@ object TwsOps {
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.RangeOut] = {
       import StatefulOps.usOf
-      def canon(evs: Seq[StatefulOps.EvT]): List[StatefulOps.EvT] =
-        evs.sortBy(e => (usOf(e.ts), e.event_id)).toList
+      import OverFrames.canon
       val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
         timerValues.getCurrentWatermarkInMs())
       val pendingAll = pending.iterator().toVector
@@ -348,14 +347,11 @@ object TwsOps {
       // still-pending rows all lie AFTER releaseUpTo, so no due frame
       // (which trails its row) can reference them
       val histByMs = emitted.iterator().toVector.toMap
-      val referable = histByMs.valuesIterator.flatMap(_.evs).toVector ++ due
-      val out = due.map { e =>
-        val us = usOf(e.ts)
-        val s = referable.filter(x => usOf(x.ts) >= us - rangeUs && usOf(x.ts) <= us)
-          .sortBy(x => (usOf(x.ts), x.event_id)).map(_.value).sum
-        StatefulOps.RangeOut(e.event_id, key,
-          BigDecimal(s).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
+      // one ordered sweep with prefix sums — O(referable + due), where the
+      // per-due-row filter/re-sum this replaces went quadratic on a
+      // catch-up firing that drains a key's whole history (r10 verdict)
+      val referable = canon(histByMs.valuesIterator.flatMap(_.evs).toVector ++ due)
+      val out = OverFrames.rangeSums(key, due, referable, rangeUs)
       // eviction (the fMGWS operator's exact per-row rule): an emitted row
       // survives only while a pending row's frame, or a possible future
       // arrival above the watermark, can still reference it
@@ -421,8 +417,7 @@ object TwsOps {
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.RangeOut] = {
       import StatefulOps.usOf
-      def canon(evs: Seq[StatefulOps.EvT]): List[StatefulOps.EvT] =
-        evs.sortBy(e => (usOf(e.ts), e.event_id)).toList
+      import OverFrames.canon
       val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
         timerValues.getCurrentWatermarkInMs())
       val pendingAll = pending.iterator().toVector
@@ -430,16 +425,11 @@ object TwsOps {
       val due = canon(dueBuckets.flatMap(_._2.evs))
       val histByMs = emitted.iterator().toVector.toMap
       // the full referable relation in total (µs, id) order — the fMGWS
-      // operator's sorted buffer, with history already capped at nRows−1
+      // operator's sorted buffer, with history already capped at nRows−1;
+      // frames come from one positional sweep with prefix sums instead of
+      // a per-due-row takeWhile scan (quadratic on catch-up, r10 verdict)
       val ordered = canon(histByMs.valuesIterator.flatMap(_.evs).toVector ++ due)
-      val out = due.map { e =>
-        val eUs = usOf(e.ts)
-        val upTo = ordered.takeWhile(x =>
-          usOf(x.ts) < eUs || (usOf(x.ts) == eUs && x.event_id <= e.event_id))
-        StatefulOps.RangeOut(e.event_id, key,
-          BigDecimal(upTo.takeRight(nRows).map(_.value).sum)
-            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
+      val out = OverFrames.rowsSums(key, due, ordered, nRows)
       // retention: a FUTURE row (late-admissible = usOf above the µs
       // watermark) may slot anywhere past wmUs, so its ROWS frame can
       // reference (a) any emitted row above wmUs and (b) the nRows−1 rows
