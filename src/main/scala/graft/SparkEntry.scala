@@ -37,6 +37,7 @@ object SparkEntry {
       operators.BucketedOps.all ++
       operators.TriggerWindows.all ++
       cep.CepOps.all ++
+      cep.CepTws.all ++
       cep.MatchRecognize.all ++
       streaming.StreamingOps.all ++
       streaming.ChangelogJoin.all ++

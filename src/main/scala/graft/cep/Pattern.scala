@@ -400,6 +400,25 @@ object Pattern {
     (matches.result(), runs, timeouts.result().distinctBy(_.labeled))
   }
 
+  /** Watermark-driven pruning (reference flink-cep/.../nfa/NFA.java
+    * advanceTime: on a watermark, expire computation states whose `within`
+    * window has passed even if no further event arrives for the key).
+    * Expired PARTIAL runs are returned as timeout matches — same rule as
+    * the per-event prune in [[advanceFull]]; expired spent branches are
+    * dropped silently. */
+  def advanceTime[E](p: Pattern[E], runs: Vector[Run[E]], nowUs: Long)
+      : (Vector[Run[E]], Vector[PMatch[E]]) =
+    p.withinUs match {
+      case None => (runs, Vector.empty)
+      case Some(w) =>
+        val (expired, alive) = runs.partition(r => nowUs - r.startTs >= w)
+        val tos = expired.collect {
+          case r if r.acc.nonEmpty && !reachesEnd(p, r.step, r.cnt) =>
+            PMatch(r.acc.map { case (i, ev) => (p.steps(i).name, ev) }, r.startOrd)
+        }
+        (alive, tos.distinctBy(_.labeled))
+    }
+
   /** Run the NFA over one key's events (must be pre-sorted by event time /
     * order key). Returns completed matches. */
   def run[E](p: Pattern[E], events: Iterator[E], tsOf: E => Long,

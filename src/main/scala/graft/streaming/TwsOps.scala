@@ -190,21 +190,32 @@ object TwsOps {
     * `armEarlier` on arrival (min over the NEW rows only — O(batch), never
     * O(buffer)); `rearmAt` after a drain, at the next minimum or disarmed.
     * The protocol is subtle enough (delete-before-register, disarm on
-    * empty) that it lives ONCE — both processors call these. */
-  private def armEarlier(
+    * empty) that it lives ONCE — every TwS processor calls these.
+    *
+    * `minFireMs` (pass `timerValues.getCurrentWatermarkInMs() + 1`): a
+    * timer registered at or below the watermark current at REGISTRATION
+    * time never fires (probed: an expiry-0 timer under the initial 0
+    * watermark is dead; expiry == wm at FIRING time is fine), so a
+    * fully-late arrival's timer — or an already-passed deadline — clamps
+    * forward to the next watermark tick. */
+  private[graft] def armEarlier(
       handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
-      armed: ValueState[Long], newMin: Long): Unit =
-    if (!armed.exists()) { handle.registerTimer(newMin); armed.update(newMin) }
-    else if (newMin < armed.get()) {
+      armed: ValueState[Long], newMin: Long, minFireMs: Long): Unit = {
+    val t = math.max(newMin, minFireMs)
+    if (!armed.exists()) { handle.registerTimer(t); armed.update(t) }
+    else if (t < armed.get()) {
       handle.deleteTimer(armed.get())
-      handle.registerTimer(newMin); armed.update(newMin)
+      handle.registerTimer(t); armed.update(t)
     }
+  }
 
-  private def rearmAt(
+  private[graft] def rearmAt(
       handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
-      armed: ValueState[Long], nextMin: Option[Long]): Unit =
+      armed: ValueState[Long], nextMin: Option[Long], minFireMs: Long): Unit =
     nextMin match {
-      case Some(m) => handle.registerTimer(m); armed.update(m)
+      case Some(m) =>
+        val t = math.max(m, minFireMs)
+        handle.registerTimer(t); armed.update(t)
       case None => armed.clear()
     }
 
@@ -226,7 +237,8 @@ object TwsOps {
         buf.appendValue(e)
         if (e.ts.getTime < newMin) newMin = e.ts.getTime
       }
-      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin)
+      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin,
+        timerValues.getCurrentWatermarkInMs() + 1)
       Iterator.empty
     }
 
@@ -239,7 +251,8 @@ object TwsOps {
         timerValues.getCurrentWatermarkInMs())
       val (ready, rest) = buf.get().toSeq.partition(_.ts.getTime <= releaseUpTo)
       if (rest.isEmpty) buf.clear() else buf.put(rest.toArray)
-      rearmAt(getHandle, armed, rest.iterator.map(_.ts.getTime).minOption)
+      rearmAt(getHandle, armed, rest.iterator.map(_.ts.getTime).minOption,
+        timerValues.getCurrentWatermarkInMs() + 1)
       // µs order within the due slice (see StatefulOps.usOf); successive
       // firings release ascending slices — the one exception is a
       // late-admitted sub-millisecond row (above the µs watermark but in an
@@ -330,7 +343,8 @@ object TwsOps {
         val ms = appendToPending(pending, e)
         if (ms < newMin) newMin = ms
       }
-      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin)
+      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin,
+        timerValues.getCurrentWatermarkInMs() + 1)
       Iterator.empty
     }
 
@@ -365,7 +379,8 @@ object TwsOps {
       // drained pending buckets removed
       writeBackDiff(emitted, histByMs, finalByMs)
       dueBuckets.foreach { case (ms, _) => pending.removeKey(ms) }
-      rearmAt(getHandle, armed, stillPending.iterator.map(_._1).minOption)
+      rearmAt(getHandle, armed, stillPending.iterator.map(_._1).minOption,
+        timerValues.getCurrentWatermarkInMs() + 1)
       out.iterator
     }
   }
@@ -410,7 +425,8 @@ object TwsOps {
         val ms = appendToPending(pending, e)
         if (ms < newMin) newMin = ms
       }
-      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin)
+      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin,
+        timerValues.getCurrentWatermarkInMs() + 1)
       Iterator.empty
     }
 
@@ -443,7 +459,8 @@ object TwsOps {
         .groupBy(_.ts.getTime).view.mapValues(canon).toMap
       writeBackDiff(emitted, histByMs, finalByMs)
       dueBuckets.foreach { case (ms, _) => pending.removeKey(ms) }
-      rearmAt(getHandle, armed, stillPending.iterator.map(_._1).minOption)
+      rearmAt(getHandle, armed, stillPending.iterator.map(_._1).minOption,
+        timerValues.getCurrentWatermarkInMs() + 1)
       out.iterator
     }
   }
