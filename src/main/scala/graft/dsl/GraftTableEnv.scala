@@ -43,7 +43,7 @@ final case class GraftTableEnv(spark: SparkSession, dir: String) {
     * iterator, `print()`, result kind, and job semantics for INSERTs
     * (submitted async; `await()`/`stop()` are the JobClient analogue). */
   def executeSql(statement: String): GraftTableResult =
-    if (statement.trim.toUpperCase.startsWith("INSERT"))
+    if (GraftTableEnv.isInsert(statement))
       GraftTableResult.submit(spark)(GraftSql.sql(spark, dir, statement))
     else GraftTableResult.completed(spark, GraftSql.sql(spark, dir, statement))
 
@@ -84,4 +84,17 @@ final case class GraftTableEnv(spark: SparkSession, dir: String) {
 
   /** Bridge a DataStream to a Table (reference fromDataStream). */
   def fromDataStream[T](ds: Dataset[T]): GraftTable = GraftTable(ds.toDF())
+}
+
+object GraftTableEnv {
+  /** Leading whitespace, `--` line comments, and `/* */` block comments
+    * before the statement keyword — an INSERT behind a comment header must
+    * still classify as a submitted job (the TableResult contract), not run
+    * eagerly on the caller thread. */
+  private val LeadingNoise =
+    """(?s)^(?:\s|--[^\n]*(?:\n|$)|/\*.*?\*/)*""".r
+
+  private[dsl] def isInsert(statement: String): Boolean =
+    LeadingNoise.replaceFirstIn(statement, "")
+      .toUpperCase(java.util.Locale.ROOT).startsWith("INSERT")
 }

@@ -362,8 +362,16 @@ object GraftSql {
     out.toString
   }
 
+  /** Leading whitespace, `--` line comments, and `/* */` block comments
+    * ahead of the statement keyword: every dispatcher branch classifies by
+    * prefix, so a comment header must not hide the keyword (the reference
+    * SQL parser skips comments before classification). Comments INSIDE the
+    * statement are untouched. */
+  private val LeadingComments =
+    """(?s)^(?:\s|--[^\n]*(?:\n|$)|/\*.*?\*/)+""".r
+
   def run(spark: SparkSession, text0: String): DataFrame = {
-    val text = mapDefaultCatalog(text0)
+    val text = mapDefaultCatalog(LeadingComments.replaceFirstIn(text0, ""))
     val upper = text.toUpperCase
     // keyword probes scan the literal-blanked text: 'MATCH_RECOGNIZE' as a
     // string VALUE must not route to the NFA recognizer

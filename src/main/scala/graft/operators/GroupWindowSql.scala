@@ -48,17 +48,47 @@ object GroupWindowSql {
   private val HopAuxV = s"""(?i)HOP_(?:START|END)\\(\\s*$Col\\s*,\\s*($I)\\s*,\\s*($I)\\s*\\)""".r
   private val SessionAuxV = s"""(?i)SESSION_(?:START|END)\\(\\s*$Col\\s*,\\s*($I)\\s*\\)""".r
 
+  /** Split at top-level UNION [ALL] boundaries (paren depth 0, outside
+    * string literals) so each branch's auxiliaries validate against ITS
+    * windows, not a window declared only in a sibling branch — the
+    * reference's per-scope SqlValidator matching. Windows inside a
+    * branch's subqueries still share that branch's scope (full per-SELECT
+    * scoping needs a real parser). */
+  private def topLevelSegments(sql: String): List[String] = {
+    val ms = "(?i)\\bUNION\\b(?:\\s+ALL\\b)?".r.findAllMatchIn(sql).toList
+    val cuts = ms.filter { m =>
+      var depth = 0; var inQ = false; var i = 0
+      while (i < m.start) {
+        val ch = sql.charAt(i)
+        if (inQ) { if (ch == '\'') inQ = false }
+        else ch match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      depth == 0 && !inQ
+    }
+    if (cuts.isEmpty) List(sql)
+    else {
+      val starts = 0 +: cuts.map(_.end)
+      val ends = cuts.map(_.start) :+ sql.length
+      starts.zip(ends).map { case (s, e) => sql.substring(s, e) }
+    }
+  }
+
   /** The reference validates that every auxiliary's (column, interval…)
     * EQUALS the grouped window's (SqlValidator window matching); silently
     * rewriting a mismatched aux to `window.start` would present one
-    * window's bounds as another's. */
-  private def validateAux(sql: String): Unit = {
+    * window's bounds as another's. Validation is per top-level UNION
+    * branch (see [[topLevelSegments]]). */
+  private def validateAux(fullSql: String): Unit =
+    topLevelSegments(fullSql).foreach(validateAuxSegment)
+
+  private def validateAuxSegment(sql: String): Unit = {
     def eqc(a: String, b: String) = a.equalsIgnoreCase(b)
-    // ALL grouped windows in the statement, not just the first: a UNION ALL
-    // of two differently-windowed subqueries is legal, and each subquery's
-    // auxiliaries must match SOME grouped window (per-SELECT scoping would
-    // need a real parser; any-window matching accepts every statement the
-    // reference accepts and still rejects an auxiliary matching no window)
     val tumbles = Tumble.findAllMatchIn(sql).map(m => (m.group(1), dur(m.group(2)))).toList
     val hops = Hop.findAllMatchIn(sql)
       .map(m => (m.group(1), dur(m.group(2)), dur(m.group(3)))).toList

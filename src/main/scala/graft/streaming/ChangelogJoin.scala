@@ -372,11 +372,18 @@ object ChangelogJoin {
   /** [[join]]'s exact API shape on the transformWithState runtime. Works in
     * batch too (TwS batch execution hardwires a RocksDB store;
     * [[TwsOps.ensureStateCoordinator]] registers the driver endpoint it
-    * needs). */
+    * needs). A STREAMING caller needs the RocksDB state-store provider
+    * (transformWithState requires it); if the session has no explicit
+    * provider configured, it is set here — a caller who configured one
+    * keeps theirs. */
   def joinTws[K, L, R](changes: Dataset[Change[K, L, R]])(
       implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
       eo: Encoder[JoinedChange[K, L, R]]): Dataset[JoinedChange[K, L, R]] = {
     TwsOps.ensureStateCoordinator(changes.sparkSession)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    if (changes.sparkSession.conf.getOption(provKey).isEmpty)
+      changes.sparkSession.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     changes.groupByKey(_.key)
       .transformWithState(new ChangelogJoinProcessor[K, L, R](el, er),
         org.apache.spark.sql.streaming.TimeMode.None(),

@@ -61,6 +61,25 @@ class GroupWindowSqlSpec extends GraftSpec {
     }
   }
 
+  test("auxiliary validation scopes per top-level UNION branch") {
+    // the aux in branch 2 matches only branch 1's window — any-window
+    // matching across the whole statement would accept this; per-scope
+    // validation (the reference's) rejects it
+    val e = intercept[IllegalArgumentException] {
+      rewrite(
+        "SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) FROM e GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE) " +
+          "UNION ALL " +
+          "SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) FROM e GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    // a UNION inside parentheses (subquery) is NOT a scope boundary: the
+    // outer aux still sees the statement's window
+    rewrite(
+      "SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) FROM " +
+        "(SELECT ts FROM a UNION ALL SELECT ts FROM b) " +
+        "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)")
+  }
+
 }
 
 /** LATERAL TABLE lowering (reference Correlate SQL surface). */

@@ -156,7 +156,11 @@ class TableApiSpec extends GraftSpec {
     val sink = java.nio.file.Files.createTempDirectory("graft-tr-ins").toString
     env.executeSql(s"CREATE TABLE tr_ins_sink (t STRING, n BIGINT) WITH ('path' = '$sink')")
     val ins = env.executeSql(
-      "INSERT INTO tr_ins_sink SELECT event_type AS t, count(*) AS n FROM events GROUP BY event_type")
+      // leading comment header: classification must skip comments and
+      // whitespace, not trim alone — a comment-prefixed INSERT that ran
+      // eagerly would silently drop the submitted-job contract
+      "-- nightly load\n/* owner: etl */ INSERT INTO tr_ins_sink " +
+        "SELECT event_type AS t, count(*) AS n FROM events GROUP BY event_type")
     assert(ins.hasJobClient, "INSERT must carry job semantics")
     ins.await()
     assert(ins.isDone)
