@@ -524,6 +524,94 @@ object TpcdsShapes {
       |                  WHERE ctr2.nat = ctr1.nat)
       |ORDER BY c_name, ret""".stripMargin)
 
+  /** q2: week-over-year comparison — a pivoted weekly aggregate CTE
+    * self-joined on week number across consecutive years, per-column
+    * ratios (the reference's wswscs CTE joined y to y+1). ONE aggregate
+    * feeds both join sides; the planner should reuse the CTE scan. */
+  val q2: Q = sqlQ(
+    "q_tpcds_q2_shape",
+    """WITH wkly AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |         CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+      |         round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent_sales,
+      |         round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS high_sales,
+      |         round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS low_sales
+      |  FROM orders GROUP BY year(o_orderdate), weekofyear(o_orderdate))
+      |SELECT y1.wk AS wk,
+      |       round(y1.urgent_sales / y2.urgent_sales, 6) AS urgent_ratio,
+      |       round(y1.high_sales / y2.high_sales, 6) AS high_ratio,
+      |       round(y1.low_sales / y2.low_sales, 6) AS low_ratio
+      |FROM wkly y1 JOIN wkly y2 ON y1.wk = y2.wk AND y2.yr = y1.yr + 1
+      |WHERE y1.yr = 1997
+      |ORDER BY wk""".stripMargin)
+
+  /** q34 (q73's sibling): the count-band aggregate (15–20 orders per
+    * customer — the "household buying in bulk" band) joined back to the
+    * dimension for detail output; the band must evaluate in the aggregate
+    * HAVING before the join. */
+  val q34: Q = sqlQ(
+    "q_tpcds_q34_shape",
+    """SELECT c_name, c_mktsegment, cnt
+      |FROM (SELECT o_custkey, count(*) AS cnt
+      |      FROM orders GROUP BY o_custkey
+      |      HAVING count(*) BETWEEN 15 AND 20) dn
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY c_name NULLS FIRST, cnt""".stripMargin)
+
+  /** q85: disjunctive BAND predicates spanning columns of DIFFERENT join
+    * sides (segment × price bands, region × quantity bands) — the OR
+    * blocks single-column pushdown, so the optimizer must place the
+    * residual filter above the right join. Grouped averages per nation
+    * (the reference's per-reason averages). */
+  val q85: Q = sqlQ(
+    "q_tpcds_q85_shape",
+    """SELECT n_name, round(avg(l_quantity), 6) AS avg_qty,
+      |       round(avg(l_extendedprice), 6) AS avg_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE ((c_mktsegment = 'BUILDING' AND l_extendedprice BETWEEN 1000 AND 20000)
+      |    OR (c_mktsegment = 'MACHINERY' AND l_extendedprice BETWEEN 20000 AND 40000)
+      |    OR (c_mktsegment = 'AUTOMOBILE' AND l_extendedprice BETWEEN 40000 AND 60000))
+      |  AND ((n_regionkey IN (0, 1) AND l_quantity BETWEEN 1 AND 25)
+      |    OR (n_regionkey IN (2, 3) AND l_quantity BETWEEN 26 AND 50))
+      |GROUP BY n_name ORDER BY n_name""".stripMargin)
+
+  /** q95: the double-EXISTS supply chain — an EXISTS self-join on the same
+    * fact table (another line of the order from a DIFFERENT supplier) AND
+    * a NOT EXISTS anti on it (no returned line), then order-level distinct
+    * count. Both subqueries decorrelate into semi/anti joins over one
+    * scan family. */
+  val q95: Q = sqlQ(
+    "q_tpcds_q95_shape",
+    """SELECT CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders,
+      |       round(sum(l1.l_extendedprice), 2) AS total_price
+      |FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_returnflag = 'R')""".stripMargin)
+
+  /** q39: the mean/stdev coefficient-of-variation pair — per-group second
+    * moments in a CTE, self-joined on CONSECUTIVE months, cov filter on
+    * both sides (the reference's inv CTE joined mth to mth+1). Groups with
+    * one row yield NULL stddev_samp, so the division filter drops them in
+    * both engines identically. */
+  val q39: Q = sqlQ(
+    "q_tpcds_q39_shape",
+    """WITH inv AS (
+      |  SELECT l_suppkey, CAST(month(l_shipdate) AS INTEGER) AS mth,
+      |         avg(l_quantity) AS mean, stddev_samp(l_quantity) AS sdev
+      |  FROM lineitem WHERE year(l_shipdate) = 1997
+      |  GROUP BY l_suppkey, month(l_shipdate))
+      |SELECT i1.l_suppkey, i1.mth AS mth1, round(i1.sdev / i1.mean, 6) AS cov1,
+      |       i2.mth AS mth2, round(i2.sdev / i2.mean, 6) AS cov2
+      |FROM inv i1 JOIN inv i2 ON i1.l_suppkey = i2.l_suppkey AND i2.mth = i1.mth + 1
+      |WHERE i1.sdev / i1.mean > 0.5 AND i2.sdev / i2.mean > 0.5
+      |ORDER BY i1.l_suppkey, mth1""".stripMargin)
+
   val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
-    q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47, q1)
+    q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47, q1,
+    q2, q34, q85, q95, q39)
 }

@@ -136,4 +136,42 @@ class TpcdsShapesSpec extends GraftSpec {
     assert(run(operators.TpcdsShapes.q67).count() > 0)
     assert(run(operators.TpcdsShapes.q88).count() == 1)
   }
+
+  test("q2: week-over-year self-join is an equi-join on the weekly CTE, no cartesian") {
+    val p = finalPlan(operators.TpcdsShapes.q2)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q34: the count band evaluates in the aggregate before the customer join") {
+    val p = finalPlan(operators.TpcdsShapes.q34)
+    // band filter on count(*) must sit between the aggregates and the join,
+    // so only band survivors reach the dimension join
+    assert(p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q85: disjunctive cross-side bands keep the join tree broadcast-shaped, residual above the joins") {
+    val p = finalPlan(operators.TpcdsShapes.q85)
+    // nation + customer are dims: expect broadcast joins, no cartesian from the ORs
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q95: both EXISTS decorrelate to semi/anti joins over the fact") {
+    val p = finalPlan(operators.TpcdsShapes.q95)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q39: consecutive-month cov self-join is an equi-join of one aggregate shape") {
+    val p = finalPlan(operators.TpcdsShapes.q39)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
