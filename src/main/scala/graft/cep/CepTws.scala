@@ -70,9 +70,14 @@ object CepTws {
 
     override def handleInputRows(key: Long, rows: Iterator[EvW],
         timerValues: TimerValues): Iterator[CepStreamOut] = {
+      // one appendList per key per batch — appendValue costs ~5 ms per
+      // call on this runtime (see TemporalSortProcessor), so per-row
+      // appends would dominate a hot key's ingest
+      val batch = rows.map(e =>
+        Ev(e.event_id, e.user_id, e.event_type, e.value, e.ts_us)).toArray
+      if (batch.nonEmpty) buf.appendList(batch)
       var newMinMs = Long.MaxValue
-      rows.foreach { e =>
-        buf.appendValue(Ev(e.event_id, e.user_id, e.event_type, e.value, e.ts_us))
+      batch.foreach { e =>
         // floor-ms like the temporal sort: the watermark is the µs max
         // truncated down to ms, so a rounded-up timer might never fire
         val ms = math.floorDiv(e.ts_us, 1000L)
