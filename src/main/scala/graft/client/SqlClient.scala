@@ -51,21 +51,11 @@ object SqlClient {
   }
 
   /** Split accumulated input into (complete statements, incomplete
-    * remainder): statements end at top-level semicolons, single-quoted
-    * strings respected — same discipline as the door's script splitter,
-    * but keeping the trailing un-terminated text for the continuation
-    * prompt. */
-  private[client] def completeStatements(text: String): (Vector[String], String) = {
-    val out = Vector.newBuilder[String]
-    val cur = new StringBuilder
-    var inQ = false
-    text.foreach {
-      case '\'' => inQ = !inQ; cur += '\''
-      case ';' if !inQ => out += cur.result(); cur.clear()
-      case c => cur += c
-    }
-    (out.result().map(_.trim).filter(_.nonEmpty), cur.result())
-  }
+    * remainder) — the door's shared lexer (semicolons inside strings AND
+    * comments are not terminators), keeping the trailing un-terminated
+    * text for the continuation prompt. */
+  private[client] def completeStatements(text: String): (Vector[String], String) =
+    graft.operators.GraftSql.splitWithRemainder(text)
 
   /** The CLI loop, parameterized on streams so a spec can drive a scripted
     * session (reference CliClient#open). EOF ends the session like QUIT. */
@@ -110,7 +100,9 @@ object SqlClient {
             Console.withOut(out)(res.print())
           else out.println("[INFO] Execute statement succeed.")
         } catch {
-          case e: Throwable =>
+          // NonFatal: an OutOfMemoryError must kill the process, not print
+          // an [ERROR] line and keep prompting on a corrupt session
+          case scala.util.control.NonFatal(e) =>
             val msg = Option(e.getMessage).getOrElse(e.toString)
             out.println(s"[ERROR] ${msg.linesIterator.take(4).mkString(" | ")}")
         }

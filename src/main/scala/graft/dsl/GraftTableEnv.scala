@@ -87,14 +87,11 @@ final case class GraftTableEnv(spark: SparkSession, dir: String) {
 }
 
 object GraftTableEnv {
-  /** Leading whitespace, `--` line comments, and `/* */` block comments
-    * before the statement keyword — an INSERT behind a comment header must
-    * still classify as a submitted job (the TableResult contract), not run
-    * eagerly on the caller thread. */
-  private val LeadingNoise =
-    """(?s)^(?:\s|--[^\n]*(?:\n|$)|/\*.*?\*/)*""".r
-
+  /** An INSERT behind a comment header must still classify as a submitted
+    * job (the TableResult contract), not run eagerly on the caller thread
+    * — same comment-stripping regex as the door's dispatcher (one copy,
+    * [[graft.operators.GraftSql.LeadingComments]]). */
   private[dsl] def isInsert(statement: String): Boolean =
-    LeadingNoise.replaceFirstIn(statement, "")
+    graft.operators.GraftSql.LeadingComments.replaceFirstIn(statement, "")
       .toUpperCase(java.util.Locale.ROOT).startsWith("INSERT")
 }

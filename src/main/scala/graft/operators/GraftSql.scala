@@ -203,18 +203,63 @@ object GraftSql {
     sb.result()
   }
 
-  /** Split on semicolons outside single-quoted strings. */
-  private[graft] def splitStatements(s: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    val cur = new StringBuilder
-    var inQuote = false
-    s.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case ';' if !inQuote => out += cur.result(); cur.clear()
-      case c => cur += c
+  /** Length-preserving blanking of comment text AND string-literal
+    * contents in ONE pass with a shared state machine — an apostrophe
+    * inside a comment ("can't") must not open a phantom string, and a
+    * `--` inside a string must not open a phantom comment. Quote chars
+    * themselves survive (like [[blankLiterals]]); comment markers blank
+    * too. Every lexical splitter (statement split, top-level UNION
+    * segmentation) scans THIS text and slices the original by position,
+    * so the quote/comment discipline lives once. */
+  private[graft] def blankCommentsAndLiterals(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    var state = 0 // 0 = normal, 1 = string, 2 = line comment, 3 = block comment
+    while (i < s.length) {
+      val c = s.charAt(i)
+      state match {
+        case 0 =>
+          if (c == '\'') state = 1
+          else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+            state = 2; out(i) = ' '
+          } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+            state = 3; out(i) = ' '
+          }
+        case 1 =>
+          if (c == '\'') state = 0 else out(i) = ' '
+        case 2 =>
+          if (c == '\n') state = 0 else out(i) = ' '
+        case 3 =>
+          if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+            out(i) = ' '; out(i + 1) = ' '; i += 1; state = 0
+          } else out(i) = ' '
+      }
+      i += 1
     }
-    out += cur.result()
-    out.result().map(_.trim).filter(_.nonEmpty)
+    new String(out)
+  }
+
+  /** (complete statements, un-terminated remainder): boundaries at
+    * semicolons outside strings AND comments. The REPL keeps the
+    * remainder for its continuation prompt; [[splitStatements]] treats a
+    * trailing un-terminated statement as complete. */
+  private[graft] def splitWithRemainder(s: String): (Vector[String], String) = {
+    val blanked = blankCommentsAndLiterals(s)
+    val out = Vector.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (blanked.charAt(i) == ';') { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    (out.result().map(_.trim).filter(_.nonEmpty), s.substring(start))
+  }
+
+  /** Split a script into statements (trailing text without a `;` is a
+    * statement too). */
+  private[graft] def splitStatements(s: String): Vector[String] = {
+    val (stmts, rest) = splitWithRemainder(s)
+    if (rest.trim.nonEmpty) stmts :+ rest.trim else stmts
   }
 
   /** Named catalogs registered through `CREATE CATALOG` (reference
@@ -367,7 +412,7 @@ object GraftSql {
     * prefix, so a comment header must not hide the keyword (the reference
     * SQL parser skips comments before classification). Comments INSIDE the
     * statement are untouched. */
-  private val LeadingComments =
+  private[graft] val LeadingComments =
     """(?s)^(?:\s|--[^\n]*(?:\n|$)|/\*.*?\*/)+""".r
 
   def run(spark: SparkSession, text0: String): DataFrame = {

@@ -55,21 +55,22 @@ object GroupWindowSql {
     * branch's subqueries still share that branch's scope (full per-SELECT
     * scoping needs a real parser). */
   private def topLevelSegments(sql: String): List[String] = {
-    val ms = "(?i)\\bUNION\\b(?:\\s+ALL\\b)?".r.findAllMatchIn(sql).toList
+    // scan the comment-and-literal-blanked text (GraftSql's shared lexer):
+    // an apostrophe inside a comment, or a paren/UNION inside a string,
+    // must not corrupt the depth count or seed a phantom cut
+    val blanked = GraftSql.blankCommentsAndLiterals(sql)
+    val ms = "(?i)\\bUNION\\b(?:\\s+ALL\\b)?".r.findAllMatchIn(blanked).toList
     val cuts = ms.filter { m =>
-      var depth = 0; var inQ = false; var i = 0
+      var depth = 0; var i = 0
       while (i < m.start) {
-        val ch = sql.charAt(i)
-        if (inQ) { if (ch == '\'') inQ = false }
-        else ch match {
-          case '\'' => inQ = true
+        blanked.charAt(i) match {
           case '(' => depth += 1
           case ')' => depth -= 1
           case _ => ()
         }
         i += 1
       }
-      depth == 0 && !inQ
+      depth == 0
     }
     if (cuts.isEmpty) List(sql)
     else {

@@ -611,7 +611,104 @@ object TpcdsShapes {
       |WHERE i1.sdev / i1.mean > 0.5 AND i2.sdev / i2.mean > 0.5
       |ORDER BY i1.l_suppkey, mth1""".stripMargin)
 
+  /** q28: the six scalar-subquery band statistics FUSED into one aggregate
+    * pass — q88's fusion, extended with a count(DISTINCT …) per band
+    * (conditional distinct keys), which forces the planner's multi-distinct
+    * Expand while keeping ONE scan. */
+  val q28: Q = sqlQ(
+    "q_tpcds_q28_shape",
+    """SELECT round(avg(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice END), 6) AS b1_avg,
+      |       CAST(count(DISTINCT CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_partkey END) AS BIGINT) AS b1_parts,
+      |       round(avg(CASE WHEN l_quantity BETWEEN 11 AND 25 THEN l_extendedprice END), 6) AS b2_avg,
+      |       CAST(count(DISTINCT CASE WHEN l_quantity BETWEEN 11 AND 25 THEN l_partkey END) AS BIGINT) AS b2_parts,
+      |       round(avg(CASE WHEN l_quantity BETWEEN 26 AND 40 THEN l_extendedprice END), 6) AS b3_avg,
+      |       CAST(count(DISTINCT CASE WHEN l_quantity BETWEEN 26 AND 40 THEN l_partkey END) AS BIGINT) AS b3_parts,
+      |       round(avg(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN l_extendedprice END), 6) AS b4_avg,
+      |       CAST(count(DISTINCT CASE WHEN l_quantity BETWEEN 41 AND 50 THEN l_partkey END) AS BIGINT) AS b4_parts
+      |FROM lineitem""".stripMargin)
+
+  /** q44: best/worst performers paired by RANK POSITION — two opposite-order
+    * rank views of ONE aggregate equi-joined on rank (ascending rank k meets
+    * descending rank k), the reference's asceding/descending subquery pair. */
+  val q44: Q = sqlQ(
+    "q_tpcds_q44_shape",
+    """WITH perf AS (
+      |  SELECT l_suppkey, round(avg(l_extendedprice * (1 - l_discount)), 6) AS rev
+      |  FROM lineitem GROUP BY l_suppkey),
+      |asc_r AS (SELECT l_suppkey, CAST(rank() OVER (ORDER BY rev ASC, l_suppkey) AS INTEGER) AS rk FROM perf),
+      |desc_r AS (SELECT l_suppkey, CAST(rank() OVER (ORDER BY rev DESC, l_suppkey) AS INTEGER) AS rk FROM perf)
+      |SELECT a.rk AS position, a.l_suppkey AS worst_supp, d.l_suppkey AS best_supp
+      |FROM asc_r a JOIN desc_r d ON a.rk = d.rk
+      |WHERE a.rk <= 10 ORDER BY position""".stripMargin)
+
+  /** q87 (q38's sibling): the EXCEPT chain — set difference of three
+    * channel projections (q14 covers the INTERSECT chain; EXCEPT plans the
+    * anti side of the same left-semi family). */
+  val q87: Q = sqlQ(
+    "q_tpcds_q87_shape",
+    """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P') only_open""".stripMargin)
+
+  /** q61 (and q90's am/pm ratio): the RATIO OF TWO SINGLE-ROW AGGREGATES —
+    * a cross join of two scalar aggregate subqueries, one filtered through
+    * a dimension; the planner must see two one-row sides (broadcast NL is
+    * correct HERE, the one shape where it is). */
+  val q61: Q = sqlQ(
+    "q_tpcds_q61_shape",
+    """SELECT round(promo.rev * 100.0 / total.rev, 6) AS promo_pct
+      |FROM (SELECT round(sum(l_extendedprice), 2) AS rev
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      WHERE p_type LIKE 'PROMO%') promo,
+      |     (SELECT round(sum(l_extendedprice), 2) AS rev FROM lineitem) total""".stripMargin)
+
+  /** q97: the channel-overlap matrix — two grouped DISTINCT projections
+    * FULL OUTER merged, then both/left-only/right-only counted from the
+    * null pattern in one aggregate. */
+  val q97: Q = sqlQ(
+    "q_tpcds_q97_shape",
+    """WITH o1 AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'),
+      |     o2 AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F')
+      |SELECT CAST(sum(CASE WHEN o1.ck IS NOT NULL AND o2.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_ct,
+      |       CAST(sum(CASE WHEN o1.ck IS NOT NULL AND o2.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS open_only,
+      |       CAST(sum(CASE WHEN o1.ck IS NULL AND o2.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS done_only
+      |FROM o1 FULL OUTER JOIN o2 ON o1.ck = o2.ck""".stripMargin)
+
+  /** q21 (q40's sibling): the BEFORE/AFTER date pivot — conditional sums
+    * around a boundary date with a ratio band in HAVING referencing both
+    * conditional aggregates. */
+  val q21: Q = sqlQ(
+    "q_tpcds_q21_shape",
+    """SELECT l_suppkey,
+      |       round(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00' THEN l_quantity ELSE 0 END), 2) AS qty_before,
+      |       round(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' THEN l_quantity ELSE 0 END), 2) AS qty_after
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00' THEN l_quantity ELSE 0 END) > 0
+      |   AND sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' THEN l_quantity ELSE 0 END)
+      |       / sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00' THEN l_quantity ELSE 0 END)
+      |       BETWEEN 1.2 AND 1.4
+      |ORDER BY l_suppkey""".stripMargin)
+
+  /** q65: the aggregate-of-an-aggregate join — per-(supplier, part) revenue
+    * joined back to the per-supplier MAX of those revenues, keeping the
+    * long-tail parts under a share threshold. */
+  val q65: Q = sqlQ(
+    "q_tpcds_q65_shape",
+    """WITH sp AS (
+      |  SELECT l_suppkey, l_partkey, round(sum(l_extendedprice), 2) AS rev
+      |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+      |sa AS (SELECT l_suppkey, max(rev) AS max_rev FROM sp GROUP BY l_suppkey)
+      |SELECT sp.l_suppkey, sp.l_partkey, sp.rev
+      |FROM sp JOIN sa ON sp.l_suppkey = sa.l_suppkey
+      |WHERE sp.rev <= 0.05 * sa.max_rev
+      |ORDER BY sp.l_suppkey, sp.l_partkey""".stripMargin)
+
   val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
     q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47, q1,
-    q2, q34, q85, q95, q39)
+    q2, q34, q85, q95, q39,
+    q28, q44, q87, q61, q97, q21, q65)
 }

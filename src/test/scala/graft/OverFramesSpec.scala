@@ -112,24 +112,25 @@ class OverFramesSpec extends GraftSpec {
         rangeUs = 60L * 1000000)
       val q = out.toDF().writeStream.format("memory")
         .queryName("tws_catchup").outputMode("append").start()
-      val n = 10000
-      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
-      // one key, one batch, strictly increasing second-spaced timestamps:
-      // the trailing no-data batch's single timer firing drains the lot
-      mem.addData((1 to n).map(i =>
-        EvT(i.toLong, 1L, (i % 10).toDouble, new Timestamp(base + i * 1000L))): _*)
-      q.processAllAvailable()
-      mem.addData(EvT(0L, 2L, 1.0, new Timestamp(base + 10 * n * 1000L)))
-      q.processAllAvailable()
-      val got = spark.table("tws_catchup").where($"user_id" === 1L).collect()
-        .map(r => (r.getLong(0), r.getDouble(2))).toMap
-      assert(got.size == n, s"expected all $n rows drained, got ${got.size}")
-      // trailing 1-minute frame (inclusive both ends) over values (i%10)
-      // at 1-second spacing: row i's frame is rows max(1, i-60)..i
-      def frame(i: Int): Double = (math.max(1, i - 60) to i).map(_ % 10).sum.toDouble
-      for (i <- Seq(1, 59, 60, 61, 5000, n))
-        assert(got(i.toLong) == frame(i), s"row $i: ${got(i.toLong)} vs ${frame(i)}")
-      q.stop()
+      try {
+        val n = 10000
+        val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        // one key, one batch, strictly increasing second-spaced timestamps:
+        // the trailing no-data batch's single timer firing drains the lot
+        mem.addData((1 to n).map(i =>
+          EvT(i.toLong, 1L, (i % 10).toDouble, new Timestamp(base + i * 1000L))): _*)
+        q.processAllAvailable()
+        mem.addData(EvT(0L, 2L, 1.0, new Timestamp(base + 10 * n * 1000L)))
+        q.processAllAvailable()
+        val got = spark.table("tws_catchup").where($"user_id" === 1L).collect()
+          .map(r => (r.getLong(0), r.getDouble(2))).toMap
+        assert(got.size == n, s"expected all $n rows drained, got ${got.size}")
+        // trailing 1-minute frame (inclusive both ends) over values (i%10)
+        // at 1-second spacing: row i's frame is rows max(1, i-60)..i
+        def frame(i: Int): Double = (math.max(1, i - 60) to i).map(_ % 10).sum.toDouble
+        for (i <- Seq(1, 59, 60, 61, 5000, n))
+          assert(got(i.toLong) == frame(i), s"row $i: ${got(i.toLong)} vs ${frame(i)}")
+      } finally q.stop()
     }
   }
 }

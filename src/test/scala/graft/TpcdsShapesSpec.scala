@@ -174,4 +174,48 @@ class TpcdsShapesSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q28: fused band distinct-counts stay ONE scan (multi-distinct Expand, no join)") {
+    val p = finalPlan(operators.TpcdsShapes.q28)
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Expand"), p) // the multi-count-distinct rewrite
+  }
+
+  test("q44: opposite-order rank views equi-join on rank position, no cartesian") {
+    val p = finalPlan(operators.TpcdsShapes.q44)
+    assert(p.contains("Join"), p)
+    assert("Window".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q87: the EXCEPT chain plans anti joins, not materialized differences") {
+    val p = finalPlan(operators.TpcdsShapes.q87)
+    assert("LeftAnti".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q61: two one-row aggregates may nested-loop — the one shape where that is right") {
+    val p = finalPlan(operators.TpcdsShapes.q61)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // two partial+final pairs
+  }
+
+  test("q97: the overlap matrix keeps one FULL OUTER over two distinct projections") {
+    val p = finalPlan(operators.TpcdsShapes.q97)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q21: before/after pivot is one aggregate pass with the ratio band above it") {
+    val p = finalPlan(operators.TpcdsShapes.q21)
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q65: aggregate-of-aggregate join stays an equi-join over the shared CTE shape") {
+    val p = finalPlan(operators.TpcdsShapes.q65)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -35,17 +35,18 @@ class TwsScaleSpec extends GraftSpec {
           TimeMode.None(), OutputMode.Append())
       val q = out.toDF().writeStream.format("memory")
         .queryName("tws_soak_dedup").outputMode("append").start()
-      val t0 = System.nanoTime()
-      for (_ <- 1 to 10) {
-        mem.addData(Seq.fill(10000)((1L, "click")): _*)
-        q.processAllAvailable()
-      }
-      val secs = (System.nanoTime() - t0) / 1e9
-      assert(spark.table("tws_soak_dedup").count() == 1)
-      assert(stateRows(q) == 1, s"dedup state must be one row per distinct key, got ${stateRows(q)}")
-      assert(secs < 120, s"100k-row dedup soak took $secs s")
-      info(f"dedup soak: 100k rows / 10 batches in $secs%.1f s, state rows = ${stateRows(q)}")
-      q.stop()
+      try {
+        val t0 = System.nanoTime()
+        for (_ <- 1 to 10) {
+          mem.addData(Seq.fill(10000)((1L, "click")): _*)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        assert(spark.table("tws_soak_dedup").count() == 1)
+        assert(stateRows(q) == 1, s"dedup state must be one row per distinct key, got ${stateRows(q)}")
+        assert(secs < 120, s"100k-row dedup soak took $secs s")
+        info(f"dedup soak: 100k rows / 10 batches in $secs%.1f s, state rows = ${stateRows(q)}")
+      } finally q.stop()
     }
   }
 
@@ -59,26 +60,27 @@ class TwsScaleSpec extends GraftSpec {
         mem.toDS().withWatermark("ts", "0 seconds").as[EvT])
       val q = sorted.toDF().writeStream.format("memory")
         .queryName("tws_soak_sort").outputMode("append").start()
-      val n = 50000; val batches = 10
-      val t0 = System.nanoTime()
-      for (b <- 0 until batches) {
-        val start = b * (n / batches)
-        mem.addData((start until start + n / batches).map(i =>
-          EvT(i.toLong, 1L, 1.0, new Timestamp(base + i * 1000L))): _*)
+      try {
+        val n = 50000; val batches = 10
+        val t0 = System.nanoTime()
+        for (b <- 0 until batches) {
+          val start = b * (n / batches)
+          mem.addData((start until start + n / batches).map(i =>
+            EvT(i.toLong, 1L, 1.0, new Timestamp(base + i * 1000L))): _*)
+          q.processAllAvailable()
+        }
+        mem.addData(EvT(n + 9L, 2L, 1.0, new Timestamp(base + 10L * n * 1000)))
         q.processAllAvailable()
-      }
-      mem.addData(EvT(n + 9L, 2L, 1.0, new Timestamp(base + 10L * n * 1000)))
-      q.processAllAvailable()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val got = spark.table("tws_soak_sort").where($"user_id" === 1L)
-        .select($"event_id").collect().map(_.getLong(0))
-      assert(got.length == n && got.sameElements(got.sorted),
-        s"expected $n rows in order, got ${got.length}")
-      // buffer drained behind the watermark: only per-key scalars remain
-      assert(stateRows(q) <= 6, s"sort state must drain, got ${stateRows(q)}")
-      assert(secs < 120, s"50k-row sort soak took $secs s")
-      info(f"temporal-sort soak: $n rows / $batches batches in $secs%.1f s, state rows = ${stateRows(q)}")
-      q.stop()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val got = spark.table("tws_soak_sort").where($"user_id" === 1L)
+          .select($"event_id").collect().map(_.getLong(0))
+        assert(got.length == n && got.sameElements(got.sorted),
+          s"expected $n rows in order, got ${got.length}")
+        // buffer drained behind the watermark: only per-key scalars remain
+        assert(stateRows(q) <= 6, s"sort state must drain, got ${stateRows(q)}")
+        assert(secs < 120, s"50k-row sort soak took $secs s")
+        info(f"temporal-sort soak: $n rows / $batches batches in $secs%.1f s, state rows = ${stateRows(q)}")
+      } finally q.stop()
     }
   }
 
@@ -93,25 +95,26 @@ class TwsScaleSpec extends GraftSpec {
         rangeUs = 60L * 1000000)
       val q = out.toDF().writeStream.format("memory")
         .queryName("tws_soak_over").outputMode("append").start()
-      val n = 50000; val batches = 10
-      val t0 = System.nanoTime()
-      for (b <- 0 until batches) {
-        val start = b * (n / batches)
-        mem.addData((start until start + n / batches).map(i =>
-          EvT(i.toLong + 1, 1L, (i % 10).toDouble, new Timestamp(base + i * 1000L))): _*)
+      try {
+        val n = 50000; val batches = 10
+        val t0 = System.nanoTime()
+        for (b <- 0 until batches) {
+          val start = b * (n / batches)
+          mem.addData((start until start + n / batches).map(i =>
+            EvT(i.toLong + 1, 1L, (i % 10).toDouble, new Timestamp(base + i * 1000L))): _*)
+          q.processAllAvailable()
+        }
+        mem.addData(EvT(0L, 2L, 1.0, new Timestamp(base + 10L * n * 1000)))
         q.processAllAvailable()
-      }
-      mem.addData(EvT(0L, 2L, 1.0, new Timestamp(base + 10L * n * 1000)))
-      q.processAllAvailable()
-      val secs = (System.nanoTime() - t0) / 1e9
-      assert(spark.table("tws_soak_over").where($"user_id" === 1L).count() == n)
-      // retention = the trailing 60 s window (61 rows at 1 s spacing) in
-      // per-ms buckets + pending boundary + scalars — NOT the stream
-      assert(stateRows(q) <= 80,
-        s"OVER state must be window-bounded, got ${stateRows(q)}")
-      assert(secs < 180, s"50k-row OVER soak took $secs s")
-      info(f"over-range soak: $n rows / $batches batches in $secs%.1f s, state rows = ${stateRows(q)}")
-      q.stop()
+        val secs = (System.nanoTime() - t0) / 1e9
+        assert(spark.table("tws_soak_over").where($"user_id" === 1L).count() == n)
+        // retention = the trailing 60 s window (61 rows at 1 s spacing) in
+        // per-ms buckets + pending boundary + scalars — NOT the stream
+        assert(stateRows(q) <= 80,
+          s"OVER state must be window-bounded, got ${stateRows(q)}")
+        assert(secs < 180, s"50k-row OVER soak took $secs s")
+        info(f"over-range soak: $n rows / $batches batches in $secs%.1f s, state rows = ${stateRows(q)}")
+      } finally q.stop()
     }
   }
 
@@ -127,36 +130,37 @@ class TwsScaleSpec extends GraftSpec {
         (batch: org.apache.spark.sql.Dataset[JoinedChange[Long, String, String]], _: Long) =>
           counter.addAndGet(batch.count()); ()
       }.start()
-      // two permanent right rows; the left side churns +I v / -D v so the
-      // live multiset never exceeds one row despite 20k total changes
-      mem.addData(
-        Change(1L, 0, 1, "+I", None, Some("r1")),
-        Change(1L, 1, 1, "+I", None, Some("r2")))
-      q.processAllAvailable()
-      val nPairs = 10000; val batches = 4
-      val t0 = System.nanoTime()
-      var seq = 2L
-      for (_ <- 1 to batches) {
-        val changes = (1 to nPairs / batches).flatMap { i =>
-          val v = s"v$i"
-          val add = Change[Long, String, String](1L, seq, 0, "+I", Some(v), None)
-          val del = Change[Long, String, String](1L, seq + 1, 0, "-D", Some(v), None)
-          seq += 2
-          Seq(add, del)
-        }
-        mem.addData(changes: _*)
+      try {
+        // two permanent right rows; the left side churns +I v / -D v so the
+        // live multiset never exceeds one row despite 20k total changes
+        mem.addData(
+          Change(1L, 0, 1, "+I", None, Some("r1")),
+          Change(1L, 1, 1, "+I", None, Some("r2")))
         q.processAllAvailable()
-      }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // every +I joins both right rows, every -D retracts both
-      assert(counter.get() == 4L * nPairs,
-        s"expected ${4L * nPairs} emissions, got ${counter.get()}")
-      // state: 2 live right rows (+ per-key bookkeeping), NOT 20k
-      assert(stateRows(q) <= 8,
-        s"churned rows must leave state, got ${stateRows(q)}")
-      assert(secs < 120, s"20k-change churn soak took $secs s")
-      info(f"changelog-join soak: ${2 * nPairs} changes / $batches batches in $secs%.1f s, state rows = ${stateRows(q)}")
-      q.stop()
+        val nPairs = 10000; val batches = 4
+        val t0 = System.nanoTime()
+        var seq = 2L
+        for (_ <- 1 to batches) {
+          val changes = (1 to nPairs / batches).flatMap { i =>
+            val v = s"v$i"
+            val add = Change[Long, String, String](1L, seq, 0, "+I", Some(v), None)
+            val del = Change[Long, String, String](1L, seq + 1, 0, "-D", Some(v), None)
+            seq += 2
+            Seq(add, del)
+          }
+          mem.addData(changes: _*)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // every +I joins both right rows, every -D retracts both
+        assert(counter.get() == 4L * nPairs,
+          s"expected ${4L * nPairs} emissions, got ${counter.get()}")
+        // state: 2 live right rows (+ per-key bookkeeping), NOT 20k
+        assert(stateRows(q) <= 8,
+          s"churned rows must leave state, got ${stateRows(q)}")
+        assert(secs < 120, s"20k-change churn soak took $secs s")
+        info(f"changelog-join soak: ${2 * nPairs} changes / $batches batches in $secs%.1f s, state rows = ${stateRows(q)}")
+      } finally q.stop()
     }
   }
 }
