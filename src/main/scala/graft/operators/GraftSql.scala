@@ -214,25 +214,38 @@ object GraftSql {
   private[graft] def blankCommentsAndLiterals(s: String): String = {
     val out = s.toCharArray
     var i = 0
-    var state = 0 // 0 = normal, 1 = string, 2 = line comment, 3 = block comment
+    // 0 = normal, 1 = 'string', 2 = line comment, 3 = block comment,
+    // 4 = "string/identifier", 5 = `identifier`. Double-quoted and
+    // backtick-quoted regions blank too: Spark's default lexer reads
+    // "..." as a string literal (so a ; or -- inside must not split) and
+    // a quoted identifier named `union` must not cut UNION segmentation.
+    var state = 0
     while (i < s.length) {
       val c = s.charAt(i)
       state match {
         case 0 =>
           if (c == '\'') state = 1
+          else if (c == '"') state = 4
+          else if (c == '`') state = 5
           else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
             state = 2; out(i) = ' '
           } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
             state = 3; out(i) = ' '
           }
-        case 1 =>
-          if (c == '\'') state = 0 else out(i) = ' '
+        case 1 | 4 =>
+          // Spark's default lexer honours backslash escapes ('don\'t'):
+          // blank the backslash and whatever it escapes in one step.
+          if (c == '\\' && i + 1 < s.length) { out(i) = ' '; out(i + 1) = ' '; i += 1 }
+          else if (c == (if (state == 1) '\'' else '"')) state = 0
+          else out(i) = ' '
         case 2 =>
           if (c == '\n') state = 0 else out(i) = ' '
         case 3 =>
           if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
             out(i) = ' '; out(i + 1) = ' '; i += 1; state = 0
           } else out(i) = ' '
+        case 5 =>
+          if (c == '`') state = 0 else out(i) = ' '
       }
       i += 1
     }

@@ -114,20 +114,143 @@ object ChangelogAgg {
                 state.setTimeoutTimestamp(math.max(wm + 1, activity + ttl))
               }
             }
-            val out = (before, after) match {
-              case (None, None) => Nil
-              case (None, Some((c, t, mn, mx))) =>
-                Seq(AggOut(key, "+I", c, t, mn, mx))
-              case (Some((c, t, mn, mx)), None) =>
-                Seq(AggOut(key, "-D", c, t, mn, mx))
-              case (Some(b), Some(a)) if b == a => Nil // unchanged: no emission
-              case (Some((bc, bt, bmn, bmx)), Some((ac, at, amn, amx))) =>
-                Seq(AggOut(key, "-U", bc, bt, bmn, bmx),
-                  AggOut(key, "+U", ac, at, amn, amx))
-            }
-            out.iterator
+            emitChanges(key, before, after)
           }
       }
+  }
+
+  // ---- transformWithState runtime (r12 migration) ----
+
+  /** Scalar half of the TwS accumulator; the multiset half lives in
+    * MapState so it never re-serializes whole. */
+  final case class AggScalars(cnt: Long, total: Double, lastActivityMs: Long)
+
+  /** [[agg]]'s exact semantics on the transformWithState runtime — the
+    * widest-traffic fMGWS migration (reference
+    * operators/aggregate/GroupAggFunction.java:43 keeps exactly this
+    * accumulator-in-keyed-state shape; MaxWithRetractAggFunction keeps its
+    * fallback multiset in MapState like this). What the migration buys:
+    * the live-value multiset is native MapState with DIFF write-back — a
+    * batch touching a key rewrites only the values whose live count
+    * changed, where fMGWS re-serializes the entire accumulator blob per
+    * touched batch (the §2.7 rewrite bound); the idle-TTL timer is a
+    * native event-time timer carrying the whole-history activity max (a
+    * late batch's smaller seq must never move expiry earlier) and the
+    * registration-below-watermark clamp. */
+  private[graft] class AggTwsProcessor[K](idleTtlMs: Option[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[K, AggChange[K], AggOut[K]] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var scalars: streaming.ValueState[AggScalars] = _
+    @transient private var values: streaming.MapState[Double, Long] = _
+    @transient private var armed: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      scalars = getHandle.getValueState[AggScalars]("scalars",
+        Encoders.product[AggScalars], streaming.TTLConfig.NONE)
+      values = getHandle.getMapState[Double, Long]("values",
+        Encoders.scalaDouble, Encoders.scalaLong, streaming.TTLConfig.NONE)
+      if (idleTtlMs.isDefined)
+        armed = getHandle.getValueState[Long]("armed",
+          Encoders.scalaLong, streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[AggChange[K]],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AggOut[K]] = {
+      val batch = rows.toArray.sortBy(_.seq)
+      if (batch.isEmpty) return Iterator.empty
+      // ONE MapState scan loads the live multiset (min/max need it all
+      // anyway — the same O(distinct)-per-touched-batch bound as the
+      // reference's lazy re-scan); deltas fold in memory
+      val live = scala.collection.mutable.Map.empty[Double, Long]
+      values.iterator().foreach { case (v, n) => live.put(v, n) }
+      val live0 = live.toMap
+      val sc0 = if (scalars.exists()) scalars.get()
+                else AggScalars(0L, 0.0, Long.MinValue)
+      val before = resultOf(sc0.cnt, sc0.total, live)
+      var cnt = sc0.cnt; var total = sc0.total; var lastSeq = Long.MinValue
+      batch.foreach { c =>
+        val d = if (isAccumulate(c.kind)) 1L else -1L
+        cnt += d; total += d * c.value
+        val n = live.getOrElse(c.value, 0L) + d
+        if (n <= 0L) live.remove(c.value) else live.put(c.value, n)
+        if (c.seq > lastSeq) lastSeq = c.seq
+      }
+      val after = resultOf(cnt, total, live)
+      if (after.isEmpty) {
+        scalars.clear(); values.clear()
+        if (armed != null && armed.exists()) {
+          getHandle.deleteTimer(armed.get()); armed.clear()
+        }
+      } else {
+        val activity = math.max(sc0.lastActivityMs, lastSeq)
+        scalars.update(AggScalars(cnt, total, activity))
+        // diff write-back: only values whose live count CHANGED touch RocksDB
+        (live0.keySet ++ live.keySet).foreach { v =>
+          (live0.get(v), live.get(v)) match {
+            case (a, b) if a == b => ()
+            case (_, Some(n)) => values.updateValue(v, n)
+            case (_, None) => values.removeKey(v)
+          }
+        }
+        idleTtlMs.foreach { ttl =>
+          val t = math.max(timerValues.getCurrentWatermarkInMs() + 1, activity + ttl)
+          if (!armed.exists()) { getHandle.registerTimer(t); armed.update(t) }
+          else if (armed.get() != t) {
+            getHandle.deleteTimer(armed.get())
+            getHandle.registerTimer(t); armed.update(t)
+          }
+        }
+      }
+      emitChanges(key, before, after)
+    }
+
+    override def handleExpiredTimer(key: K,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[AggOut[K]] = {
+      // idle-TTL eviction drops the accumulator silently (state eviction,
+      // not a -D retraction) — same contract as the fMGWS hasTimedOut arm
+      scalars.clear(); values.clear(); armed.clear()
+      Iterator.empty
+    }
+
+    private def resultOf(cnt: Long, total: Double,
+        live: scala.collection.Map[Double, Long])
+        : Option[(Long, Double, Double, Double)] =
+      if (cnt <= 0L || live.isEmpty) None
+      else Some((cnt, total, live.keysIterator.min, live.keysIterator.max))
+  }
+
+  /** Fold the batch's net effect into the aggregate's own changelog
+    * emission — +I / -U,+U / -D / nothing — shared by both runtimes. */
+  private def emitChanges[K](key: K,
+      before: Option[(Long, Double, Double, Double)],
+      after: Option[(Long, Double, Double, Double)]): Iterator[AggOut[K]] =
+    ((before, after) match {
+      case (None, None) => Nil
+      case (None, Some((c, t, mn, mx))) => Seq(AggOut(key, "+I", c, t, mn, mx))
+      case (Some((c, t, mn, mx)), None) => Seq(AggOut(key, "-D", c, t, mn, mx))
+      case (Some(b), Some(a)) if b == a => Nil
+      case (Some((bc, bt, bmn, bmx)), Some((ac, at, amn, amx))) =>
+        Seq(AggOut(key, "-U", bc, bt, bmn, bmx), AggOut(key, "+U", ac, at, amn, amx))
+    }).iterator
+
+  /** The operator on the transformWithState runtime — [[agg]]'s API shape
+    * and emission contract, MapState-backed multiset, native TTL timer.
+    * Works in batch too (TwS batch execution hardwires a RocksDB store);
+    * a streaming caller gets [[TwsOps.requireRocksDb]]'s provider
+    * discipline. TTL requires a watermark on the input (event-time). */
+  def aggTws[K](changes: Dataset[AggChange[K]],
+      idleTtlMs: Option[Long] = None)(
+      implicit ek: Encoder[K], eo: Encoder[AggOut[K]]): Dataset[AggOut[K]] = {
+    TwsOps.ensureStateCoordinator(changes.sparkSession)
+    if (changes.isStreaming) TwsOps.requireRocksDb(changes.sparkSession, "aggTws")
+    val timeMode =
+      if (idleTtlMs.isDefined) org.apache.spark.sql.streaming.TimeMode.EventTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    changes.groupByKey(_.key)
+      .transformWithState(new AggTwsProcessor[K](idleTtlMs), timeMode, OutputMode.Append())
   }
 
   // ---- order-sensitive retractable aggregates (reference
@@ -192,6 +315,72 @@ object ChangelogAgg {
           out.iterator
       }
 
+  /** [[aggOrdered]] on the transformWithState runtime: the arrival-ordered
+    * multiset lives as MapState keyed by (value, seq) instance — exactly
+    * the reference's MapState<value, List<order>> bookkeeping
+    * (FirstValueWithRetractAggFunction.java), flattened to one state row
+    * per LIVE instance so arrivals and retractions touch single rows
+    * (diff write-back; fMGWS re-serializes the whole OrdState blob).
+    * Retraction removes the value's instance with the SMALLEST seq —
+    * identical to [[applyOrd]]'s drop-oldest whenever seqs arrive in
+    * order, and well-defined (min-seq) under late data where
+    * append-order "oldest" is not. */
+  private[graft] class OrdTwsProcessor[K]
+      extends org.apache.spark.sql.streaming.StatefulProcessor[K, AggChange[K], OrdOut[K]] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var occ: streaming.MapState[(Double, Long), Boolean] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      occ = getHandle.getMapState[(Double, Long), Boolean]("occ",
+        Encoders.product[(Double, Long)], Encoders.scalaBoolean,
+        streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[AggChange[K]],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[OrdOut[K]] = {
+      val batch = rows.toArray.sortBy(_.seq)
+      if (batch.isEmpty) return Iterator.empty
+      // one scan loads the live instances (ordResult needs the full
+      // arrival order anyway); fold in memory, write back the diff
+      val live = scala.collection.mutable.TreeSet.empty[(Long, Double)] // (seq, value)
+      occ.keys().foreach { case (v, seq) => live.add((seq, v)) }
+      val live0 = live.toSet
+      val before = ordResultOf(live)
+      batch.foreach { c =>
+        if (isAccumulate(c.kind)) live.add((c.seq, c.value))
+        else live.find(_._2 == c.value).foreach(live.remove) // oldest live instance
+      }
+      val after = ordResultOf(live)
+      (live0 diff live).foreach { case (seq, v) => occ.removeKey((v, seq)) }
+      (live diff live0).foreach { case (seq, v) => occ.updateValue((v, seq), true) }
+      ((before, after) match {
+        case (None, None) => Nil
+        case (None, Some((f, l, vs))) => Seq(OrdOut(key, "+I", f, l, vs))
+        case (Some((f, l, vs)), None) => Seq(OrdOut(key, "-D", f, l, vs))
+        case (Some(b), Some(a)) if b == a => Nil
+        case (Some((bf, bl, bvs)), Some((af, al, avs))) =>
+          Seq(OrdOut(key, "-U", bf, bl, bvs), OrdOut(key, "+U", af, al, avs))
+      }).iterator
+    }
+
+    private def ordResultOf(live: scala.collection.SortedSet[(Long, Double)])
+        : Option[(Double, Double, Seq[Double])] =
+      if (live.isEmpty) None
+      else Some((live.head._2, live.last._2, live.iterator.map(_._2).toSeq))
+  }
+
+  /** The ordered operator on the transformWithState runtime — same API and
+    * emission contract as [[aggOrdered]]. */
+  def aggOrderedTws[K](changes: Dataset[AggChange[K]])(
+      implicit ek: Encoder[K], eo: Encoder[OrdOut[K]]): Dataset[OrdOut[K]] = {
+    TwsOps.ensureStateCoordinator(changes.sparkSession)
+    if (changes.isStreaming)
+      TwsOps.requireRocksDb(changes.sparkSession, "aggOrderedTws")
+    changes.groupByKey(_.key)
+      .transformWithState(new OrdTwsProcessor[K],
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** q_changelog_firstlast: FIRST_VALUE/LAST_VALUE with retraction over the
     * per-user latest-value upsert changelog, keyed by user-bucket. A user's
     * re-signup RETRACTS their old value (removing it from arrival order) and
@@ -237,7 +426,7 @@ object ChangelogAgg {
         .as[(Long, Long, Double)]
       // value qualified by uid so first/last attribution is checkable
       val changes = latestValueChanges(ev)((uid, v) => uid * 100000.0 + v)
-      aggOrdered(changes).filter(_.kind == "+I").toDF()
+      aggOrderedTws(changes).filter(_.kind == "+I").toDF()
         .select($"key".as("bucket"),
           round($"first_v", 2).as("first_v"), round($"last_v", 2).as("last_v"))
         .orderBy("bucket")
@@ -259,7 +448,7 @@ object ChangelogAgg {
     * aggregated per user-bucket by the retractable accumulators. The oracle
     * aggregates the FINAL materialized table — equality certifies that the
     * retraction arithmetic telescoped correctly. Runs the REAL operator
-    * (flatMapGroupsWithState) in batch mode. */
+    * on the transformWithState runtime (r12 migration) in batch mode. */
   val qChangelogAgg: Q = Q(
     "q_changelog_agg",
     (s, dir) => {
@@ -271,7 +460,7 @@ object ChangelogAgg {
       // upsert changelog of each user's LATEST value, keyed by user-bucket
       val changes = latestValueChanges(ev)((_, v) => v)
       // one data batch → the net output per bucket is its single +I row
-      agg(changes).filter(_.kind == "+I").toDF()
+      aggTws(changes).filter(_.kind == "+I").toDF()
         .select($"key".as("bucket"), $"cnt",
           round($"total", 2).as("total"),
           round($"vmin", 2).as("vmin"), round($"vmax", 2).as("vmax"))

@@ -374,19 +374,16 @@ object ChangelogJoin {
     * [[TwsOps.ensureStateCoordinator]] registers the driver endpoint it
     * needs). A STREAMING caller needs the RocksDB state-store provider
     * (transformWithState requires it); if the session's EFFECTIVE provider
-    * is not RocksDB-based it is set here. getOption cannot detect
-    * "unconfigured" — it returns the registered HDFS-backed DEFAULT — and
-    * transformWithState cannot run on that provider at all, so finding a
-    * non-RocksDB value (explicit or defaulted) means the caller needs the
-    * swap; a RocksDB-derived custom provider is kept. */
+    * is the registered HDFS-backed DEFAULT it is swapped to RocksDB here
+    * (getOption cannot detect "unconfigured" — it returns that default —
+    * and transformWithState cannot run on it at all); an EXPLICIT custom
+    * non-RocksDB provider fails fast instead of being silently replaced
+    * session-wide; a RocksDB-derived custom provider is kept. */
   def joinTws[K, L, R](changes: Dataset[Change[K, L, R]])(
       implicit ek: Encoder[K], el: Encoder[L], er: Encoder[R],
       eo: Encoder[JoinedChange[K, L, R]]): Dataset[JoinedChange[K, L, R]] = {
     TwsOps.ensureStateCoordinator(changes.sparkSession)
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    if (!changes.sparkSession.conf.get(provKey, "").contains("RocksDB"))
-      changes.sparkSession.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (changes.isStreaming) TwsOps.requireRocksDb(changes.sparkSession, "joinTws")
     changes.groupByKey(_.key)
       .transformWithState(new ChangelogJoinProcessor[K, L, R](el, er),
         org.apache.spark.sql.streaming.TimeMode.None(),

@@ -113,6 +113,30 @@ object TwsOps {
   /** transformWithState requires the RocksDB state store provider (like the
     * reference pairing KeyedProcessFunction state with RocksDBStateBackend);
     * swap it in for the body, restore after. */
+  /** Streaming-caller provider discipline for operators that RETURN a lazy
+    * Dataset (so a [[withRocksDb]]-scoped restore would expire before the
+    * query starts): swap to RocksDB only when the session sits on the
+    * registered HDFS-backed DEFAULT; an explicitly configured custom
+    * non-RocksDB provider fails fast instead of being silently replaced
+    * session-wide (ADVICE r11). Batch TwS execution hardwires a RocksDB
+    * store and never reads this conf — callers gate on `isStreaming`. */
+  private[graft] def requireRocksDb(s: SparkSession, op: String): Unit = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val cur = s.conf.get(provKey, "")
+    if (!cur.contains("RocksDB")) {
+      val hdfsDefault =
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      if (cur.nonEmpty && cur != hdfsDefault)
+        throw new IllegalStateException(
+          s"$op runs on transformWithState, which requires a RocksDB-based " +
+          s"state-store provider, but $provKey is explicitly set to '$cur'. " +
+          "Set it to RocksDBStateStoreProvider (or a RocksDB-derived provider) " +
+          s"before calling $op.")
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
+  }
+
   private[graft] def withRocksDb[A](s: SparkSession)(body: => A): A = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = s.conf.getOption(provKey)

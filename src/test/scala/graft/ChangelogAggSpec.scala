@@ -130,6 +130,153 @@ class ChangelogAggSpec extends GraftSpec {
     assert(key1.last == AggOut(1L, "+I", 1, 4.0, 4.0, 4.0), s"got $key1")
   }
 
+  test("TwS runtime: retractions across micro-batches (MapState multiset carries; max falls back)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.streaming.TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[AggChange[Long]]
+      val out = ChangelogAgg.aggTws(mem.toDS())
+      val emitted = scala.collection.mutable.ArrayBuffer[AggOut[Long]]()
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[AggOut[Long]], _: Long) =>
+          emitted.synchronized { emitted ++= batch.collect() }
+          ()
+      }.start()
+      try {
+        // the same four-batch script as the fMGWS test above — the multiset
+        // now lives as MapState rows and must survive batch boundaries with
+        // only the touched values rewritten
+        mem.addData(AggChange(1L, 1, "+I", 9.0), AggChange(1L, 2, "+I", 4.0))
+        q.processAllAvailable()
+        assert(emitted.toSeq == Seq(AggOut(1L, "+I", 2, 13.0, 4.0, 9.0)))
+        mem.addData(AggChange(1L, 3, "-U", 9.0), AggChange(1L, 4, "+U", 5.0))
+        q.processAllAvailable()
+        assert(emitted.toSeq.drop(1) == Seq(
+          AggOut(1L, "-U", 2, 13.0, 4.0, 9.0),
+          AggOut(1L, "+U", 2, 9.0, 4.0, 5.0))) // max fell 9 → 5 across batches
+        mem.addData(AggChange(1L, 5, "-D", 4.0), AggChange(1L, 6, "-D", 5.0))
+        q.processAllAvailable()
+        assert(emitted.toSeq.drop(3) == Seq(AggOut(1L, "-D", 2, 9.0, 4.0, 5.0)))
+        mem.addData(AggChange(1L, 7, "+I", 2.0))
+        q.processAllAvailable()
+        assert(emitted.toSeq.drop(4) == Seq(AggOut(1L, "+I", 1, 2.0, 2.0, 2.0)))
+      } finally q.stop()
+    }
+  }
+
+  test("TwS runtime: idle TTL drops the accumulator via a native event-time timer") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.streaming.TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[AggChange[Long]]
+      val base = 1000000000L
+      val withWm = mem.toDS()
+        .withColumn("__ts", timestamp_millis($"seq"))
+        .withWatermark("__ts", "0 seconds")
+        .as[AggChange[Long]]
+      val out = ChangelogAgg.aggTws(withWm, idleTtlMs = Some(1000L))
+      val emitted = scala.collection.mutable.ArrayBuffer[AggOut[Long]]()
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[AggOut[Long]], _: Long) =>
+          emitted.synchronized { emitted ++= batch.collect() }
+          ()
+      }.start()
+      try {
+        mem.addData(AggChange(1L, base, "+I", 9.0))
+        q.processAllAvailable()
+        mem.addData(AggChange(2L, base + 5000, "+I", 1.0))
+        q.processAllAvailable()
+        mem.addData(AggChange(2L, base + 6000, "+I", 1.0))
+        q.processAllAvailable()
+        // key 1's accumulator expired: this +I starts a FRESH aggregate
+        mem.addData(AggChange(1L, base + 7000, "+I", 4.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val key1 = emitted.filter(_.key == 1L).toSeq
+      assert(key1.head == AggOut(1L, "+I", 1, 9.0, 9.0, 9.0))
+      assert(key1.last == AggOut(1L, "+I", 1, 4.0, 4.0, 4.0), s"got $key1")
+    }
+  }
+
+  test("TwS runtime: keeping activity drives the TTL timer LATER, not a fresh restart") {
+    // a key that keeps receiving changes within the TTL must retain its
+    // accumulator (-U/+U continuation, never a fresh +I) — discriminates a
+    // timer that fires at the ORIGINAL deadline despite new activity
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.streaming.TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[AggChange[Long]]
+      val base = 1000000000L
+      val withWm = mem.toDS()
+        .withColumn("__ts", timestamp_millis($"seq"))
+        .withWatermark("__ts", "0 seconds")
+        .as[AggChange[Long]]
+      val out = ChangelogAgg.aggTws(withWm, idleTtlMs = Some(5000L))
+      val emitted = scala.collection.mutable.ArrayBuffer[AggOut[Long]]()
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[AggOut[Long]], _: Long) =>
+          emitted.synchronized { emitted ++= batch.collect() }
+          ()
+      }.start()
+      try {
+        mem.addData(AggChange(1L, base, "+I", 9.0))
+        q.processAllAvailable()
+        // fresh activity at base+4000 re-arms the deadline to base+9000;
+        // watermark then passes the ORIGINAL base+5000 deadline
+        mem.addData(AggChange(1L, base + 4000, "+I", 1.0))
+        q.processAllAvailable()
+        mem.addData(AggChange(2L, base + 7000, "+I", 1.0))
+        q.processAllAvailable()
+        // still within the re-armed TTL: must CONTINUE (-U/+U), not restart
+        mem.addData(AggChange(1L, base + 8000, "+I", 2.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val key1 = emitted.filter(_.key == 1L).toSeq
+      assert(key1.takeRight(2).map(_.kind) == Seq("-U", "+U"), s"got $key1")
+      assert(key1.last == AggOut(1L, "+U", 3, 12.0, 1.0, 9.0), s"got $key1")
+    }
+  }
+
+  test("TwS ordered runtime: first/last retraction across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.streaming.TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[AggChange[Long]]
+      val out = ChangelogAgg.aggOrderedTws(mem.toDS())
+      val emitted = scala.collection.mutable.ArrayBuffer[ChangelogAgg.OrdOut[Long]]()
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[ChangelogAgg.OrdOut[Long]], _: Long) =>
+          emitted.synchronized { emitted ++= batch.collect() }
+          ()
+      }.start()
+      try {
+        mem.addData(AggChange(1L, 1, "+I", 5.0), AggChange(1L, 2, "+I", 7.0))
+        q.processAllAvailable()
+        assert(emitted.toSeq ==
+          Seq(ChangelogAgg.OrdOut(1L, "+I", 5.0, 7.0, Seq(5.0, 7.0))))
+        // retract the FIRST value in a later batch: first_v must advance to 7
+        mem.addData(AggChange(1L, 3, "-U", 5.0))
+        q.processAllAvailable()
+        assert(emitted.toSeq.drop(1) == Seq(
+          ChangelogAgg.OrdOut(1L, "-U", 5.0, 7.0, Seq(5.0, 7.0)),
+          ChangelogAgg.OrdOut(1L, "+U", 7.0, 7.0, Seq(7.0))))
+        // duplicate value: retraction removes the OLDEST instance (seq 2)
+        mem.addData(AggChange(1L, 4, "+I", 7.0), AggChange(1L, 5, "+I", 3.0))
+        q.processAllAvailable()
+        mem.addData(AggChange(1L, 6, "-U", 7.0))
+        q.processAllAvailable()
+        assert(emitted.last ==
+          ChangelogAgg.OrdOut(1L, "+U", 7.0, 3.0, Seq(7.0, 3.0)), s"got $emitted")
+      } finally q.stop()
+    }
+  }
+
   test("agg→join→agg chain: aggregate output changelog feeds ChangelogJoin") {
     val sparkS = spark
     import sparkS.implicits._

@@ -180,6 +180,40 @@ class GraftSqlSpec extends GraftSpec {
     assert(parts == Vector("SELECT ';' AS a", "SELECT 2"))
   }
 
+  test("lexer: backslash-escaped quote does not end the string (ADVICE r11)") {
+    // Spark's default lexer reads 'don\'t; x' as ONE literal — a naive
+    // quote toggle would close at the escaped quote and split at the ;
+    val parts = graft.operators.GraftSql.splitStatements(
+      """SELECT 'don\'t; -- no' AS a; SELECT 2""")
+    assert(parts == Vector("""SELECT 'don\'t; -- no' AS a""", "SELECT 2"), parts)
+  }
+
+  test("lexer: double-quoted literal hides ; -- and UNION (ADVICE r11)") {
+    val parts = graft.operators.GraftSql.splitStatements(
+      """SELECT "a;b -- c" AS a; SELECT 2""")
+    assert(parts == Vector("""SELECT "a;b -- c" AS a""", "SELECT 2"), parts)
+    val blanked = graft.operators.GraftSql.blankCommentsAndLiterals(
+      """SELECT "union" AS u FROM t""")
+    assert(!blanked.toLowerCase.contains("union"), blanked)
+  }
+
+  test("lexer: a column aliased `union` (backticks) is not a UNION cut (ADVICE r11)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    Tables.t(spark, sfDir, "events").limit(5)
+      .select($"event_id", $"ts").createOrReplaceTempView("gsql_union_alias")
+    // a windowed query with an identifier named `union` at paren depth 0:
+    // a phantom UNION cut would orphan the TUMBLE declaration from its
+    // auxiliaries and reject the query
+    val df = GraftSql.run(spark,
+      """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+        |       count(*) AS `union`
+        |FROM gsql_union_alias
+        |GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)""".stripMargin)
+    assert(df.columns.toSeq == Seq("ws", "union"))
+    assert(df.collect().nonEmpty)
+  }
+
   test("temporal-join statement routes through the as-of lowering") {
     val sparkS = spark
     import sparkS.implicits._

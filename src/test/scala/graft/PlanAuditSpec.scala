@@ -173,6 +173,11 @@ class PlanAuditSpec extends GraftSpec {
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
     // (q_cross_join is a deliberate 5x5 dims cross; the stream queries
     // can't be explained without starting them.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val exempt = SparkEntry.calibrationQueries ++ Set("q_cross_join")
     // IVF assignment cross-joins every vector against the CENTROID table —
     // O(N x #cells) with a constant-size broadcast build side; that
@@ -180,6 +185,26 @@ class PlanAuditSpec extends GraftSpec {
     // q_ann_recall adds the sanctioned O(|probe sample| x N) brute ground
     // truth with the SAMPLE broadcast — the scale-correct recall eval.
     val broadcastNljOk = Set("q_ann_ivf", "q_ann_recall", "q_ann_recall_nprobe2")
+    // Semantic exemption (no name list needed): a BNLJ whose BOTH inputs are
+    // provably single-row — each side tops out in an ungrouped global
+    // aggregate, below only row-preserving/reducing unary nodes — is a 1x1
+    // join (the scalar-ratio shape, e.g. TPC-DS q61) and is the correct
+    // plan at any scale.
+    def descend(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (descend(p) ++ p.subqueries).flatMap(allNodes)
+    def singleRow(p: SparkPlan): Boolean = p match {
+      case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+      case _: org.apache.spark.sql.execution.GenerateExec => false // row-multiplying
+      case _: org.apache.spark.sql.execution.ExpandExec   => false // row-multiplying
+      case _ =>
+        val kids = descend(p)
+        kids.size == 1 && singleRow(kids.head) // unary wrappers preserve or reduce rows
+    }
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
       operators.TpchSql.all ++ operators.TemporalSql.all ++
       operators.GroupWindowSql.all ++ operators.SketchOps.all ++
@@ -191,10 +216,15 @@ class PlanAuditSpec extends GraftSpec {
       dsl.TableApiOps.all)
       .filterNot(q => exempt.contains(q.name))
     val offenders = batchQs.flatMap { q =>
-      val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
-      val bad = p.contains("CartesianProduct") ||
-        (p.contains("BroadcastNestedLoopJoin") && !broadcastNljOk.contains(q.name))
-      if (bad) Some(q.name) else None
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan
+      val pStr = plan.toString
+      val nljNodes = allNodes(plan).collect { case b: BroadcastNestedLoopJoinExec => b }
+      val nljBad =
+        if (broadcastNljOk.contains(q.name)) false
+        else if (pStr.contains("BroadcastNestedLoopJoin") && nljNodes.isEmpty)
+          true // printed but not reachable by the walk — fail conservatively
+        else nljNodes.exists(b => !(singleRow(b.left) && singleRow(b.right)))
+      if (pStr.contains("CartesianProduct") || nljBad) Some(q.name) else None
     }
     assert(offenders.isEmpty, s"unbounded join shapes in: $offenders")
   }

@@ -118,6 +118,105 @@ class TwsScaleSpec extends GraftSpec {
     }
   }
 
+  test("soak: changelog aggregate — 50k churning changes on one key keep state at the live multiset") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ChangelogAgg
+    import graft.streaming.ChangelogAgg.{AggChange, AggOut}
+    TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[AggChange[Long]]
+      val out = ChangelogAgg.aggTws(mem.toDS())
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[AggOut[Long]], _: Long) =>
+          emitted.addAndGet(batch.count()); ()
+      }.start()
+      try {
+        // 50 permanent live values, then 10 batches of 5k fully-churning
+        // +I/-D pairs — the multiset MapState must stay at the 50 live
+        // values (diff write-back: churned values net to zero and never
+        // touch RocksDB), and each batch folds to ZERO emissions because
+        // the aggregate's result is unchanged
+        var seq = 0L
+        def nxt(): Long = { seq += 1; seq }
+        mem.addData((0 until 50).map(i => AggChange(1L, nxt(), "+I", 1000.0 + i)): _*)
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        for (_ <- 1 to 10) {
+          mem.addData((0 until 2500).flatMap { i =>
+            val v = 2000.0 + (i % 50)
+            Seq(AggChange(1L, nxt(), "+I", v), AggChange(1L, nxt(), "-D", v))
+          }: _*)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // 50 multiset rows + scalars (+ timer bookkeeping margin)
+        assert(stateRows(q) <= 60,
+          s"aggregate state must be the live multiset, got ${stateRows(q)}")
+        // one +I from the seed batch; churn batches net to no change
+        assert(emitted.get() == 1, s"expected 1 emission, got ${emitted.get()}")
+        assert(secs < 120, s"50k-change aggregate soak took $secs s")
+        info(f"changelog-agg soak: 50k churn changes / 10 batches in $secs%.1f s, " +
+          s"state rows = ${stateRows(q)}")
+      } finally q.stop()
+    }
+  }
+
+  test("soak: CEP — 50k one-key events with partial matches alive keep the run set window-bounded") {
+    // the known CEP blow-up mode: NoSkip + a followedBy that never
+    // completes means EVERY event spawns an in-flight run; only `within`
+    // pruning (reference NFAState advanceTime) bounds the run set. 50k
+    // "S" events at 1 s spacing with within=60 s must hold live runs at
+    // ~61 (the trailing window), emit one timeout per expired run, and
+    // drain linearly — unbounded runs would be O(n²) NFA steps and an
+    // O(n) state rewrite per firing.
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.cep.{AfterMatch, CepTws, Pattern}
+    import graft.streaming.StatefulOps.Ev
+    TwsOps.withRocksDb(spark) {
+      val B = 3600000000L
+      val mem = MemoryStream[Ev]
+      val pat = Pattern.begin[Ev]("s")(_.event_type == "S")
+        .followedBy("p")(_.event_type == "P")
+        .within(60L * 1000000)
+        .afterMatchSkip(AfterMatch.NoSkip)
+      val out = CepTws.streamingMatchesWithTimeoutsTws(mem.toDS(), pat)
+      val timeouts = new java.util.concurrent.atomic.AtomicLong
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.cep.CepOps.CepStreamOut], _: Long) =>
+          timeouts.addAndGet(batch.filter(_.is_timeout).count()); ()
+      }.start()
+      try {
+        val n = 50000; val batches = 10
+        val t0 = System.nanoTime()
+        for (b <- 0 until batches) {
+          val start = b * (n / batches)
+          mem.addData((start until start + n / batches).map(i =>
+            Ev(i.toLong + 1, 1L, "S", 0.0, B + i * 1000000L)): _*)
+          q.processAllAvailable()
+          // mid-stream pin: live runs stay at the trailing 60 s window
+          // (~61) + released-buffer remainder — never the events so far
+          assert(stateRows(q) <= 150,
+            s"run set must stay window-bounded mid-stream, got ${stateRows(q)} after batch $b")
+        }
+        // far-future other-key event drives the watermark past every window
+        mem.addData(Ev(0L, 2L, "X", 0.0, B + 10L * n * 1000000))
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        assert(timeouts.get() == n, s"every run must time out, got ${timeouts.get()}")
+        // key 1 fully drained: only key 2's buffered event + scalars remain
+        assert(stateRows(q) <= 10,
+          s"CEP run/buffer state must drain, got ${stateRows(q)}")
+        assert(secs < 240, s"50k-event CEP soak took $secs s")
+        info(f"CEP soak: $n events / $batches batches in $secs%.1f s, " +
+          s"state rows = ${stateRows(q)}, timeouts = ${timeouts.get()}")
+      } finally q.stop()
+    }
+  }
+
   test("soak: changelog join — 20k churning changes on one key leave only live rows in state") {
     val sparkS = spark
     import sparkS.implicits._
