@@ -46,6 +46,7 @@ object SparkEntry {
       streaming.IterateStream.all ++
       streaming.QueryableState.all ++
       streaming.TwsOps.all ++
+      streaming.SessionTws.all ++
       streaming.DedupSql.all ++
       streaming.PartitionCommit.all ++
       sources.CdcFormats.all ++

@@ -707,8 +707,137 @@ object TpcdsShapes {
       |WHERE sp.rev <= 0.05 * sa.max_rev
       |ORDER BY sp.l_suppkey, sp.l_partkey""".stripMargin)
 
+  // ---- r12 tranche: six more distinctive shapes toward the 103 bar ----
+
+  /** q38: the cross-channel INTERSECT customer set — customers present in
+    * ALL THREE channels (returnflag classes standing in for
+    * store/catalog/web), counted. The planner challenge is the INTERSECT
+    * chain lowering to stacked left-semi joins over DISTINCT keys, never a
+    * pairwise materialize. */
+  val q38: Q = sqlQ(
+    "q_tpcds_q38_shape",
+    """SELECT CAST(count(*) AS BIGINT) AS n_all_channel FROM (
+      |  SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'A'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'N'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R') t
+      |ORDER BY n_all_channel""".stripMargin)
+
+  /** q70: the hierarchy rollup whose MEMBERS are chosen by a windowed rank
+    * in an IN-subquery — rank() inside the semi-join's subquery picks the
+    * top-3 nations per region, THEN the rollup + per-level
+    * rank_within_parent runs over only those (q36 covers the rollup+rank;
+    * the distinctive piece here is the window-driven semi join feeding
+    * it). */
+  val q70: Q = sqlQ(
+    "q_tpcds_q70_shape",
+    """WITH sales AS (
+      |  SELECT r_name, n_name, l_extendedprice * (1 - l_discount) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey
+      |  WHERE n_name IN (
+      |    SELECT n_name FROM (
+      |      SELECT n_name,
+      |             CAST(rank() OVER (PARTITION BY r_name
+      |               ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+      |                        n_name) AS INTEGER) AS rk
+      |      FROM lineitem
+      |      JOIN orders ON l_orderkey = o_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation ON n_nationkey = c_nationkey
+      |      JOIN region ON r_regionkey = n_regionkey
+      |      GROUP BY r_name, n_name) ranked
+      |    WHERE rk <= 3))
+      |SELECT round(sum(rev), 2) AS total_rev,
+      |       CAST(grouping(r_name) + grouping(n_name) AS INTEGER) AS lochierarchy,
+      |       r_name, n_name,
+      |       CAST(rank() OVER (
+      |         PARTITION BY grouping(r_name) + grouping(n_name),
+      |                      CASE WHEN grouping(n_name) = 0 THEN r_name END
+      |         ORDER BY round(sum(rev), 2) DESC, n_name NULLS FIRST) AS INTEGER) AS rank_within_parent
+      |FROM sales
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY lochierarchy DESC, r_name NULLS FIRST, n_name NULLS FIRST, rank_within_parent""".stripMargin)
+
+  /** q83: the store/catalog/web return-ratio triple — one returns CTE per
+    * channel keyed by item, three-way equi-joined, each channel's share of
+    * the item's cross-channel average. Three narrow aggregates + two hash
+    * joins; no channel may leak into another's aggregate. */
+  val q83: Q = sqlQ(
+    "q_tpcds_q83_shape",
+    """WITH a_ret AS (SELECT l_partkey AS item, sum(l_quantity) AS qty
+      |               FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey),
+      |     n_ret AS (SELECT l_partkey AS item, sum(l_quantity) AS qty
+      |               FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey),
+      |     r_ret AS (SELECT l_partkey AS item, sum(l_quantity) AS qty
+      |               FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
+      |SELECT a.item,
+      |       round(a.qty, 2) AS a_qty, round(a.qty / (a.qty + n.qty + r.qty) / 3 * 100, 6) AS a_dev,
+      |       round(n.qty, 2) AS n_qty, round(n.qty / (a.qty + n.qty + r.qty) / 3 * 100, 6) AS n_dev,
+      |       round(r.qty, 2) AS r_qty, round(r.qty / (a.qty + n.qty + r.qty) / 3 * 100, 6) AS r_dev,
+      |       round((a.qty + n.qty + r.qty) / 3.0, 6) AS avg_qty
+      |FROM a_ret a JOIN n_ret n ON a.item = n.item JOIN r_ret r ON a.item = r.item
+      |ORDER BY a.item
+      |LIMIT 40""".stripMargin)
+
+  /** q62: shipping-lag band counts — days between order and ship bucketed
+    * into one-pass conditional sums per priority (the reference's
+    * web_sales x warehouse x ship_mode lag matrix). Interval arithmetic
+    * (not datediff) keeps ONE text valid in both engines. */
+  val q62: Q = sqlQ(
+    "q_tpcds_q62_shape",
+    """SELECT o_orderpriority,
+      |       CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL '30' DAY THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL '30' DAY
+      |                      AND l_shipdate <= o_orderdate + INTERVAL '60' DAY THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      |       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY
+      |                      AND l_shipdate <= o_orderdate + INTERVAL '90' DAY THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      |       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL '90' DAY THEN 1 ELSE 0 END) AS BIGINT) AS d90plus
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)
+
+  /** q30: the correlated per-group-average threshold — customers whose
+    * return quantity exceeds 1.2x their NATION's average, the correlated
+    * scalar subquery over a twice-referenced CTE that the optimizer must
+    * decorrelate into an aggregate + equi join (never a per-row re-scan).
+    * Integral measure (quantity) per the oracle parity rules: the 1.2x
+    * boundary must not hinge on float summation order. */
+  val q30: Q = sqlQ(
+    "q_tpcds_q30_shape",
+    """WITH ret_by_cust AS (
+      |  SELECT o_custkey AS custkey, c_nationkey AS nationkey, sum(l_quantity) AS ret_qty
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON c_custkey = o_custkey
+      |  WHERE l_returnflag = 'R'
+      |  GROUP BY o_custkey, c_nationkey)
+      |SELECT r1.custkey, round(r1.ret_qty, 2) AS ret_qty
+      |FROM ret_by_cust r1
+      |WHERE r1.ret_qty > (SELECT avg(r2.ret_qty) * 1.2 FROM ret_by_cust r2
+      |                    WHERE r2.nationkey = r1.nationkey)
+      |ORDER BY r1.custkey
+      |LIMIT 100""".stripMargin)
+
+  /** q45: the disjunctive semi join — an IN-list OR an IN-subquery, which
+    * cannot lower to a plain LeftSemi (rows failing the subquery may still
+    * pass the list): Spark plans an ExistenceJoin feeding the filter, the
+    * reference keeps the OR in a post-join Calc. */
+  val q45: Q = sqlQ(
+    "q_tpcds_q45_shape",
+    """SELECT n_name, round(sum(o_totalprice), 2) AS rev
+      |FROM orders JOIN customer ON c_custkey = o_custkey JOIN nation ON n_nationkey = c_nationkey
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |   OR o_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |                    GROUP BY o_custkey HAVING count(*) >= 2)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin)
+
   val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
     q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47, q1,
     q2, q34, q85, q95, q39,
-    q28, q44, q87, q61, q97, q21, q65)
+    q28, q44, q87, q61, q97, q21, q65,
+    q38, q70, q83, q62, q30, q45)
 }

@@ -324,7 +324,11 @@ object ChangelogAgg {
     * Retraction removes the value's instance with the SMALLEST seq —
     * identical to [[applyOrd]]'s drop-oldest whenever seqs arrive in
     * order, and well-defined (min-seq) under late data where
-    * append-order "oldest" is not. */
+    * append-order "oldest" is not. One divergence: a DUPLICATE
+    * (value, seq) accumulate folds into one instance here (the state key
+    * cannot carry multiplicity) where the fMGWS vector kept both; `seq`
+    * is a changelog position, so producers emitting duplicate positions
+    * are malformed inputs on either runtime. */
   private[graft] class OrdTwsProcessor[K]
       extends org.apache.spark.sql.streaming.StatefulProcessor[K, AggChange[K], OrdOut[K]] {
     import org.apache.spark.sql.{Encoders, streaming}

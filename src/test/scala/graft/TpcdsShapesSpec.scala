@@ -218,4 +218,45 @@ class TpcdsShapesSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q38: the INTERSECT chain lowers to stacked semi joins over distinct keys") {
+    val p = finalPlan(operators.TpcdsShapes.q38)
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q70: window-rank subquery becomes a semi join feeding ONE rollup Expand") {
+    val p = finalPlan(operators.TpcdsShapes.q70)
+    assert(p.contains("LeftSemi"), p)
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q83: three channel aggregates, two equi joins, no channel leakage via re-scan sharing") {
+    val p = finalPlan(operators.TpcdsShapes.q83)
+    assert("Join".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q62: lag bands are ONE aggregate pass above one join — no Expand, no re-scan per band") {
+    val p = finalPlan(operators.TpcdsShapes.q62)
+    assert(!p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).length == 2, p) // partial + final
+    assert("Scan parquet".r.findAllIn(p).length == 2, p)  // lineitem + orders once each
+  }
+
+  test("q30: the correlated average decorrelates to an aggregate equi-join (no per-row re-scan)") {
+    val p = finalPlan(operators.TpcdsShapes.q30)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q45: the IN-list OR IN-subquery plans an ExistenceJoin, not a semi join or cartesian") {
+    val p = finalPlan(operators.TpcdsShapes.q45)
+    assert(p.contains("ExistenceJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
