@@ -154,21 +154,22 @@ object GraftSql {
     * subquery). */
   private[graft] def extractParenSubquery(
       text: String, marker: String): Option[(Int, Int, String)] = {
-    // literal-blanked scan, so a marker inside a string literal can't seed
-    // the subquery search at the wrong offset
-    val at = blankLiterals(text).toUpperCase.indexOf(marker.toUpperCase)
+    // scan the shared-lexer-blanked text (length-preserving, so positions
+    // map 1:1 onto the original): a marker inside a string literal or
+    // comment can't seed the subquery search, and parens inside literals,
+    // comments, or quoted identifiers can't corrupt the depth stack
+    val blanked = blankCommentsAndLiterals(text)
+    val at = blanked.toUpperCase.indexOf(marker.toUpperCase)
     if (at < 0) return None
     // scan once, tracking open-paren positions; record the tightest pair
     // enclosing `at`
     var best: Option[(Int, Int)] = None
     var stack = List.empty[Int]
-    var inQuote = false
     var i = 0
-    while (i < text.length) {
-      text.charAt(i) match {
-        case '\'' => inQuote = !inQuote
-        case '(' if !inQuote => stack ::= i
-        case ')' if !inQuote =>
+    while (i < blanked.length) {
+      blanked.charAt(i) match {
+        case '(' => stack ::= i
+        case ')' =>
           stack match {
             case open :: rest =>
               stack = rest
@@ -187,21 +188,17 @@ object GraftSql {
     }
   }
 
-  /** The text with single-quoted literal CONTENTS blanked out (quotes kept,
-    * length preserved) — the dispatcher probes this, not the raw text, so a
-    * legal statement like `SELECT 'MATCH_RECOGNIZE' AS s FROM t` doesn't
-    * trigger a recognizer on a keyword that only occurs inside a string
-    * literal (r6 ADVICE). */
-  private[graft] def blankLiterals(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var inQuote = false
-    s.foreach {
-      case '\'' => inQuote = !inQuote; sb += '\''
-      case _ if inQuote => sb += ' '
-      case c => sb += c
-    }
-    sb.result()
-  }
+  /** The text with literal/comment/quoted-identifier CONTENTS blanked out
+    * (quotes kept, length preserved) — the dispatcher probes this, not the
+    * raw text, so a legal statement like `SELECT 'MATCH_RECOGNIZE' AS s
+    * FROM t` doesn't trigger a recognizer on a keyword that only occurs
+    * inside a string literal (r6 ADVICE). Delegates to the shared lexer
+    * (r12): the old single-quote toggle inverted its state at a
+    * backslash-escaped quote and saw keywords inside comments, so a
+    * MATCH_RECOGNIZE mentioned in a block comment misrouted the statement
+    * to the recognizer. */
+  private[graft] def blankLiterals(s: String): String =
+    blankCommentsAndLiterals(s)
 
   /** Length-preserving blanking of comment text AND string-literal
     * contents in ONE pass with a shared state machine — an apostrophe

@@ -835,9 +835,91 @@ object TpcdsShapes {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin)
 
+  /** q9: the CASE-of-scalar-subqueries probe — five quantity bands, each
+    * choosing between two single-row aggregates on a count threshold (the
+    * original's 15 scalar subqueries over one fact). The optimizer runs
+    * the subqueries once each (subquery reuse), the main query is one
+    * probe row — no join at all. Integral measures (quantity, linenumber)
+    * keep every avg deterministic across engines. */
+  val q9: Q = sqlQ(
+    "q_tpcds_q9_shape",
+    (1 to 5).map { b =>
+      val lo = (b - 1) * 10 + 1; val hi = b * 10
+      s"""  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi) > 12000
+         |       THEN (SELECT round(avg(l_quantity), 6) FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi)
+         |       ELSE (SELECT round(avg(CAST(l_linenumber AS DOUBLE)), 6) FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi) END AS band$b""".stripMargin
+    }.mkString("SELECT\n", ",\n", "\nFROM (SELECT 1 AS one) probe\nORDER BY band1"))
+
+  /** q58: the three-channel mutual-proximity band — each channel's item
+    * quantity must lie within ±10% of the three-channel average, a
+    * triple-BETWEEN residual referencing ALL sides of the three-way join
+    * (q83 joins the same triple but outputs ratios; here the band is the
+    * filter and must stay a residual above the joins). Integral measures
+    * keep the ±10% boundaries exact. */
+  val q58: Q = sqlQ(
+    "q_tpcds_q58_shape",
+    """WITH a_s AS (SELECT l_partkey AS item, sum(l_quantity) AS qty FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey),
+      |     n_s AS (SELECT l_partkey AS item, sum(l_quantity) AS qty FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey),
+      |     r_s AS (SELECT l_partkey AS item, sum(l_quantity) AS qty FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
+      |SELECT a.item, round(a.qty, 2) AS a_qty, round(n.qty, 2) AS n_qty, round(r.qty, 2) AS r_qty
+      |FROM a_s a JOIN n_s n ON a.item = n.item JOIN r_s r ON a.item = r.item
+      |WHERE a.qty BETWEEN 0.9 * (a.qty + n.qty + r.qty) / 3 AND 1.1 * (a.qty + n.qty + r.qty) / 3
+      |  AND n.qty BETWEEN 0.9 * (a.qty + n.qty + r.qty) / 3 AND 1.1 * (a.qty + n.qty + r.qty) / 3
+      |  AND r.qty BETWEEN 0.9 * (a.qty + n.qty + r.qty) / 3 AND 1.1 * (a.qty + n.qty + r.qty) / 3
+      |ORDER BY a.item""".stripMargin)
+
+  /** q75: year-over-year decline net of channels — per-channel yearly
+    * aggregates UNION ALL'd, RE-aggregated to the (year, item) grain, then
+    * self-joined prior-vs-current year keeping declining items. The
+    * planner must aggregate each channel branch BEFORE the union (partial
+    * aggregation under a union re-agg) and keep the YoY self-join an
+    * equi-join on (item, year±1). */
+  val q75: Q = sqlQ(
+    "q_tpcds_q75_shape",
+    """WITH chan AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, l_partkey AS item, sum(l_quantity) AS qty
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_returnflag = 'A'
+      |  GROUP BY year(o_orderdate), l_partkey
+      |  UNION ALL
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, l_partkey AS item, sum(l_quantity) AS qty
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_returnflag = 'N'
+      |  GROUP BY year(o_orderdate), l_partkey
+      |  UNION ALL
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, l_partkey AS item, sum(l_quantity) AS qty
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_returnflag = 'R'
+      |  GROUP BY year(o_orderdate), l_partkey),
+      |sales AS (SELECT yr, item, sum(qty) AS qty FROM chan GROUP BY yr, item)
+      |SELECT c.yr, c.item, round(p.qty, 2) AS prev_qty, round(c.qty, 2) AS curr_qty,
+      |       round(c.qty - p.qty, 2) AS qty_diff
+      |FROM sales c JOIN sales p ON c.item = p.item AND c.yr = p.yr + 1
+      |WHERE c.qty < p.qty
+      |ORDER BY qty_diff, c.yr, c.item
+      |LIMIT 60""".stripMargin)
+
+  /** q77: per-channel sales-vs-returns FULL OUTER merge, channels UNION
+    * ALL'd, ROLLUP over (channel, group) — the coalesced-key outer join
+    * under a union under a rollup, with per-level totals. */
+  val q77: Q = sqlQ(
+    "q_tpcds_q77_shape",
+    Seq("A", "N", "R").map { f =>
+      s"""  SELECT '$f' AS channel, COALESCE(s.grp, r.grp) AS grp,
+         |         COALESCE(s.qty, 0) AS sales_qty, COALESCE(r.qty, 0) AS ret_qty
+         |  FROM (SELECT l_suppkey % 10 AS grp, sum(l_quantity) AS qty FROM lineitem
+         |        WHERE l_returnflag = '$f' AND l_linestatus = 'O' GROUP BY l_suppkey % 10) s
+         |  FULL OUTER JOIN
+         |       (SELECT l_suppkey % 10 AS grp, sum(l_quantity) AS qty FROM lineitem
+         |        WHERE l_returnflag = '$f' AND l_linestatus = 'F' GROUP BY l_suppkey % 10) r
+         |  ON s.grp = r.grp""".stripMargin
+    }.mkString("WITH ch AS (\n", "\n  UNION ALL\n", """)
+      |SELECT channel, grp, round(sum(sales_qty), 2) AS sales_qty, round(sum(ret_qty), 2) AS ret_qty,
+      |       round(sum(sales_qty - ret_qty), 2) AS net_qty
+      |FROM ch GROUP BY ROLLUP(channel, grp)
+      |ORDER BY channel NULLS FIRST, grp NULLS FIRST""".stripMargin))
+
   val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
     q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47, q1,
     q2, q34, q85, q95, q39,
     q28, q44, q87, q61, q97, q21, q65,
-    q38, q70, q83, q62, q30, q45)
+    q38, q70, q83, q62, q30, q45,
+    q9, q58, q75, q77)
 }

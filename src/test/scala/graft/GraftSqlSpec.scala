@@ -197,6 +197,23 @@ class GraftSqlSpec extends GraftSpec {
     assert(!blanked.toLowerCase.contains("union"), blanked)
   }
 
+  test("dispatcher probes ignore keywords inside comments and escape-quoted literals (r12 review)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    Tables.t(spark, sfDir, "events").limit(3)
+      .select($"event_id").createOrReplaceTempView("gsql_probe_cmt")
+    // MATCH_RECOGNIZE in a block comment: the old blankLiterals saw it and
+    // misrouted this plain SELECT into the recognizer front-end
+    val df = GraftSql.run(spark,
+      "SELECT event_id /* not MATCH_RECOGNIZE ( */ FROM gsql_probe_cmt ORDER BY event_id")
+    assert(df.columns.toSeq == Seq("event_id") && df.count() == 3)
+    // backslash-escaped quote: the old toggle inverted its literal state
+    // and saw the keyword as quoted-away or exposed depending on parity
+    val df2 = GraftSql.run(spark,
+      """SELECT 'don\'t MATCH_RECOGNIZE' AS s FROM gsql_probe_cmt ORDER BY s""")
+    assert(df2.count() == 3)
+  }
+
   test("lexer: a column aliased `union` (backticks) is not a UNION cut (ADVICE r11)") {
     val sparkS = spark
     import sparkS.implicits._

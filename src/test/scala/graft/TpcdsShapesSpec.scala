@@ -259,4 +259,37 @@ class TpcdsShapesSpec extends GraftSpec {
     assert(p.contains("ExistenceJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q9: fifteen scalar subqueries, a one-row probe, and NO join anywhere") {
+    val df = operators.TpcdsShapes.q9.run(spark, sfDir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("Subquery"), full)
+    assert(!full.contains("Join"), s"the probe row must not join:\n$full")
+    assert(!full.contains("CartesianProduct"), full)
+  }
+
+  test("q58: triple-channel join with the mutual band as a residual filter, no cartesian") {
+    val p = finalPlan(operators.TpcdsShapes.q58)
+    assert("Join".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q75: channel branches aggregate BELOW the union; YoY self-join is an equi-join") {
+    val p = finalPlan(operators.TpcdsShapes.q75)
+    assert(p.contains("Union"), p)
+    // 3 channel branches x (partial+final) + re-agg pair at least
+    assert("HashAggregate".r.findAllIn(p).length >= 8, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q77: full-outer channel merges under a union under ONE rollup Expand") {
+    val p = finalPlan(operators.TpcdsShapes.q77)
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("Union"), p)
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
