@@ -156,6 +156,99 @@ object TriggerWindows {
     triggeredWindow(ds)(keyOf, orderOf)(
       CountTrigger[E](slide), Some(CountEvictor[E](size)))(emit)
 
+  // ---- transformWithState runtime (r12 migration) ----
+
+  /** [[triggeredWindow]]'s exact fold on the transformWithState runtime.
+    * The element buffer is native ListState: a no-fire batch APPENDS its
+    * rows (one `appendList`) where fMGWS re-serialized the whole
+    * WinState blob per touched batch, and a purge writes the (evictor-
+    * bounded) survivor window only. Scalars (sinceFire, totalSeen) and
+    * the DeltaTrigger datum live in their own ValueStates. Same bounded-
+    * buffer invariant: Fire keeps only the evicted window, FireAndPurge
+    * and Purge drop it all. */
+  private[graft] class TriggeredWindowProcessor[K, E, O](
+      trigger: Trigger[E], evictor: Option[Evictor[E]],
+      orderOf: E => Long, emit: (K, Seq[E], Long) => O, ee: Encoder[E])(
+      implicit ct: scala.reflect.ClassTag[E])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[K, E, O] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var buf: streaming.ListState[E] = _
+    @transient private var meta: streaming.ValueState[(Long, Long)] = _
+    @transient private var fired: streaming.ValueState[E] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[E]("buf", ee, streaming.TTLConfig.NONE)
+      meta = getHandle.getValueState[(Long, Long)]("meta",
+        Encoders.product[(Long, Long)], streaming.TTLConfig.NONE)
+      fired = getHandle.getValueState[E]("fired", ee, streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[E],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[O] = {
+      val batch = rows.toArray.sortBy(orderOf)
+      if (batch.isEmpty) return Iterator.empty
+      val existing = buf.get().toVector // ListState preserves arrival order
+      var vbuf = existing
+      var (since, total) = if (meta.exists()) meta.get() else (0L, 0L)
+      var lastFired = if (fired.exists()) Some(fired.get()) else None
+      var rewrote = false // a fire/purge truncated the buffer mid-batch
+      val out = Seq.newBuilder[O]
+      batch.foreach { e =>
+        vbuf = vbuf :+ e
+        since += 1; total += 1
+        trigger.onElement(e, since, lastFired) match {
+          case TriggerResult.Continue => ()
+          case fire @ (TriggerResult.Fire | TriggerResult.FireAndPurge) =>
+            val window = evictor.fold(vbuf: Seq[E])(_.evict(vbuf))
+            out += emit(key, window, total)
+            vbuf = if (fire == TriggerResult.Fire) window.toVector else Vector.empty
+            since = 0L
+            lastFired = Some(e)
+            rewrote = true
+          case TriggerResult.Purge =>
+            vbuf = Vector.empty
+            since = 0L
+            rewrote = true
+        }
+      }
+      // write-back: appends-only batches cost one appendList; a truncated
+      // buffer writes its (evictor-bounded) survivors once
+      if (!rewrote) buf.appendList(batch)
+      else if (vbuf.isEmpty) buf.clear()
+      else { buf.clear(); buf.appendList(vbuf.toArray) }
+      meta.update((since, total))
+      lastFired.foreach(fired.update)
+      out.result().iterator
+    }
+  }
+
+  /** [[triggeredWindow]]'s API shape on the transformWithState runtime;
+    * works in batch too (RocksDB hardwired there), streaming callers get
+    * the provider discipline. */
+  def triggeredWindowTws[K, E, O](ds: Dataset[E])(keyOf: E => K, orderOf: E => Long)(
+      trigger: Trigger[E], evictor: Option[Evictor[E]])(
+      emit: (K, Seq[E], Long) => O)(
+      implicit ek: Encoder[K], ee: Encoder[E], eo: Encoder[O],
+      ct: scala.reflect.ClassTag[E]): Dataset[O] = {
+    graft.streaming.TwsOps.ensureStateCoordinator(ds.sparkSession)
+    if (ds.isStreaming)
+      graft.streaming.TwsOps.requireRocksDb(ds.sparkSession, "triggeredWindowTws")
+    ds.groupByKey(keyOf)
+      .transformWithState(
+        new TriggeredWindowProcessor[K, E, O](trigger, evictor, orderOf, emit, ee),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** [[countWindow]] on the transformWithState runtime. */
+  def countWindowTws[K, E, O](ds: Dataset[E])(keyOf: E => K, orderOf: E => Long)(
+      size: Int, slide: Int)(emit: (K, Seq[E], Long) => O)(
+      implicit ek: Encoder[K], ee: Encoder[E], eo: Encoder[O],
+      ct: scala.reflect.ClassTag[E]): Dataset[O] =
+    triggeredWindowTws(ds)(keyOf, orderOf)(
+      CountTrigger[E](slide), Some(CountEvictor[E](size)))(emit)
+
   // ---- oracle query
 
   case class EvRow(event_id: Long, user_id: Long, value: Double)
@@ -168,16 +261,12 @@ object TriggerWindows {
     "q_count_trigger_window",
     (s, dir) => {
       import s.implicits._
-      // kryo for the generic nested state type: TypeTag-based encoder
-      // derivation for WinState[EvRow] costs ~5 s of driver-side
-      // scala-reflect; the state is engine-internal (never user-visible),
-      // so an opaque binary encoding — same stance as the reference's
-      // serialized state backends — is strictly better
-      implicit val winStateEnc: Encoder[WinState[EvRow]] =
-        org.apache.spark.sql.Encoders.kryo[WinState[EvRow]]
+      // r12: the TwS runtime — per-element E rows in ListState need no
+      // generic WinState encoder at all (the fMGWS path used kryo to dodge
+      // a ~5 s TypeTag derivation for the nested state blob)
       val ev = Tables.t(s, dir, "events")
         .select($"event_id", $"user_id", $"value").as[EvRow]
-      countWindow[Long, EvRow, CountWinOut](ev)(_.user_id, _.event_id)(10, 5) {
+      countWindowTws[Long, EvRow, CountWinOut](ev)(_.user_id, _.event_id)(10, 5) {
         (uid, window, total) =>
           val avg = window.map(_.value).sum / window.size
           CountWinOut(uid, total,

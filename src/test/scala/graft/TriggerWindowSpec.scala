@@ -81,6 +81,52 @@ class TriggerWindowSpec extends GraftSpec {
     assert(run(out2).map(_._2) == List(Seq(2L, 10L, 11L)))
   }
 
+  test("TwS runtime: same fires as fMGWS for count/delta/purge/evictor combos (batch parity)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val ds = batch((1 to 12).map(i => ev(i, i * 3.0)): _*)
+    def both(tr: Trigger[Ev], evc: Option[Evictor[Ev]]) = {
+      val f = run(triggeredWindow[Long, Ev, (Long, Seq[Long], Long)](ds)(
+        _.user_id, _.event_id)(tr, evc)((k, w, t) => (k, w.map(_.event_id), t)))
+      val n = run(triggeredWindowTws[Long, Ev, (Long, Seq[Long], Long)](ds)(
+        _.user_id, _.event_id)(tr, evc)((k, w, t) => (k, w.map(_.event_id), t)))
+      assert(f == n, s"runtime divergence for $tr/$evc:\nfMGWS $f\nTwS   $n")
+    }
+    both(CountTrigger[Ev](3), Some(CountEvictor[Ev](4)))
+    both(PurgingTrigger(CountTrigger[Ev](2)), None)
+    both(DeltaTrigger[Ev](8.0, (a, b) => math.abs(b.value - a.value)), None)
+    both(CountTrigger[Ev](2), Some(TimeEvictor[Ev](3000, _.ts_us / 1000)))
+  }
+
+  test("TwS runtime: a count-trigger fire STRADDLES micro-batches (buffer + sinceFire carry)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.streaming.TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[Ev]
+      val out = triggeredWindowTws[Long, Ev, (Long, Seq[Long], Long)](mem.toDS())(
+        _.user_id, _.event_id)(CountTrigger[Ev](3), Some(CountEvictor[Ev](4)))(
+        (k, w, t) => (k, w.map(_.event_id), t))
+      val emitted = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long], Long)]()
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (b: org.apache.spark.sql.Dataset[(Long, Seq[Long], Long)], _: Long) =>
+          emitted.synchronized { emitted ++= b.collect() }
+          ()
+      }.start()
+      try {
+        mem.addData(ev(1, 1.0), ev(2, 2.0)) // 2 of 3: no fire, buffer carries
+        q.processAllAvailable()
+        assert(emitted.isEmpty, s"premature fire: $emitted")
+        mem.addData(ev(3, 3.0)) // 3rd element arrives in the NEXT batch
+        q.processAllAvailable()
+        assert(emitted.toList == List((1L, Seq(1L, 2L, 3L), 3L)), emitted)
+        mem.addData(ev(4, 4.0), ev(5, 5.0), ev(6, 6.0)) // next fire at 6
+        q.processAllAvailable()
+        assert(emitted.toList.last == ((1L, Seq(3L, 4L, 5L, 6L), 6L)), emitted)
+      } finally q.stop()
+    }
+  }
+
   test("early-fire counts accumulate across micro-batches") {
     val sparkS = spark
     import sparkS.implicits._

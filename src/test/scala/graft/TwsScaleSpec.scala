@@ -217,6 +217,43 @@ class TwsScaleSpec extends GraftSpec {
     }
   }
 
+  test("soak: count-trigger window — 50k one-key events keep the buffer at the evictor bound") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TriggerWindows
+    import graft.streaming.StatefulOps.Ev
+    TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[Ev]
+      val out = TriggerWindows.countWindowTws[Long, Ev, (Long, Long, Double)](
+        mem.toDS())(_.user_id, _.event_id)(10, 5)(
+        (k, w, t) => (k, t, w.map(_.value).sum))
+      val fires = new java.util.concurrent.atomic.AtomicLong
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+          fires.addAndGet(batch.count()); ()
+      }.start()
+      try {
+        val n = 50000; val batches = 10
+        val t0 = System.nanoTime()
+        for (b <- 0 until batches) {
+          val start = b * (n / batches)
+          mem.addData((start until start + n / batches).map(i =>
+            Ev(i.toLong + 1, 1L, "t", 1.0, (i + 1) * 1000000L)): _*)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        assert(fires.get() == n / 5, s"expected ${n / 5} fires, got ${fires.get()}")
+        // buffer bounded by the CountEvictor(10) + scalars — never the stream
+        assert(stateRows(q) <= 15,
+          s"window buffer must stay evictor-bounded, got ${stateRows(q)}")
+        assert(secs < 120, s"50k-event count-window soak took $secs s")
+        info(f"count-window soak: $n events / $batches batches in $secs%.1f s, " +
+          s"state rows = ${stateRows(q)}, fires = ${fires.get()}")
+      } finally q.stop()
+    }
+  }
+
   test("soak: changelog join — 20k churning changes on one key leave only live rows in state") {
     val sparkS = spark
     import sparkS.implicits._
