@@ -916,10 +916,63 @@ object TpcdsShapes {
       |FROM ch GROUP BY ROLLUP(channel, grp)
       |ORDER BY channel NULLS FIRST, grp NULLS FIRST""".stripMargin))
 
+  /** q41: the dimension-only correlated EXISTS with disjunctive attribute
+    * bands — a self semi-join of the part dim where the subquery's OR of
+    * (type, size-band) conjunctions must stay a residual inside the semi
+    * join's build (no per-row re-scan of the dim). */
+  val q41: Q = sqlQ(
+    "q_tpcds_q41_shape",
+    """SELECT DISTINCT p_brand FROM part p1
+      |WHERE p_size BETWEEN 1 AND 20
+      |  AND EXISTS (SELECT 1 FROM part p2 WHERE p2.p_brand = p1.p_brand
+      |              AND ((p2.p_type = 'MEDIUM' AND p2.p_size BETWEEN 1 AND 2)
+      |                OR (p2.p_type = 'PROMO' AND p2.p_size BETWEEN 49 AND 50)))
+      |ORDER BY p_brand""".stripMargin)
+
+  /** q48: the OR-of-band-conjunctions spanning BOTH join sides — each arm
+    * pairs an orders attribute with lineitem ranges, so no arm can push
+    * below the join; the disjunction stays one residual filter over one
+    * equi join feeding a single ungrouped aggregate. */
+  val q48: Q = sqlQ(
+    "q_tpcds_q48_shape",
+    """SELECT round(sum(l_quantity), 2) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE (o_orderpriority = '1-URGENT' AND l_extendedprice BETWEEN 500 AND 20000 AND l_discount BETWEEN 0.00 AND 0.05)
+      |   OR (o_orderpriority = '3-MEDIUM' AND l_extendedprice BETWEEN 10000 AND 40000 AND l_discount BETWEEN 0.03 AND 0.08)
+      |   OR (o_orderpriority = '5-LOW' AND l_extendedprice BETWEEN 20000 AND 60000 AND l_discount BETWEEN 0.05 AND 0.10)
+      |ORDER BY qty""".stripMargin)
+
+  /** q90: the am/pm ratio of two single-row counts — a SECOND instance of
+    * the ratio-of-ungrouped-aggregates shape (q61), deliberately kept so
+    * the plan audit's SEMANTIC BroadcastNestedLoopJoin exemption (both
+    * inputs provably single-row) is exercised beyond the one query it was
+    * written for. */
+  val q90: Q = sqlQ(
+    "q_tpcds_q90_shape",
+    """SELECT round(CAST(am.cnt AS DOUBLE) / pm.cnt, 6) AS am_pm_ratio
+      |FROM (SELECT count(*) AS cnt FROM events WHERE CAST(hour(ts) AS INTEGER) BETWEEN 6 AND 11) am,
+      |     (SELECT count(*) AS cnt FROM events WHERE CAST(hour(ts) AS INTEGER) BETWEEN 18 AND 23) pm
+      |ORDER BY am_pm_ratio""".stripMargin)
+
+  /** q32: the correlated excess threshold feeding a GRAND TOTAL — rows
+    * beating 1.3x their part's average, summed to one row (q30 pins the
+    * same decorrelation at the nation grain with per-customer output; here
+    * the correlation is per part and everything collapses to a scalar).
+    * Integral quantity keeps the 1.3x boundary exact in both engines. */
+  val q32: Q = sqlQ(
+    "q_tpcds_q32_shape",
+    """SELECT round(sum(l1.l_quantity), 2) AS excess_qty
+      |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+      |WHERE p_size <= 25
+      |  AND l1.l_quantity > (SELECT 1.3 * avg(l2.l_quantity) FROM lineitem l2
+      |                       WHERE l2.l_partkey = l1.l_partkey)
+      |ORDER BY excess_qty""".stripMargin)
+
   val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
     q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47, q1,
     q2, q34, q85, q95, q39,
     q28, q44, q87, q61, q97, q21, q65,
     q38, q70, q83, q62, q30, q45,
-    q9, q58, q75, q77)
+    q9, q58, q75, q77,
+    q41, q48, q90, q32)
 }

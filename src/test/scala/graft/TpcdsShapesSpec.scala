@@ -285,6 +285,34 @@ class TpcdsShapesSpec extends GraftSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q41: dim-only correlated EXISTS with OR bands plans a semi self-join") {
+    val p = finalPlan(operators.TpcdsShapes.q41)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q48: cross-side OR-of-conjunctions stays ONE residual over one equi join") {
+    val p = finalPlan(operators.TpcdsShapes.q48)
+    assert("Join".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q90: the 1x1 count ratio DOES broadcast-nested-loop — the semantic exemption's second instance") {
+    val p = finalPlan(operators.TpcdsShapes.q90)
+    // the plan SHOULD contain a BNLJ of two single-row aggregates; the
+    // PlanAuditSpec sweep must accept it via the semantic (not name-list)
+    // exemption — this test pins the shape actually exercising that path
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q32: per-part excess threshold decorrelates to an aggregate equi-join, scalar output") {
+    val p = finalPlan(operators.TpcdsShapes.q32)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q77: full-outer channel merges under a union under ONE rollup Expand") {
     val p = finalPlan(operators.TpcdsShapes.q77)
     assert(p.contains("FullOuter"), p)
