@@ -207,7 +207,16 @@ object GraftSql {
     * themselves survive (like [[blankLiterals]]); comment markers blank
     * too. Every lexical splitter (statement split, top-level UNION
     * segmentation) scans THIS text and slices the original by position,
-    * so the quote/comment discipline lives once. */
+    * so the quote/comment discipline lives once.
+    *
+    * Known bound: backslash handling follows Spark's DEFAULT lexer. With
+    * `spark.sql.parser.escapedStringLiterals=true` (settable through the
+    * door's own SET) Spark reads the backslash as a literal character, so
+    * a statement like `SELECT 'dir\'` ends its literal where this scanner
+    * does not — the splitter then disagrees with Spark about the
+    * statement boundary. A conf-aware scan would need the session
+    * threaded into every lexical consumer; until a user actually runs
+    * that conf, the default-lexer discipline is the correct trade. */
   private[graft] def blankCommentsAndLiterals(s: String): String = {
     val out = s.toCharArray
     var i = 0

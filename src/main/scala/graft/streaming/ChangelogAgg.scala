@@ -304,16 +304,22 @@ object ChangelogAgg {
           it.toSeq.sortBy(_.seq).foreach(c => st = applyOrd(st, c.kind, c.value, c.seq))
           val after = ordResult(st)
           if (after.isEmpty) state.remove() else state.update(st)
-          val out = (before, after) match {
-            case (None, None) => Nil
-            case (None, Some((f, l, vs))) => Seq(OrdOut(key, "+I", f, l, vs))
-            case (Some((f, l, vs)), None) => Seq(OrdOut(key, "-D", f, l, vs))
-            case (Some(b), Some(a)) if b == a => Nil
-            case (Some((bf, bl, bvs)), Some((af, al, avs))) =>
-              Seq(OrdOut(key, "-U", bf, bl, bvs), OrdOut(key, "+U", af, al, avs))
-          }
-          out.iterator
+          emitOrdChanges(key, before, after)
       }
+
+  /** [[emitChanges]]'s twin for the ordered aggregate — the OrdOut
+    * changelog fold, shared by both runtimes. */
+  private def emitOrdChanges[K](key: K,
+      before: Option[(Double, Double, Seq[Double])],
+      after: Option[(Double, Double, Seq[Double])]): Iterator[OrdOut[K]] =
+    ((before, after) match {
+      case (None, None) => Nil
+      case (None, Some((f, l, vs))) => Seq(OrdOut(key, "+I", f, l, vs))
+      case (Some((f, l, vs)), None) => Seq(OrdOut(key, "-D", f, l, vs))
+      case (Some(b), Some(a)) if b == a => Nil
+      case (Some((bf, bl, bvs)), Some((af, al, avs))) =>
+        Seq(OrdOut(key, "-U", bf, bl, bvs), OrdOut(key, "+U", af, al, avs))
+    }).iterator
 
   /** [[aggOrdered]] on the transformWithState runtime: the arrival-ordered
     * multiset lives as MapState keyed by (value, seq) instance — exactly
@@ -345,26 +351,26 @@ object ChangelogAgg {
       val batch = rows.toArray.sortBy(_.seq)
       if (batch.isEmpty) return Iterator.empty
       // one scan loads the live instances (ordResult needs the full
-      // arrival order anyway); fold in memory, write back the diff
+      // arrival order anyway); fold in memory, write back the diff. A
+      // per-value seq index keeps each retraction O(log live) — a find()
+      // scan here made a churn batch O(batch x live) (r12 review)
       val live = scala.collection.mutable.TreeSet.empty[(Long, Double)] // (seq, value)
-      occ.keys().foreach { case (v, seq) => live.add((seq, v)) }
+      val byVal = scala.collection.mutable.Map.empty[Double, scala.collection.mutable.TreeSet[Long]]
+      def index(v: Double) = byVal.getOrElseUpdate(v, scala.collection.mutable.TreeSet.empty[Long])
+      occ.keys().foreach { case (v, seq) => live.add((seq, v)); index(v).add(seq) }
       val live0 = live.toSet
       val before = ordResultOf(live)
       batch.foreach { c =>
-        if (isAccumulate(c.kind)) live.add((c.seq, c.value))
-        else live.find(_._2 == c.value).foreach(live.remove) // oldest live instance
+        if (isAccumulate(c.kind)) { live.add((c.seq, c.value)); index(c.value).add(c.seq) }
+        else byVal.get(c.value).filter(_.nonEmpty).foreach { seqs =>
+          val oldest = seqs.head // smallest seq = oldest live instance
+          seqs.remove(oldest); live.remove((oldest, c.value))
+        }
       }
       val after = ordResultOf(live)
       (live0 diff live).foreach { case (seq, v) => occ.removeKey((v, seq)) }
       (live diff live0).foreach { case (seq, v) => occ.updateValue((v, seq), true) }
-      ((before, after) match {
-        case (None, None) => Nil
-        case (None, Some((f, l, vs))) => Seq(OrdOut(key, "+I", f, l, vs))
-        case (Some((f, l, vs)), None) => Seq(OrdOut(key, "-D", f, l, vs))
-        case (Some(b), Some(a)) if b == a => Nil
-        case (Some((bf, bl, bvs)), Some((af, al, avs))) =>
-          Seq(OrdOut(key, "-U", bf, bl, bvs), OrdOut(key, "+U", af, al, avs))
-      }).iterator
+      emitOrdChanges(key, before, after)
     }
 
     private def ordResultOf(live: scala.collection.SortedSet[(Long, Double)])

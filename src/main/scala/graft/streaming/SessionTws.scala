@@ -103,9 +103,10 @@ object SessionTws {
       TwsOps.rearmAt(getHandle, armed,
         open.iterator.map(w => endMs(w.endUs)).minOption,
         timerValues.getCurrentWatermarkInMs() + 1)
+      // raw totals: presentation rounding is the QUERY's business (the
+      // sibling TwS operators emit raw aggregates too — r12 review)
       closed.sortBy(_.startUs).iterator.map(w =>
-        SessOut(w.startUs / 1000000, key,
-          w.cnt, BigDecimal(w.total).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        SessOut(w.startUs / 1000000, key, w.cnt, w.total))
     }
   }
 
@@ -142,7 +143,9 @@ object SessionTws {
               .otherwise(10L * 60 * 1000000).as("gap_us"),
             col("ts"))
           .as[SessEvW]
+        import org.apache.spark.sql.functions.round
         val out = sessionTws(in).toDF()
+          .withColumn("total", round($"total", 2))
         StreamingOps.runToMemory(s, out, "append", "graft_tws_session")
           .orderBy($"user_id", $"sess_start")
       }

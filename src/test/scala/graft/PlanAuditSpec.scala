@@ -197,13 +197,28 @@ class PlanAuditSpec extends GraftSpec {
     }
     def allNodes(p: SparkPlan): Seq[SparkPlan] =
       p +: (descend(p) ++ p.subqueries).flatMap(allNodes)
+    // WHITELIST of wrappers known to preserve or reduce rows — default-deny,
+    // so an unanticipated row-multiplying unary node (Generate, Expand, a
+    // flatMap object operator) can never smuggle an unbounded side past the
+    // exemption (r12 review hardening)
+    val rowPreserving = Set("ProjectExec", "FilterExec", "SortExec",
+      "WholeStageCodegenExec", "InputAdapter", "BroadcastExchangeExec",
+      "ShuffleExchangeExec", "ReusedExchangeExec", "CoalesceExec",
+      "AQEShuffleReadExec", "ShuffleQueryStageExec", "BroadcastQueryStageExec",
+      "AdaptiveSparkPlanExec", "LocalLimitExec", "GlobalLimitExec",
+      "TakeOrderedAndProjectExec", "SubqueryExec", "ColumnarToRowExec")
     def singleRow(p: SparkPlan): Boolean = p match {
-      case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
-      case _: org.apache.spark.sql.execution.GenerateExec => false // row-multiplying
-      case _: org.apache.spark.sql.execution.ExpandExec   => false // row-multiplying
+      case agg: BaseAggregateExec =>
+        // FINAL/COMPLETE ungrouped aggregate = one row; a PARTIAL-mode one
+        // emits a row per partition and must not qualify
+        agg.groupingExpressions.isEmpty &&
+          agg.aggregateExpressions.forall(ae =>
+            ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
+            ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete)
       case _ =>
         val kids = descend(p)
-        kids.size == 1 && singleRow(kids.head) // unary wrappers preserve or reduce rows
+        kids.size == 1 && rowPreserving.contains(p.getClass.getSimpleName) &&
+          singleRow(kids.head)
     }
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
       operators.TpchSql.all ++ operators.TemporalSql.all ++

@@ -217,6 +217,44 @@ class TwsScaleSpec extends GraftSpec {
     }
   }
 
+  test("soak: ordered changelog aggregate — 20k live instances absorb a 10k-retraction churn batch") {
+    // discriminates the r12 per-value seq index: a find()-scan retraction
+    // was O(batch x live) — 10k retractions against 20k live instances is
+    // ~200M tuple comparisons per batch; the index does it in O(batch log n)
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ChangelogAgg
+    import graft.streaming.ChangelogAgg.AggChange
+    TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[AggChange[Long]]
+      val out = ChangelogAgg.aggOrderedTws(mem.toDS())
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[ChangelogAgg.OrdOut[Long]], _: Long) =>
+          batch.count(); ()
+      }.start()
+      try {
+        val live = 20000
+        mem.addData((0 until live).map(i =>
+          AggChange(1L, i.toLong, "+I", (i % 500).toDouble)): _*)
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        // churn: retract 10k oldest instances and re-insert fresh ones
+        mem.addData((0 until 5000).flatMap { i =>
+          val v = (i % 500).toDouble
+          Seq(AggChange(1L, (live + 2 * i).toLong, "-U", v),
+            AggChange(1L, (live + 2 * i + 1).toLong, "+U", v))
+        }: _*)
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        assert(stateRows(q) <= live + 5, s"state must stay at live instances, got ${stateRows(q)}")
+        assert(secs < 60, s"10k-churn ordered-agg batch took $secs s (index regression?)")
+        info(f"ordered-agg churn soak: $live live + 10k churn in $secs%.1f s, " +
+          s"state rows = ${stateRows(q)}")
+      } finally q.stop()
+    }
+  }
+
   test("soak: count-trigger window — 50k one-key events keep the buffer at the evictor bound") {
     val sparkS = spark
     import sparkS.implicits._
