@@ -83,22 +83,40 @@ object CepTws {
         val ms = math.floorDiv(e.ts_us, 1000L)
         if (ms < newMinMs) newMinMs = ms
       }
-      if (newMinMs != Long.MaxValue)
+      if (newMinMs == Long.MaxValue) Iterator.empty
+      else if (newMinMs <= timerValues.getCurrentWatermarkInMs()) {
+        // already due on arrival: a wm+1-clamped timer never fires if the
+        // watermark never advances again (a final-millisecond row split
+        // across batches — r12 review), so drain INLINE. Clearing the
+        // armed timer first keeps the one-armed-timer invariant: drain's
+        // rearmAt registers fresh.
+        if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
+        drain(key, timerValues.getCurrentWatermarkInMs(), timerValues)
+      } else {
         TwsOps.armEarlier(getHandle, armed, newMinMs,
           timerValues.getCurrentWatermarkInMs() + 1)
-      Iterator.empty
+        Iterator.empty
+      }
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[CepStreamOut] = {
-      val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
-        timerValues.getCurrentWatermarkInMs())
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CepStreamOut] =
+      drain(key,
+        math.max(expiredTimerInfo.getExpiryTimeInMs,
+          timerValues.getCurrentWatermarkInMs()),
+        timerValues)
+
+    /** One watermark step: consume the due slice in event-time order, then
+      * advanceTime(wm) expires `within` windows; write-backs as diffs.
+      * Called from a timer firing AND from handleInputRows when an arrival
+      * is already due (see there). */
+    private def drain(key: Long, releaseUpTo: Long, timerValues: TimerValues)
+        : Iterator[CepStreamOut] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
       val all = buf.get().toVector
       val (due, rest) = all.partition(e => math.floorDiv(e.ts_us, 1000L) <= releaseUpTo)
-      val carried = runs.get().map(toRun).toVector
-      // the reference CepOperator's watermark step: consume the due slice
-      // in event-time order, then advanceTime(wm) expires `within` windows
+      val carriedRows = runs.get().toVector
+      val carried = carriedRows.map(toRun)
       val (matches, survivors0, eventTimeouts) = Pattern.advanceFull(
         pat, due.sortBy(e => (e.ts_us, e.event_id)).iterator,
         (_: Ev).ts_us, (_: Ev).event_id, carried, endOfInput = false)
@@ -106,7 +124,7 @@ object CepTws {
       // write-backs as diffs: untouched state costs nothing
       if (due.nonEmpty) { if (rest.isEmpty) buf.clear() else buf.put(rest.toArray) }
       val survivorRows = survivors.map(toRow)
-      if (survivorRows != carried.map(toRow)) {
+      if (survivorRows != carriedRows) {
         if (survivorRows.isEmpty) runs.clear() else runs.put(survivorRows.toArray)
       }
       val nextEventMs = rest.iterator.map(e => math.floorDiv(e.ts_us, 1000L)).minOption
@@ -129,6 +147,8 @@ object CepTws {
     val spark = ds.sparkSession
     import spark.implicits._
     implicit val outEnc: Encoder[CepStreamOut] = Encoders.product[CepStreamOut]
+    TwsOps.ensureStateCoordinator(spark)
+    if (ds.isStreaming) TwsOps.requireRocksDb(spark, "streamingMatchesTws")
     ds.withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", delay)
       .as[EvW]

@@ -83,17 +83,33 @@ object SessionTws {
         SessWin(e.ts_us, e.ts_us + e.gap_us, 1L, e.value)).toVector
       if (protos.isEmpty) return Iterator.empty
       val existing = sessions.get().toVector
+      // at least one proto joined, so the merged set always differs from
+      // the stored one — write unconditionally (no diff to exploit here)
       val merged = merge(existing ++ protos)
-      if (merged != existing) sessions.put(merged.toArray)
-      // merges only move ends LATER; an early firing is a harmless no-op
-      // that re-arms at the true minimum (see class doc)
-      TwsOps.armEarlier(getHandle, armed, merged.iterator.map(w => endMs(w.endUs)).min,
-        timerValues.getCurrentWatermarkInMs() + 1)
-      Iterator.empty
+      sessions.put(merged.toArray)
+      val minEndMs = merged.iterator.map(w => endMs(w.endUs)).min
+      if (TwsOps.dueOnArrival(getHandle, armed, minEndMs,
+          timerValues.getCurrentWatermarkInMs()))
+        // a fully-late event can open a session already behind the
+        // watermark; a wm+1 timer would never fire on a stalled watermark
+        // (r12 review) — close it inline
+        drain(key, timerValues)
+      else {
+        // merges only move ends LATER; an early firing is a harmless no-op
+        // that re-arms at the true minimum (see class doc)
+        TwsOps.armEarlier(getHandle, armed, minEndMs,
+          timerValues.getCurrentWatermarkInMs() + 1)
+        Iterator.empty
+      }
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessOut] = {
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessOut] =
+      drain(key, timerValues)
+
+    /** Close every session the watermark has passed; re-arm at the next
+      * open end. Called from timer firings AND due-on-arrival. */
+    private def drain(key: Long, timerValues: TimerValues): Iterator[SessOut] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
       val all = sessions.get().toVector
       val (closed, open) = all.partition(_.endUs <= wmUs)

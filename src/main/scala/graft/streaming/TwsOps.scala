@@ -243,6 +243,22 @@ object TwsOps {
       case None => armed.clear()
     }
 
+  /** Arrival-side dispatch shared by the TwS processors: when the batch's
+    * earliest release tick is ALREADY at or below the current watermark, a
+    * wm+1-clamped timer would never fire if the watermark never advances
+    * again (a final-millisecond row split across batches — r12 review), so
+    * the processor must drain INLINE instead of arming. Clears the armed
+    * timer first so the drain's rearmAt keeps the one-armed-timer
+    * invariant. Returns true when the caller should drain now. */
+  private[graft] def dueOnArrival(
+      handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      armed: ValueState[Long], newMinMs: Long, wmMs: Long): Boolean =
+    if (newMinMs > wmMs) false
+    else {
+      if (armed.exists()) { handle.deleteTimer(armed.get()); armed.clear() }
+      true
+    }
+
   class TemporalSortProcessor
       extends StatefulProcessor[Long, StatefulOps.EvT, StatefulOps.EvT] {
     @transient private var buf: ListState[StatefulOps.EvT] = _
@@ -264,18 +280,27 @@ object TwsOps {
       var newMin = Long.MaxValue
       batch.foreach { e => if (e.ts.getTime < newMin) newMin = e.ts.getTime }
       if (batch.nonEmpty) buf.appendList(batch)
-      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin,
-        timerValues.getCurrentWatermarkInMs() + 1)
-      Iterator.empty
+      if (newMin == Long.MaxValue) Iterator.empty
+      else if (dueOnArrival(getHandle, armed, newMin,
+          timerValues.getCurrentWatermarkInMs()))
+        drain(key, timerValues.getCurrentWatermarkInMs(), timerValues)
+      else {
+        armEarlier(getHandle, armed, newMin,
+          timerValues.getCurrentWatermarkInMs() + 1)
+        Iterator.empty
+      }
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.EvT] = {
-      // drain the WHOLE due slice up to the current watermark in this one
-      // firing (the wm may be far past the armed min), then re-arm at the
-      // earliest surviving row
-      val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
-        timerValues.getCurrentWatermarkInMs())
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.EvT] =
+      drain(key, math.max(expiredTimerInfo.getExpiryTimeInMs,
+        timerValues.getCurrentWatermarkInMs()), timerValues)
+
+    /** Drain the WHOLE due slice up to `releaseUpTo` in one step (the wm
+      * may be far past the armed min), then re-arm at the earliest
+      * surviving row. Called from timer firings AND due-on-arrival. */
+    private def drain(key: Long, releaseUpTo: Long, timerValues: TimerValues)
+        : Iterator[StatefulOps.EvT] = {
       val (ready, rest) = buf.get().toSeq.partition(_.ts.getTime <= releaseUpTo)
       if (rest.isEmpty) buf.clear() else buf.put(rest.toArray)
       rearmAt(getHandle, armed, rest.iterator.map(_.ts.getTime).minOption,
@@ -370,17 +395,28 @@ object TwsOps {
         val ms = appendToPending(pending, e)
         if (ms < newMin) newMin = ms
       }
-      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin,
-        timerValues.getCurrentWatermarkInMs() + 1)
-      Iterator.empty
+      if (newMin == Long.MaxValue) Iterator.empty
+      else if (dueOnArrival(getHandle, armed, newMin,
+          timerValues.getCurrentWatermarkInMs()))
+        drain(key, timerValues.getCurrentWatermarkInMs(), timerValues)
+      else {
+        armEarlier(getHandle, armed, newMin,
+          timerValues.getCurrentWatermarkInMs() + 1)
+        Iterator.empty
+      }
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.RangeOut] = {
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.RangeOut] =
+      drain(key, math.max(expiredTimerInfo.getExpiryTimeInMs,
+        timerValues.getCurrentWatermarkInMs()), timerValues)
+
+    /** The watermark step (due slice → frames → eviction → re-arm); called
+      * from timer firings AND due-on-arrival (see [[dueOnArrival]]). */
+    private def drain(key: Long, releaseUpTo: Long, timerValues: TimerValues)
+        : Iterator[StatefulOps.RangeOut] = {
       import StatefulOps.usOf
       import OverFrames.canon
-      val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
-        timerValues.getCurrentWatermarkInMs())
       val pendingAll = pending.iterator().toVector
       val (dueBuckets, stillPending) = pendingAll.partition(_._1 <= releaseUpTo)
       val due = canon(dueBuckets.flatMap(_._2.evs))
@@ -452,17 +488,28 @@ object TwsOps {
         val ms = appendToPending(pending, e)
         if (ms < newMin) newMin = ms
       }
-      if (newMin != Long.MaxValue) armEarlier(getHandle, armed, newMin,
-        timerValues.getCurrentWatermarkInMs() + 1)
-      Iterator.empty
+      if (newMin == Long.MaxValue) Iterator.empty
+      else if (dueOnArrival(getHandle, armed, newMin,
+          timerValues.getCurrentWatermarkInMs()))
+        drain(key, timerValues.getCurrentWatermarkInMs(), timerValues)
+      else {
+        armEarlier(getHandle, armed, newMin,
+          timerValues.getCurrentWatermarkInMs() + 1)
+        Iterator.empty
+      }
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.RangeOut] = {
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.RangeOut] =
+      drain(key, math.max(expiredTimerInfo.getExpiryTimeInMs,
+        timerValues.getCurrentWatermarkInMs()), timerValues)
+
+    /** The watermark step (due slice → frames → eviction → re-arm); called
+      * from timer firings AND due-on-arrival (see [[dueOnArrival]]). */
+    private def drain(key: Long, releaseUpTo: Long, timerValues: TimerValues)
+        : Iterator[StatefulOps.RangeOut] = {
       import StatefulOps.usOf
       import OverFrames.canon
-      val releaseUpTo = math.max(expiredTimerInfo.getExpiryTimeInMs,
-        timerValues.getCurrentWatermarkInMs())
       val pendingAll = pending.iterator().toVector
       val (dueBuckets, stillPending) = pendingAll.partition(_._1 <= releaseUpTo)
       val due = canon(dueBuckets.flatMap(_._2.evs))

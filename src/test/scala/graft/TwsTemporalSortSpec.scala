@@ -79,6 +79,39 @@ class TwsTemporalSortSpec extends GraftSpec {
     }
   }
 
+  test("a final event sharing its millisecond with an earlier batch still releases (due-on-arrival drain)") {
+    // the r12 review's stuck-timer case: batch 1 sets wm to the event's
+    // millisecond; batch 2 delivers a later-µs row in that SAME ms. Its
+    // release timer would clamp to wm+1 and never fire (the stream ends),
+    // so handleInputRows must drain inline when the arrival is already due.
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    TwsOps.withRocksDb(spark) {
+      val mem = MemoryStream[EvT]
+      val sorted = TwsOps.temporalSortTws(
+        mem.toDS().withWatermark("ts", "0 seconds").as[EvT])
+      val q = sorted.toDF().writeStream.format("memory")
+        .queryName("tws_tsort_stuck").outputMode("append").start()
+      try {
+        def subMs(base: String, micros: Int): Timestamp = {
+          val t = ts(base)
+          t.setNanos(t.getNanos + micros * 1000)
+          t
+        }
+        // batch 1: row A at ...:30.500200 → wm floors to ...:30.500
+        mem.addData(EvT(1, 1L, 1.0, subMs("2024-01-01 00:00:30.5", 200)))
+        q.processAllAvailable()
+        // batch 2: row B at ...:30.500700 — same ms as the watermark, the
+        // LAST event of the stream
+        mem.addData(EvT(2, 1L, 2.0, subMs("2024-01-01 00:00:30.5", 700)))
+        q.processAllAvailable()
+        assert(emittedIds("tws_tsort_stuck").sorted == Seq(1L, 2L),
+          s"final same-ms row stuck in state: ${emittedIds("tws_tsort_stuck")}")
+      } finally q.stop()
+    }
+  }
+
   test("tws over-range emits exact trailing frames and evicts rows no future frame can reference") {
     val sparkS = spark
     import sparkS.implicits._
