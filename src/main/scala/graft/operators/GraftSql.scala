@@ -1031,20 +1031,38 @@ object GraftSql {
           s"partition-commit sink $name needs exactly one PARTITIONED BY " +
             s"column (epoch-second partition start), got ${sd.partitions}")
         val pc = PartitionCommit.options(sd.opts)
+        require(pc.trigger == "partition-time",
+          s"unsupported sink.partition-commit.trigger '${pc.trigger}' — " +
+            "only 'partition-time' is implemented (process-time commit " +
+            "needs wall-clock progress a bounded AvailableNow drain " +
+            "doesn't have)")
         require(pc.policy == "success-file",
           s"unsupported sink.partition-commit.policy.kind '${pc.policy}'")
         val tsCol = sd.opts.getOrElse("sink.partition-commit.watermark-column", "ts")
         val durSec = sd.opts.get("partition.duration")
           .map(graft.operators.LookupJoin.parseDuration(_) / 1000L)
           .getOrElse(3600L)
-        val q = PartitionCommit.foreachBatchPartitioned(
-          df, sd.path, sd.partitions.head, durSec, tsCol, delaySec = pc.delaySec)
+        // the committer's watermark = max(ts) − out-of-orderness bound, and
+        // the bound comes from the SOURCE DDL's WATERMARK clause — read it
+        // off the analyzed plan's EventTimeWatermark node (the same place
+        // Spark's own stateful operators get it), so the committer sees the
+        // exact watermark the stream carries rather than max(ts) raw
+        val boundSec = df.queryExecution.analyzed.collect {
+          case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+            org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+              .getDelayMs(e.delay) / 1000L
+        }.foldLeft(0L)(math.max)
+        val at = PartitionCommit.attach(
+          df, sd.path, sd.partitions.head, durSec, tsCol,
+          boundSec = boundSec, delaySec = pc.delaySec,
+          commitTag = Integer.toHexString(ckpt.hashCode))
+        val q = at.writer
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
         val rb = PartitionCommit.readCommitted(spark, sd.path, sd.partitions.head)
-        (rb, rb.count())
+        (rb, at.rowsWritten)
       }
       else {
         val before =
@@ -1675,10 +1693,13 @@ object GraftSql {
           |SELECT event_id, value, ts,
           |       CAST(floor(unix_seconds(ts) / 86400) * 86400 AS BIGINT) AS dy
           |FROM graft_fs_src""".stripMargin)
-        .select(col("event_id"), col("value"), col("dy").cast("long").as("dy"))
+        .select(col("event_id"), col("value"), col("dy"))
         .orderBy("event_id")
     },
-    Some("""WITH w AS (SELECT max(epoch(ts)) AS wm FROM events)
+    // the source DDL declares WATERMARK … - INTERVAL '5' SECONDS, and the
+    // door plumbs that bound into the committer, so the visibility rule is
+    // wm = max(ts) − 5 (not max(ts) raw — the r12 review's finding 4)
+    Some("""WITH w AS (SELECT max(epoch(ts)) - 5 AS wm FROM events)
            |SELECT event_id, value,
            |       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS dy
            |FROM events, w

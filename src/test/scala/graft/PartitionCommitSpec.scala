@@ -58,6 +58,96 @@ class PartitionCommitSpec extends GraftSpec {
       PartitionCommit.Options("partition-time", 0L, "success-file"))
   }
 
+  test("a replayed batch (same commit tag + batch id) is skipped, not duplicated") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = Tables.scratch(s"pc-replay/${java.util.UUID.randomUUID()}")
+    def drain(tag: String): Long = {
+      val mem = MemoryStream[(Long, Double, Long)]
+      val df = mem.toDF().toDF("event_id", "value", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withColumn("hr", (floor(col("sec") / 3600) * 3600).cast("long"))
+        .select("event_id", "value", "ts", "hr")
+      val at = PartitionCommit.attach(df, path, "hr", 3600L, "ts",
+        commitTag = tag)
+      val q = at.writer.start()
+      mem.addData((1L, 1.0, 10L), (2L, 2.0, 3605L)) // batch 0 both times
+      q.processAllAvailable(); q.stop()
+      at.rowsWritten
+    }
+    // first attempt commits batch 0; the "replay" (same tag, batch ids
+    // restart at 0) must see the commit record and skip — the crash-between-
+    // write-and-checkpoint scenario that used to duplicate rows
+    assert(drain("tagA") == 2L)
+    assert(drain("tagA") == 0L)
+    // hr=3600 stays open (wm 3605 < its end 7200): only event 1 visible
+    val once = PartitionCommit.readCommitted(spark, path, "hr")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(once == Seq(1L))
+    // a DIFFERENT tag is a different writer: its batch 0 appends normally
+    assert(drain("tagB") == 2L)
+    val twice = PartitionCommit.readCommitted(spark, path, "hr")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(twice == Seq(1L, 1L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
+  test("a crashed earlier attempt's leftover files are replaced, not doubled") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = Tables.scratch(s"pc-crash/${java.util.UUID.randomUUID()}")
+    // simulate a crash after promote but before the commit record: data
+    // files for (tag, batch 0) already sit in the partition dir with the
+    // batch-unique prefix, but no commit record exists
+    val stale = java.nio.file.Paths.get(path, "hr=0")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("t-b0-stale.parquet"),
+      "not parquet".getBytes)
+    val mem = MemoryStream[(Long, Double, Long)]
+    val df = mem.toDF().toDF("event_id", "value", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("hr", (floor(col("sec") / 3600) * 3600).cast("long"))
+      .select("event_id", "value", "ts", "hr")
+    val q = PartitionCommit.foreachBatchPartitioned(df, path, "hr", 3600L, "ts",
+      commitTag = "t").start()
+    mem.addData((1L, 1.0, 10L), (2L, 2.0, 3605L))
+    q.processAllAvailable(); q.stop()
+    // the stale leftover was deleted before the move; the committed read
+    // sees exactly one copy (and doesn't choke on the junk file)
+    assert(!java.nio.file.Files.exists(stale.resolve("t-b0-stale.parquet")))
+    val seen = PartitionCommit.readCommitted(spark, path, "hr")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(seen == Seq(1L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
+  test("the committer watermark is restored from the commit records") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = Tables.scratch(s"pc-restore/${java.util.UUID.randomUUID()}")
+    def one(tag: String, rows: (Long, Double, Long)*): Unit = {
+      val mem = MemoryStream[(Long, Double, Long)]
+      val df = mem.toDF().toDF("event_id", "value", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withColumn("hr", (floor(col("sec") / 3600) * 3600).cast("long"))
+        .select("event_id", "value", "ts", "hr")
+      val q = PartitionCommit.foreachBatchPartitioned(df, path, "hr", 3600L,
+        "ts", commitTag = tag).start()
+      mem.addData(rows: _*); q.processAllAvailable(); q.stop()
+    }
+    // writer A leaves watermark 7250 in its commit record
+    one("wA", (1L, 1.0, 10L), (2L, 2.0, 7250L))
+    assert(hasSuccess(path, 0L) && !hasSuccess(path, 7200L))
+    // writer B's own batch watermark is only 3650 — hour 3600 commits
+    // anyway because the restored watermark (7250) never regresses
+    one("wB", (3L, 3.0, 3650L))
+    assert(hasSuccess(path, 3600L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("commit delay holds a ready partition back") {
     val sparkS = spark
     import sparkS.implicits._
