@@ -98,5 +98,66 @@ object QueryableState {
     Some("""SELECT event_type, count(*) AS cnt, max(value) AS vmax
             FROM events GROUP BY event_type"""))
 
-  val all: Seq[Q] = Seq(qQueryableState)
+  /** The same keyed (count, max) on transformWithState, with the aggregate
+    * in a NAMED state variable — the registration name is exactly what the
+    * reference's `asQueryableState("name")` hands the QueryableStateClient
+    * (KeyedStream.java:934), and the state source's `stateVarName` option
+    * plays the client's name-addressed lookup. */
+  private[graft] class TypeStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Ev, String] {
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[AggState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[AggState]("agg",
+        org.apache.spark.sql.Encoders.product[AggState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[String] = {
+      val cur = if (agg.exists()) agg.get() else AggState(0L, Double.MinValue)
+      val upd = rows.foldLeft(cur)((a, e) =>
+        AggState(a.cnt + 1, math.max(a.vmax, e.value)))
+      agg.update(upd)
+      Iterator.single(key)
+    }
+  }
+
+  /** q_queryable_state_tws: q_queryable_state's loop on the current API —
+    * named RocksDB-backed state variable in, `stateVarName`-addressed
+    * state-source read out. */
+  val qQueryableStateTws: Q = Q(
+    "q_queryable_state_tws",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      TwsOps.withRocksDb(s) {
+        val base = Tables.scratch(s"qstate-tws/${java.util.UUID.randomUUID()}")
+        val ckpt = s"$base/ckpt"
+        val snapDir = s"$base/snapshot"
+        val in = StreamingOps.streamTable(s, dir, "events")
+          .select($"event_type", $"value").as[Ev]
+        val sunk = in.groupByKey(_.event_type)
+          .transformWithState(new TypeStatsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        val q = sunk.writeStream
+          .format("noop")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        stateOf(s, ckpt, stateVar = Some("agg"))
+          .select(
+            col("key.value").as("event_type"),
+            col("value.cnt").as("cnt"),
+            col("value.vmax").as("vmax"))
+          .write.parquet(snapDir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        s.read.parquet(snapDir)
+      }
+    },
+    Some("""SELECT event_type, count(*) AS cnt, max(value) AS vmax
+            FROM events GROUP BY event_type"""))
+
+  val all: Seq[Q] = Seq(qQueryableState, qQueryableStateTws)
 }

@@ -592,6 +592,123 @@ object TwsOps {
            |         AS range_sum
            |FROM events ORDER BY user_id, event_id""".stripMargin))
 
+  /** Temporal AS-OF join with version-state TTL on transformWithState —
+    * the migration of [[StatefulOps.asofWithTtl]] (reference
+    * TemporalRowTimeJoinOperator.java:72 + StateTtlConfig.java:51: latest
+    * version per key in keyed state, purchases join against it, the
+    * version expires `ttlMs` after its own event time).
+    *
+    * What the migration buys over the fMGWS+[[TimerOps]] build: the
+    * version is ONE native ValueState row (no TimerState wrapper
+    * re-serialized per touched batch), and TTL cleanup is a native
+    * event-time timer.
+    *
+    * Semantics parity note: fMGWS fired due timers BEFORE the batch's
+    * elements (the reference's timers fire at watermark advances, which in
+    * the micro-batch model all precede the batch), so a version whose TTL
+    * the watermark passed is expired AT BATCH ENTRY — and a version set
+    * DURING the batch is readable for the rest of the batch even if
+    * already past its deadline, exactly as a Flink record following it in
+    * stream order would see it. The native timer remains as state cleanup
+    * (the reference's TTL compaction role). State discipline: ONE write +
+    * at most one timer re-arm per key per batch, however many signups the
+    * batch carries — per-row timer calls would make a hot key's ingest
+    * linear in STATE CALLS (the probed appendValue cliff). */
+  class AsofTtlProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, StatefulOps.Tagged, StatefulOps.AsofOut] {
+    @transient private var ver: ValueState[StatefulOps.SigVer] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      ver = getHandle.getValueState[StatefulOps.SigVer]("ver",
+        Encoders.product[StatefulOps.SigVer], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[StatefulOps.Tagged],
+        timerValues: TimerValues): Iterator[StatefulOps.AsofOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val stored = if (ver.exists()) Some(ver.get()) else None
+      // batch-entry expiry = the fMGWS drain-before-elements
+      var cur = stored.filter(v => v.tsMs + ttlMs > wm)
+      // (ts, signup-first, id) order — FOR SYSTEM_TIME AS OF <= semantics
+      // within the batch, same as the fMGWS operator
+      val batch = rows.toArray.sortInPlaceBy(t => (t.ts_us, 1 - t.is_sig, t.event_id))
+      val out = Vector.newBuilder[StatefulOps.AsofOut]
+      batch.foreach { t =>
+        if (t.is_sig == 1) cur = Some(StatefulOps.SigVer(t.value, t.ts_us / 1000))
+        else out += StatefulOps.AsofOut(t.event_id, cur.map(_.value))
+      }
+      if (cur != stored) cur match {
+        case Some(v) =>
+          if (armed.exists()) getHandle.deleteTimer(armed.get()) // re-arm on update
+          // wm+1 clamp: a timer registered at or below the current
+          // watermark never fires (armEarlier's probed runtime edge)
+          val exp = math.max(v.tsMs + ttlMs, wm + 1)
+          getHandle.registerTimer(exp)
+          armed.update(exp)
+          ver.update(v)
+        case None => // expired at entry with no successor this batch
+          if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
+          ver.clear()
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulOps.AsofOut] = {
+      // clear only when the CURRENT version is the one this timer guards
+      // (a re-armed key deletes its stale timer, but the guard keeps the
+      // protocol safe under any runtime double-fire)
+      if (ver.exists() &&
+          ver.get().tsMs + ttlMs <= expiredTimerInfo.getExpiryTimeInMs) {
+        ver.clear(); armed.clear()
+      }
+      Iterator.empty
+    }
+  }
+
+  /** [[StatefulOps.asofWithTtl]]'s API shape on the new runtime. */
+  def asofTtlTws(ds: org.apache.spark.sql.Dataset[StatefulOps.Tagged], ttlMs: Long)
+      : org.apache.spark.sql.Dataset[StatefulOps.AsofOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[StatefulOps.AsofOut] =
+      Encoders.product[StatefulOps.AsofOut]
+    ds.groupByKey(_.user_id)
+      .transformWithState(new AsofTtlProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** q_tws_asof: the q_stream_asof oracle on the migrated operator — the
+    * TTL knob wired at 10 years (the fixture spans days, so no version
+    * expires and the batch oracle holds; expiry itself is pinned in
+    * AsofTtlSpec's TwS twin). */
+  val qTwsAsof: Q = Q(
+    "q_tws_asof",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, when}
+      withRocksDb(s) {
+        val tagged = StreamingOps.streamTable(s, dir, "events")
+          .where(col("event_type").isin("signup", "purchase"))
+          .select($"event_id", $"user_id", $"value", unix_micros($"ts").as("ts_us"),
+            when($"event_type" === "signup", 1).otherwise(0).as("is_sig"), $"ts")
+          .withWatermark("ts", "0 seconds")
+          .as[StatefulOps.Tagged]
+        val out = asofTtlTws(tagged, ttlMs = 10L * 365 * 86400 * 1000).toDF()
+        StreamingOps.runToMemory(s, out, "append", "graft_tws_asof")
+          .orderBy($"event_id")
+      }
+    },
+    Some("""SELECT a.event_id,
+           |  (SELECT arg_max(b.value, printf('%020d-%012d', epoch_us(b.ts), b.event_id))
+           |   FROM events b
+           |   WHERE b.user_id = a.user_id AND b.event_type = 'signup'
+           |     AND b.ts <= a.ts) AS last_signup_value
+           |FROM events a WHERE a.event_type = 'purchase'
+           |ORDER BY a.event_id""".stripMargin))
+
   /** q_tws_temporal_sort: the q_stream_temporal_sort oracle on the migrated
     * operator — watermark delay 0, so the final no-data micro-batch's
     * watermark releases every buffered row through the native timers. */
@@ -613,5 +730,6 @@ object TwsOps {
            |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qTwsDedup, qTwsTemporalSort, qTwsOverRange, qTwsOverRows)
+  val all: Seq[Q] = Seq(qTwsDedup, qTwsTemporalSort, qTwsOverRange, qTwsOverRows,
+    qTwsAsof)
 }

@@ -337,4 +337,49 @@ class TwsScaleSpec extends GraftSpec {
       } finally q.stop()
     }
   }
+
+  test("soak: as-of TTL join — 50k one-key rows keep ONE version row and O(1) state calls per batch") {
+    // alternating signup/purchase on one hot key: state must stay at the
+    // single latest version (+ timer bookkeeping), and ingest must be
+    // bounded by ONE ver write + one timer re-arm per batch — per-row
+    // timer/state calls would cost the probed ~5 ms each (the appendValue
+    // cliff) and push this soak into minutes
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{AsofOut, Tagged}
+    TwsOps.withRocksDb(spark) {
+      val baseUs = 1000000000L * 1000000L
+      val mem = MemoryStream[Tagged]
+      val withWm = mem.toDS()
+        .withColumn("__ts", org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
+        .withWatermark("__ts", "0 seconds")
+        .as[Tagged]
+      val out = TwsOps.asofTtlTws(withWm, ttlMs = 10L * 365 * 86400 * 1000)
+      val joined = new java.util.concurrent.atomic.AtomicLong
+      val q = out.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[AsofOut], _: Long) =>
+          joined.addAndGet(batch.filter(_.last_signup_value.isDefined).count()); ()
+      }.start()
+      try {
+        val n = 50000; val batches = 10
+        val t0 = System.nanoTime()
+        for (b <- 0 until batches) {
+          val start = b * (n / batches)
+          mem.addData((start until start + n / batches).map { i =>
+            val isSig = if (i % 2 == 0) 1 else 0
+            Tagged(i.toLong, 1L, i.toDouble, baseUs + i * 1000000L, isSig)
+          }: _*)
+          q.processAllAvailable()
+          assert(stateRows(q) <= 6,
+            s"as-of state must stay at one version, got ${stateRows(q)} after batch $b")
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // every odd row is a purchase joining the even signup before it
+        assert(joined.get() == n / 2, s"expected ${n / 2} joins, got ${joined.get()}")
+        assert(secs < 120, s"50k-row as-of soak took $secs s")
+        info(f"as-of soak: $n rows / $batches batches in $secs%.1f s, state rows = ${stateRows(q)}")
+      } finally q.stop()
+    }
+  }
 }
