@@ -968,11 +968,347 @@ object TpcdsShapes {
       |                       WHERE l2.l_partkey = l1.l_partkey)
       |ORDER BY excess_qty""".stripMargin)
 
+  /** q4: the THREE-channel year-over-year growth comparison — q11's
+    * two-channel form widened to the full q4 shape: one per-(customer,
+    * channel, year) CTE self-joined SIX ways, keeping customers whose
+    * second-channel growth beats BOTH other channels' growth. Channels are
+    * the three return-flag classes; integral quantity totals make every
+    * ratio an IEEE-exact division of exact integers, so the growth
+    * comparisons cannot flip cross-engine. */
+  val q4: Q = sqlQ(
+    "q_tpcds_q4_shape",
+    """WITH yt AS (
+      |  SELECT o_custkey AS cust, l_returnflag AS chan,
+      |         year(o_orderdate) AS yr, sum(l_quantity) AS total
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)
+      |  GROUP BY o_custkey, l_returnflag, year(o_orderdate))
+      |SELECT a2.cust
+      |FROM yt a1 JOIN yt a2 ON a1.cust = a2.cust
+      |JOIN yt n1 ON n1.cust = a1.cust
+      |JOIN yt n2 ON n2.cust = a1.cust
+      |JOIN yt r1 ON r1.cust = a1.cust
+      |JOIN yt r2 ON r2.cust = a1.cust
+      |WHERE a1.chan = 'A' AND a1.yr = 1996 AND a2.chan = 'A' AND a2.yr = 1997
+      |  AND n1.chan = 'N' AND n1.yr = 1996 AND n2.chan = 'N' AND n2.yr = 1997
+      |  AND r1.chan = 'R' AND r1.yr = 1996 AND r2.chan = 'R' AND r2.yr = 1997
+      |  AND a1.total > 0 AND n1.total > 0 AND r1.total > 0
+      |  AND n2.total / n1.total > a2.total / a1.total
+      |  AND n2.total / n1.total > r2.total / r1.total
+      |ORDER BY a2.cust""".stripMargin)
+
+  /** q5: per-channel sales AND returns via a signed-measure UNION ALL
+    * rolled up — each branch null-fills the other's measure, the re-agg
+    * runs once over the union, and ROLLUP adds the per-channel and grand
+    * totals (the reference's store/catalog/web profit report). */
+  val q5: Q = sqlQ(
+    "q_tpcds_q5_shape",
+    """WITH sr AS (
+      |  SELECT n_name AS loc, 'store' AS chan,
+      |         l_extendedprice AS sales, 0.0 AS ret
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE l_returnflag <> 'R'
+      |  UNION ALL
+      |  SELECT n_name, 'store', 0.0, l_extendedprice
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R'
+      |  UNION ALL
+      |  SELECT n_name, 'web', o_totalprice, 0.0
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT chan, loc, round(sum(sales), 2) AS sales,
+      |       round(sum(ret), 2) AS ret_amt,
+      |       round(sum(sales) - sum(ret), 2) AS profit
+      |FROM sr
+      |GROUP BY ROLLUP (chan, loc)
+      |ORDER BY chan NULLS FIRST, loc NULLS FIRST""".stripMargin)
+
+  /** q6: the correlated DIMENSION-average threshold — items priced at
+    * least 1.2x their own type's average, counted per customer nation
+    * with a HAVING floor. Unlike q32/q30 (fact-side correlation) the
+    * subquery correlates on the dimension attribute, so decorrelation
+    * aggregates PART per type and joins it back above the star. Integral
+    * p_size keeps the 1.2x boundary exact in both engines. */
+  val q6: Q = sqlQ(
+    "q_tpcds_q6_shape",
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN part p ON l_partkey = p_partkey
+      |WHERE p.p_size >= 1.2 * (SELECT avg(p2.p_size) FROM part p2
+      |                         WHERE p2.p_type = p.p_type)
+      |GROUP BY n_name
+      |HAVING count(*) >= 10
+      |ORDER BY cnt, n_name""".stripMargin)
+
+  /** q8: a substring-derived bucket filtered through an INTERSECT of two
+    * customer populations — the fixed-list half replaced by the
+    * high-balance population, the other half a GROUP BY ... HAVING count
+    * population (the reference's preferred-customer zip intersect). The
+    * IN-subquery over the INTERSECT must plan as a semi join over the
+    * set-op, never a per-row re-evaluation. */
+  val q8: Q = sqlQ(
+    "q_tpcds_q8_shape",
+    """SELECT n_name, round(sum(o_totalprice), 2) AS net
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE substring(c_name, 17, 2) IN (
+      |  SELECT sub FROM (
+      |    SELECT substring(c_name, 17, 2) AS sub FROM customer
+      |    WHERE c_acctbal > 5000
+      |    INTERSECT
+      |    SELECT substring(c_name, 17, 2) AS sub
+      |    FROM customer JOIN orders ON c_custkey = o_custkey
+      |    GROUP BY substring(c_name, 17, 2)
+      |    HAVING count(*) > 10) pops)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin)
+
+  /** q16: EXISTS + NOT EXISTS together over one fact — orders shipped by
+    * MORE THAN ONE supplier (correlated inequality EXISTS → semi join)
+    * with NO returned line (NOT EXISTS → anti join), feeding a
+    * count(DISTINCT) + sum aggregate. q95 carried the double-EXISTS form;
+    * this is the mixed semi/anti form with a distinct aggregate above it
+    * (the reference's shipped-from-multiple-warehouses count). */
+  val q16: Q = sqlQ(
+    "q_tpcds_q16_shape",
+    """SELECT CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS order_count,
+      |       round(sum(l1.l_extendedprice), 2) AS total_price
+      |FROM orders o JOIN lineitem l1 ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = o.o_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = o.o_orderkey
+      |                    AND l3.l_returnflag = 'R')
+      |ORDER BY order_count""".stripMargin)
+
+  /** q22: the four-level hierarchy ROLLUP with an average measure — one
+    * Expand over (brand, type, size, linestatus) producing all five
+    * grouping depths in a single pass (the reference's inventory
+    * quantity-on-hand rollup). Integral quantity keeps avg exact before
+    * the 6-decimal parity rounding. */
+  val q22: Q = sqlQ(
+    "q_tpcds_q22_shape",
+    """SELECT round(avg(l_quantity), 6) AS qoh,
+      |       p_brand, p_type, p_size, l_linestatus
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY ROLLUP (p_brand, p_type, p_size, l_linestatus)
+      |ORDER BY qoh, p_brand NULLS FIRST, p_type NULLS FIRST,
+      |         p_size NULLS FIRST, l_linestatus NULLS FIRST
+      |LIMIT 100""".stripMargin)
+
+  /** q40: the before/after date pivot NET OF RETURNS — kept lines LEFT
+    * JOIN an aggregated returns view on the (order, part) pair, the
+    * coalesce-subtracted quantity splits into conditional sums around an
+    * anchor date (the reference's warehouse before/after-event compare).
+    * Integral quantities keep both pivots exact. */
+  val q40: Q = sqlQ(
+    "q_tpcds_q40_shape",
+    """WITH ret AS (
+      |  SELECT l_orderkey AS rk_o, l_partkey AS rk_p,
+      |         sum(l_quantity) AS ret_qty
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |  GROUP BY l_orderkey, l_partkey)
+      |SELECT n_name, p_brand,
+      |       round(sum(CASE WHEN l_shipdate < DATE '1998-01-01'
+      |                      THEN l_quantity - coalesce(ret_qty, 0)
+      |                      ELSE 0 END), 2) AS qty_before,
+      |       round(sum(CASE WHEN l_shipdate >= DATE '1998-01-01'
+      |                      THEN l_quantity - coalesce(ret_qty, 0)
+      |                      ELSE 0 END), 2) AS qty_after
+      |FROM lineitem
+      |  LEFT JOIN ret ON l_orderkey = rk_o AND l_partkey = rk_p
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN part ON l_partkey = p_partkey
+      |WHERE l_returnflag <> 'R' AND p_size < 15
+      |GROUP BY n_name, p_brand
+      |ORDER BY n_name, p_brand""".stripMargin)
+
+  /** q46: aggregate-the-trip THEN join-and-mismatch — per-order amounts
+    * (with the supplier nation captured inside the aggregate) joined to
+    * the customer dimension and filtered on a dimension INEQUALITY
+    * (customer's nation <> the trip's supplier nation): the
+    * agg-below-join order is the shape, the planner must not push the
+    * mismatch filter below the aggregate it references. */
+  val q46: Q = sqlQ(
+    "q_tpcds_q46_shape",
+    """WITH trips AS (
+      |  SELECT l_orderkey AS okey, o_custkey AS cust,
+      |         min(s_nationkey) AS trip_nation,
+      |         sum(l_extendedprice * (1 - l_discount)) AS amt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY l_orderkey, o_custkey)
+      |SELECT c_name, okey, round(amt, 2) AS amt
+      |FROM trips JOIN customer ON cust = c_custkey
+      |WHERE c_nationkey <> trip_nation
+      |ORDER BY c_name, okey
+      |LIMIT 100""".stripMargin)
+
+  /** q71: the time-dimension breakdown of a three-branch channel union —
+    * each branch scans the same fact with a different channel filter, the
+    * union re-aggregates per (hour, channel): the reference's
+    * hour-of-day × manager breakdown across web/catalog/store. */
+  val q71: Q = sqlQ(
+    "q_tpcds_q71_shape",
+    """SELECT CAST(hour(ts) AS INTEGER) AS hr, event_type,
+      |       round(sum(value), 2) AS amt
+      |FROM (SELECT ts, event_type, value FROM events WHERE event_type = 'click'
+      |      UNION ALL
+      |      SELECT ts, event_type, value FROM events WHERE event_type = 'view'
+      |      UNION ALL
+      |      SELECT ts, event_type, value FROM events WHERE event_type = 'purchase') u
+      |GROUP BY hour(ts), event_type
+      |ORDER BY hr, event_type""".stripMargin)
+
+  /** q76: the heterogeneous-channel UNION with aligned NULL-cast columns —
+    * each branch carries its own measure and null-fills the others', and
+    * the re-aggregate coalesces across them (the reference's
+    * null-foreign-key channel census; the planner challenge is the wide
+    * union of mismatched projections, not the nulls' provenance). */
+  val q76: Q = sqlQ(
+    "q_tpcds_q76_shape",
+    """SELECT chan, CAST(yr AS INTEGER) AS yr, CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(coalesce(s_price, 0) + coalesce(w_price, 0)
+      |                 + coalesce(r_qty, 0)), 2) AS amt
+      |FROM (
+      |  SELECT 'store' AS chan, year(o_orderdate) AS yr,
+      |         o_totalprice AS s_price, CAST(NULL AS DOUBLE) AS w_price,
+      |         CAST(NULL AS DOUBLE) AS r_qty
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'web', year(l_shipdate), CAST(NULL AS DOUBLE),
+      |         l_extendedprice, CAST(NULL AS DOUBLE)
+      |  FROM lineitem WHERE l_returnflag = 'N'
+      |  UNION ALL
+      |  SELECT 'returns', year(l_shipdate), CAST(NULL AS DOUBLE),
+      |         CAST(NULL AS DOUBLE), l_quantity
+      |  FROM lineitem WHERE l_returnflag = 'R') u
+      |GROUP BY chan, yr
+      |ORDER BY chan, yr""".stripMargin)
+
+  /** q84: the INCOME-BAND range join — a fact attribute lands in its band
+    * via `val >= lo AND val < hi` against a literal band dimension (the
+    * reference's household_demographics × income_band chain). The correct
+    * plan is a BroadcastNestedLoopJoin whose build side is the LITERAL
+    * band table (5 rows, compile-time constant) — the one other place
+    * besides the 1×1 scalar ratio where a BNLJ is scale-safe; the plan
+    * audit exempts it semantically (literal build side), not by name. */
+  val q84: Q = sqlQ(
+    "q_tpcds_q84_shape",
+    """SELECT ib_id, CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(c_acctbal), 2) AS bal
+      |FROM customer
+      |JOIN (VALUES (0, -1000.0, 1000.0), (1, 1000.0, 3000.0),
+      |             (2, 3000.0, 5000.0), (3, 5000.0, 7000.0),
+      |             (4, 7000.0, 10000.0)) AS ib(ib_id, lo, hi)
+      |  ON c_acctbal >= lo AND c_acctbal < hi
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY ib_id
+      |ORDER BY ib_id""".stripMargin)
+
+  /** q25: the sold → returned → re-sold THREE-WAY fact chain — the same
+    * fact self-joined twice, first on the (order, part) pair, then on the
+    * part with a later-order inequality (the reference's
+    * store_sales × store_returns × catalog_sales chain on (customer,
+    * item)). Integral quantities keep the three sums exact. */
+  val q25: Q = sqlQ(
+    "q_tpcds_q25_shape",
+    """WITH sold AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_quantity AS q
+      |              FROM lineitem WHERE l_returnflag = 'N'),
+      |     ret  AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_quantity AS q
+      |              FROM lineitem WHERE l_returnflag = 'R'),
+      |     res  AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_quantity AS q
+      |              FROM lineitem WHERE l_returnflag = 'A')
+      |SELECT p_brand,
+      |       round(sum(sold.q), 2) AS sold_qty,
+      |       round(sum(ret.q), 2) AS ret_qty,
+      |       round(sum(res.q), 2) AS resold_qty
+      |FROM sold
+      |JOIN ret ON sold.ok = ret.ok AND sold.pk = ret.pk
+      |JOIN res ON ret.pk = res.pk AND res.ok > ret.ok
+      |JOIN part ON sold.pk = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin)
+
+  /** q10: the customer PROFILE filter stack — a required EXISTS, an
+    * OR of two channel EXISTS (ExistenceJoin), and a NOT EXISTS (anti)
+    * all over the same dimension scan: q35 carried the OR-of-EXISTS
+    * decorrelation, this adds the anti join on top (the reference's
+    * active-in-some-channel, never-inactive census). */
+  val q10: Q = sqlQ(
+    "q_tpcds_q10_shape",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND (EXISTS (SELECT 1 FROM orders o2
+      |               WHERE o2.o_custkey = c.c_custkey
+      |                 AND o2.o_orderstatus = 'F')
+      |       OR EXISTS (SELECT 1 FROM orders o3
+      |                  WHERE o3.o_custkey = c.c_custkey
+      |                    AND o3.o_orderstatus = 'O'))
+      |  AND NOT EXISTS (SELECT 1 FROM orders o4
+      |                  WHERE o4.o_custkey = c.c_custkey
+      |                    AND o4.o_orderstatus = 'P')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin)
+
+  /** q18: the MULTI-AVERAGE rollup — several avg() measures computed
+    * together under one ROLLUP Expand (the reference's catalog-sales
+    * demographic averages). Integral quantity and size keep each average
+    * an exact rational before the 6-decimal parity rounding. */
+  val q18: Q = sqlQ(
+    "q_tpcds_q18_shape",
+    """SELECT n_name, o_orderpriority,
+      |       round(avg(l_quantity), 6) AS avg_qty,
+      |       round(avg(p_size), 6) AS avg_size,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN part ON l_partkey = p_partkey
+      |GROUP BY ROLLUP (n_name, o_orderpriority)
+      |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+
+  /** q13: OR-of-band-conjunctions SPANNING a join — each disjunct
+    * constrains BOTH the customer dimension (segment + balance band) and
+    * the fact (quantity band), so the predicate can fully push to neither
+    * side and must evaluate as one residual above the join (q48's
+    * single-table form, widened across the join the reference's
+    * store_sales × customer_demographics version has). */
+  val q13: Q = sqlQ(
+    "q_tpcds_q13_shape",
+    """SELECT round(avg(l_quantity), 6) AS avg_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_price,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |WHERE (c_mktsegment = 'BUILDING'
+      |       AND c_acctbal BETWEEN 1000 AND 5000
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (c_mktsegment = 'MACHINERY'
+      |       AND c_acctbal BETWEEN 3000 AND 8000
+      |       AND l_quantity BETWEEN 20 AND 40)
+      |   OR (c_mktsegment = 'AUTOMOBILE'
+      |       AND c_acctbal BETWEEN 0 AND 3000
+      |       AND l_quantity BETWEEN 1 AND 15)
+      |ORDER BY cnt""".stripMargin)
+
   val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
     q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47, q1,
     q2, q34, q85, q95, q39,
     q28, q44, q87, q61, q97, q21, q65,
     q38, q70, q83, q62, q30, q45,
     q9, q58, q75, q77,
-    q41, q48, q90, q32)
+    q41, q48, q90, q32,
+    q4, q5, q6, q8, q16, q22, q40, q46, q71, q76,
+    q84, q25, q10, q18, q13)
 }

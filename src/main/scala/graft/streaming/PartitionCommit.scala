@@ -147,9 +147,12 @@ object PartitionCommit {
             val mx = staged.agg(max(unix_seconds(col(tsCol)))).head()
             if (!mx.isNullAt(0))
               watermark = math.max(watermark, mx.getLong(0) - boundSec)
-            rows.addAndGet(n)
           }
           writeRecord(fs, record, watermark)
+          // count only after the commit record is durable: a batch retried
+          // after a crash before the record re-runs this body and must not
+          // double-count its rows
+          rows.addAndGet(n)
         } finally staged.unpersist()
       }
       commitReady(fs, root, partCol, partDurSec, delaySec, watermark)

@@ -730,6 +730,166 @@ object TwsOps {
            |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Streaming TopN on transformWithState (reference
+    * operators/rank/AppendOnlyTopNFunction.java:48): per-key top-3 by
+    * (value desc, id) in one ValueState row, refreshed list emitted every
+    * touched batch (update mode). The write is DIFFED — an unchanged top
+    * list doesn't touch the store (the hot-key case: most arrivals lose
+    * to the incumbents). */
+  class TopNProcessor
+      extends StatefulProcessor[String, StatefulOps.Ev, StatefulOps.TopOut] {
+    @transient private var top: ValueState[StatefulOps.TopState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getValueState[StatefulOps.TopState]("top",
+        Encoders.product[StatefulOps.TopState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[StatefulOps.Ev],
+        timerValues: TimerValues): Iterator[StatefulOps.TopOut] = {
+      val cur = if (top.exists()) top.get().items else Nil
+      val merged = (cur ++ rows.map(e => StatefulOps.TopItem(e.value, e.event_id)))
+        .sortBy(i => (-i.value, i.event_id)).take(3)
+      if (merged != cur) top.update(StatefulOps.TopState(merged))
+      merged.zipWithIndex.iterator.map { case (i, idx) =>
+        StatefulOps.TopOut(key, idx + 1, i.event_id, i.value)
+      }
+    }
+  }
+
+  /** Dedup keep-LAST on transformWithState (reference
+    * DeduplicateKeepLastRowFunction — the variant Spark's streaming
+    * dropDuplicates cannot express): one ValueState row holding the
+    * highest-id row seen, current value emitted per touched batch. */
+  class DedupLastProcessor
+      extends StatefulProcessor[(Long, String), StatefulOps.Ev, StatefulOps.LastOut] {
+    @transient private var last: ValueState[StatefulOps.LastState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[StatefulOps.LastState]("last",
+        Encoders.product[StatefulOps.LastState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[StatefulOps.Ev], timerValues: TimerValues)
+        : Iterator[StatefulOps.LastOut] = {
+      val incoming = rows.maxBy(_.event_id)
+      val keep =
+        if (last.exists() && last.get().event_id > incoming.event_id)
+          last.get()
+        else {
+          val s = StatefulOps.LastState(incoming.event_id, incoming.value)
+          last.update(s); s
+        }
+      Iterator.single(StatefulOps.LastOut(key._1, key._2, keep.event_id, keep.value))
+    }
+  }
+
+  /** Unbounded-preceding running sum on transformWithState (reference
+    * operators/over/RowTimeRowsUnboundedPrecedingFunction.java): one
+    * ValueState scalar per key, each row emitted once with the running
+    * total (append mode) — the whole-state payload is ONE double, the
+    * cheapest possible migration win over a re-serialized fMGWS object. */
+  class RunningSumProcessor
+      extends StatefulProcessor[Long, StatefulOps.Ev, StatefulOps.OverOut] {
+    @transient private var total: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total",
+        Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[StatefulOps.Ev],
+        timerValues: TimerValues): Iterator[StatefulOps.OverOut] = {
+      var t = if (total.exists()) total.get() else 0.0
+      val out = rows.toArray.sortInPlaceBy(_.event_id).map { e =>
+        t += e.value
+        // HALF_UP to match both the oracle's round() and Spark's
+        // (math.rint is half-even and flips .xx5 boundaries)
+        StatefulOps.OverOut(e.event_id, key,
+          BigDecimal(t).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      total.update(t)
+      out.iterator
+    }
+  }
+
+  /** q_tws_topn: the q_stream_topn oracle on the migrated operator. */
+  val qTwsTopN: Q = Q(
+    "q_tws_topn",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      withRocksDb(s) {
+        implicit val enc: Encoder[StatefulOps.TopOut] =
+          Encoders.product[StatefulOps.TopOut]
+        val out = twsEvents(s, dir)
+          .groupByKey(_.event_type)
+          .transformWithState(new TopNProcessor,
+            TimeMode.None(), OutputMode.Update())
+        StreamingOps.runToMemory(s, out.toDF(), "update", "graft_tws_topn")
+          .orderBy($"event_type", $"rn")
+      }
+    },
+    Some("""SELECT event_type, rn, event_id, value FROM (
+           |  SELECT event_type, CAST(row_number() OVER (PARTITION BY event_type
+           |           ORDER BY value DESC, event_id) AS INTEGER) AS rn,
+           |         event_id, value
+           |  FROM events) WHERE rn <= 3
+           |ORDER BY event_type, rn""".stripMargin))
+
+  /** q_tws_dedup_last: the q_stream_dedup_last oracle on the migrated
+    * operator. */
+  val qTwsDedupLast: Q = Q(
+    "q_tws_dedup_last",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      withRocksDb(s) {
+        implicit val enc: Encoder[StatefulOps.LastOut] =
+          Encoders.product[StatefulOps.LastOut]
+        val out = twsEvents(s, dir)
+          .groupByKey(e => (e.user_id, e.event_type))
+          .transformWithState(new DedupLastProcessor,
+            TimeMode.None(), OutputMode.Update())
+        StreamingOps.runToMemory(s, out.toDF(), "update", "graft_tws_dedup_last")
+          .orderBy($"user_id", $"event_type")
+      }
+    },
+    Some("""SELECT user_id, event_type, event_id, value FROM (
+           |  SELECT user_id, event_type, event_id, value,
+           |         row_number() OVER (PARTITION BY user_id, event_type
+           |                            ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn = 1
+           |ORDER BY user_id, event_type""".stripMargin))
+
+  /** q_tws_stream_over: the q_stream_over oracle on the migrated
+    * operator — per-row running sum per user in arrival (event_id)
+    * order, append mode. */
+  val qTwsStreamOver: Q = Q(
+    "q_tws_stream_over",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      withRocksDb(s) {
+        implicit val enc: Encoder[StatefulOps.OverOut] =
+          Encoders.product[StatefulOps.OverOut]
+        val out = twsEvents(s, dir)
+          .groupByKey(_.user_id)
+          .transformWithState(new RunningSumProcessor,
+            TimeMode.None(), OutputMode.Append())
+        StreamingOps.runToMemory(s, out.toDF(), "append", "graft_tws_stream_over")
+          .orderBy($"user_id", $"event_id")
+      }
+    },
+    Some("""SELECT event_id, user_id,
+           |       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
+  private def twsEvents(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[StatefulOps.Ev] = {
+    import s.implicits._
+    StreamingOps.streamTable(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .as[StatefulOps.Ev]
+  }
+
   val all: Seq[Q] = Seq(qTwsDedup, qTwsTemporalSort, qTwsOverRange, qTwsOverRows,
-    qTwsAsof)
+    qTwsAsof, qTwsTopN, qTwsDedupLast, qTwsStreamOver)
 }

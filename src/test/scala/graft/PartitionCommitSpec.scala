@@ -148,6 +148,46 @@ class PartitionCommitSpec extends GraftSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("a real checkpoint restart resumes batch ids and committer state") {
+    // not a simulation: two query INCARNATIONS over one file-stream source
+    // and one checkpoint — the restart continues batch ids (no replay
+    // collision) and restores the committer watermark from the records
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = Tables.scratch(s"pc-restart/${java.util.UUID.randomUUID()}")
+    val srcDir = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    def addFile(rows: (Long, Double, Long)*): Unit =
+      rows.toSeq.toDF("event_id", "value", "sec")
+        .repartition(1).write.mode("append").parquet(srcDir)
+    def drain(): Unit = {
+      val df = spark.readStream
+        .schema("event_id LONG, value DOUBLE, sec LONG")
+        .parquet(srcDir)
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withColumn("hr", (floor(col("sec") / 3600) * 3600).cast("long"))
+        .select("event_id", "value", "ts", "hr")
+      val q = PartitionCommit.foreachBatchPartitioned(df, sink, "hr", 3600L,
+          "ts", commitTag = Integer.toHexString(ckpt.hashCode))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // incarnation 1: watermark reaches 7250, hour 0 commits, 7200 open
+    addFile((1L, 1.0, 10L), (2L, 2.0, 7250L))
+    drain()
+    assert(hasSuccess(sink, 0L) && !hasSuccess(sink, 7200L))
+    // incarnation 2 (same checkpoint): its only row has wm 3650, but the
+    // restored committer watermark (7250) commits hour 3600 immediately
+    addFile((3L, 3.0, 3650L))
+    drain()
+    assert(hasSuccess(sink, 3600L))
+    val seen = PartitionCommit.readCommitted(spark, sink, "hr")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(seen == Seq(1L, 3L)) // row 2's partition is still open; no dupes
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("commit delay holds a ready partition back") {
     val sparkS = spark
     import sparkS.implicits._

@@ -220,6 +220,18 @@ class PlanAuditSpec extends GraftSpec {
         kids.size == 1 && rowPreserving.contains(p.getClass.getSimpleName) &&
           singleRow(kids.head)
     }
+    // Second semantic exemption: a side that bottoms out in a LITERAL
+    // LocalTableScan (a VALUES relation — compile-time-constant row count,
+    // e.g. the q84 income-band dimension) is bounded at ANY data scale, so
+    // a BNLJ against it is a constant-factor map-side band join, not an
+    // unbounded blowup.
+    def literalBounded(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _ =>
+        val kids = descend(p)
+        kids.size == 1 && rowPreserving.contains(p.getClass.getSimpleName) &&
+          literalBounded(kids.head)
+    }
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
       operators.TpchSql.all ++ operators.TemporalSql.all ++
       operators.GroupWindowSql.all ++ operators.SketchOps.all ++
@@ -238,7 +250,14 @@ class PlanAuditSpec extends GraftSpec {
         if (broadcastNljOk.contains(q.name)) false
         else if (pStr.contains("BroadcastNestedLoopJoin") && nljNodes.isEmpty)
           true // printed but not reachable by the walk — fail conservatively
-        else nljNodes.exists(b => !(singleRow(b.left) && singleRow(b.right)))
+        else nljNodes.exists(b => !(singleRow(b.left) && singleRow(b.right)) &&
+          // literal-bounded exemption: only the BROADCAST side may be the
+          // literal (the streamed side stays arbitrary — that's the point
+          // of a band join); require it explicitly
+          !(b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => literalBounded(b.left)
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => literalBounded(b.right)
+          }))
       if (pStr.contains("CartesianProduct") || nljBad) Some(q.name) else None
     }
     assert(offenders.isEmpty, s"unbounded join shapes in: $offenders")

@@ -320,4 +320,116 @@ class TpcdsShapesSpec extends GraftSpec {
     assert("Expand".r.findAllIn(p).length == 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q4: the six-way growth self-join stays all-equi (no cartesian, no NLJ)") {
+    val p = finalPlan(operators.TpcdsShapes.q4)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Join".r.findAllIn(p).length >= 5, p) // five joins over the CTE
+  }
+
+  test("q5: the signed-measure channel union rolls up through ONE Expand") {
+    val p = finalPlan(operators.TpcdsShapes.q5)
+    assert(p.contains("Union"), p)
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q6: the dimension-average correlation decorrelates to an equi join") {
+    val p = finalPlan(operators.TpcdsShapes.q6)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // part-per-type average joins back on p_type — an aggregate feeding a
+    // join, never a per-row re-scan of part
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q8: the INTERSECT of customer populations feeds semi joins") {
+    val p = finalPlan(operators.TpcdsShapes.q8)
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p) // IN + INTERSECT
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q16: EXISTS and NOT EXISTS plan as semi AND anti over one fact") {
+    val p = finalPlan(operators.TpcdsShapes.q16)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22: the four-level hierarchy rollup is ONE Expand over a broadcast dim join") {
+    val p = finalPlan(operators.TpcdsShapes.q22)
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q40: returns attach as ONE left outer join under the date pivot") {
+    val p = finalPlan(operators.TpcdsShapes.q40)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the before/after split is conditional sums in one aggregate pass,
+    // not two scans
+    assert("Scan parquet".r.findAllIn(p).length <= 5, p)
+  }
+
+  test("q46: the trip aggregates BELOW the customer mismatch join") {
+    val p = finalPlan(operators.TpcdsShapes.q46)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the mismatch inequality must stay a post-join filter ABOVE the trip
+    // aggregate: the aggregate (min trip_nation) appears below a join in
+    // the final plan
+    assert(p.contains("min("), p)
+  }
+
+  test("q71: the three-branch channel union aggregates once, no join") {
+    val p = finalPlan(operators.TpcdsShapes.q71)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).length == 2, p) // partial + final
+  }
+
+  test("q76: the null-padded heterogeneous union re-aggregates in one pass") {
+    val p = finalPlan(operators.TpcdsShapes.q76)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).length == 2, p)
+  }
+
+  test("q84: the literal band dimension broadcast-nested-loops onto the fact") {
+    val p = finalPlan(operators.TpcdsShapes.q84)
+    // a range-band join against a 5-row VALUES relation: BNLJ with the
+    // literal on the build side IS the right plan (the sweep's
+    // literal-bounded exemption); a shuffle would be pure cost
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
+  test("q25: the three-way fact chain stays equi-keyed with the inequality residual") {
+    val p = finalPlan(operators.TpcdsShapes.q25)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Join".r.findAllIn(p).length >= 3, p)
+  }
+
+  test("q10: profile stack plans existence + anti joins over one dimension scan") {
+    val p = finalPlan(operators.TpcdsShapes.q10)
+    assert(p.contains("ExistenceJoin"), p) // the OR-of-EXISTS pair
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("LeftSemi"), p) // the required EXISTS
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q18: multiple averages share ONE rollup Expand") {
+    val p = finalPlan(operators.TpcdsShapes.q18)
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13: cross-side OR bands stay one residual, no union-of-branches rewrite") {
+    val p = finalPlan(operators.TpcdsShapes.q13)
+    assert(!p.contains("Union"), s"OR must not expand to a per-branch union:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(p).length <= 3, p) // one scan per table
+  }
 }

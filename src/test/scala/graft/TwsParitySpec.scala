@@ -14,6 +14,17 @@ class TwsParitySpec extends GraftSpec {
     assert(tws.nonEmpty && tws == fmgws)
   }
 
+  test("q_tws_topn / q_tws_dedup_last / q_tws_stream_over match their fMGWS twins") {
+    for ((tws, fm) <- Seq(
+        "q_tws_topn" -> "q_stream_topn",
+        "q_tws_dedup_last" -> "q_stream_dedup_last",
+        "q_tws_stream_over" -> "q_stream_over")) {
+      val a = SparkEntry.queries(tws)(spark, sfDir).collect().map(_.toSeq).toSeq
+      val b = SparkEntry.queries(fm)(spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"$tws diverges from $fm")
+    }
+  }
+
   test("q_queryable_state_tws state read-back matches the batch aggregate") {
     val got = SparkEntry.queries("q_queryable_state_tws")(spark, sfDir)
       .orderBy("event_type").collect().map(_.toSeq).toSeq
