@@ -1302,6 +1302,48 @@ object TpcdsShapes {
       |       AND l_quantity BETWEEN 1 AND 15)
       |ORDER BY cnt""".stripMargin)
 
+  /** q3: the canonical DATE-DIM star aggregate (also the q42/q52/q55/q63
+    * form — year × brand revenue, descending-revenue report): covered
+    * once, with the dimension filter asserted PUSHED to the part scan and
+    * the dims broadcast. The rounded measure sorts identically in both
+    * engines; ties break on the brand. */
+  val q3: Q = sqlQ(
+    "q_tpcds_q3_shape",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, p_brand,
+      |       round(sum(l_extendedprice), 2) AS rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'ECONOMY'
+      |GROUP BY year(o_orderdate), p_brand
+      |ORDER BY yr, rev DESC, p_brand""".stripMargin)
+
+  /** q96: the narrow count-only star probe (also q96's half-open time
+    * band form): every predicate must reach the scans, the count
+    * collapses to one row. */
+  val q96: Q = sqlQ(
+    "q_tpcds_q96_shape",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '2-HIGH'
+      |  AND l_quantity BETWEEN 20 AND 30
+      |ORDER BY cnt""".stripMargin)
+
+  /** q37/q82: the attribute-band dimension SEMI-JOINED against a
+    * time-banded fact — part rows in a price×size band that actually
+    * moved in a window; the IN must plan a semi join with both bands
+    * pushed down. */
+  val q37: Q = sqlQ(
+    "q_tpcds_q37_shape",
+    """SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+      |FROM part
+      |WHERE p_retailprice BETWEEN 920 AND 960
+      |  AND p_size BETWEEN 5 AND 15
+      |  AND p_partkey IN (SELECT l_partkey FROM lineitem
+      |                    WHERE l_shipdate >= DATE '1997-01-01'
+      |                      AND l_shipdate < DATE '1997-07-01')
+      |ORDER BY p_partkey
+      |LIMIT 50""".stripMargin)
+
   val all: Seq[Q] = Seq(q67, q36, q51, q59, q88, q73, q23, q89, q11, q54, q17, q98,
     q14, q33, q49, q31, q66, q93, q72, q64, q78, q35, q47, q1,
     q2, q34, q85, q95, q39,
@@ -1310,5 +1352,6 @@ object TpcdsShapes {
     q9, q58, q75, q77,
     q41, q48, q90, q32,
     q4, q5, q6, q8, q16, q22, q40, q46, q71, q76,
-    q84, q25, q10, q18, q13)
+    q84, q25, q10, q18, q13,
+    q3, q96, q37)
 }

@@ -62,8 +62,15 @@ object KafkaLog {
   def writeBatch(batch: DataFrame, dir: String, topic: String,
       numPartitions: Int, batchId: Long): Unit = {
     val seg = s"${topicDir(dir, topic)}/segment=$batchId"
-    val committed = new java.io.File(seg, "_SUCCESS")
-    if (committed.exists()) return // redelivery of a committed segment
+    // commit check through the Hadoop FileSystem resolved from the log URI
+    // (same discipline as PartitionCommit after the r12 review): a
+    // java.io.File probe on a non-local log would always miss, rewriting
+    // committed segments on every redelivery and breaking exactly-once
+    val segPath = new org.apache.hadoop.fs.Path(seg)
+    val fs = segPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(segPath, "_SUCCESS")))
+      return // redelivery of a committed segment
     val cols = batch.columns.toSet
     val withTs =
       if (cols.contains("ts")) batch
@@ -93,8 +100,12 @@ object KafkaLog {
     // logs a spurious FileNotFoundException before globbing succeeds
     val base = new org.apache.hadoop.fs.Path(topicDir(dir, topic))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segments = fs.globStatus(new org.apache.hadoop.fs.Path(base, "segment=*"))
-      .map(_.getPath.toString)
+    // globStatus returns NULL (not an empty array) when the topic dir does
+    // not exist — fold to empty so the caller gets the named require below,
+    // not an NPE
+    val segments = Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(base, "segment=*")))
+      .getOrElse(Array.empty).map(_.getPath.toString)
     require(segments.nonEmpty, s"no segments under ${topicDir(dir, topic)}")
     val df = spark.read.schema(schema).parquet(segments.toIndexedSeq: _*)
     if (startingOffsets.isEmpty) df

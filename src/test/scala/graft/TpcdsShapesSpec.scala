@@ -432,4 +432,25 @@ class TpcdsShapesSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("Scan parquet".r.findAllIn(p).length <= 3, p) // one scan per table
   }
+
+  test("q3: the date-dim star pushes the type filter into the part scan") {
+    val p = finalPlan(operators.TpcdsShapes.q3)
+    assert(p.contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,ECONOMY)")
+      || p.contains("EqualTo(p_type,ECONOMY)"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // part is broadcast-sized
+  }
+
+  test("q96: the count-only probe pushes both band predicates to the scans") {
+    val p = finalPlan(operators.TpcdsShapes.q96)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,20.0)"), p)
+    assert(p.contains("EqualTo(o_orderpriority,2-HIGH)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q37: the banded dimension semi-joins the time-banded fact") {
+    val p = finalPlan(operators.TpcdsShapes.q37)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(p_retailprice,920.0)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p)
+  }
 }
