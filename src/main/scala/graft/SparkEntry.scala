@@ -17,6 +17,7 @@ object SparkEntry {
       operators.RelationalSql.all ++
       operators.TpchSql.all ++
       operators.TpcdsShapes.all ++
+      operators.TpcdsShapes2.all ++
       operators.GraphOps.all ++
       operators.TemporalSql.all ++
       operators.TemporalFunction.all ++
