@@ -24,6 +24,7 @@ object SparkEntry {
       operators.GroupWindowSql.all ++
       operators.LateralSql.all ++
       operators.GraftSql.all ++
+      operators.HiveDialect.all ++
       operators.Scalars.all ++
       operators.Scalars2.all ++
       operators.TimeWindows.all ++

@@ -435,7 +435,18 @@ object GraftSql {
     """(?s)^(?:\s|--[^\n]*(?:\n|$)|/\*.*?\*/)+""".r
 
   def run(spark: SparkSession, text0: String): DataFrame = {
-    val text = mapDefaultCatalog(LeadingComments.replaceFirstIn(text0, ""))
+    // dialect gate (reference TableConfig#setSqlDialect via SET
+    // table.sql-dialect): under the hive dialect, rewrite Hive-grammar
+    // statements into the default-dialect form FIRST, then dispatch them
+    // through the one pipeline below — translate is idempotent on
+    // default-dialect text, so the recursive re-entries (views, EXPLAIN)
+    // are safe
+    val stripped = LeadingComments.replaceFirstIn(text0, "")
+    val dialected =
+      if (HiveDialect.isHive(spark))
+        HiveDialect.translate(stripped, HiveDialect.warehouseDir(spark))
+      else stripped
+    val text = mapDefaultCatalog(dialected)
     val upper = text.toUpperCase
     // keyword probes scan the literal-blanked text: 'MATCH_RECOGNIZE' as a
     // string VALUE must not route to the NFA recognizer

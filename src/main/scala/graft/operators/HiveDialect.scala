@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Hive SQL dialect for the unified door — the reference's FLIP-123
+  * surface (flink-table/flink-sql-parser-hive/.../ddl/SqlCreateHiveTable
+  * .java:45, dml/RichSqlHiveInsert.java:35; dialect switch
+  * `SET table.sql-dialect=hive`, TableConfig#setSqlDialect wired through
+  * the SQL client's SET command in 1.11).
+  *
+  * The reference parses Hive DDL with a dedicated Calcite parser and lowers
+  * it onto the SAME catalog/table machinery as the default dialect
+  * (SqlCreateHiveTable extends SqlCreateTable, appending the typed
+  * partition columns to the schema and encoding EXTERNAL / LOCATION / ROW
+  * FORMAT / STORED AS as table options — SqlCreateHiveTable.java:96-103).
+  * This module does exactly that as a TEXT-TO-TEXT translation: when the
+  * session dialect is `hive`, the door rewrites each Hive-dialect statement
+  * into the engine's default-dialect form and dispatches it through the one
+  * existing path — no second execution pipeline (the r11 REPL lesson).
+  *
+  * Translated surface (each rule names its reference form):
+  *  - CREATE [EXTERNAL] TABLE name (cols) [COMMENT] [PARTITIONED BY (typed
+  *    partition cols)] [ROW FORMAT DELIMITED [FIELDS TERMINATED BY '…']]
+  *    [STORED AS PARQUET|ORC|TEXTFILE] [LOCATION '…'] [TBLPROPERTIES (…)]
+  *    → engine CREATE TABLE with the partition columns APPENDED to the
+  *    schema (Hive declares them outside it), PARTITIONED BY (names), and
+  *    a WITH clause carrying path/format/is-external/properties. A table
+  *    without LOCATION lands under the session warehouse directory
+  *    (`hive.metastore.warehouse.dir`, HiveConf's key) like a managed
+  *    Hive table.
+  *  - INSERT INTO|OVERWRITE TABLE t … → the TABLE keyword (Hive-only
+  *    grammar, RichSqlHiveInsert) is dropped; the engine's insert path
+  *    handles INTO/OVERWRITE and static/dynamic PARTITION specs already.
+  *  - ALTER TABLE t SET TBLPROPERTIES (…) / SET LOCATION '…'
+  *    (SqlAlterHiveTableProps/-Location) → the engine's ALTER TABLE …
+  *    SET ('k'='v') option merge.
+  *  - Queries pass through untouched: 1.11's dialect switch affects DDL
+  *    parsing; query syntax stays Calcite in both dialects.
+  *
+  * Deliberate rejections (clear errors, not silent drops): ROW FORMAT
+  * SERDE, STORED AS INPUTFORMAT/OUTPUTFORMAT, STORED BY, CLUSTERED BY,
+  * SKEWED BY (the reference's own parser TODO-list at
+  * FlinkHiveSqlParserImplTest.java:297 covers part of this), IF NOT
+  * EXISTS (the engine's registry re-registers unconditionally — accepting
+  * the clause would silently change semantics), and non-comma FIELDS
+  * TERMINATED BY (the filesystem sink writes standard CSV).
+  */
+object HiveDialect {
+
+  /** The reference's dialect option key (TableConfigOptions
+    * "table.sql-dialect"), stored in the session conf by the door's SET. */
+  val DialectKey = "table.sql-dialect"
+
+  /** Hive's warehouse-directory key (HiveConf METASTOREWAREHOUSE) — where
+    * a managed (LOCATION-less) table's data lands. */
+  val WarehouseKey = "hive.metastore.warehouse.dir"
+
+  def isHive(spark: SparkSession): Boolean =
+    spark.conf.getOption(DialectKey).exists(_.equalsIgnoreCase("hive"))
+
+  // ---------------------------------------------------------------- parsing
+
+  private val CreateR =
+    "(?is)^\\s*CREATE\\s+(EXTERNAL\\s+)?TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*\\(".r
+  private val InsertTableR =
+    "(?is)^\\s*(INSERT\\s+(?:INTO|OVERWRITE))\\s+TABLE\\s+(.*)$".r
+  private val AlterPropsR =
+    "(?is)^\\s*(ALTER\\s+TABLE\\s+[\\w.]+\\s+SET)\\s+TBLPROPERTIES\\s*(\\(.*\\))\\s*;?\\s*$".r
+  private val AlterLocationR =
+    "(?is)^\\s*(ALTER\\s+TABLE\\s+[\\w.]+\\s+SET)\\s+LOCATION\\s+'([^']*)'\\s*;?\\s*$".r
+
+  /** Split a Hive column-definition list on top-level commas. Unlike the
+    * engine DDL's generic splitter this also tracks ANGLE-BRACKET depth:
+    * Hive column lists carry parametric types (MAP<STRING,INT>,
+    * ARRAY<STRUCT<a:INT>>) and never computed-column expressions, so `<`
+    * here is always a type bracket, never a comparison. */
+  private def splitCols(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var inStr = false
+    for (i <- s.indices) s.charAt(i) match {
+      case '\'' => inStr = !inStr
+      case '(' | '<' if !inStr => depth += 1
+      case ')' | '>' if !inStr => depth -= 1
+      case ',' if !inStr && depth == 0 =>
+        out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index just past the ')' matching the '(' at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr =>
+          depth -= 1
+          if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
+
+  /** Rewrite one Hive-dialect statement into the engine's default-dialect
+    * form. Idempotent on already-default text (pass-through), so the
+    * door's recursive dispatch (views, EXPLAIN) may re-enter safely.
+    * `warehousePath` resolves a managed table's directory from its name. */
+  def translate(text: String, warehousePath: String => String): String = {
+    val t = text.trim
+    t match {
+      case InsertTableR(head, rest) => s"$head $rest"
+      case AlterPropsR(head, props) => s"$head $props"
+      case AlterLocationR(head, loc) => s"$head ('path' = '$loc')"
+      case _ =>
+        CreateR.findFirstMatchIn(t) match {
+          case Some(m) if !isEngineForm(t) => translateCreate(t, m, warehousePath)
+          case _ => text // queries + engine/Spark-form DDL pass through
+        }
+    }
+  }
+
+  /** An engine-form CREATE TABLE (already carrying `) WITH (`) or Spark's
+    * own (`USING fmt`) must not re-translate. */
+  private def isEngineForm(t: String): Boolean = {
+    val u = t.toUpperCase
+    u.matches("(?s).*\\)\\s*WITH\\s*\\(.*") || u.matches("(?s).*\\)\\s*USING\\s+\\w+.*")
+  }
+
+  private def translateCreate(t: String, m: scala.util.matching.Regex.Match,
+      warehousePath: String => String): String = {
+    require(m.group(2) == null,
+      "Hive dialect: IF NOT EXISTS is not supported — the engine's table " +
+        "registry re-registers unconditionally, so accepting the clause " +
+        "would silently change its semantics")
+    val external = m.group(1) != null
+    val name = m.group(3)
+    // the CreateR match ends ON the '(' that opens the column list
+    val colsOpen = m.end - 1
+    val colsClose = matchParen(t, colsOpen)
+    val cols = t.substring(colsOpen + 1, colsClose - 1).trim
+    var rest = t.substring(colsClose).trim.stripSuffix(";").trim
+
+    for (bad <- Seq("ROW FORMAT SERDE", "STORED AS INPUTFORMAT", "STORED BY",
+        "CLUSTERED BY", "SKEWED BY"))
+      require(!rest.toUpperCase.contains(bad),
+        s"Hive dialect: $bad is not supported (supported: ROW FORMAT " +
+          "DELIMITED, STORED AS PARQUET|ORC|TEXTFILE, LOCATION, TBLPROPERTIES)")
+
+    // clauses appear in Hive's fixed order; each is optional
+    def take(re: scala.util.matching.Regex): Option[String] =
+      re.findFirstMatchIn(rest).map { mm =>
+        rest = (rest.substring(0, mm.start) + rest.substring(mm.end)).trim
+        mm.group(1)
+      }
+    val comment = take("(?is)^COMMENT\\s+'([^']*)'".r)
+    val partCols = {
+      val pr = "(?is)\\bPARTITIONED\\s+BY\\s*\\(".r
+      pr.findFirstMatchIn(rest).map { mm =>
+        val close = matchParen(rest, mm.end - 1)
+        val body = rest.substring(mm.end, close - 1)
+        rest = (rest.substring(0, mm.start) + rest.substring(close)).trim
+        body
+      }
+    }
+    val rowFormat = take(
+      "(?is)\\bROW\\s+FORMAT\\s+DELIMITED(\\s+FIELDS\\s+TERMINATED\\s+BY\\s+'[^']*')?".r)
+    val storedAs = take("(?is)\\bSTORED\\s+AS\\s+`?(\\w+)`?".r)
+    val location = take("(?is)\\bLOCATION\\s+'([^']*)'".r)
+    val props = {
+      val pr = "(?is)\\bTBLPROPERTIES\\s*\\(".r
+      pr.findFirstMatchIn(rest).map { mm =>
+        val close = matchParen(rest, mm.end - 1)
+        val body = rest.substring(mm.end, close - 1)
+        rest = (rest.substring(0, mm.start) + rest.substring(close)).trim
+        body
+      }
+    }
+    require(rest.isEmpty,
+      s"Hive dialect: unrecognized CREATE TABLE clause(s): $rest")
+
+    val format = storedAs.map(_.toUpperCase) match {
+      case Some("PARQUET") => "parquet"
+      case Some("ORC") => "orc"
+      case Some("TEXTFILE") | None => "csv" // Hive's default file format
+      case Some(other) => throw new IllegalArgumentException(
+        s"Hive dialect: STORED AS $other is not supported " +
+          "(supported: PARQUET, ORC, TEXTFILE)")
+    }
+    rowFormat.foreach { rf =>
+      if (rf != null) {
+        val d = "'([^']*)'".r.findFirstMatchIn(rf).map(_.group(1))
+        require(d.forall(_ == ","),
+          "Hive dialect: FIELDS TERMINATED BY supports ',' only — the " +
+            "filesystem sink writes standard CSV")
+      }
+    }
+
+    // Hive declares partition columns OUTSIDE the schema, with types; the
+    // reference appends them to the column list (SqlCreateHiveTable:100-103)
+    val partDefs = partCols.map(splitCols).getOrElse(Nil)
+    val partNames = partDefs.map(_.split("\\s+")(0))
+    val allCols = (splitCols(cols) ++ partDefs).mkString(", ")
+
+    val opts = Seq.newBuilder[(String, String)]
+    opts += ("path" -> location.getOrElse(warehousePath(name)))
+    opts += ("format" -> format)
+    if (external) opts += ("hive.is-external" -> "true") // SqlCreateHiveTable.TABLE_IS_EXTERNAL
+    comment.foreach(c => opts += ("comment" -> c))
+    props.foreach { p =>
+      graft.streaming.GraftDdl.parseOpts(p).foreach(opts += _)
+    }
+    val withTxt = opts.result().map { case (k, v) => s"'$k' = '$v'" }
+      .mkString(", ")
+    val partTxt =
+      if (partNames.isEmpty) "" else s"PARTITIONED BY (${partNames.mkString(", ")}) "
+    s"CREATE TABLE $name ($allCols) ${partTxt}WITH ($withTxt)"
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  private def door(s: SparkSession, sql: String) = GraftSql.run(s, sql)
+
+  /** Managed-table directory for this session — Hive's warehouse rule. */
+  def warehouseDir(spark: SparkSession)(name: String): String =
+    spark.conf.getOption(WarehouseKey)
+      .map(w => s"$w/$name")
+      .getOrElse(Tables.scratch(s"hive-warehouse/$name"))
+
+  /** The full Hive-dialect DDL+DML flow through the door: switch dialect,
+    * CREATE EXTERNAL TABLE with a typed partition column + STORED AS
+    * PARQUET + LOCATION + TBLPROPERTIES, INSERT OVERWRITE TABLE with a
+    * static partition, read back — then restore the dialect (the session
+    * is shared across queries, so the switch must not leak). */
+  val qHiveDdl: Q = Q(
+    "q_hive_dialect_ddl",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val path = Tables.scratch(
+        s"hive-sink/graft_hive-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      door(s, s"SET $DialectKey = hive")
+      try {
+        door(s,
+          s"""CREATE EXTERNAL TABLE graft_hive_sink (event_id BIGINT, value DOUBLE)
+             |PARTITIONED BY (etype STRING)
+             |STORED AS PARQUET
+             |LOCATION '$path'
+             |TBLPROPERTIES ('graft.origin' = 'hive-dialect')""".stripMargin)
+        door(s,
+          """INSERT OVERWRITE TABLE graft_hive_sink PARTITION (etype = 'click')
+            |SELECT event_id, value FROM events
+            |WHERE event_type = 'click'""".stripMargin)
+          .orderBy("event_id")
+      } finally door(s, s"SET $DialectKey = default")
+    },
+    Some("""SELECT event_id, value, 'click' AS etype FROM events
+           |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qHiveDdl)
+}

@@ -1,0 +1,124 @@
+package graft
+
+import operators.HiveDialect
+
+/** The Hive SQL dialect ([[operators.HiveDialect]]) — translation rules
+  * against the reference's accepted syntax
+  * (flink-sql-parser-hive FlinkHiveSqlParserImplTest.java) plus the door
+  * integration: the dialect gate, the shared-session restore discipline,
+  * and the end-to-end DDL+DML flow. */
+class HiveDialectSpec extends GraftSpec {
+
+  private def wh(name: String) = s"/wh/$name"
+
+  private def tr(sql: String): String = HiveDialect.translate(sql, wh)
+
+  test("CREATE EXTERNAL TABLE with typed partition cols, STORED AS, LOCATION, TBLPROPERTIES") {
+    val out = tr(
+      """CREATE EXTERNAL TABLE tbl (x INT, y STRING)
+        |COMMENT 'a hive table'
+        |PARTITIONED BY (p1 STRING, p2 INT)
+        |STORED AS PARQUET
+        |LOCATION '/table/path'
+        |TBLPROPERTIES ('k1' = 'v1')""".stripMargin)
+    // partition columns appended to the schema with their types (the
+    // reference's SqlCreateHiveTable appends partColList to columnList)
+    assert(out.contains("(x INT, y STRING, p1 STRING, p2 INT)"), out)
+    assert(out.contains("PARTITIONED BY (p1, p2)"), out)
+    assert(out.contains("'path' = '/table/path'"), out)
+    assert(out.contains("'format' = 'parquet'"), out)
+    assert(out.contains("'hive.is-external' = 'true'"), out)
+    assert(out.contains("'comment' = 'a hive table'"), out)
+    assert(out.contains("'k1' = 'v1'"), out)
+  }
+
+  test("managed table (no LOCATION) lands under the warehouse directory") {
+    val out = tr("CREATE TABLE m (x INT) STORED AS ORC")
+    assert(out.contains("'path' = '/wh/m'"), out)
+    assert(out.contains("'format' = 'orc'"), out)
+    assert(!out.contains("hive.is-external"), out)
+  }
+
+  test("TEXTFILE and the absent STORED AS both map to csv (Hive's default format)") {
+    assert(tr("CREATE TABLE t1 (x INT) STORED AS TEXTFILE").contains("'format' = 'csv'"))
+    assert(tr("CREATE TABLE t2 (x INT)").contains("'format' = 'csv'"))
+  }
+
+  test("ROW FORMAT DELIMITED accepts the standard comma, rejects other delimiters") {
+    val ok = tr(
+      "CREATE TABLE t (x INT) ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' STORED AS TEXTFILE")
+    assert(ok.contains("'format' = 'csv'"), ok)
+    val e = intercept[IllegalArgumentException] {
+      tr("CREATE TABLE t (x INT) ROW FORMAT DELIMITED FIELDS TERMINATED BY ';'")
+    }
+    assert(e.getMessage.contains("FIELDS TERMINATED BY"), e.getMessage)
+  }
+
+  test("complex column types survive the balanced-paren column scan") {
+    val out = tr(
+      "CREATE TABLE t (a DECIMAL(10,2), b MAP<STRING,INT>) PARTITIONED BY (p STRING) STORED AS PARQUET")
+    assert(out.contains("(a DECIMAL(10,2), b MAP<STRING,INT>, p STRING)"), out)
+  }
+
+  test("deliberate rejections: SERDE, INPUTFORMAT, STORED BY, CLUSTERED BY, IF NOT EXISTS") {
+    for (bad <- Seq(
+      "CREATE TABLE t (x INT) ROW FORMAT SERDE 'serde.class.name'",
+      "CREATE TABLE t (x INT) STORED AS INPUTFORMAT 'in.cls' OUTPUTFORMAT 'out.cls'",
+      "CREATE TABLE t (x INT) STORED BY 'handler'",
+      "CREATE TABLE t (x INT) CLUSTERED BY (x) INTO 4 BUCKETS",
+      "CREATE TABLE IF NOT EXISTS t (x INT) STORED AS PARQUET"))
+      intercept[IllegalArgumentException](tr(bad))
+    val e = intercept[IllegalArgumentException](
+      tr("CREATE TABLE t (x INT) STORED AS SEQUENCEFILE"))
+    assert(e.getMessage.contains("SEQUENCEFILE"), e.getMessage)
+  }
+
+  test("INSERT INTO|OVERWRITE TABLE drops the Hive-only TABLE keyword") {
+    assert(tr("INSERT OVERWRITE TABLE tbl SELECT * FROM src") ==
+      "INSERT OVERWRITE tbl SELECT * FROM src")
+    assert(tr("insert into table tbl partition(p1=1,p2) select * from src") ==
+      "insert into tbl partition(p1=1,p2) select * from src")
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES / SET LOCATION lower onto the option merge") {
+    assert(tr("ALTER TABLE tbl SET TBLPROPERTIES ('k' = 'v')")
+      .matches("(?s)ALTER TABLE tbl SET\\s*\\('k' = 'v'\\)"))
+    assert(tr("ALTER TABLE tbl SET LOCATION '/new/table/path'")
+      .matches("(?s)ALTER TABLE tbl SET\\s*\\('path' = '/new/table/path'\\)"))
+  }
+
+  test("translate is idempotent: default-dialect text and queries pass through") {
+    val engine = "CREATE TABLE t (x INT) WITH ('path' = '/p', 'format' = 'parquet')"
+    assert(tr(engine) == engine)
+    val sparkDdl = "CREATE TABLE t (x INT) USING parquet"
+    assert(tr(sparkDdl) == sparkDdl)
+    val query = "SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1"
+    assert(tr(query) == query)
+    // a translated CREATE re-enters unchanged (isEngineForm)
+    val once = tr("CREATE TABLE t (x INT) STORED AS PARQUET LOCATION '/p'")
+    assert(tr(once) == once)
+  }
+
+  test("the door only translates under SET table.sql-dialect = hive, and SET restores") {
+    import operators.GraftSql.{run => door}
+    // hive grammar under the DEFAULT dialect must fail (no silent translate)
+    intercept[Exception] {
+      door(spark, "CREATE TABLE graft_hd_gate (x INT) STORED AS PARQUET LOCATION '/tmp/never'")
+    }
+    door(spark, s"SET ${HiveDialect.DialectKey} = hive")
+    try {
+      val p = Tables.scratch("hive-dialect-gate")
+      door(spark, s"CREATE TABLE graft_hd_gate (x INT) STORED AS PARQUET LOCATION '$p'")
+      assert(graft.streaming.GraftDdl.tableOptions("graft_hd_gate")
+        .exists(_.get("format").contains("parquet")))
+    } finally door(spark, s"SET ${HiveDialect.DialectKey} = default")
+    assert(!HiveDialect.isHive(spark))
+  }
+
+  test("q_hive_dialect_ddl: the full DDL+DML flow round-trips and restores the dialect") {
+    val rows = HiveDialect.qHiveDdl.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("etype") == "click"))
+    assert(!HiveDialect.isHive(spark), "the query must restore the session dialect")
+  }
+}
