@@ -881,6 +881,70 @@ object TwsOps {
            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
            |FROM events ORDER BY user_id, event_id""".stripMargin))
 
+  /** Changelog TopN on transformWithState (reference
+    * operators/rank/RetractableTopNFunction.java — the retraction stream
+    * made visible as a row_kind column, RowKind.java:27): per-key top-3 in
+    * one ValueState row, each batch emitting the +I/-U/+U/-D diff of old
+    * vs new BY RANK POSITION — the same pure diff algebra as the fMGWS
+    * [[StatefulOps.topNChangelog]], with the TwS write diffed too (a batch
+    * whose arrivals all lose to the incumbents touches neither the store
+    * nor the output). */
+  class ChangelogTopNProcessor
+      extends StatefulProcessor[String, StatefulOps.Ev, StatefulOps.TopChange] {
+    @transient private var top: ValueState[StatefulOps.TopState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getValueState[StatefulOps.TopState]("top",
+        Encoders.product[StatefulOps.TopState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[StatefulOps.Ev],
+        timerValues: TimerValues): Iterator[StatefulOps.TopChange] = {
+      val old = if (top.exists()) top.get().items else Nil
+      val merged = (old ++ rows.map(e => StatefulOps.TopItem(e.value, e.event_id)))
+        .sortBy(i => (-i.value, i.event_id)).take(3)
+      if (merged != old) top.update(StatefulOps.TopState(merged))
+      (0 until math.max(old.size, merged.size)).iterator.flatMap { r =>
+        (old.lift(r), merged.lift(r)) match {
+          case (None, Some(n)) =>
+            Seq(StatefulOps.TopChange(key, "+I", r + 1, n.event_id, n.value))
+          case (Some(o), Some(n)) if o != n =>
+            Seq(StatefulOps.TopChange(key, "-U", r + 1, o.event_id, o.value),
+              StatefulOps.TopChange(key, "+U", r + 1, n.event_id, n.value))
+          case (Some(o), None) =>
+            Seq(StatefulOps.TopChange(key, "-D", r + 1, o.event_id, o.value))
+          case _ => Nil
+        }
+      }
+    }
+  }
+
+  /** q_tws_changelog_topn: the q_changelog_topn oracle on the migrated
+    * operator — over the fixture's single data batch the changelog is
+    * exactly the +I rows of the final per-type top-3 (the cross-batch
+    * retraction sequence is pinned against the fMGWS twin in
+    * TwsChangelogTopNSpec). */
+  val qTwsChangelogTopN: Q = Q(
+    "q_tws_changelog_topn",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      withRocksDb(s) {
+        implicit val enc: Encoder[StatefulOps.TopChange] =
+          Encoders.product[StatefulOps.TopChange]
+        val out = twsEvents(s, dir)
+          .groupByKey(_.event_type)
+          .transformWithState(new ChangelogTopNProcessor,
+            TimeMode.None(), OutputMode.Append())
+        StreamingOps.runToMemory(s, out.toDF(), "append", "graft_tws_changelog_topn")
+          .orderBy($"event_type", $"rn")
+      }
+    },
+    Some("""SELECT event_type, '+I' AS row_kind,
+           |       CAST(row_number() OVER (PARTITION BY event_type
+           |         ORDER BY value DESC, event_id) AS INTEGER) AS rn,
+           |       event_id, value
+           |FROM events QUALIFY rn <= 3
+           |ORDER BY event_type, rn""".stripMargin))
+
   private def twsEvents(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[StatefulOps.Ev] = {
     import s.implicits._
@@ -891,5 +955,5 @@ object TwsOps {
   }
 
   val all: Seq[Q] = Seq(qTwsDedup, qTwsTemporalSort, qTwsOverRange, qTwsOverRows,
-    qTwsAsof, qTwsTopN, qTwsDedupLast, qTwsStreamOver)
+    qTwsAsof, qTwsTopN, qTwsDedupLast, qTwsStreamOver, qTwsChangelogTopN)
 }
