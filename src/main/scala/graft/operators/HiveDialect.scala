@@ -146,41 +146,40 @@ object HiveDialect {
     val cols = t.substring(colsOpen + 1, colsClose - 1).trim
     var rest = t.substring(colsClose).trim.stripSuffix(";").trim
 
+    // scan a literal-blanked copy: an unsupported keyword INSIDE a quoted
+    // value (a TBLPROPERTIES comment, a LOCATION path) must not reject
+    val restScan = rest.toUpperCase.replaceAll("'[^']*'", "''")
     for (bad <- Seq("ROW FORMAT SERDE", "STORED AS INPUTFORMAT", "STORED BY",
         "CLUSTERED BY", "SKEWED BY"))
-      require(!rest.toUpperCase.contains(bad),
+      require(!restScan.contains(bad),
         s"Hive dialect: $bad is not supported (supported: ROW FORMAT " +
           "DELIMITED, STORED AS PARQUET|ORC|TEXTFILE, LOCATION, TBLPROPERTIES)")
 
-    // clauses appear in Hive's fixed order; each is optional
+    // clauses appear in Hive's FIXED order; each is optional. Every take
+    // is anchored at the head of the remaining text — an unanchored probe
+    // could capture a clause keyword sitting inside a quoted literal of a
+    // LATER clause (e.g. a TBLPROPERTIES value containing "LOCATION '/x'")
     def take(re: scala.util.matching.Regex): Option[String] =
       re.findFirstMatchIn(rest).map { mm =>
-        rest = (rest.substring(0, mm.start) + rest.substring(mm.end)).trim
+        rest = rest.substring(mm.end).trim
         mm.group(1)
       }
+    def takeParen(keyword: String): Option[String] = {
+      val pr = s"(?is)^$keyword\\s*\\(".r
+      pr.findFirstMatchIn(rest).map { mm =>
+        val close = matchParen(rest, mm.end - 1)
+        val body = rest.substring(mm.end, close - 1)
+        rest = rest.substring(close).trim
+        body
+      }
+    }
     val comment = take("(?is)^COMMENT\\s+'([^']*)'".r)
-    val partCols = {
-      val pr = "(?is)\\bPARTITIONED\\s+BY\\s*\\(".r
-      pr.findFirstMatchIn(rest).map { mm =>
-        val close = matchParen(rest, mm.end - 1)
-        val body = rest.substring(mm.end, close - 1)
-        rest = (rest.substring(0, mm.start) + rest.substring(close)).trim
-        body
-      }
-    }
+    val partCols = takeParen("PARTITIONED\\s+BY")
     val rowFormat = take(
-      "(?is)\\bROW\\s+FORMAT\\s+DELIMITED(\\s+FIELDS\\s+TERMINATED\\s+BY\\s+'[^']*')?".r)
-    val storedAs = take("(?is)\\bSTORED\\s+AS\\s+`?(\\w+)`?".r)
-    val location = take("(?is)\\bLOCATION\\s+'([^']*)'".r)
-    val props = {
-      val pr = "(?is)\\bTBLPROPERTIES\\s*\\(".r
-      pr.findFirstMatchIn(rest).map { mm =>
-        val close = matchParen(rest, mm.end - 1)
-        val body = rest.substring(mm.end, close - 1)
-        rest = (rest.substring(0, mm.start) + rest.substring(close)).trim
-        body
-      }
-    }
+      "(?is)^ROW\\s+FORMAT\\s+DELIMITED(\\s+FIELDS\\s+TERMINATED\\s+BY\\s+'[^']*')?".r)
+    val storedAs = take("(?is)^STORED\\s+AS\\s+`?(\\w+)`?".r)
+    val location = take("(?is)^LOCATION\\s+'([^']*)'".r)
+    val props = takeParen("TBLPROPERTIES")
     require(rest.isEmpty,
       s"Hive dialect: unrecognized CREATE TABLE clause(s): $rest")
 

@@ -104,6 +104,49 @@ class RobustnessSpec extends GraftSpec {
     q2.stop()
   }
 
+  test("transformWithState operator state (native ListState + armed timer) survives restart") {
+    // the TwS runtime keeps its buffer in NATIVE ListState with a native
+    // event-time timer (not a serialized blob like fMGWS) — this pins that
+    // the RocksDB-provider checkpoint carries BOTH across a stop/start:
+    // rows buffered before the restart must release, in event-time order
+    // and exactly once, when a post-restart watermark passes them
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StatefulOps, TwsOps}
+    import graft.streaming.StatefulOps.EvT
+    graft.streaming.TwsOps.withRocksDb(spark) {
+      val ckpt = Files.createTempDirectory("graft_ckpt_tws").toString
+      val out = Files.createTempDirectory("graft_ckpt_tws_out").toString
+      val mem = MemoryStream[EvT]
+      // the 90s delay keeps each assertion away from the wm==expiry
+      // boundary (the trailing no-data batch fires timers ≤ wm — with
+      // delay 0 every buffered row would release before the stop)
+      def start() = TwsOps.temporalSortTws(
+        mem.toDS().withWatermark("ts", "90 seconds").as[EvT]).toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+      val q1 = start()
+      mem.addData(
+        EvT(3, 1L, 3.0, java.sql.Timestamp.valueOf("2024-01-01 00:03:30")),
+        EvT(1, 1L, 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:01:30")),
+        EvT(2, 1L, 2.0, java.sql.Timestamp.valueOf("2024-01-01 00:02:30")))
+      q1.processAllAvailable() // wm 00:02:00: id1 releases; 2,3 stay buffered
+      q1.stop()
+
+      val q2 = start()
+      mem.addData(EvT(9, 1L, 9.0, java.sql.Timestamp.valueOf("2024-01-01 00:09:00")))
+      q2.processAllAvailable() // wm 00:07:30 releases the CARRIED 2 and 3
+      val ids = spark.read.parquet(out).collect()
+        .map(_.getAs[Long]("event_id")).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L),
+        s"buffered TwS state lost or duplicated across restart: $ids")
+      q2.stop()
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_buckets").toString
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
