@@ -681,6 +681,16 @@ object GraftSql {
       }
     }
     else if (upper.trim.startsWith("ALTER TABLE")) text match {
+      // Hive-dialect partition DDL (reference SqlAddHivePartitions.java /
+      // SqlDropPartitions.java — hive-parser-only grammar, hence the
+      // dialect gate): ADD pre-creates / DROP deletes the partition
+      // directory of a layout-partitioned filesystem sink
+      case HiveDialect.AddPartR(name0, ifNot, specs) if HiveDialect.isHive(spark) =>
+        HiveDialect.partitionDdl(spark, resolveNameOpt(spark, name0).getOrElse(name0),
+          add = true, lenient = ifNot != null, specs)
+      case HiveDialect.DropPartR(name0, ifEx, specs) if HiveDialect.isHive(spark) =>
+        HiveDialect.partitionDdl(spark, resolveNameOpt(spark, name0).getOrElse(name0),
+          add = false, lenient = ifEx != null, specs)
       // ALTER TABLE name SET ('k'='v') (reference SqlCommandParser.java:115,
       // AlterTableOperation / 1.11 SqlAlterTableProperties): on a registered
       // sink the options merge into the SinkDef — later INSERTs observe the

@@ -221,6 +221,70 @@ object HiveDialect {
     s"CREATE TABLE $name ($allCols) ${partTxt}WITH ($withTxt)"
   }
 
+  // ------------------------------------------------- partition DDL (Hive-only)
+
+  // ALTER TABLE t ADD [IF NOT EXISTS] PARTITION (spec)... [LOCATION '…'] /
+  // ALTER TABLE t DROP [IF EXISTS] PARTITION (spec)[, PARTITION (spec)...]
+  // (reference SqlAddHivePartitions.java / SqlDropPartitions.java — parsed
+  // only by the HIVE dialect; the door dispatches here under the gate).
+  private[operators] val AddPartR =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+ADD\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(PARTITION\\s*\\(.*)$".r
+  private[operators] val DropPartR =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+DROP\\s+(IF\\s+EXISTS\\s+)?(PARTITION\\s*\\(.*)$".r
+
+  private val SpecR = "(?is)PARTITION\\s*\\(([^)]*)\\)".r
+  private val PairR = "(?s)(\\w+)\\s*=\\s*(?:'([^']*)'|([\\w.\\-]+))".r
+
+  /** Execute partition DDL against a PARTITIONED filesystem sink: the
+    * partition IS a directory of the sink's layout, so ADD pre-creates the
+    * `p=v` directory and DROP deletes it (with its data) — Hive's managed
+    * drop-partition semantics. All filesystem access goes through the
+    * Hadoop FileSystem resolved from the sink path. Per-partition LOCATION
+    * is rejected: a foreign directory cannot join a layout-partitioned
+    * table (the engine reads partition values from the directory tree). */
+  def partitionDdl(spark: SparkSession, name0: String, add: Boolean,
+      lenient: Boolean, specsTxt0: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    var specsTxt = specsTxt0.trim.stripSuffix(";").trim
+    val loc = "(?is)\\bLOCATION\\s+'([^']*)'\\s*$".r.findFirstMatchIn(specsTxt)
+    require(loc.isEmpty,
+      "Hive dialect: per-partition LOCATION is not supported — partitions " +
+        "of a layout-partitioned filesystem table live under the table path")
+    val name = name0.toLowerCase
+    val sd = graft.streaming.GraftDdl.sink(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name0 is not a registered filesystem sink"))
+    require(sd.partitions.nonEmpty,
+      s"$name0 is not partitioned — declare PARTITIONED BY in its DDL")
+    val specs = SpecR.findAllMatchIn(specsTxt).map(_.group(1)).toSeq
+    require(specs.nonEmpty, s"expected PARTITION (col = value): $specsTxt0")
+    val root = new org.apache.hadoop.fs.Path(sd.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val results = specs.map { spec =>
+      val pairs = PairR.findAllMatchIn(spec).map { m =>
+        m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
+      }.toSeq
+      require(pairs.map(_._1.toLowerCase) == sd.partitions.map(_.toLowerCase),
+        s"partition spec (${pairs.map(_._1).mkString(", ")}) must name the " +
+          s"declared partition columns in order (${sd.partitions.mkString(", ")})")
+      val rel = pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
+      val dir = new org.apache.hadoop.fs.Path(root, rel)
+      if (add) {
+        if (fs.exists(dir)) {
+          require(lenient, s"partition already exists: $rel")
+          rel -> "exists"
+        } else { fs.mkdirs(dir); rel -> "added" }
+      } else {
+        if (fs.exists(dir)) { fs.delete(dir, true); rel -> "dropped" }
+        else {
+          require(lenient, s"partition does not exist: $rel")
+          rel -> "missing"
+        }
+      }
+    }
+    results.toDF("partition", "status")
+  }
+
   // ---------------------------------------------------------------- queries
 
   private def door(s: SparkSession, sql: String) = GraftSql.run(s, sql)

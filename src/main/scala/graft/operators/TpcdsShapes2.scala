@@ -471,9 +471,13 @@ object TpcdsShapes2 {
       |ORDER BY qty DESC, c_name, s_short, okey
       |LIMIT 100""".stripMargin)
 
-  /** q80 (q77 + ROLLUP): per-channel gross/returns/net over a
-    * signed-measure UNION ALL, ROLLUP adding channel and grand totals —
-    * exact-cent integer sums so every rollup level matches bit-for-bit. */
+  /** q80 (q77 + ROLLUP): per-channel gross/returns/net with ROLLUP adding
+    * the channel and grand totals. The reference UNION ALLs three channel
+    * branches (q5 carries that exact union-rollup form); here the channels
+    * are synthesized from one fact column, so the query FUSES the branches
+    * into a single-scan conditional pivot under the Expand — the q88-style
+    * one-pass formulation a 100 TB deployment wants. Exact-cent integer
+    * sums keep every rollup level bit-identical cross-engine. */
   val q80: Q = sqlQ(
     "q_tpcds_q80_shape",
     """WITH ch AS (

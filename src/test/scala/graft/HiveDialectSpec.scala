@@ -115,6 +115,67 @@ class HiveDialectSpec extends GraftSpec {
     assert(!HiveDialect.isHive(spark))
   }
 
+  test("ADD/DROP PARTITION manage the partition directories of a filesystem sink") {
+    import operators.GraftSql.{run => door}
+    Tables.registerAll(spark, sfDir)
+    val path = Tables.scratch(s"hive-partddl/${java.util.UUID.randomUUID()}")
+    door(spark, s"SET ${HiveDialect.DialectKey} = hive")
+    try {
+      door(spark,
+        s"""CREATE TABLE graft_hd_part (event_id BIGINT, value DOUBLE)
+           |PARTITIONED BY (etype STRING)
+           |STORED AS PARQUET
+           |LOCATION '$path'""".stripMargin)
+      door(spark,
+        """INSERT OVERWRITE TABLE graft_hd_part PARTITION (etype = 'click')
+          |SELECT event_id, value FROM events WHERE event_type = 'click'""".stripMargin)
+      // a second scoped OVERWRITE: the static-partition overwrite replaces
+      // only its named partition, so clicks survive (batch INSERT INTO is
+      // this engine's disclosed whole-sink idempotent overwrite — not what
+      // a multi-partition layout wants)
+      door(spark,
+        """INSERT OVERWRITE TABLE graft_hd_part PARTITION (etype = 'view')
+          |SELECT event_id, value FROM events WHERE event_type = 'view'""".stripMargin)
+      val both = spark.read.parquet(path)
+      val clicks = both.where("etype = 'click'").count()
+      val views = both.where("etype = 'view'").count()
+      assert(clicks > 0 && views > 0)
+
+      // ADD pre-creates a directory; a duplicate ADD needs IF NOT EXISTS
+      val added = door(spark,
+        "ALTER TABLE graft_hd_part ADD PARTITION (etype = 'purchase')").collect()
+      assert(added.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq("etype=purchase" -> "added"))
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_part ADD PARTITION (etype = 'purchase')"))
+      door(spark,
+        "ALTER TABLE graft_hd_part ADD IF NOT EXISTS PARTITION (etype = 'purchase')")
+
+      // DROP deletes the partition's data; the readback loses exactly it
+      val dropped = door(spark,
+        "ALTER TABLE graft_hd_part DROP PARTITION (etype = 'click')").collect()
+      assert(dropped.head.getString(1) == "dropped")
+      val after = spark.read.parquet(path)
+      assert(after.where("etype = 'click'").count() == 0)
+      assert(after.where("etype = 'view'").count() == views)
+
+      // DROP of a missing partition needs IF EXISTS; multi-spec drops work
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_part DROP PARTITION (etype = 'click')"))
+      val multi = door(spark,
+        """ALTER TABLE graft_hd_part DROP IF EXISTS
+          |PARTITION (etype = 'view'), PARTITION (etype = 'never')""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(multi == Seq("etype=view" -> "dropped", "etype=never" -> "missing"))
+
+      // per-partition LOCATION and wrong spec columns are rejected
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_part ADD PARTITION (etype = 'x') LOCATION '/elsewhere'"))
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_part ADD PARTITION (wrongcol = 'x')"))
+    } finally door(spark, s"SET ${HiveDialect.DialectKey} = default")
+  }
+
   test("q_hive_dialect_ddl: the full DDL+DML flow round-trips and restores the dialect") {
     val rows = HiveDialect.qHiveDdl.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

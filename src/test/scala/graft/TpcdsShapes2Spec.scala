@@ -119,7 +119,7 @@ class TpcdsShapes2Spec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
-  test("q80: the channel rollup is ONE Expand over the signed union, no join") {
+  test("q80: the channel rollup is ONE Expand over a single fused scan, no join") {
     val p = finalPlan(q80)
     assert("Expand".r.findAllIn(p).length == 1, p)
     assert(!p.contains("Join"), p)

@@ -338,6 +338,50 @@ class TwsScaleSpec extends GraftSpec {
     }
   }
 
+  test("soak: changelog TopN — 50k losing rows emit nothing and never touch the store") {
+    // the hot-key case for a retractable rank is arrivals that LOSE to the
+    // incumbents: the reference's RetractableTopNFunction pays a sorted-map
+    // probe per row; here a losing batch must cost zero state writes and
+    // zero output (the diffed ValueState write), with state bounded at the
+    // top-3 regardless of stream length
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    TwsOps.withRocksDb(spark) {
+      implicit val outEnc =
+        org.apache.spark.sql.Encoders.product[graft.streaming.StatefulOps.TopChange]
+      val mem = MemoryStream[graft.streaming.StatefulOps.Ev]
+      val out = mem.toDS().groupByKey(_.event_type)
+        .transformWithState(new TwsOps.ChangelogTopNProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.format("memory")
+        .queryName("tws_soak_cltopn").outputMode("append").start()
+      try {
+        // batch 0 seeds the top-3 with values no later row beats
+        mem.addData(
+          graft.streaming.StatefulOps.Ev(1, 1L, "click", 1e9, 0L),
+          graft.streaming.StatefulOps.Ev(2, 1L, "click", 1e9 - 1, 0L),
+          graft.streaming.StatefulOps.Ev(3, 1L, "click", 1e9 - 2, 0L))
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        for (b <- 1 to 10) {
+          mem.addData((1 to 5000).map(i =>
+            graft.streaming.StatefulOps.Ev(b * 100000L + i, 1L, "click",
+              i.toDouble, 0L)): _*)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // only the three seed +I rows ever emitted; state = the one top list
+        assert(spark.table("tws_soak_cltopn").count() == 3)
+        assert(stateRows(q) == 1,
+          s"changelog TopN state must be one top-list row, got ${stateRows(q)}")
+        assert(secs < 120, s"50k-loser changelog TopN soak took $secs s")
+        info(f"changelog TopN soak: 50k losers / 10 batches in $secs%.1f s, " +
+          s"state rows = ${stateRows(q)}, emitted = 3")
+      } finally q.stop()
+    }
+  }
+
   test("soak: as-of TTL join — 50k one-key rows keep ONE version row and O(1) state calls per batch") {
     // alternating signup/purchase on one hot key: state must stay at the
     // single latest version (+ timer bookkeeping), and ingest must be
