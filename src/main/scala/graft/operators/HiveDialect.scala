@@ -245,7 +245,7 @@ object HiveDialect {
   def partitionDdl(spark: SparkSession, name0: String, add: Boolean,
       lenient: Boolean, specsTxt0: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    var specsTxt = specsTxt0.trim.stripSuffix(";").trim
+    val specsTxt = specsTxt0.trim.stripSuffix(";").trim
     val loc = "(?is)\\bLOCATION\\s+'([^']*)'\\s*$".r.findFirstMatchIn(specsTxt)
     require(loc.isEmpty,
       "Hive dialect: per-partition LOCATION is not supported — partitions " +
@@ -267,6 +267,12 @@ object HiveDialect {
       require(pairs.map(_._1.toLowerCase) == sd.partitions.map(_.toLowerCase),
         s"partition spec (${pairs.map(_._1).mkString(", ")}) must name the " +
           s"declared partition columns in order (${sd.partitions.mkString(", ")})")
+      // the value becomes a directory-name COMPONENT: a separator or a
+      // dot-dot would escape the table root (a quoted '../..' in a DROP
+      // would otherwise delete outside the sink)
+      pairs.foreach { case (k, v) =>
+        require(!v.contains("/") && !v.contains("\\") && v != ".." && v != ".",
+          s"partition value for '$k' must be a single path component: '$v'") }
       val rel = pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
       val dir = new org.apache.hadoop.fs.Path(root, rel)
       if (add) {

@@ -173,6 +173,12 @@ class HiveDialectSpec extends GraftSpec {
         "ALTER TABLE graft_hd_part ADD PARTITION (etype = 'x') LOCATION '/elsewhere'"))
       intercept[IllegalArgumentException](door(spark,
         "ALTER TABLE graft_hd_part ADD PARTITION (wrongcol = 'x')"))
+      // a path-traversing value must never reach the filesystem: a quoted
+      // '../..' in a DROP would otherwise delete outside the sink root
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_part DROP PARTITION (etype = '../..')"))
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_part ADD PARTITION (etype = 'a/b')"))
     } finally door(spark, s"SET ${HiveDialect.DialectKey} = default")
   }
 
