@@ -691,6 +691,9 @@ object GraftSql {
       case HiveDialect.DropPartR(name0, ifEx, specs) if HiveDialect.isHive(spark) =>
         HiveDialect.partitionDdl(spark, resolveNameOpt(spark, name0).getOrElse(name0),
           add = false, lenient = ifEx != null, specs)
+      case HiveDialect.RenamePartR(name0, fromSpec, toSpec) if HiveDialect.isHive(spark) =>
+        HiveDialect.renamePartition(spark,
+          resolveNameOpt(spark, name0).getOrElse(name0), fromSpec, toSpec)
       // ALTER TABLE name SET ('k'='v') (reference SqlCommandParser.java:115,
       // AlterTableOperation / 1.11 SqlAlterTableProperties): on a registered
       // sink the options merge into the SinkDef — later INSERTs observe the

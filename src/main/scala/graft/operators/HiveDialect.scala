@@ -69,6 +69,15 @@ object HiveDialect {
     "(?is)^\\s*(ALTER\\s+TABLE\\s+[\\w.]+\\s+SET)\\s+TBLPROPERTIES\\s*(\\(.*\\))\\s*;?\\s*$".r
   private val AlterLocationR =
     "(?is)^\\s*(ALTER\\s+TABLE\\s+[\\w.]+\\s+SET)\\s+LOCATION\\s+'([^']*)'\\s*;?\\s*$".r
+  // ALTER TABLE t SET FILEFORMAT fmt (SqlAlterHiveTableFileFormat.java) —
+  // lowers onto the option merge with the same format map as CREATE
+  private val AlterFileFormatR =
+    "(?is)^\\s*(ALTER\\s+TABLE\\s+[\\w.]+\\s+SET)\\s+FILEFORMAT\\s+`?(\\w+)`?\\s*;?\\s*$".r
+  // partition-SCOPED SET LOCATION / SET FILEFORMAT (the reference allows a
+  // per-partition override): a layout-partitioned filesystem sink has ONE
+  // path and ONE format — rejected explicitly rather than misrouted
+  private val AlterPartScopedR =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+[\\w.]+\\s+PARTITION\\s*\\([^)]*\\)\\s+SET\\s+.*$".r
 
   /** Split a Hive column-definition list on top-level commas. Unlike the
     * engine DDL's generic splitter this also tracks ANGLE-BRACKET depth:
@@ -117,12 +126,30 @@ object HiveDialect {
       case InsertTableR(head, rest) => s"$head $rest"
       case AlterPropsR(head, props) => s"$head $props"
       case AlterLocationR(head, loc) => s"$head ('path' = '$loc')"
+      case AlterFileFormatR(head, fmt) => s"$head ('format' = '${mapFormat(fmt)}')"
+      case _ if AlterPartScopedR.findFirstIn(t).isDefined
+          && !t.toUpperCase.matches("(?s).*\\bRENAME\\s+TO\\b.*") =>
+        throw new IllegalArgumentException(
+          "Hive dialect: per-partition SET LOCATION/FILEFORMAT is not " +
+            "supported — a layout-partitioned filesystem table has one " +
+            "path and one format")
       case _ =>
         CreateR.findFirstMatchIn(t) match {
           case Some(m) if !isEngineForm(t) => translateCreate(t, m, warehousePath)
           case _ => text // queries + engine/Spark-form DDL pass through
         }
     }
+  }
+
+  /** Hive file format → engine format, shared by STORED AS and SET
+    * FILEFORMAT. */
+  private def mapFormat(fmt: String): String = fmt.toUpperCase match {
+    case "PARQUET" => "parquet"
+    case "ORC" => "orc"
+    case "TEXTFILE" => "csv"
+    case other => throw new IllegalArgumentException(
+      s"Hive dialect: file format $other is not supported " +
+        "(supported: PARQUET, ORC, TEXTFILE)")
   }
 
   /** An engine-form CREATE TABLE (already carrying `) WITH (`) or Spark's
@@ -183,14 +210,7 @@ object HiveDialect {
     require(rest.isEmpty,
       s"Hive dialect: unrecognized CREATE TABLE clause(s): $rest")
 
-    val format = storedAs.map(_.toUpperCase) match {
-      case Some("PARQUET") => "parquet"
-      case Some("ORC") => "orc"
-      case Some("TEXTFILE") | None => "csv" // Hive's default file format
-      case Some(other) => throw new IllegalArgumentException(
-        s"Hive dialect: STORED AS $other is not supported " +
-          "(supported: PARQUET, ORC, TEXTFILE)")
-    }
+    val format = storedAs.map(mapFormat).getOrElse("csv") // Hive defaults to TEXTFILE
     rowFormat.foreach { rf =>
       if (rf != null) {
         val d = "'([^']*)'".r.findFirstMatchIn(rf).map(_.group(1))
@@ -232,8 +252,62 @@ object HiveDialect {
   private[operators] val DropPartR =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+DROP\\s+(IF\\s+EXISTS\\s+)?(PARTITION\\s*\\(.*)$".r
 
+  // ALTER TABLE t PARTITION (spec) RENAME TO PARTITION (spec)
+  // (reference SqlAlterHivePartitionRename.java) — a directory move
+  private[operators] val RenamePartR =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+PARTITION\\s*\\(([^)]*)\\)\\s+" +
+      "RENAME\\s+TO\\s+PARTITION\\s*\\(([^)]*)\\)\\s*;?\\s*$").r
+
   private val SpecR = "(?is)PARTITION\\s*\\(([^)]*)\\)".r
   private val PairR = "(?s)(\\w+)\\s*=\\s*(?:'([^']*)'|([\\w.\\-]+))".r
+
+  /** Parse one `col = value` spec against the sink's declared partition
+    * columns (order-exact) and return its directory-relative path. Values
+    * are single path components — a separator or dot-dot would escape the
+    * table root. */
+  private def specRelPath(spec: String,
+      sd: graft.streaming.GraftDdl.SinkDef): String = {
+    val pairs = PairR.findAllMatchIn(spec).map { m =>
+      m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
+    }.toSeq
+    require(pairs.map(_._1.toLowerCase) == sd.partitions.map(_.toLowerCase),
+      s"partition spec (${pairs.map(_._1).mkString(", ")}) must name the " +
+        s"declared partition columns in order (${sd.partitions.mkString(", ")})")
+    pairs.foreach { case (k, v) =>
+      require(!v.contains("/") && !v.contains("\\") && v != ".." && v != ".",
+        s"partition value for '$k' must be a single path component: '$v'") }
+    pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
+  }
+
+  /** Resolve a registered partitioned filesystem sink or fail clearly. */
+  private def partitionedSink(name0: String): graft.streaming.GraftDdl.SinkDef = {
+    val sd = graft.streaming.GraftDdl.sink(name0.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name0 is not a registered filesystem sink"))
+    require(sd.partitions.nonEmpty,
+      s"$name0 is not partitioned — declare PARTITIONED BY in its DDL")
+    sd
+  }
+
+  /** PARTITION (a) RENAME TO PARTITION (b): move the partition directory —
+    * Hive's managed rename-partition semantics (data travels with it). */
+  def renamePartition(spark: SparkSession, name0: String, fromSpec: String,
+      toSpec: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val sd = partitionedSink(name0)
+    val root = new org.apache.hadoop.fs.Path(sd.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val from = specRelPath(fromSpec, sd)
+    val to = specRelPath(toSpec, sd)
+    val fromDir = new org.apache.hadoop.fs.Path(root, from)
+    val toDir = new org.apache.hadoop.fs.Path(root, to)
+    require(fs.exists(fromDir), s"partition does not exist: $from")
+    require(!fs.exists(toDir), s"target partition already exists: $to")
+    // a multi-level target needs its parent (fs.rename does not mkdir)
+    Option(toDir.getParent).foreach(fs.mkdirs)
+    require(fs.rename(fromDir, toDir), s"rename failed: $from -> $to")
+    Seq((from, to)).toDF("from_partition", "to_partition")
+  }
 
   /** Execute partition DDL against a PARTITIONED filesystem sink: the
     * partition IS a directory of the sink's layout, so ADD pre-creates the
@@ -250,30 +324,13 @@ object HiveDialect {
     require(loc.isEmpty,
       "Hive dialect: per-partition LOCATION is not supported — partitions " +
         "of a layout-partitioned filesystem table live under the table path")
-    val name = name0.toLowerCase
-    val sd = graft.streaming.GraftDdl.sink(name).getOrElse(
-      throw new IllegalArgumentException(
-        s"$name0 is not a registered filesystem sink"))
-    require(sd.partitions.nonEmpty,
-      s"$name0 is not partitioned — declare PARTITIONED BY in its DDL")
+    val sd = partitionedSink(name0)
     val specs = SpecR.findAllMatchIn(specsTxt).map(_.group(1)).toSeq
     require(specs.nonEmpty, s"expected PARTITION (col = value): $specsTxt0")
     val root = new org.apache.hadoop.fs.Path(sd.path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val results = specs.map { spec =>
-      val pairs = PairR.findAllMatchIn(spec).map { m =>
-        m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
-      }.toSeq
-      require(pairs.map(_._1.toLowerCase) == sd.partitions.map(_.toLowerCase),
-        s"partition spec (${pairs.map(_._1).mkString(", ")}) must name the " +
-          s"declared partition columns in order (${sd.partitions.mkString(", ")})")
-      // the value becomes a directory-name COMPONENT: a separator or a
-      // dot-dot would escape the table root (a quoted '../..' in a DROP
-      // would otherwise delete outside the sink)
-      pairs.foreach { case (k, v) =>
-        require(!v.contains("/") && !v.contains("\\") && v != ".." && v != ".",
-          s"partition value for '$k' must be a single path component: '$v'") }
-      val rel = pairs.map { case (k, v) => s"$k=$v" }.mkString("/")
+      val rel = specRelPath(spec, sd)
       val dir = new org.apache.hadoop.fs.Path(root, rel)
       if (add) {
         if (fs.exists(dir)) {

@@ -87,6 +87,50 @@ class HiveDialectSpec extends GraftSpec {
       .matches("(?s)ALTER TABLE tbl SET\\s*\\('path' = '/new/table/path'\\)"))
   }
 
+  test("ALTER TABLE SET FILEFORMAT maps formats; partition-scoped SET is rejected") {
+    assert(tr("ALTER TABLE tbl SET FILEFORMAT ORC")
+      .matches("(?s)ALTER TABLE tbl SET\\s*\\('format' = 'orc'\\)"))
+    assert(tr("alter table tbl set fileformat `PARQUET`")
+      .contains("'format' = 'parquet'"))
+    intercept[IllegalArgumentException](tr("ALTER TABLE tbl SET FILEFORMAT RCFILE"))
+    intercept[IllegalArgumentException](
+      tr("ALTER TABLE tbl PARTITION (p=1) SET LOCATION '/new/partition/location'"))
+    intercept[IllegalArgumentException](
+      tr("ALTER TABLE tbl PARTITION (p=1) SET FILEFORMAT SEQUENCEFILE"))
+  }
+
+  test("PARTITION RENAME moves the partition directory with its data") {
+    import operators.GraftSql.{run => door}
+    Tables.registerAll(spark, sfDir)
+    val path = Tables.scratch(s"hive-partrename/${java.util.UUID.randomUUID()}")
+    door(spark, s"SET ${HiveDialect.DialectKey} = hive")
+    try {
+      door(spark,
+        s"""CREATE TABLE graft_hd_ren (event_id BIGINT, value DOUBLE)
+           |PARTITIONED BY (etype STRING)
+           |STORED AS PARQUET
+           |LOCATION '$path'""".stripMargin)
+      door(spark,
+        """INSERT OVERWRITE TABLE graft_hd_ren PARTITION (etype = 'click')
+          |SELECT event_id, value FROM events WHERE event_type = 'click'""".stripMargin)
+      val n = spark.read.parquet(path).where("etype = 'click'").count()
+      assert(n > 0)
+      val out = door(spark,
+        """ALTER TABLE graft_hd_ren PARTITION (etype = 'click')
+          |RENAME TO PARTITION (etype = 'tap')""".stripMargin).collect()
+      assert(out.head.getString(0) == "etype=click" && out.head.getString(1) == "etype=tap")
+      val after = spark.read.parquet(path)
+      assert(after.where("etype = 'click'").count() == 0)
+      assert(after.where("etype = 'tap'").count() == n,
+        "the data must travel with the renamed partition")
+      // renaming a missing partition, or onto an existing one, fails clearly
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_ren PARTITION (etype = 'click') RENAME TO PARTITION (etype = 'x')"))
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_ren PARTITION (etype = 'tap') RENAME TO PARTITION (etype = 'tap')"))
+    } finally door(spark, s"SET ${HiveDialect.DialectKey} = default")
+  }
+
   test("translate is idempotent: default-dialect text and queries pass through") {
     val engine = "CREATE TABLE t (x INT) WITH ('path' = '/p', 'format' = 'parquet')"
     assert(tr(engine) == engine)
