@@ -694,6 +694,19 @@ object GraftSql {
       case HiveDialect.RenamePartR(name0, fromSpec, toSpec) if HiveDialect.isHive(spark) =>
         HiveDialect.renamePartition(spark,
           resolveNameOpt(spark, name0).getOrElse(name0), fromSpec, toSpec)
+      // only for REGISTERED definitions: Spark's own ALTER TABLE ... ADD
+      // COLUMNS on a real catalog table stays Spark's (the fallthrough)
+      case HiveDialect.AddColsR(name0, mode, cols) if HiveDialect.isHive(spark) &&
+          graft.streaming.GraftDdl.tableCols(
+            resolveNameOpt(spark, name0).getOrElse(name0).toLowerCase).isDefined =>
+        HiveDialect.alterColumns(spark,
+          resolveNameOpt(spark, name0).getOrElse(name0), mode, cols)
+      case _ if HiveDialect.isHive(spark) &&
+          HiveDialect.ChangeColR.findFirstIn(text).isDefined =>
+        throw new IllegalArgumentException(
+          "Hive dialect: CHANGE COLUMN is not supported — a rename/retype " +
+            "would silently desync the files already written under the old " +
+            "schema; use ADD COLUMNS or recreate the table")
       // ALTER TABLE name SET ('k'='v') (reference SqlCommandParser.java:115,
       // AlterTableOperation / 1.11 SqlAlterTableProperties): on a registered
       // sink the options merge into the SinkDef — later INSERTs observe the

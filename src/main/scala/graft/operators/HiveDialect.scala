@@ -252,6 +252,30 @@ object HiveDialect {
   private[operators] val DropPartR =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+DROP\\s+(IF\\s+EXISTS\\s+)?(PARTITION\\s*\\(.*)$".r
 
+  // ALTER TABLE t ADD|REPLACE COLUMNS (cols) [CASCADE|RESTRICT]
+  // (reference SqlAlterHiveTableAddReplaceColumn.java) — catalog metadata
+  // surgery on the registered definition; CHANGE COLUMN is rejected (a
+  // rename/retype would silently desync the already-written files)
+  private[operators] val AddColsR =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+(ADD|REPLACE)\\s+COLUMNS\\s*\\((.*)\\)" +
+      "\\s*(?:CASCADE|RESTRICT)?\\s*;?\\s*$").r
+  private[operators] val ChangeColR =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+[\\w.]+\\s+CHANGE\\s+(COLUMN\\s+)?.*$".r
+
+  /** ADD appends to / REPLACE swaps the registered definition's
+    * non-partition column list — the metadata the LIKE resolution and
+    * payload-schema parse read. Physical parquet merges by name, so an
+    * added column reads as NULL for old files, exactly Hive's CASCADE
+    * semantics for new partitions. */
+  def alterColumns(spark: SparkSession, name0: String, mode: String,
+      cols: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val replace = mode.equalsIgnoreCase("REPLACE")
+    require(graft.streaming.GraftDdl.alterCols(name0.toLowerCase, cols, replace),
+      s"$name0 is not a registered table definition")
+    Seq((name0, mode.toLowerCase + " columns")).toDF("name", "status")
+  }
+
   // ALTER TABLE t PARTITION (spec) RENAME TO PARTITION (spec)
   // (reference SqlAlterHivePartitionRename.java) — a directory move
   private[operators] val RenamePartR =

@@ -416,6 +416,31 @@ object GraftDdl {
       case None => false
     }
 
+  /** Column-list surgery on a registered table definition (the Hive
+    * dialect's ADD/REPLACE COLUMNS — SqlAlterHiveTableAddReplaceColumn):
+    * ADD appends after the existing non-partition columns; REPLACE swaps
+    * the whole non-partition list. The definition drives LIKE resolution
+    * and payload-schema parsing; the physical files are schema-on-write
+    * (parquet merges by name), so this is metadata surgery exactly like
+    * the reference's catalog update. Returns false when the name is not a
+    * registered definition. */
+  def alterCols(name: String, newCols: String, replace: Boolean): Boolean =
+    defs.get(name.toLowerCase) match {
+      case Some(d) =>
+        val cols =
+          if (replace) newCols.trim
+          else if (d.cols.trim.isEmpty) newCols.trim
+          else s"${d.cols.trim}, ${newCols.trim}"
+        defs(name.toLowerCase) = d.copy(cols = cols)
+        true
+      case None => false
+    }
+
+  /** Declared column text of a registered definition (for assertions and
+    * DESCRIBE-style listings). */
+  def tableCols(name: String): Option[String] =
+    defs.get(name.toLowerCase).map(_.cols)
+
   /** Names of every registered sink; SHOW TABLES merges these with the Spark
     * catalog's views (the reference lists sources and sinks alike — both are
     * catalog tables there). */

@@ -99,6 +99,32 @@ class HiveDialectSpec extends GraftSpec {
       tr("ALTER TABLE tbl PARTITION (p=1) SET FILEFORMAT SEQUENCEFILE"))
   }
 
+  test("ADD/REPLACE COLUMNS update the registered definition; CHANGE COLUMN is rejected") {
+    import operators.GraftSql.{run => door}
+    Tables.registerAll(spark, sfDir)
+    val path = Tables.scratch(s"hive-addcols/${java.util.UUID.randomUUID()}")
+    door(spark, s"SET ${HiveDialect.DialectKey} = hive")
+    try {
+      door(spark,
+        s"""CREATE TABLE graft_hd_cols (event_id BIGINT, value DOUBLE)
+           |STORED AS PARQUET LOCATION '$path'""".stripMargin)
+      door(spark, "ALTER TABLE graft_hd_cols ADD COLUMNS (tag STRING, n INT) CASCADE")
+      val cols = graft.streaming.GraftDdl.tableCols("graft_hd_cols").get
+      assert(cols.toLowerCase.contains("event_id bigint"), cols)
+      assert(cols.toLowerCase.contains("tag string"), cols)
+      door(spark, "ALTER TABLE graft_hd_cols REPLACE COLUMNS (a INT, b STRING)")
+      val cols2 = graft.streaming.GraftDdl.tableCols("graft_hd_cols").get
+      assert(cols2.trim.toLowerCase == "a int, b string", cols2)
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_cols CHANGE COLUMN a a1 DECIMAL(5,2)"))
+      // an UNREGISTERED name falls through to Spark's own ALTER (which
+      // rejects the missing table itself) — the hive branch must not
+      // hijack real catalog tables
+      intercept[Exception](door(spark,
+        "ALTER TABLE no_such_table_xyz ADD COLUMNS (x INT)"))
+    } finally door(spark, s"SET ${HiveDialect.DialectKey} = default")
+  }
+
   test("PARTITION RENAME moves the partition directory with its data") {
     import operators.GraftSql.{run => door}
     Tables.registerAll(spark, sfDir)
