@@ -434,6 +434,13 @@ object GraftSql {
   private[graft] val LeadingComments =
     """(?s)^(?:\s|--[^\n]*(?:\n|$)|/\*.*?\*/)+""".r
 
+  /** Whether `name0` resolves to a sink in the engine's registry — the
+    * guard that keeps Hive-dialect partition/column DDL from hijacking a
+    * real catalog table Spark's own ALTER handles. */
+  private def isRegisteredSink(spark: SparkSession, name0: String): Boolean =
+    resolveNameOpt(spark, name0)
+      .exists(n => graft.streaming.GraftDdl.sink(n).isDefined)
+
   def run(spark: SparkSession, text0: String): DataFrame = {
     // dialect gate (reference TableConfig#setSqlDialect via SET
     // table.sql-dialect): under the hive dialect, rewrite Hive-grammar
@@ -684,14 +691,19 @@ object GraftSql {
       // Hive-dialect partition DDL (reference SqlAddHivePartitions.java /
       // SqlDropPartitions.java — hive-parser-only grammar, hence the
       // dialect gate): ADD pre-creates / DROP deletes the partition
-      // directory of a layout-partitioned filesystem sink
-      case HiveDialect.AddPartR(name0, ifNot, specs) if HiveDialect.isHive(spark) =>
+      // directory of a layout-partitioned filesystem sink. Only REGISTERED
+      // sinks are claimed — Spark's own partition DDL on a real catalog
+      // table stays Spark's (the fallthrough).
+      case HiveDialect.AddPartR(name0, ifNot, specs) if HiveDialect.isHive(spark) &&
+          isRegisteredSink(spark, name0) =>
         HiveDialect.partitionDdl(spark, resolveNameOpt(spark, name0).getOrElse(name0),
           add = true, lenient = ifNot != null, specs)
-      case HiveDialect.DropPartR(name0, ifEx, specs) if HiveDialect.isHive(spark) =>
+      case HiveDialect.DropPartR(name0, ifEx, specs) if HiveDialect.isHive(spark) &&
+          isRegisteredSink(spark, name0) =>
         HiveDialect.partitionDdl(spark, resolveNameOpt(spark, name0).getOrElse(name0),
           add = false, lenient = ifEx != null, specs)
-      case HiveDialect.RenamePartR(name0, fromSpec, toSpec) if HiveDialect.isHive(spark) =>
+      case HiveDialect.RenamePartR(name0, fromSpec, toSpec) if HiveDialect.isHive(spark) &&
+          isRegisteredSink(spark, name0) =>
         HiveDialect.renamePartition(spark,
           resolveNameOpt(spark, name0).getOrElse(name0), fromSpec, toSpec)
       // only for REGISTERED definitions: Spark's own ALTER TABLE ... ADD
