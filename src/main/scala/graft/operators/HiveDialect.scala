@@ -411,5 +411,39 @@ object HiveDialect {
     Some("""SELECT event_id, value, 'click' AS etype FROM events
            |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qHiveDdl)
+  /** Partition lifecycle through the door, oracle-checked: two scoped
+    * static-partition overwrites, then DROP PARTITION removes one — the
+    * read-back must show exactly the surviving partition's rows (the
+    * data-management semantics a 100 TB deployment retires old partitions
+    * with). */
+  val qHivePartitionDdl: Q = Q(
+    "q_hive_partition_ddl",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val path = Tables.scratch(
+        s"hive-sink/graft_hive_pddl-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      door(s, s"SET $DialectKey = hive")
+      try {
+        door(s,
+          s"""CREATE EXTERNAL TABLE graft_hive_pddl (event_id BIGINT, value DOUBLE)
+             |PARTITIONED BY (etype STRING)
+             |STORED AS PARQUET
+             |LOCATION '$path'""".stripMargin)
+        door(s,
+          """INSERT OVERWRITE TABLE graft_hive_pddl PARTITION (etype = 'view')
+            |SELECT event_id, value FROM events WHERE event_type = 'view'""".stripMargin)
+        door(s,
+          """INSERT OVERWRITE TABLE graft_hive_pddl PARTITION (etype = 'error')
+            |SELECT event_id, value FROM events WHERE event_type = 'error'""".stripMargin)
+        door(s,
+          "ALTER TABLE graft_hive_pddl DROP PARTITION (etype = 'error')")
+        s.read.parquet(path)
+          .selectExpr("event_id", "value", "CAST(etype AS STRING) AS etype")
+          .orderBy("event_id")
+      } finally door(s, s"SET $DialectKey = default")
+    },
+    Some("""SELECT event_id, value, 'view' AS etype FROM events
+           |WHERE event_type = 'view' ORDER BY event_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qHiveDdl, qHivePartitionDdl)
 }
