@@ -64,4 +64,28 @@ class SqlClientSpec extends GraftSpec {
     assert(out.contains("a;b"), out)
     assert(!out.contains("[ERROR]"), out)
   }
+
+  test("the Hive dialect composes with the REPL: SET, Hive DDL+DML, read-back, restore") {
+    // the reference SQL client's dialect flow (FLIP-123): the SET command
+    // flips the parser for subsequent statements of the SAME session
+    val path = Tables.scratch(s"hive-repl/${java.util.UUID.randomUUID()}")
+    val out = session(
+      s"""SET table.sql-dialect = hive;
+         |CREATE EXTERNAL TABLE graft_repl_hive (event_id BIGINT, value DOUBLE)
+         |PARTITIONED BY (etype STRING)
+         |STORED AS PARQUET
+         |LOCATION '$path';
+         |INSERT OVERWRITE TABLE graft_repl_hive PARTITION (etype = 'click')
+         |SELECT event_id, value FROM events WHERE event_type = 'click';
+         |SET table.sql-dialect = default;
+         |SELECT count(*) AS n FROM parquet.`$path`;
+         |QUIT;
+         |""".stripMargin)
+    assert(!out.contains("[ERROR]"), out)
+    assert(out.contains("table.sql-dialect"), out)
+    // the final count table printed a positive single-integer row
+    assert("(?m)^\\|[1-9]\\d*\\s*\\|$".r.findFirstIn(out).isDefined, out)
+    assert(!operators.HiveDialect.isHive(spark),
+      "the session script must have restored the default dialect")
+  }
 }
