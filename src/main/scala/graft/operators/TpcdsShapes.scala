@@ -281,7 +281,8 @@ object TpcdsShapes {
       |GROUP BY l_returnflag, year(l_shipdate)
       |ORDER BY l_returnflag, yr""".stripMargin)
 
-  /** q33/q56 family: three per-channel aggregates UNION ALL'd, then
+  /** q33 (the q56/q60 family's template, twins in [[TpcdsShapes2]]):
+    * three per-channel aggregates UNION ALL'd, then
     * re-aggregated to the cross-channel total. */
   val q33: Q = sqlQ(
     "q_tpcds_q33_shape",
@@ -478,7 +479,8 @@ object TpcdsShapes {
       |GROUP BY n_name, c_mktsegment
       |ORDER BY n_name, c_mktsegment""".stripMargin)
 
-  /** q47/q57: the lag/lead NEIGHBOR window over an aggregate — each
+  /** q47 (q57's template in [[TpcdsShapes2]]): the lag/lead NEIGHBOR
+    * window over an aggregate — each
     * month's sum beside its partition's mean AND its previous/next
     * month's sums, three window functions over one grouped relation; keep
     * months deviating >20% from the mean with both neighbors present.
@@ -1302,10 +1304,10 @@ object TpcdsShapes {
       |       AND l_quantity BETWEEN 1 AND 15)
       |ORDER BY cnt""".stripMargin)
 
-  /** q3: the canonical DATE-DIM star aggregate (also the q42/q52/q55/q63
-    * form — year × brand revenue, descending-revenue report): covered
-    * once, with the dimension filter asserted PUSHED to the part scan and
-    * the dims broadcast. The rounded measure sorts identically in both
+  /** q3: the canonical DATE-DIM star aggregate, with the dimension filter
+    * asserted PUSHED to the part scan and the dims broadcast (the
+    * q42/q52/q55 template twins carry their own grain/sort variants in
+    * [[TpcdsShapes2]]). The rounded measure sorts identically in both
     * engines; ties break on the brand. */
   val q3: Q = sqlQ(
     "q_tpcds_q3_shape",
@@ -1328,7 +1330,8 @@ object TpcdsShapes {
       |  AND l_quantity BETWEEN 20 AND 30
       |ORDER BY cnt""".stripMargin)
 
-  /** q37/q82: the attribute-band dimension SEMI-JOINED against a
+  /** q37 (q82's template in [[TpcdsShapes2]]): the attribute-band
+    * dimension SEMI-JOINED against a
     * time-banded fact — part rows in a price×size band that actually
     * moved in a window; the IN must plan a semi join with both bands
     * pushed down. */
