@@ -181,6 +181,13 @@ class TpcdsShapes2Spec extends GraftSpec {
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // scale note, observed not asserted: at fixture scale the executed
+    // plan sometimes shares the INTERSECT chain across both period legs
+    // via ReusedExchange (5 scans instead of 8) and sometimes collapses
+    // the tiny materialized semi stages outright — both are AQE doing the
+    // right thing for the stage sizes at hand; at 100 TB the reuse is the
+    // stable outcome because the stages are never tiny. Asserting either
+    // exact executed form here would be flaky by construction.
   }
 
   test("q23b: frequent items semi-join; best customers equi-join back for names") {
