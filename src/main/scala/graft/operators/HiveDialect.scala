@@ -153,9 +153,12 @@ object HiveDialect {
   }
 
   /** An engine-form CREATE TABLE (already carrying `) WITH (`) or Spark's
-    * own (`USING fmt`) must not re-translate. */
+    * own (`USING fmt`) must not re-translate. Probes a literal-blanked
+    * copy (the restScan discipline): a Hive CREATE whose quoted
+    * TBLPROPERTIES/LOCATION value happens to contain `) WITH (` must still
+    * translate — the real engine form carries the sequence OUTSIDE quotes. */
   private def isEngineForm(t: String): Boolean = {
-    val u = t.toUpperCase
+    val u = t.toUpperCase.replaceAll("'[^']*'", "''")
     u.matches("(?s).*\\)\\s*WITH\\s*\\(.*") || u.matches("(?s).*\\)\\s*USING\\s+\\w+.*")
   }
 
@@ -282,8 +285,34 @@ object HiveDialect {
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+PARTITION\\s*\\(([^)]*)\\)\\s+" +
       "RENAME\\s+TO\\s+PARTITION\\s*\\(([^)]*)\\)\\s*;?\\s*$").r
 
-  private val SpecR = "(?is)PARTITION\\s*\\(([^)]*)\\)".r
   private val PairR = "(?s)(\\w+)\\s*=\\s*(?:'([^']*)'|([\\w.\\-]+))".r
+
+  /** Consume `PARTITION (spec) [LOCATION '…']` groups sequentially from the
+    * statement tail (Hive separates ADD specs with whitespace and DROP specs
+    * with commas — both accepted). A LOCATION attached to ANY spec is
+    * rejected — wherever it appears, not just trailing — and any non-empty
+    * remainder after the last group is an error: a silently dropped clause
+    * would violate the module's clear-errors policy. */
+  private def parseSpecs(specsTxt: String): Seq[String] = {
+    val SpecHead = "(?is)^PARTITION\\s*\\(([^)]*)\\)\\s*".r
+    val LocHead = "(?is)^LOCATION\\s+'[^']*'".r
+    val specs = Seq.newBuilder[String]
+    var rest = specsTxt.trim
+    var m = SpecHead.findFirstMatchIn(rest)
+    require(m.isDefined, s"expected PARTITION (col = value): $specsTxt")
+    while (m.isDefined) {
+      specs += m.get.group(1)
+      rest = rest.substring(m.get.end).trim
+      require(LocHead.findFirstIn(rest).isEmpty,
+        "Hive dialect: per-partition LOCATION is not supported — partitions " +
+          "of a layout-partitioned filesystem table live under the table path")
+      if (rest.startsWith(",")) rest = rest.substring(1).trim
+      m = SpecHead.findFirstMatchIn(rest)
+    }
+    require(rest.isEmpty,
+      s"Hive dialect: unrecognized text after partition spec(s): $rest")
+    specs.result()
+  }
 
   /** Parse one `col = value` spec against the sink's declared partition
     * columns (order-exact) and return its directory-relative path. Values
@@ -344,13 +373,8 @@ object HiveDialect {
       lenient: Boolean, specsTxt0: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val specsTxt = specsTxt0.trim.stripSuffix(";").trim
-    val loc = "(?is)\\bLOCATION\\s+'([^']*)'\\s*$".r.findFirstMatchIn(specsTxt)
-    require(loc.isEmpty,
-      "Hive dialect: per-partition LOCATION is not supported — partitions " +
-        "of a layout-partitioned filesystem table live under the table path")
     val sd = partitionedSink(name0)
-    val specs = SpecR.findAllMatchIn(specsTxt).map(_.group(1)).toSeq
-    require(specs.nonEmpty, s"expected PARTITION (col = value): $specsTxt0")
+    val specs = parseSpecs(specsTxt)
     val root = new org.apache.hadoop.fs.Path(sd.path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val results = specs.map { spec =>

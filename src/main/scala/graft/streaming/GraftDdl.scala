@@ -419,18 +419,32 @@ object GraftDdl {
   /** Column-list surgery on a registered table definition (the Hive
     * dialect's ADD/REPLACE COLUMNS — SqlAlterHiveTableAddReplaceColumn):
     * ADD appends after the existing non-partition columns; REPLACE swaps
-    * the whole non-partition list. The definition drives LIKE resolution
-    * and payload-schema parsing; the physical files are schema-on-write
-    * (parquet merges by name), so this is metadata surgery exactly like
-    * the reference's catalog update. Returns false when the name is not a
-    * registered definition. */
+    * the whole non-partition list. Partition columns are schema-final and
+    * immutable in Hive (the dialect appends their typed definitions to the
+    * column list — SqlCreateHiveTable.java:100-103), so on a partitioned
+    * table the surgery applies to the NON-PARTITION prefix only: REPLACE
+    * keeps the partition tail, ADD inserts before it. The definition drives
+    * LIKE resolution and payload-schema parsing; the physical files are
+    * schema-on-write (parquet merges by name), so this is metadata surgery
+    * exactly like the reference's catalog update. Returns false when the
+    * name is not a registered definition. */
   def alterCols(name: String, newCols: String, replace: Boolean): Boolean =
     defs.get(name.toLowerCase) match {
       case Some(d) =>
-        val cols =
-          if (replace) newCols.trim
-          else if (d.cols.trim.isEmpty) newCols.trim
-          else s"${d.cols.trim}, ${newCols.trim}"
+        val partSet = d.partitions.map(_.toLowerCase).toSet
+        def isPartDef(c: String) =
+          partSet.contains(c.split("\\s+").headOption.getOrElse("").toLowerCase)
+        val (partTail, prefix) = splitTopLevel(d.cols).partition(isPartDef)
+        splitTopLevel(newCols).filter(isPartDef).foreach { c =>
+          throw new IllegalArgumentException(
+            s"ALTER TABLE $name: '${c.split("\\s+")(0)}' is a partition " +
+              "column — partition columns are immutable (Hive rejects " +
+              "redeclaring them through ADD/REPLACE COLUMNS)")
+        }
+        val newPrefix =
+          if (replace) Seq(newCols.trim)
+          else (prefix :+ newCols.trim).filter(_.nonEmpty)
+        val cols = (newPrefix ++ partTail).mkString(", ")
         defs(name.toLowerCase) = d.copy(cols = cols)
         true
       case None => false

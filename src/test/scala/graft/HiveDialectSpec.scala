@@ -125,6 +125,46 @@ class HiveDialectSpec extends GraftSpec {
     } finally door(spark, s"SET ${HiveDialect.DialectKey} = default")
   }
 
+  test("ADD/REPLACE COLUMNS on a PARTITIONED table keep the partition tail intact") {
+    import operators.GraftSql.{run => door}
+    Tables.registerAll(spark, sfDir)
+    val path = Tables.scratch(s"hive-partcols/${java.util.UUID.randomUUID()}")
+    door(spark, s"SET ${HiveDialect.DialectKey} = hive")
+    try {
+      door(spark,
+        s"""CREATE TABLE graft_hd_pcols (event_id BIGINT, value DOUBLE)
+           |PARTITIONED BY (etype STRING, day INT)
+           |STORED AS PARQUET LOCATION '$path'""".stripMargin)
+      // ADD inserts BEFORE the partition tail (partition columns are
+      // schema-final — SqlCreateHiveTable appends them last, always)
+      door(spark, "ALTER TABLE graft_hd_pcols ADD COLUMNS (tag STRING)")
+      val afterAdd = graft.streaming.GraftDdl.tableCols("graft_hd_pcols").get
+      assert(afterAdd.toLowerCase.replaceAll("\\s+", " ") ==
+        "event_id bigint, value double, tag string, etype string, day int",
+        afterAdd)
+      // REPLACE swaps only the non-partition prefix; the partition
+      // definitions survive at the tail (the r13 bug stripped them)
+      door(spark, "ALTER TABLE graft_hd_pcols REPLACE COLUMNS (a INT, b STRING)")
+      val afterReplace = graft.streaming.GraftDdl.tableCols("graft_hd_pcols").get
+      assert(afterReplace.toLowerCase.replaceAll("\\s+", " ") ==
+        "a int, b string, etype string, day int", afterReplace)
+      // redeclaring a partition column through the surgery is rejected
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_pcols ADD COLUMNS (etype STRING)"))
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_pcols REPLACE COLUMNS (x INT, day INT)"))
+    } finally door(spark, s"SET ${HiveDialect.DialectKey} = default")
+  }
+
+  test("a quoted value containing ') WITH (' still translates (engine-form probe blanks literals)") {
+    val out = tr(
+      "CREATE TABLE t (x INT) STORED AS PARQUET LOCATION '/p' " +
+        "TBLPROPERTIES ('note' = 'compat) WITH (nothing')")
+    assert(out.startsWith("CREATE TABLE t (x INT)"), out)
+    assert(out.contains("'format' = 'parquet'"), out)
+    assert(out.contains("'note' = 'compat) WITH (nothing'"), out)
+  }
+
   test("PARTITION RENAME moves the partition directory with its data") {
     import operators.GraftSql.{run => door}
     Tables.registerAll(spark, sfDir)
@@ -241,6 +281,13 @@ class HiveDialectSpec extends GraftSpec {
       // per-partition LOCATION and wrong spec columns are rejected
       intercept[IllegalArgumentException](door(spark,
         "ALTER TABLE graft_hd_part ADD PARTITION (etype = 'x') LOCATION '/elsewhere'"))
+      // a MID-LIST LOCATION is rejected too, not silently dropped (the r13
+      // end-anchored probe missed it), and trailing garbage is an error
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_part ADD PARTITION (etype = 'x') LOCATION '/x' " +
+          "PARTITION (etype = 'y')"))
+      intercept[IllegalArgumentException](door(spark,
+        "ALTER TABLE graft_hd_part ADD PARTITION (etype = 'x') BOGUS TRAILING"))
       intercept[IllegalArgumentException](door(spark,
         "ALTER TABLE graft_hd_part ADD PARTITION (wrongcol = 'x')"))
       // a path-traversing value must never reach the filesystem: a quoted
