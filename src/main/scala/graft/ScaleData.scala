@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up synthesizer: replicates an sf-dir `factor`x with
+  * shifted keys, producing the next rung of scale evidence (sf0.1 -> ~sf1)
+  * in scratch — the read-only fixture tree cannot carry a driver-generated
+  * sf1 (TESTDATA.md), so the growth gate builds its own.
+  *
+  * Design: each replica is a self-contained shard of the key space — every
+  * join key (orderkey/custkey/partkey/suppkey, user_id, doc_id, vec_id)
+  * shifts by `rep * KeyShift`, so intra-replica join cardinalities are
+  * exactly the source's and totals grow linearly. Content columns are
+  * perturbed where identical copies would CHANGE the workload's complexity
+  * class rather than its size:
+  *
+  *  - `documents.text` is Caesar-rotated per replica (letters shifted by
+  *    `rep`): ten verbatim copies of every document would be cross-replica
+  *    near-duplicates, blowing LSH bucket sizes up 10x and their pair
+  *    enumeration 100x — a quadratic artifact of the synthesizer, not of
+  *    the operator under test. Rotation preserves length, token structure,
+  *    and the per-replica near-dup clusters the dedup operators hunt.
+  *  - `embeddings.embedding` is rotated by `rep` positions (norm-preserving;
+  *    rotated high-dim vectors decorrelate), and `label` — the IVF coarse
+  *    cell — re-keys per replica: an IVF index retrained on a 10x corpus has
+  *    ~10x cells with stable per-cell population, which is exactly the
+  *    contract that keeps within-cell search linear at scale.
+  *  - `region`/`nation` stay verbatim: dimension tables do not grow with
+  *    fact data.
+  *
+  * Timestamps are untouched, so time-window density grows 10x per window —
+  * the realistic shape of "same retention window, 10x traffic".
+  */
+object ScaleData {
+
+  /** Per-replica key shift — comfortably above any fixture key. */
+  val KeyShift = 100000000L
+
+  private def withRep(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+
+  private def shiftKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((d, k) =>
+      d.withColumn(k, col(k) + col("rep").cast("long") * KeyShift))
+
+  /** Lower-case Caesar rotation by `rep` (letters only; digits, punctuation
+    * and casing-free fixture text pass through). */
+  private def caesar(c: org.apache.spark.sql.Column,
+      rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    // translate() needs a literal mapping, so dispatch on rep with a chain
+    (1 until 26).foldLeft(c) { (acc, r) =>
+      when(rep % 26 === r, translate(c, abc, abc.substring(r) + abc.substring(0, r)))
+        .otherwise(acc)
+    }
+  }
+
+  /** Synthesize `factor`x of `srcDir` into `outDir` (skipped when a prior
+    * run's completion marker is present — the synthesized tree is
+    * deterministic, so reuse is exact). */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int = 10): Unit = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_OK_$factor")
+    if (marker.exists()) return
+    def write(name: String, df: DataFrame): Unit =
+      df.drop("rep").write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    for (dim <- Seq("region", "nation"))
+      write(dim, Tables.t(spark, srcDir, dim))
+
+    write("customer", shiftKeys(
+      withRep(Tables.t(spark, srcDir, "customer"), factor), Seq("c_custkey")))
+    write("supplier", shiftKeys(
+      withRep(Tables.t(spark, srcDir, "supplier"), factor), Seq("s_suppkey")))
+    write("part", shiftKeys(
+      withRep(Tables.t(spark, srcDir, "part"), factor), Seq("p_partkey")))
+    write("orders", shiftKeys(
+      withRep(Tables.t(spark, srcDir, "orders"), factor),
+      Seq("o_orderkey", "o_custkey")))
+    write("lineitem", shiftKeys(
+      withRep(Tables.t(spark, srcDir, "lineitem"), factor),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    write("events", shiftKeys(
+      withRep(Tables.t(spark, srcDir, "events"), factor),
+      Seq("event_id", "user_id")))
+
+    write("documents", shiftKeys(
+      withRep(Tables.t(spark, srcDir, "documents"), factor), Seq("doc_id"))
+      .withColumn("text", caesar(col("text"), col("rep"))))
+
+    val emb = shiftKeys(
+      withRep(Tables.t(spark, srcDir, "embeddings"), factor), Seq("vec_id"))
+      .withColumn("label",
+        (col("label") + col("rep") * lit(1000)).cast("int"))
+      .withColumn("embedding", when(col("rep") === 0, col("embedding"))
+        .otherwise(concat(
+          slice(col("embedding"), col("rep") + 1,
+            size(col("embedding")) - col("rep")),
+          slice(col("embedding"), lit(1), col("rep")))))
+    write("embeddings", emb)
+
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The 10x growth-curve gate — the rung of 100x-scale evidence after plan
+  * audits: run the most scale-sensitive queries at the bench SF and at a
+  * synthesized 10x of it ([[ScaleData]]), and flag any query whose
+  * wall-time grows more than `MaxGrowth` (~1.5x the 10x input growth —
+  * shuffle-linear tolerance). A super-linear query is a found bug (the r11
+  * appendValue cliff was exactly this shape); a linear table is the
+  * evidence that the plans survive a scale-up, not just pass at sf0.01.
+  *
+  * Output: a markdown growth table (for BENCH_NOTES.md) plus one JSON line.
+  * Queries dominated by fixed startup (t10 under MinWall) are reported but
+  * not flagged — a 1.2 s streaming query is micro-batch bootstrap, not data.
+  */
+object ScaleGrowth {
+
+  val Factor = 10
+  val MaxGrowth = 15.0 // 1.5x linear tolerance on a 10x input
+  val MinWall = 2.0    // flag floor: below this, fixed startup dominates
+
+  /** The scale-sensitive set: streaming state families, shuffling joins,
+    * dedup/LSH/IVF, window/rank, CEP, and the heaviest TPC-DS shapes. */
+  val queries: Seq[String] = Seq(
+    // scan + agg + join
+    "q_agg_q1", "q_join_topn", "q_broadcast_join_agg", "q_salted_join",
+    "q_split_count_distinct", "q_topn", "q_over_rows",
+    "q_interval_join", "q_asof_join",
+    // TPC-DS heavy shapes
+    "q_tpcds_q14_shape", "q_tpcds_q23_shape", "q_tpcds_q28_shape",
+    "q_tpcds_q47_shape",
+    // streaming state
+    "q_stream_tumble", "q_stream_over", "q_stream_outer_join",
+    "q_changelog_agg", "q_count_window", "q_tws_topn", "q_tws_dedup",
+    // dedup / LSH / similarity
+    "q_dedup_exact", "q_line_dedup", "q_bloom_dedup", "q_minhash_lsh",
+    "q_simhash_banded", "q_ann_ivf", "q_cosine_topk_bucketed",
+    "q_semantic_dedup",
+    // CEP over the event stream
+    "q_cep_next")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val bigDir = Tables.scratch(s"sf-growth/x$Factor-" +
+      srcDir.replaceAll("[^a-zA-Z0-9]", "_"))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val unknown = queries.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    ScaleGrowth.synthesizeAndReport(spark, srcDir, bigDir)
+    spark.stop()
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def synthesizeAndReport(spark: SparkSession, srcDir: String,
+      bigDir: String): Unit = {
+    val tSynth0 = System.nanoTime()
+    ScaleData.synthesize(spark, srcDir, bigDir, Factor)
+    val synthSec = (System.nanoTime() - tSynth0) / 1e9
+
+    // warm both trees (parquet listing + JVM/codegen first-touch), then the
+    // same family warm-ups Bench uses so first-touch state-store/codegen
+    // costs don't land on an arbitrary gate query
+    for (d <- Seq(srcDir, bigDir); t <- Tables.names)
+      Tables.t(spark, d, t).count()
+    def warm(name: String, dir: String): Unit =
+      try { SparkEntry.queries(name)(spark, dir).count(); () }
+      catch { case _: Throwable => () }
+    val tiny = "/root/testdata/sf0.001"
+    val cepDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tiny))) tiny
+      else srcDir
+    Seq("q_cep_next", "q_stream_outer_join", "q_changelog_agg",
+      "q_stream_over", "q_tws_topn", "q_minhash_lsh", "q_simhash")
+      .foreach(warm(_, cepDir))
+
+    val rows = queries.map { name =>
+      val t1 = time(spark, name, srcDir)
+      val t10a = time(spark, name, bigDir)
+      // one drift re-run for anything over the line — a load spike doesn't
+      // repeat, a complexity-class problem does
+      val t10 =
+        if (t10a > MaxGrowth * t1 && t10a > MinWall)
+          math.min(t10a, time(spark, name, bigDir))
+        else t10a
+      (name, t1, t10)
+    }
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"\n| query | sf0.1 s | 10x s | growth | verdict |")
+    println(s"|---|---|---|---|---|")
+    val flagged = Seq.newBuilder[String]
+    rows.sortBy { case (_, t1, t10) => -(t10 / math.max(t1, 0.05)) }
+      .foreach { case (name, t1, t10) =>
+        val g = t10 / math.max(t1, 0.05)
+        val verdict =
+          if (t10 < MinWall) "fixed-cost"
+          else if (g <= MaxGrowth) "linear-ok"
+          else { flagged += name; "SUPER-LINEAR" }
+        println(s"| $name | ${fmt(t1)} | ${fmt(t10)} | ${fmt(g)}x | $verdict |")
+      }
+    val flaggedJson = flagged.result().map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val total1 = rows.map(_._2).sum
+    val total10 = rows.map(_._3).sum
+    println(s"""{"metric":"growth10x","synth_sec":${fmt(synthSec)},""" +
+      s""""total_sf":${fmt(total1)},"total_10x":${fmt(total10)},""" +
+      s""""overall_growth":${fmt(total10 / total1)},""" +
+      s""""n_queries":${rows.size},"super_linear":$flaggedJson,""" +
+      s""""max_growth":$MaxGrowth,"src":"$srcDir"}""")
+  }
+}

@@ -27,6 +27,7 @@ object SparkEntry {
       operators.HiveDialect.all ++
       operators.Scalars.all ++
       operators.Scalars2.all ++
+      operators.TypeParity.all ++
       operators.TimeWindows.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
@@ -50,6 +51,7 @@ object SparkEntry {
       streaming.TwsOps.all ++
       streaming.SessionTws.all ++
       streaming.DedupSql.all ++
+      streaming.WatermarkIdleness.all ++
       streaming.PartitionCommit.all ++
       sources.CdcFormats.all ++
       sources.DataGen.all ++

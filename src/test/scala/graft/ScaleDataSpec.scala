@@ -1,0 +1,85 @@
+package graft
+
+/** The growth-gate synthesizer ([[ScaleData]]): the scaled tree must grow
+  * every fact table exactly `factor`x while preserving intra-replica join
+  * cardinality, and must perturb content columns enough that the scaled
+  * corpus does not change any operator's complexity class (verbatim text
+  * copies would be cross-replica near-duplicates; identical vectors would
+  * pile into the same IVF cell). */
+class ScaleDataSpec extends GraftSpec {
+
+  private lazy val outDir = {
+    val d = Tables.scratch(s"scale-data-spec/${java.util.UUID.randomUUID()}")
+    ScaleData.synthesize(spark, sfDir, d, factor = 3)
+    d
+  }
+
+  test("every fact table grows exactly factor-x; dimensions stay verbatim") {
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings"))
+      assert(spark.read.parquet(s"$outDir/$t.parquet").count() ==
+        3 * Tables.t(spark, sfDir, t).count(), t)
+    for (t <- Seq("region", "nation"))
+      assert(spark.read.parquet(s"$outDir/$t.parquet").count() ==
+        Tables.t(spark, sfDir, t).count(), t)
+  }
+
+  test("join cardinality grows linearly: orders-lineitem matches stay intra-replica") {
+    val src = Tables.t(spark, sfDir, "lineitem")
+      .join(Tables.t(spark, sfDir, "orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey")).count()
+    val big = spark.read.parquet(s"$outDir/lineitem.parquet")
+      .join(spark.read.parquet(s"$outDir/orders.parquet"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey")).count()
+    assert(big == 3 * src, s"expected ${3 * src}, got $big — a cross-replica " +
+      "key collision would make join growth super-linear")
+  }
+
+  test("document text is perturbed per replica (no cross-replica duplicates), length-preserving") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    // doc_id mod KeyShift recovers the source id; its 3 replicas must have
+    // 3 DISTINCT texts of the SAME length
+    val bySrc = docs
+      .groupBy(($"doc_id" % ScaleData.KeyShift).as("src_id"))
+      .agg(org.apache.spark.sql.functions.countDistinct($"text").as("texts"),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.length($"text")).as("lens"))
+    assert(bySrc.filter($"texts" =!= 3).count() == 0,
+      "each source doc must yield 3 distinct replica texts")
+    assert(bySrc.filter($"lens" =!= 1).count() == 0,
+      "the Caesar rotation must preserve text length")
+  }
+
+  test("embedding replicas decorrelate and re-key their IVF cell") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    val srcLabels = Tables.t(spark, sfDir, "embeddings")
+      .select($"label").distinct().count()
+    assert(emb.select($"label").distinct().count() == 3 * srcLabels,
+      "cell count must scale with the corpus (a retrained index has more cells)")
+    // rotation preserves the norm and (for these vectors) changes direction
+    val pair = emb
+      .filter($"vec_id" % ScaleData.KeyShift === 7)
+      .select(($"vec_id" / ScaleData.KeyShift).cast("int").as("rep"),
+        org.apache.spark.sql.functions.expr(
+          "aggregate(embedding, 0.0D, (a, x) -> a + cast(x as double) * x)")
+          .as("norm2"),
+        $"embedding")
+      .collect()
+    assert(pair.length == 3)
+    assert(pair.map(_.getDouble(1)).distinct.length == 1 ||
+      pair.map(r => math.round(r.getDouble(1) * 1e4)).distinct.length == 1,
+      "rotation must preserve the vector norm")
+    assert(pair.map(_.getSeq[Float](2)).distinct.length == 3,
+      "replica vectors must differ (identical copies would pile into one cell)")
+  }
+
+  test("synthesis is skipped on re-run (completion marker)") {
+    val before = new java.io.File(s"$outDir/lineitem.parquet").lastModified()
+    ScaleData.synthesize(spark, sfDir, outDir, factor = 3)
+    assert(new java.io.File(s"$outDir/lineitem.parquet").lastModified() == before)
+  }
+}

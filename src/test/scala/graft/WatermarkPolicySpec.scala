@@ -53,4 +53,65 @@ class WatermarkPolicySpec extends GraftSpec {
     // window before it; the fast row's own 10:00 window stays open
     assert(run("max", "wm_max") == Set(0L))
   }
+
+  /** Mid-stream idleness (reference WatermarksWithIdleness.java:45): the
+    * idle partner produces in phase 1 only; the active partner keeps
+    * producing across LATER micro-batches. Under `max` the combined
+    * watermark keeps advancing on the active source alone and windows keep
+    * closing — the reference's idle-marking outcome. Divergence (stated):
+    * the reference de-weights a source only after its idle TIMEOUT and
+    * re-weights it on revival, while Spark's `max` policy applies always —
+    * so a revived source's rows older than the advanced watermark are late
+    * under Spark even within what would have been the reference's timeout
+    * window. Same steady-state emission, different revival grace. */
+  test("mid-stream idle source under max: later batches keep closing windows") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    try {
+      val base = Tables.scratch(s"wm-policy/idle-${java.util.UUID.randomUUID()}")
+      // idle partner: ONE early file, then silence
+      Seq(30L).toDF("ts_s").coalesce(1).write.parquet(s"$base/idle")
+      // active partner: three files == three micro-batches (file order by
+      // path is deterministic with one file per prefix)
+      Seq(100L).toDF("ts_s").coalesce(1).write.parquet(s"$base/active/p1")
+      Seq(200L).toDF("ts_s").coalesce(1).write.parquet(s"$base/active/p2")
+      Seq(330L).toDF("ts_s").coalesce(1).write.parquet(s"$base/active/p3")
+      def src(d: String, one: Boolean) = {
+        val r = spark.readStream.schema("ts_s long")
+        (if (one) r.option("maxFilesPerTrigger", 1) else r)
+          .parquet(d)
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds($"ts_s"))
+          .withWatermark("ts", "0 seconds")
+      }
+      val unioned = src(s"$base/active/*", one = true)
+        .union(src(s"$base/idle", one = false))
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "60 seconds"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      val q = unioned
+        .select(org.apache.spark.sql.functions.unix_timestamp($"window.start")
+          .as("ws"), $"cnt")
+        .writeStream.format("memory").queryName("wm_idle_mid")
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // active reached 330 -> watermark 330 closes [0,60) {30}, [60,120)
+      // {100}, [180,240) {200}; [300,360) {330} stays open. The idle
+      // source's 30 held NOTHING back, and the windows closed across
+      // multiple batches, not one final flush
+      val out = spark.table("wm_idle_mid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(0L -> 1L, 60L -> 1L, 180L -> 1L),
+        s"expected the idle-tolerant emission set, got $out")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"the phased feed must span multiple micro-batches (got $dataBatches)")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", v)
+      case None => spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+    }
+  }
 }
