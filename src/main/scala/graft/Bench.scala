@@ -57,7 +57,23 @@ object Bench {
     warm("q_stream_session", cepDir)
     warm("q_session_dynamic_stream", cepDir)
     warm("q_dedup_sql_last", cepDir)
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+    // local-adjudication filter (driver never sets this): comma-separated
+    // names, for clean-host re-times of drift residuals. Loud + fail-fast
+    // like Verify's SPARK_GRAFT_ONLY; the resulting BENCH_FULL.json is
+    // partial and must NOT be committed as the round artifact.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val known = names.intersect(SparkEntry.queries.keySet)
+      System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY active — timing " +
+          s"${known.size} of ${SparkEntry.queries.size} queries")
+      require(known.nonEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY matched zero queries: ${names.mkString(",")}")
+    }
+    val firstPass = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> ((System.nanoTime() - t0) / 1e9, ok)
@@ -149,7 +165,7 @@ object Bench {
         s""""queries":${obj(scale)},"calibration":${obj(calib)},""" +
         s""""calibration_total":${fmt(calibTotal)},"host_drift_rerun":$hostDriftReruns,""" +
         s""""n_queries":${results.size},"sf":"$sfDir"}"""
-    try {
+    if (only.isEmpty) try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // cwd not writable: stdout line still stands

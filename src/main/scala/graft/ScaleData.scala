@@ -85,19 +85,32 @@ object ScaleData {
       withRep(Tables.t(spark, srcDir, "events"), factor),
       Seq("event_id", "user_id")))
 
+    // Caesar rotation cycles at 26; past it (factor > 26) a replica-tag
+    // word keeps texts distinct across replicas that share a rotation —
+    // without it, every 26th replica would be a verbatim duplicate and
+    // LSH bucket pair-counts would pick up a quadratic synthesizer
+    // artifact. n_chars is recomputed to stay the fixture's invariant
+    // (n_chars == length(text)); for rep < 26 it is a no-op.
     write("documents", shiftKeys(
       withRep(Tables.t(spark, srcDir, "documents"), factor), Seq("doc_id"))
-      .withColumn("text", caesar(col("text"), col("rep"))))
+      .withColumn("text", when(col("rep") < 26, caesar(col("text"), col("rep")))
+        .otherwise(concat(lit("g"), col("rep"), lit(" "),
+          caesar(col("text"), col("rep")))))
+      .withColumn("n_chars", length(col("text")).cast("long")))
 
+    // vector rotation cycles at the dimension; rotate by rep mod dim and
+    // rely on the per-replica re-celled label for cell separation
     val emb = shiftKeys(
       withRep(Tables.t(spark, srcDir, "embeddings"), factor), Seq("vec_id"))
       .withColumn("label",
         (col("label") + col("rep") * lit(1000)).cast("int"))
-      .withColumn("embedding", when(col("rep") === 0, col("embedding"))
+      .withColumn("rot", pmod(col("rep"), size(col("embedding"))))
+      .withColumn("embedding", when(col("rot") === 0, col("embedding"))
         .otherwise(concat(
-          slice(col("embedding"), col("rep") + 1,
-            size(col("embedding")) - col("rep")),
-          slice(col("embedding"), lit(1), col("rep")))))
+          slice(col("embedding"), col("rot") + 1,
+            size(col("embedding")) - col("rot")),
+          slice(col("embedding"), lit(1), col("rot")))))
+      .drop("rot")
     write("embeddings", emb)
 
     marker.getParentFile.mkdirs()

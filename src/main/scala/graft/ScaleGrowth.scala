@@ -16,8 +16,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleGrowth {
 
-  val Factor = 10
-  val MaxGrowth = 15.0 // 1.5x linear tolerance on a 10x input
+  /** Input growth factor (SPARK_GRAFT_GROWTH_FACTOR overrides; 100 gives
+    * the second rung, sf0.1 -> ~sf10). */
+  val Factor: Int =
+    sys.env.getOrElse("SPARK_GRAFT_GROWTH_FACTOR", "10").toInt
+  val MaxGrowth: Double = 1.5 * Factor // shuffle-linear tolerance
   val MinWall = 2.0    // flag floor: below this, fixed startup dominates
 
   /** The scale-sensitive set: streaming state families, shuffling joins,
@@ -40,6 +43,13 @@ object ScaleGrowth {
     // CEP over the event stream
     "q_cep_next")
 
+  /** Optional subset override (comma-separated names) — the 100x rung runs
+    * the heavier slice rather than all 29. */
+  def selected: Seq[String] =
+    sys.env.get("SPARK_GRAFT_GROWTH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(queries)
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -53,7 +63,7 @@ object ScaleGrowth {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val unknown = queries.filterNot(SparkEntry.queries.contains)
+    val unknown = selected.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
     ScaleGrowth.synthesizeAndReport(spark, srcDir, bigDir)
@@ -88,7 +98,7 @@ object ScaleGrowth {
       "q_stream_over", "q_tws_topn", "q_minhash_lsh", "q_simhash")
       .foreach(warm(_, cepDir))
 
-    val rows = queries.map { name =>
+    val rows = selected.map { name =>
       val t1 = time(spark, name, srcDir)
       val t10a = time(spark, name, bigDir)
       // one drift re-run for anything over the line — a load spike doesn't
@@ -101,7 +111,7 @@ object ScaleGrowth {
     }
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    println(s"\n| query | sf0.1 s | 10x s | growth | verdict |")
+    println(s"\n| query | base s | ${Factor}x s | growth | verdict |")
     println(s"|---|---|---|---|---|")
     val flagged = Seq.newBuilder[String]
     rows.sortBy { case (_, t1, t10) => -(t10 / math.max(t1, 0.05)) }
@@ -117,9 +127,9 @@ object ScaleGrowth {
       .mkString("[", ",", "]")
     val total1 = rows.map(_._2).sum
     val total10 = rows.map(_._3).sum
-    println(s"""{"metric":"growth10x","synth_sec":${fmt(synthSec)},""" +
-      s""""total_sf":${fmt(total1)},"total_10x":${fmt(total10)},""" +
-      s""""overall_growth":${fmt(total10 / total1)},""" +
+    println(s"""{"metric":"growth${Factor}x","synth_sec":${fmt(synthSec)},""" +
+      s""""total_base":${fmt(total1)},"total_big":${fmt(total10)},""" +
+      s""""overall_growth":${fmt(total10 / total1)},"factor":$Factor,""" +
       s""""n_queries":${rows.size},"super_linear":$flaggedJson,""" +
       s""""max_growth":$MaxGrowth,"src":"$srcDir"}""")
   }

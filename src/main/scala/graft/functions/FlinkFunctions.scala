@@ -60,4 +60,12 @@ object FlinkFunctions {
     */
   def md5Hash31(str: Column): Column =
     conv(substring(md5(str), 1, 8), 16, 10).cast("long") % 2147483647L
+
+  /** Cross-engine stable 56-bit string hash: first 14 hex chars of md5
+    * (always non-negative in a 64-bit long). SimHash's bit source — 56 bits
+    * keeps banded-LSH bucket spaces large enough that bucket population
+    * stays bounded as the corpus grows (the 10x/100x growth gate caught the
+    * 31-bit variant saturating its 8-bit band space and going quadratic). */
+  def md5Hash56(str: Column): Column =
+    conv(substring(md5(str), 1, 14), 16, 10).cast("long")
 }

@@ -232,28 +232,33 @@ object DedupOps {
             |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             |ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** SimHash (32-bit) over the token multiset: bit j set iff
+  /** SimHash (56-bit) over the token multiset: bit j set iff
     * sum over tokens of (+1 if bit j of h(token) else -1) > 0. The balances
     * are folded by a single typed aggregator — one agg expression, so
     * CollapseProject can inline md5 only ONCE and map-side partial
-    * aggregation works: the shuffle carries a 32-int buffer per (doc,
-    * mapper) instead of every token hash. */
+    * aggregation works: the shuffle carries a 56-int buffer per (doc,
+    * mapper) instead of every token hash. Width 56 (14 md5 hex chars —
+    * production simhash is 64-bit, Manku et al. WWW'07): the 10x/100x
+    * growth gate caught the earlier 31-bit signature saturating its 8-bit
+    * band space (bucket population grows with N once the value space is
+    * full, turning the banded join quadratic — 282x wall on 100x input). */
   private object SimhashAgg
       extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
-    override def zero: Array[Int] = new Array[Int](32)
+    val W = 56
+    override def zero: Array[Int] = new Array[Int](W)
     override def reduce(b: Array[Int], h: Long): Array[Int] = {
       var j = 0
-      while (j < 32) { b(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1 }
+      while (j < W) { b(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1 }
       b
     }
     override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
       var j = 0
-      while (j < 32) { a(j) += b(j); j += 1 }
+      while (j < W) { a(j) += b(j); j += 1 }
       a
     }
     override def finish(b: Array[Int]): Long = {
       var out = 0L; var j = 0
-      while (j < 32) { if (b(j) > 0) out |= (1L << j); j += 1 }
+      while (j < W) { if (b(j) > 0) out |= (1L << j); j += 1 }
       out
     }
     override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
@@ -273,7 +278,7 @@ object DedupOps {
     val hashed = docs
       .select(col("doc_id"),
         explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("tok"))
-      .select(col("doc_id"), md5Hash31(col("tok")).as("h"))
+      .select(col("doc_id"), graft.functions.FlinkFunctions.md5Hash56(col("tok")).as("h"))
     val sh = org.apache.spark.sql.functions.udaf(SimhashAgg)
     hashed.groupBy(col("doc_id"))
       .agg(sh(col("h")).as("simhash"))
@@ -293,18 +298,18 @@ object DedupOps {
            |  FROM documents),
            |hashed AS (
            |  SELECT doc_id,
-           |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483647 AS h
+           |         CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
            |  FROM toks),
            |bits AS (
            |  SELECT doc_id, j,
            |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
-           |  FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS j) r
+           |  FROM hashed CROSS JOIN (SELECT unnest(range(56)) AS j) r
            |  GROUP BY 1, 2)
            |SELECT doc_id,
            |       CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** SimHash near-dup pairs: hamming distance <= 6 on the 32-bit signature.
+  /** SimHash near-dup pairs: hamming distance <= 6 on the 56-bit signature.
     * Kept as a bounded self-join here; the scale path buckets by bit-chunks
     * (split signature into k+1 chunks; any exact chunk match is a candidate)
     * exactly like LSH banding. */
@@ -326,12 +331,12 @@ object DedupOps {
            |  FROM documents),
            |hashed AS (
            |  SELECT doc_id,
-           |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483647 AS h
+           |         CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
            |  FROM toks),
            |bits AS (
            |  SELECT doc_id, j,
            |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
-           |  FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS j) r
+           |  FROM hashed CROSS JOIN (SELECT unnest(range(56)) AS j) r
            |  GROUP BY 1, 2),
            |sh AS (
            |  SELECT doc_id,
@@ -343,26 +348,31 @@ object DedupOps {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
            |ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** Banded SimHash near-dup (the scale path): split the 32-bit signature
-    * into 8 chunks of 4 bits; by pigeonhole, any pair with hamming distance
+  /** Banded SimHash near-dup (the scale path): split the 56-bit signature
+    * into 8 chunks of 7 bits; by pigeonhole, any pair with hamming distance
     * <= 7 shares at least one chunk, so an equi-join on (chunk_idx, chunk
     * value) finds all hd<=6 candidates without the O(n^2) self-join — then
-    * the exact hamming filter verifies. Same output as q_simhash_pairs. */
+    * the exact hamming filter verifies. Same output as q_simhash_pairs.
+    * Band width is the saturation knob: bucket space = C(8,2) chunk pairs
+    * x 2^14 pair values ~ 459k buckets, so bucket population (and the
+    * quadratic-in-bucket candidate count) stays O(N / 459k) — the 100x
+    * growth gate caught the previous 4-bit bands (7k buckets) saturating
+    * at ~500k docs and going 282x on 100x input. */
   val qSimhashBanded: Q = Q(
     "q_simhash_banded",
     (s, dir) => {
       import s.implicits._
       val sh = simhashM(s, dir)
-      // chunk-PAIR banding: hd <= 6 damages at most 6 of the 8 4-bit
+      // chunk-PAIR banding: hd <= 6 damages at most 6 of the 8 7-bit
       // chunks, so at least one of the C(8,2)=28 chunk pairs is fully
-      // intact — bucketing on 8-bit pair values finds the same pair set
-      // as single-chunk banding with ~4x fewer join candidates
-      // (sum_c N^2/2^8 over 28 combos vs N^2/2^4 over 8)
+      // intact — bucketing on 14-bit pair values finds the same pair set
+      // as single-chunk banding with far fewer join candidates
+      // (sum_c N^2/2^14 over 28 combos vs N^2/2^7 over 8)
       val pairEntries = (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j))
         .map { case (i, j) =>
           s"named_struct('i', $i, 'j', $j, 'v', " +
-            s"shiftleft(shiftright(simhash, ${i * 4}) & 15, 4) + " +
-            s"(shiftright(simhash, ${j * 4}) & 15))"
+            s"shiftleft(shiftright(simhash, ${i * 7}) & 127, 7) + " +
+            s"(shiftright(simhash, ${j * 7}) & 127))"
         }.mkString(", ")
       val chunks = sh.select($"doc_id", $"simhash",
         explode(expr(s"array($pairEntries)")).as("ch"))
@@ -384,7 +394,7 @@ object DedupOps {
           col("a.i").as("i"), col("a.j").as("j"),
           expr("a.simhash ^ b.simhash").as("x"))
         .withColumn("m", expr((0 until 8)
-          .map(c => s"IF((shiftright(x, ${4 * c}) & 15) = 0, ${1 << c}, 0)")
+          .map(c => s"IF((shiftright(x, ${7 * c}) & 127) = 0, ${1 << c}, 0)")
           .mkString(" + ")))
         .where(expr("(m & -m) = shiftleft(1, i)") &&
           expr("((m - shiftleft(1, i)) & -(m - shiftleft(1, i))) = shiftleft(1, j)"))
@@ -398,19 +408,19 @@ object DedupOps {
            |  FROM documents),
            |hashed AS (
            |  SELECT doc_id,
-           |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483647 AS h
+           |         CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
            |  FROM toks),
            |bits AS (
            |  SELECT doc_id, j,
            |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
-           |  FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS j) r
+           |  FROM hashed CROSS JOIN (SELECT unnest(range(56)) AS j) r
            |  GROUP BY 1, 2),
            |sh AS (
            |  SELECT doc_id,
            |         CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
            |  FROM bits GROUP BY 1),
            |chunks AS (
-           |  SELECT doc_id, simhash, c, (simhash >> (c * 4)) & 15 AS v
+           |  SELECT doc_id, simhash, c, (simhash >> (c * 7)) & 127 AS v
            |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS c) r)
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd

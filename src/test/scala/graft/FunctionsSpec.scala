@@ -90,6 +90,19 @@ class FunctionsSpec extends GraftSpec {
     assert(r == 1564557354L % 2147483647L)
   }
 
+  test("md5Hash56 is stable, non-negative, and 56 bits wide") {
+    import spark.implicits._
+    import graft.functions.FlinkFunctions.md5Hash56
+    val r = Seq("hello").toDF("s").select(md5Hash56($"s")).collect().head.getLong(0)
+    // first 14 hex of md5("hello") = 5d41402abc4b2a
+    assert(r == 0x5d41402abc4b2aL)
+    val many = Seq.tabulate(64)(i => s"tok$i").toDF("s")
+      .select(md5Hash56($"s").as("h"))
+      .agg(org.apache.spark.sql.functions.min($"h"),
+        org.apache.spark.sql.functions.max($"h")).collect().head
+    assert(many.getLong(0) >= 0L && many.getLong(1) < (1L << 56))
+  }
+
   test("sha family matches published known-answer vectors") {
     // reference FlinkSqlOperatorTable SHA1/SHA224/SHA384/SHA512 — DuckDB
     // ships only sha256, so these widths are checked against the NIST

@@ -77,6 +77,26 @@ class ScaleDataSpec extends GraftSpec {
       "replica vectors must differ (identical copies would pile into one cell)")
   }
 
+  test("past the 26-rotation cycle (factor > 26) texts stay distinct and vectors stay dim-sized") {
+    import spark.implicits._
+    val d = Tables.scratch(s"scale-data-spec30/${java.util.UUID.randomUUID()}")
+    ScaleData.synthesize(spark, sfDir, d, factor = 30)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val bySrc = docs.groupBy(($"doc_id" % ScaleData.KeyShift).as("src_id"))
+      .agg(org.apache.spark.sql.functions.countDistinct($"text").as("texts"))
+    assert(bySrc.filter($"texts" =!= 30).count() == 0,
+      "every replica past the rotation cycle must still carry distinct text")
+    assert(docs.filter(org.apache.spark.sql.functions.length($"text") =!=
+      $"n_chars").count() == 0, "n_chars must track the perturbed text")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    assert(emb.filter(org.apache.spark.sql.functions.size($"embedding") =!= 64)
+      .count() == 0, "rotation by rep mod dim must preserve the vector length")
+    val one = emb.filter($"vec_id" % ScaleData.KeyShift === 7)
+      .select($"embedding").collect().map(_.getSeq[Float](0))
+    assert(one.length == 30 && one.distinct.length >= 27,
+      "only dim-cycle collisions may repeat a vector (none at 30 < 64)")
+  }
+
   test("synthesis is skipped on re-run (completion marker)") {
     val before = new java.io.File(s"$outDir/lineitem.parquet").lastModified()
     ScaleData.synthesize(spark, sfDir, outDir, factor = 3)
