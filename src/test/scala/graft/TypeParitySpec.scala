@@ -71,6 +71,31 @@ class TypeParitySpec extends GraftSpec {
     assert(one.values.sum > 0, "multiset cardinalities must be positive counts")
   }
 
+  test("TIMESTAMP vs TIMESTAMP_LTZ: the UTC-session precondition makes the mapping exact") {
+    // Flink's TIMESTAMP(p) is wall-clock (no zone) — Spark's literal
+    // equivalent is TIMESTAMP_NTZ; the engine maps fixture timestamps to
+    // TimestampType (LTZ) under a PINNED UTC session tz, where the two
+    // coincide instant-for-instant. Under a DST-observing session tz they
+    // do NOT (the analyzer coerces NTZ through the session zone) — which is
+    // exactly why Tables.normalize requires a fixed-offset tz.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = spark.sql(
+        "SELECT unix_micros(CAST(TIMESTAMP_NTZ '2021-07-01 12:00:00' AS TIMESTAMP)) AS us")
+        .collect().head.getLong(0)
+      assert(utc == spark.sql(
+        "SELECT unix_micros(TIMESTAMP '2021-07-01 12:00:00Z')").collect().head.getLong(0),
+        "under UTC the NTZ wall-clock IS the instant")
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ny = spark.sql(
+        "SELECT unix_micros(CAST(TIMESTAMP_NTZ '2021-07-01 12:00:00' AS TIMESTAMP)) AS us")
+        .collect().head.getLong(0)
+      assert(ny == utc + 4L * 3600 * 1000000,
+        "under a DST zone the same wall-clock maps to a different instant (EDT = UTC-4)")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("TIME-as-millis bounds: the int millis-of-day mapping covers the full day") {
     import spark.implicits._
     val r = Tables.t(spark, sfDir, "events")

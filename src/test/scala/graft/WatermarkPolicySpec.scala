@@ -114,4 +114,76 @@ class WatermarkPolicySpec extends GraftSpec {
       case None => spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
     }
   }
+
+  /** The revival hazard, pinned: under `max` a source that revives with
+    * rows OLDER than the watermark the active source advanced sees them
+    * dropped as late — the trade-off WatermarksWithIdleness's own javadoc
+    * states for marking a source idle (its records may then be considered
+    * late on revival). Grace comparison, measured while building this
+    * test: the reference gives a revived source its idle TIMEOUT before
+    * de-weighting again; Spark gives exactly ONE micro-batch — stateful
+    * operators filter late records with the PREVIOUS batch's watermark
+    * while evicting with the current one (the two-watermark design that
+    * enables chained stateful operators), so a row arriving in the same
+    * batch cycle as the advance still lands, and one batch later it
+    * drops. This test pins the drop one batch past the advance. */
+  test("revival under max: rows older than the advanced watermark drop as late") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    try {
+      val base = Tables.scratch(s"wm-policy/revive-${java.util.UUID.randomUUID()}")
+      // BOTH sources capped at one file per trigger so the batch alignment
+      // is deterministic: batch 0 = reviver {30} + active {400,450} (the
+      // watermark jumps to 450 after it), batch 1 = on-time {455} + {460}
+      // (the late-events watermark is now 450), batch 2 = the revived {90}
+      // (late by BOTH watermarks -> dropped) + active {470}
+      Seq(30L).toDF("ts_s").coalesce(1).write.parquet(s"$base/revive/p1")
+      Seq(455L).toDF("ts_s").coalesce(1).write.parquet(s"$base/revive/p2")
+      Seq(90L).toDF("ts_s").coalesce(1).write.parquet(s"$base/revive/p3")
+      Seq(400L, 450L).toDF("ts_s").coalesce(1).write.parquet(s"$base/active/p1")
+      Seq(460L).toDF("ts_s").coalesce(1).write.parquet(s"$base/active/p2")
+      Seq(470L).toDF("ts_s").coalesce(1).write.parquet(s"$base/active/p3")
+      // the file source orders files by MODIFICATION time (ties broke this
+      // test's phasing once): pin a strictly increasing mtime per phase
+      for ((d, i) <- Seq("revive/p1", "active/p1", "revive/p2", "active/p2",
+          "revive/p3", "active/p3").zipWithIndex;
+          f <- new java.io.File(s"$base/$d").listFiles()
+          if f.getName.endsWith(".parquet"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      def src(d: String, one: Boolean) = {
+        val r = spark.readStream.schema("ts_s long")
+        (if (one) r.option("maxFilesPerTrigger", 1) else r)
+          .parquet(d)
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds($"ts_s"))
+          .withWatermark("ts", "0 seconds")
+      }
+      val unioned = src(s"$base/revive/*", one = true)
+        .union(src(s"$base/active/*", one = true))
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "60 seconds"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      val q = unioned
+        .select(org.apache.spark.sql.functions.unix_timestamp($"window.start")
+          .as("ws"), $"cnt")
+        .writeStream.format("memory").queryName("wm_revive")
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table("wm_revive").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the late-events watermark is 460 when the revived ts=90 arrives ->
+      // dropped, so the [60,120) window never appears; emitted = [0,60)
+      // {30} and [360,420) {400} ([420,480) {450,455,460,470} stays open
+      // at the final watermark 470). Under the reference's idleness
+      // contract the revived source would get its idle timeout of grace;
+      // Spark's grace is the one-batch watermark lag pinned above.
+      assert(out == Map(0L -> 1L, 360L -> 1L),
+        s"expected the late-drop emission set, got $out")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", v)
+      case None => spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+    }
+  }
 }
