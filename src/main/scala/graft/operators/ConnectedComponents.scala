@@ -69,12 +69,22 @@ object ConnectedComponents {
     // cheap per-round fingerprint: one aggregate job vs two except jobs.
     // A CHANGED fingerprint proves non-convergence exactly; only a STABLE
     // fingerprint pays the exact set-equality confirmation (so a collision
-    // can never declare a false fixpoint — it only costs one extra probe)
-    def fp(df: DataFrame): (Long, Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v")),
-        sum(col("u") * col("v") % 1000000007L)).head()
-      def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
-      (g(0), g(1), g(2), g(3))
+    // can never declare a false fixpoint — it only costs one extra probe).
+    // Overflow-proof arithmetic (the 100x growth rung caught the earlier
+    // `sum(u * v % p)` throwing ARITHMETIC_OVERFLOW on ~1e10 node ids —
+    // u*v exceeds a long BEFORE the mod; snowflake-style 64-bit ids would
+    // hit the same wall in production): reduce each operand mod p first,
+    // so the product stays under 2^60, and accumulate every sum in
+    // DECIMAL(38,0) so no edge count can overflow the fingerprint itself.
+    def fp(df: DataFrame): (Long, String, String, String) = {
+      val p = 1000000007L
+      val r = df.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)")),
+        sum((pmod(col("u"), lit(p)) * pmod(col("v"), lit(p)) % p)
+          .cast("decimal(38,0)"))).head()
+      def g(i: Int) = if (r.isNullAt(i)) "0" else r.getDecimal(i).toPlainString
+      (r.getLong(0), g(1), g(2), g(3))
     }
     var curFp = fp(e)
     var converged = false
