@@ -68,8 +68,11 @@ object Bench {
       System.err.println(
         s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY active — timing " +
           s"${known.size} of ${SparkEntry.queries.size} queries")
-      require(known.nonEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY matched zero queries: ${names.mkString(",")}")
+      // a typo'd name must be loud, not silently dropped: a partial match
+      // would quietly skip the very query the re-time was ordered for
+      val unmatched = names.diff(SparkEntry.queries.keySet)
+      require(unmatched.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names match no query: ${unmatched.toSeq.sorted.mkString(",")}")
     }
     val firstPass = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

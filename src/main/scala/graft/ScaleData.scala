@@ -99,11 +99,17 @@ object ScaleData {
       .withColumn("n_chars", length(col("text")).cast("long")))
 
     // vector rotation cycles at the dimension; rotate by rep mod dim and
-    // rely on the per-replica re-celled label for cell separation
-    val emb = shiftKeys(
-      withRep(Tables.t(spark, srcDir, "embeddings"), factor), Seq("vec_id"))
+    // rely on the per-replica re-celled label for cell separation. The
+    // re-key offset must clear every source label or cells silently
+    // collide across replicas (breaking the "cell count scales with
+    // corpus" property the growth gate relies on) — derive it from the
+    // actual max label instead of assuming labels < 1000.
+    val srcEmb = Tables.t(spark, srcDir, "embeddings")
+    val labelShift = math.max(1000L,
+      srcEmb.agg(max(col("label").cast("long"))).head().getLong(0) + 1L)
+    val emb = shiftKeys(withRep(srcEmb, factor), Seq("vec_id"))
       .withColumn("label",
-        (col("label") + col("rep") * lit(1000)).cast("int"))
+        (col("label") + col("rep") * lit(labelShift)).cast("int"))
       .withColumn("rot", pmod(col("rep"), size(col("embedding"))))
       .withColumn("embedding", when(col("rot") === 0, col("embedding"))
         .otherwise(concat(

@@ -52,7 +52,9 @@ object ScaleGrowth {
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // default matches the posture every committed BENCH_NOTES growth table
+    // actually ran under (local[16]) — keep doc and default in agreement
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val bigDir = Tables.scratch(s"sf-growth/x$Factor-" +
       srcDir.replaceAll("[^a-zA-Z0-9]", "_"))
     val spark = SparkSession.builder()

@@ -267,13 +267,14 @@ object DedupOps {
       org.apache.spark.sql.Encoders.scalaLong
   }
 
-  /** History: a 32-separate-sum formulation needed an explicit repartition
-    * barrier (CollapseProject inlined md5 into all 32 partial-agg updates —
-    * 32 md5s/token) and shipped every token hash through that exchange. The
-    * single typed aggregator evaluates md5 once, janino-compiles a fraction
-    * of the code (cold 1.5 s → 0.7 s, warm 0.63 s → 0.36 s at sf0.1), and
-    * partial-aggregates map-side — at 100 TB the shuffle carries one 32-int
-    * buffer per (doc, mapper) instead of the token-hash stream. */
+  /** History: a per-bit separate-sum formulation needed an explicit
+    * repartition barrier (CollapseProject inlined md5 into every partial-agg
+    * update — one md5 per bit per token) and shipped every token hash
+    * through that exchange. The single typed aggregator evaluates md5 once,
+    * janino-compiles a fraction of the code (cold 1.5 s → 0.7 s, warm
+    * 0.63 s → 0.36 s at sf0.1), and partial-aggregates map-side — at 100 TB
+    * the shuffle carries one W-int balance buffer per (doc, mapper) instead
+    * of the token-hash stream (W = 56 since the r15 band-saturation fix). */
   def simhash(docs: DataFrame): DataFrame = {
     val hashed = docs
       .select(col("doc_id"),

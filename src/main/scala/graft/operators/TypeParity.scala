@@ -49,14 +49,27 @@ object TypeParity {
 
   /** DECIMAL(p,s): cast from the double fixture columns, then exact decimal
     * add/subtract/multiply and aggregation — decimal arithmetic is exact in
-    * both engines, so the values must hash-match bit for bit (the one
-    * rounding step, the double->decimal cast, is deterministic on 2-dec
-    * inputs). Result precisions are pinned by explicit casts on both sides
-    * so schema classes align. Division is deliberately absent: its result
-    * scale AND the rounding of a re-rounded double are engine-specific
-    * (observed: Spark HALF_UP vs DuckDB's round differing at 1e-6
-    * boundaries on 35/15000 rows) — division semantics are pinned as a
-    * divergence spec in TypeParitySpec, the WatermarkPolicySpec pattern. */
+    * both engines (the one rounding step, the double->decimal cast, is
+    * deterministic on 2-dec inputs). Division is deliberately absent: its
+    * result scale AND the rounding of a re-rounded double are
+    * engine-specific (observed: Spark HALF_UP vs DuckDB's round differing
+    * at 1e-6 boundaries on 35/15000 rows) — division semantics are pinned
+    * as a divergence spec in TypeParitySpec, the WatermarkPolicySpec
+    * pattern.
+    *
+    * Driver-hash sensitivity (round-15 finding): the correctness driver
+    * hashes column VALUES after a DuckDB round-trip, and DECIMAL outputs
+    * are the one class whose serialized representation differs across
+    * engines (trailing-zero rendering, DuckDB HUGEINT-backed DECIMAL(38,_)
+    * repr) — this was the suite's only DECIMAL-output query and the only
+    * hash_match failure at r15 while the exact value compare passed. So
+    * the decimal arithmetic stays internal (the thing under test: exact
+    * per-row DECIMAL(18,4) multiply/add and the cross-engine agreement of
+    * every intermediate) and the OUTPUT is quantized to exact integral
+    * units as BIGINT — 1e-4 units for the scale-4 sums, 1e-2 units for the
+    * scale-2 columns (the proven q_cdc_ingest pattern). The quantization
+    * is lossless: each operand's fractional part is exactly representable
+    * at its declared scale, so value * 10^s is integral by construction. */
   val qTypeDecimal: Q = Q(
     "q_type_decimal",
     (s, dir) => {
@@ -66,30 +79,39 @@ object TypeParity {
           $"l_extendedprice".cast("decimal(12,2)").as("ep"),
           $"l_discount".cast("decimal(4,2)").as("disc"),
           $"l_tax".cast("decimal(4,2)").as("tax"))
-        .select($"l_orderkey", $"l_linenumber", $"ep", $"disc",
-          ($"ep" * (lit(1).cast("decimal(3,2)") - $"disc"))
-            .cast("decimal(18,4)").as("rev"),
-          ($"ep" + $"ep" * $"tax").cast("decimal(18,4)").as("taxed"))
+        .select($"l_orderkey",
+          (($"ep" * (lit(1).cast("decimal(3,2)") - $"disc"))
+            .cast("decimal(18,4)") * lit(10000).cast("decimal(5,0)"))
+            .cast("bigint").as("rev_u4"),
+          (($"ep" + $"ep" * $"tax").cast("decimal(18,4)")
+            * lit(10000).cast("decimal(5,0)")).cast("bigint").as("taxed_u4"),
+          ($"ep" * lit(100).cast("decimal(3,0)")).cast("bigint").as("ep_u2"),
+          ($"disc" * lit(100).cast("decimal(3,0)")).cast("bigint").as("disc_u2"))
         .groupBy($"l_orderkey")
         .agg(
-          sum($"rev").cast("decimal(38,4)").as("sum_rev"),
-          sum($"taxed").cast("decimal(38,4)").as("sum_taxed"),
-          max($"ep").cast("decimal(12,2)").as("max_ep"),
-          min($"ep").cast("decimal(12,2)").as("min_ep"),
-          sum($"disc").cast("decimal(38,2)").as("sum_disc"),
+          sum($"rev_u4").as("sum_rev_u4"),
+          sum($"taxed_u4").as("sum_taxed_u4"),
+          max($"ep_u2").as("max_ep_u2"),
+          min($"ep_u2").as("min_ep_u2"),
+          sum($"disc_u2").as("sum_disc_u2"),
           count(lit(1)).as("n"))
         .orderBy($"l_orderkey")
     },
     Some("""SELECT l_orderkey,
-           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
            |        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-           |        AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_rev,
-           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           |        AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT))
+           |    AS BIGINT) AS sum_rev_u4,
+           |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
            |        + CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2))
-           |        AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_taxed,
-           |  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_ep,
-           |  CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS min_ep,
-           |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,2)) AS sum_disc,
+           |        AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT))
+           |    AS BIGINT) AS sum_taxed_u4,
+           |  CAST(max(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           |        * CAST(100 AS DECIMAL(3,0)) AS BIGINT)) AS BIGINT) AS max_ep_u2,
+           |  CAST(min(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           |        * CAST(100 AS DECIMAL(3,0)) AS BIGINT)) AS BIGINT) AS min_ep_u2,
+           |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(4,2))
+           |        * CAST(100 AS DECIMAL(3,0)) AS BIGINT)) AS BIGINT) AS sum_disc_u2,
            |  count(*) AS n
            |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin))
 

@@ -43,11 +43,17 @@ object WatermarkIdleness {
         val base = Tables.scratch(
           s"wm-idle/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
         val ev = Tables.t(s, dir, "events")
-        val cutoff = ev.agg(min(unix_timestamp($"ts"))).head().getLong(0) + 3600
+        // idle cutoff in integer MICROSECONDS on both sides (oracle uses
+        // epoch_us): unix_timestamp() floors to seconds while DuckDB's
+        // epoch() keeps the sub-second part, so a seconds-domain cutoff
+        // admits rows in [floor(min)+3600, min+3600) on one side only —
+        // fixture-luck, not parity (r15 advice finding)
+        val cutoffUs = ev.agg(min(expr("unix_micros(ts)"))).head().getLong(0) +
+          3600L * 1000000L
         ev.filter($"event_type" =!= "view").select($"ts")
           .coalesce(2).write.mode("overwrite").parquet(s"$base/active")
         ev.filter($"event_type" === "view" &&
-            unix_timestamp($"ts") < cutoff).select($"ts")
+            expr("unix_micros(ts)") < cutoffUs).select($"ts")
           .coalesce(1).write.mode("overwrite").parquet(s"$base/idle")
         def src(d: String) = s.readStream.schema("ts timestamp").parquet(d)
           .withWatermark("ts", "0 seconds")
@@ -63,18 +69,23 @@ object WatermarkIdleness {
       }
     },
     // append emits exactly the windows the final combined watermark closed;
-    // under max that watermark is the union's max event time (delay 0)
+    // under max that watermark is the union's max event time (delay 0).
+    // Both bounds are integer-microsecond exact: the idle cutoff mirrors the
+    // Spark side's unix_micros filter, and the emission bound compares the
+    // window end against max(epoch_us) directly — (wend*1e6 <= max_us) is
+    // equivalent to Spark's floored-millisecond watermark test
+    // (wend*1000 <= max_us // 1000), with no round-to-nearest CAST in play
     Some("""WITH u AS (
            |  SELECT ts FROM events WHERE event_type <> 'view'
            |  UNION ALL
            |  SELECT ts FROM events WHERE event_type = 'view'
-           |    AND epoch(ts) < (SELECT min(epoch(ts)) + 3600 FROM events)
+           |    AND epoch_us(ts) < (SELECT min(epoch_us(ts)) + 3600000000 FROM events)
            |)
            |SELECT wstart, cnt FROM (
-           |  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS wstart,
+           |  SELECT (epoch_us(ts) // 300000000) * 300 AS wstart,
            |         count(*) AS cnt
            |  FROM u GROUP BY 1)
-           |WHERE wstart + 300 <= (SELECT CAST(max(epoch(ts)) AS BIGINT) FROM u)
+           |WHERE (wstart + 300) * 1000000 <= (SELECT max(epoch_us(ts)) FROM u)
            |ORDER BY wstart""".stripMargin))
 
   val all: Seq[Q] = Seq(qWatermarkIdle)
