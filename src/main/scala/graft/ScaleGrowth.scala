@@ -57,12 +57,22 @@ object ScaleGrowth {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val bigDir = Tables.scratch(s"sf-growth/x$Factor-" +
       srcDir.replaceAll("[^a-zA-Z0-9]", "_"))
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb pins the off-heap RocksDB state
+    // store session-wide — the production posture for 10M+ rows of keyed
+    // state, where the default in-heap HDFS-backed store needs a 48g heap
+    // (r15 BENCH_NOTES). TwS queries already self-select RocksDB; this
+    // makes the mapGroupsWithState/stream-join families run it too.
+    val spark = (sys.env.get("SPARK_GRAFT_STATE_PROVIDER") match {
+      case Some("rocksdb") => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => builder
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val unknown = selected.filterNot(SparkEntry.queries.contains)
@@ -72,9 +82,25 @@ object ScaleGrowth {
     spark.stop()
   }
 
+  /** Pure-projection (map-only) queries: under `count()` Catalyst prunes
+    * the projected expressions entirely, so the timing measures scan +
+    * row-count and the growth number is vacuous (the r15 caveat). These
+    * are timed through a checksum aggregate over every output column
+    * instead — xxhash64 forces each expression to evaluate, the single
+    * scalar agg adds no shuffle of substance, and nothing materializes
+    * driver-side beyond one row. */
+  val ChecksumQueries: Set[String] = Set(
+    "q_pii_mask", "q_token_count", "q_quality_score",
+    "q_json_extract", "q_parse_url")
+
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, dir).count()
+    val df = SparkEntry.queries(name)(spark, dir)
+    if (ChecksumQueries(name)) {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+        .agg(sum("h")).collect()
+    } else df.count()
     (System.nanoTime() - t0) / 1e9
   }
 

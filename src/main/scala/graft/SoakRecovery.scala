@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Kill-restart recovery soak at the growth-gate tree — the analogue of the
+  * reference's nightly recovery e2e (flink-end-to-end-tests/
+  * run-nightly-tests.sh, which kills TaskManagers mid-job and asserts
+  * exactly-once output): interrupt the two strongest exactly-once claims in
+  * the repo MID-STREAM on the synthesized 100x tree and assert the
+  * converged output equals an uninterrupted run of the same feed.
+  *
+  *  - Phase A, partition-commit sink ([[streaming.PartitionCommit]]): the
+  *    injected fault fires in the protocol's hardest window — batch files
+  *    already promoted into their final partition directories, commit
+  *    record not yet written. The restarted query must replay that batch
+  *    idempotently (delete the batch-prefixed files, re-stage, re-promote,
+  *    record) and the committed-partitions view must match the clean run
+  *    row for row.
+  *  - Phase B, changelog join on transformWithState
+  *    ([[streaming.ChangelogJoin.joinTws]], RocksDB provider): the query is
+  *    stopped from another thread after a few micro-batches (interrupting
+  *    whatever batch is in flight — offsets may be written without the
+  *    commit, the danger window of micro-batch replay), restarted on the
+  *    same checkpoint, drained; the surviving (key, left, right) pairs of
+  *    the output changelog must match the uninterrupted run exactly.
+  *
+  * Both phases stream from range-partitioned multi-file feeds staged in
+  * scratch with strictly increasing modification times, so micro-batches
+  * arrive in event-time/seq order deterministically in every run — the
+  * changelog contract (retract-before-accumulate per key) holds across
+  * batch boundaries, and the two runs differ ONLY in the injected failure.
+  *
+  * Runs on the default fork heap with the RocksDB state-store provider —
+  * the production posture the growth gate's state slice claims.
+  * Prints one JSON line; exit code != 0 on any mismatch.
+  */
+object SoakRecovery {
+
+  val Factor: Int = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "100").toInt
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bigDir = Tables.scratch(s"sf-growth/x$Factor-" +
+      srcDir.replaceAll("[^a-zA-Z0-9]", "_"))
+    ScaleData.synthesize(spark, srcDir, bigDir, Factor)
+
+    val a = phaseA(spark, bigDir)
+    val b = phaseB(spark, bigDir)
+    def j(r: PhaseResult) =
+      s"""{"rows":${r.rows},"checksum":${r.checksum},"clean_rows":${r.cleanRows},""" +
+        s""""clean_checksum":${r.cleanChecksum},"interrupted":${r.interrupted},""" +
+        s""""match":${r.matches},"wall_sec":${fmt(r.wallSec)}}"""
+    println(s"""{"metric":"soak$Factor","partition_commit":${j(a)},""" +
+      s""""changelog_join":${j(b)},"factor":$Factor,"src":"$srcDir"}""")
+    spark.stop()
+    if (!a.matches || !b.matches || !a.interrupted || !b.interrupted) {
+      System.err.println("SOAK FAILED: " +
+        (if (!a.matches || !b.matches) "output mismatch after recovery"
+         else "run completed before the kill — soak vacuous, retune"))
+      sys.exit(1)
+    }
+  }
+
+  private def fmt(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+  final case class PhaseResult(rows: Long, checksum: Long, cleanRows: Long,
+      cleanChecksum: Long, interrupted: Boolean, wallSec: Double) {
+    def matches: Boolean = rows == cleanRows && checksum == cleanChecksum
+  }
+
+  /** Stage `df` as `nFiles` range-partitioned parquet files ordered by
+    * `orderCol`, with strictly increasing modification times so the file
+    * stream source (oldest-first) replays them in that order. Reused across
+    * runs via a completion marker — both the clean and the interrupted run
+    * must consume the IDENTICAL feed. */
+  private def stageFeed(df: DataFrame, dir: String, orderCol: String,
+      nFiles: Int): Unit = {
+    val marker = new java.io.File(s"$dir/_GRAFT_FEED_OK")
+    if (marker.exists()) return
+    df.repartitionByRange(nFiles, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(t0 + i * 1000L), s"cannot order feed file $f")
+    }
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+  }
+
+  private def checksumOf(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      coalesce(sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  // ---- Phase A: partition-commit sink, injected crash before the record --
+
+  private def phaseA(spark: SparkSession, bigDir: String): PhaseResult = {
+    import graft.streaming.PartitionCommit
+    val t0 = System.nanoTime()
+    val feed = Tables.scratch(s"soak/x$Factor-events-feed")
+    stageFeed(Tables.t(spark, bigDir, "events")
+      .select(col("event_id"), col("value"), col("ts")), feed, "ts", nFiles = 12)
+
+    val schema = spark.read.parquet(feed).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(feed)
+      .withColumn("dy", (floor(unix_seconds(col("ts")) / 86400) * 86400)
+        .cast("long"))
+
+    def run(sink: String, ckpt: String, crashBatch: Option[Long]): Boolean = {
+      crashBatch.foreach(b =>
+        spark.conf.set(PartitionCommit.CrashBeforeRecordKey, b.toString))
+      var sawCrash = false
+      try {
+        val q = PartitionCommit.foreachBatchPartitioned(src, sink, "dy",
+            86400L, "ts", commitTag = Integer.toHexString(ckpt.hashCode))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        catch {
+          case e: Exception if crashBatch.isDefined &&
+              (String.valueOf(e.getMessage).contains("graft-soak") ||
+                Option(e.getCause).exists(c =>
+                  String.valueOf(c.getMessage).contains("graft-soak"))) =>
+            sawCrash = true
+        }
+      } finally spark.conf.unset(PartitionCommit.CrashBeforeRecordKey)
+      sawCrash
+    }
+
+    // clean run: one uninterrupted drain
+    val cleanSink = Tables.scratch(s"soak/x$Factor-pc-clean")
+    run(cleanSink, graft.streaming.StreamingOps.freshCheckpoint("soak-pc-clean"),
+      crashBatch = None)
+    val (cleanRows, cleanCk) = checksumOf(
+      PartitionCommit.readCommitted(spark, cleanSink, "dy")
+        .select(col("event_id"), col("value"), col("dy")))
+
+    // interrupted run: crash after batch 2's promote, restart, drain
+    val sink = Tables.scratch(s"soak/x$Factor-pc-soak")
+    val ckpt = graft.streaming.StreamingOps.freshCheckpoint("soak-pc")
+    val crashed = run(sink, ckpt, crashBatch = Some(2L))
+    run(sink, ckpt, crashBatch = None) // recovery drain
+    val (rows, ck) = checksumOf(
+      PartitionCommit.readCommitted(spark, sink, "dy")
+        .select(col("event_id"), col("value"), col("dy")))
+    PhaseResult(rows, ck, cleanRows, cleanCk, crashed,
+      (System.nanoTime() - t0) / 1e9)
+  }
+
+  // ---- Phase B: TwS changelog join, async kill mid-stream ----------------
+
+  private def phaseB(spark: SparkSession, bigDir: String): PhaseResult = {
+    import spark.implicits._
+    import graft.streaming.ChangelogJoin
+    import graft.streaming.ChangelogJoin.Change
+    val t0 = System.nanoTime()
+    val feed = Tables.scratch(s"soak/x$Factor-changes-feed")
+    stageFeed(ChangelogJoin.soakChangelog(spark, bigDir).toDF(),
+      feed, "seq", nFiles = 12)
+
+    val schema = spark.read.parquet(feed).schema
+    def changes = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(feed)
+      .as[Change[Long, Double, Long]]
+
+    def start(sink: String, ckpt: String): StreamingQuery =
+      ChangelogJoin.joinTws(changes).toDF()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+
+    def surviving(sink: String): DataFrame =
+      spark.read.parquet(sink)
+        .groupBy(col("key"), col("left"), col("right"))
+        .agg(sum(when(col("kind").isin("+I", "+U"), 1L).otherwise(-1L)).as("c"))
+        .filter(col("c") > 0)
+
+    // clean run
+    val cleanSink = Tables.scratch(s"soak/x$Factor-cj-clean")
+    val qc = start(cleanSink,
+      graft.streaming.StreamingOps.freshCheckpoint("soak-cj-clean"))
+    qc.awaitTermination()
+    val (cleanRows, cleanCk) = checksumOf(surviving(cleanSink))
+
+    // interrupted run: stop() from this thread once batch >= 2 has run
+    // (interrupting whatever batch is in flight), restart, drain
+    val sink = Tables.scratch(s"soak/x$Factor-cj-soak")
+    val ckpt = graft.streaming.StreamingOps.freshCheckpoint("soak-cj")
+    val q1 = start(sink, ckpt)
+    var killed = false
+    val deadline = System.nanoTime() + 30L * 60 * 1000000000L
+    while (!killed && q1.isActive && System.nanoTime() < deadline) {
+      val p = q1.lastProgress
+      if (p != null && p.batchId >= 2) { q1.stop(); killed = true }
+      else Thread.sleep(100)
+    }
+    // killed == false here means the whole feed drained before batch 2 —
+    // the soak would be vacuous; surfaced via `interrupted` in the report
+    val q2 = start(sink, ckpt)
+    q2.awaitTermination()
+    val (rows, ck) = checksumOf(surviving(sink))
+    PhaseResult(rows, ck, cleanRows, cleanCk, killed,
+      (System.nanoTime() - t0) / 1e9)
+  }
+}

@@ -530,6 +530,16 @@ object ChangelogJoin {
            |  ON l.user_id = r.user_id
            |ORDER BY l.user_id""".stripMargin))
 
+  /** The q_tws_changelog_join input changelog, exposed for the recovery
+    * soak ([[graft.SoakRecovery]]): the latest-value changelog over ALL
+    * events (side 0) unioned with the purchase-count changelog (side 1) —
+    * exactly what the oracle query feeds [[joinTws]]. */
+  def soakChangelog(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Dataset[Change[Long, Double, Long]] = {
+    val ev = eventTuples(s, dir)
+    latestValueChanges(ev, _ => true).union(purchaseCountChanges(ev))
+  }
+
   /** q_tws_changelog_join: the q_changelog_join oracle on the migrated
     * operator — same changelogs, same telescoping contract, MapState-backed
     * retract state views instead of one fMGWS blob. */

@@ -60,6 +60,11 @@ object PartitionCommit {
   private val StagingDir = ".staging"
   private val CommitsDir = "_graft_commits"
 
+  /** Session-conf key the recovery soak sets to a batch id: that batch
+    * crashes after file promotion, before its commit record (the protocol's
+    * hardest replay window). Unset in production; never set by queries. */
+  val CrashBeforeRecordKey = "spark.graft.soak.crashBeforeRecord"
+
   /** Reference option keys (FileSystemOptions.java), same spellings. */
   final case class Options(trigger: String, delaySec: Long, policy: String)
   def options(opts: Map[String, String]): Options = Options(
@@ -148,6 +153,15 @@ object PartitionCommit {
             if (!mx.isNullAt(0))
               watermark = math.max(watermark, mx.getLong(0) - boundSec)
           }
+          // fault-injection hook for the recovery soak (SoakRecovery): die
+          // in the exactly-once danger window — files already PROMOTED into
+          // final partition dirs, commit record NOT yet written. The replay
+          // must redo steps 1-2 idempotently (delete this batch's b<id>-
+          // files, re-stage, re-promote) and count the rows exactly once.
+          if (batch.sparkSession.conf.get(CrashBeforeRecordKey, "")
+              == batchId.toString)
+            throw new RuntimeException(
+              s"graft-soak: injected crash before commit record of batch $batchId")
           writeRecord(fs, record, watermark)
           // count only after the commit record is durable: a batch retried
           // after a crash before the record re-runs this body and must not
