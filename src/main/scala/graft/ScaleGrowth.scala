@@ -74,6 +74,12 @@ object ScaleGrowth {
       case _ => builder
     }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STREAM_SINK=parquet: append-mode streaming queries write
+    // a distributed file sink instead of the driver-side memory sink —
+    // without it, a per-row streaming output at the 100x tree (10M rows)
+    // measures the DRIVER HEAP, not the operator (see StreamingOps.SinkKey)
+    sys.env.get("SPARK_GRAFT_STREAM_SINK")
+      .foreach(v => spark.conf.set(graft.streaming.StreamingOps.SinkKey, v))
 
     val unknown = selected.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
@@ -97,9 +103,11 @@ object ScaleGrowth {
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, dir)
     if (ChecksumQueries(name)) {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      import org.apache.spark.sql.functions.{col, expr, xxhash64}
+      // bit_xor: order-independent and cannot overflow (sum of row hashes
+      // trips ANSI long-overflow within a few million rows)
       df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
-        .agg(sum("h")).collect()
+        .agg(expr("bit_xor(h)")).collect()
     } else df.count()
     (System.nanoTime() - t0) / 1e9
   }

@@ -104,9 +104,12 @@ object SoakRecovery {
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
   }
 
+  /** (row count, bit_xor of per-row xxhash64) — order-independent, and XOR
+    * cannot overflow (an ANSI sum of row hashes trips long-overflow within
+    * a few million rows). */
   private def checksumOf(df: DataFrame): (Long, Long) = {
-    val r = df.agg(count(lit(1)),
-      coalesce(sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)), lit(0L)))
+    val r = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)))
       .head()
     (r.getLong(0), r.getLong(1))
   }

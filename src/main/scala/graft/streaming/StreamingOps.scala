@@ -61,8 +61,33 @@ object StreamingOps {
     s"$ckptBase/$tag-${java.util.UUID.randomUUID()}"
   }
 
+  /** Session-conf key: set to "parquet" to route APPEND-mode harness runs
+    * through a distributed file sink instead of the driver-side memory
+    * sink. The memory sink holds the ENTIRE query output on the driver —
+    * fine for the sf0.01/sf0.1 correctness fixtures, but at the growth
+    * gate's 100x tree a per-row streaming output is 10M rows and the
+    * driver heap (not the state store) becomes the ceiling; a production
+    * deployment writes files, so the gate should too (set by ScaleGrowth
+    * under SPARK_GRAFT_STREAM_SINK=parquet; never set by Verify/Bench, so
+    * correctness runs and committed bench baselines are unaffected).
+    * Update/complete modes always use the memory sink — the file sink
+    * cannot express them, and their outputs are aggregate-sized. */
+  val SinkKey = "spark.graft.streamSink"
+
   def runToMemory(spark: SparkSession, stream: DataFrame, mode: String, name: String): DataFrame = {
     val ckpt = freshCheckpoint(name)
+    if (mode == "append" && spark.conf.get(SinkKey, "memory") == "parquet") {
+      val out = Tables.scratch(s"stream-sink/$name-${java.util.UUID.randomUUID()}")
+      val q = stream.writeStream
+        .format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      return spark.read.schema(stream.schema).parquet(out)
+    }
     val q = stream.writeStream
       .format("memory")
       .queryName(name)

@@ -12,6 +12,23 @@ class StreamingSpec extends GraftSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("parquet stream-sink mode returns the same rows as the memory sink") {
+    // the growth gate routes append-mode harness runs through a distributed
+    // file sink (StreamingOps.SinkKey) so 100x outputs don't measure driver
+    // heap; the two paths must be row-identical
+    import graft.streaming.StreamingOps
+    val q = graft.streaming.StatefulOps.qStreamOverRange // append-mode entry
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    val viaMemory = rows(q.run(spark, sfDir))
+    spark.conf.set(StreamingOps.SinkKey, "parquet")
+    try {
+      val viaParquet = rows(q.run(spark, sfDir))
+      assert(viaParquet == viaMemory,
+        s"sink modes diverged: memory=${viaMemory.size} rows, parquet=${viaParquet.size}")
+    } finally spark.conf.unset(StreamingOps.SinkKey)
+  }
+
   test("streaming tumble agg over MemoryStream matches expected windows") {
     val sparkS = spark
     import sparkS.implicits._
