@@ -102,4 +102,28 @@ class ScaleDataSpec extends GraftSpec {
     ScaleData.synthesize(spark, sfDir, outDir, factor = 3)
     assert(new java.io.File(s"$outDir/lineitem.parquet").lastModified() == before)
   }
+
+  test("IVF label re-key offset clears every source label (no cross-replica cell collisions)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    val src = Tables.t(spark, sfDir, "embeddings")
+    val srcCells = src.select(countDistinct($"label")).head().getLong(0)
+    assert(emb.select(countDistinct($"label")).head().getLong(0) == 3 * srcCells,
+      "an IVF index retrained on a 3x corpus must have 3x cells")
+  }
+
+  test("growth-gate checksum materializer evaluates every projection-family query") {
+    // ScaleGrowth times the pure-projection family through
+    // bit_xor(xxhash64(all output columns)); this guards the wiring — an
+    // unhashable column type added to one of these queries would otherwise
+    // only fail at gate time, far from the edit
+    import org.apache.spark.sql.functions.{col, expr, xxhash64}
+    for (name <- ScaleGrowth.ChecksumQueries) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val r = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+        .agg(expr("bit_xor(h)")).head()
+      assert(!r.isNullAt(0), s"$name produced no rows to checksum")
+    }
+  }
 }
