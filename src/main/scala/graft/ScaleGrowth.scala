@@ -97,7 +97,9 @@ object ScaleGrowth {
     * driver-side beyond one row. */
   val ChecksumQueries: Set[String] = Set(
     "q_pii_mask", "q_token_count", "q_quality_score",
-    "q_json_extract", "q_parse_url")
+    "q_json_extract", "q_parse_url",
+    "q_type_int_widths", "q_type_binary", "q_type_time_millis",
+    "q_type_interval")
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()

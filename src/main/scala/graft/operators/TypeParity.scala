@@ -119,7 +119,13 @@ object TypeParity {
     * down-casts (the modulo keeps every value in range — out-of-range casts
     * DIVERGE between engines and are pinned in TypeParitySpec instead), and
     * the float32 round-trip (double -> REAL -> double is IEEE-deterministic
-    * in both engines). */
+    * in both engines). The INT row takes the same modulo discipline as
+    * TINYINT/SMALLINT: a bare `cast(event_id as int)` holds at every
+    * fixture SF but overflows on snowflake-scale ids — the growth gate's
+    * checksum materializer caught exactly that on the 100x tree's shifted
+    * ids (2.2e9 > Int.MaxValue, ANSI CAST_OVERFLOW; invisible under
+    * count() because the cast was pruned). 1999999973 is prime and
+    * < 2^31, so the residue always fits INT. */
   val qTypeIntWidths: Q = Q(
     "q_type_int_widths",
     (s, dir) => {
@@ -129,7 +135,7 @@ object TypeParity {
           $"event_id",
           ($"event_id" % 127).cast("tinyint").as("ti"),
           ($"event_id" % 32003).cast("smallint").as("si"),
-          $"event_id".cast("int").as("ii"),
+          ($"event_id" % 1999999973L).cast("int").as("ii"),
           $"event_id".cast("bigint").as("bi"),
           $"value".cast("float").cast("double").as("f32rt"),
           ($"event_id" % 2 === 0).as("even"))
@@ -138,7 +144,7 @@ object TypeParity {
     Some("""SELECT event_id,
            |  CAST(event_id % 127 AS TINYINT) AS ti,
            |  CAST(event_id % 32003 AS SMALLINT) AS si,
-           |  CAST(event_id AS INTEGER) AS ii,
+           |  CAST(event_id % 1999999973 AS INTEGER) AS ii,
            |  CAST(event_id AS BIGINT) AS bi,
            |  CAST(CAST(value AS REAL) AS DOUBLE) AS f32rt,
            |  (event_id % 2 = 0) AS even
