@@ -222,7 +222,26 @@ object GraphOps {
   val qTriangles: Q = Q(
     "q_graph_triangles",
     (s, dir) => {
-      val e = coSupplyEdges(s, dir, ordered = true)
+      // Degree-ordered orientation (the optimization Gelly's
+      // TriangleEnumerator sorts its edges for): direct each undirected
+      // edge from its lower-(degree, id) endpoint to the higher one, then
+      // count directed wedges closed by a third edge. The count is
+      // orientation-invariant — under any strict total order a triangle
+      // {a<b<c} matches the path pattern exactly once (a->b, b->c, a->c) —
+      // but the wedge join's intermediate drops from sum(outdeg^2) under
+      // id-order to the O(m^1.5) bound: on a heavy-tailed degree
+      // distribution (the 100 TB reality) id-ordering lets one hub node
+      // explode the join while degree-ordering caps every out-degree at
+      // ~sqrt(m). The degree relation is node-sized — AQE broadcasts it
+      // when it fits and shuffle-joins it on a billion-node graph.
+      val und = coSupplyEdges(s, dir, ordered = false)
+      val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      val e = und
+        .join(deg.as("du"), col("u") === col("du.n"))
+        .join(deg.as("dv"), col("v") === col("dv.n"))
+        .filter(col("du.d") < col("dv.d") ||
+          (col("du.d") === col("dv.d") && col("u") < col("v")))
+        .select(col("u"), col("v"))
       e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
         .join(e.as("e3"), col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
