@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** Kill-restart recovery soak at the growth-gate tree — the analogue of the
   * reference's nightly recovery e2e (flink-end-to-end-tests/
   * run-nightly-tests.sh, which kills TaskManagers mid-job and asserts
-  * exactly-once output): interrupt the two strongest exactly-once claims in
+  * exactly-once output): interrupt the strongest exactly-once claims in
   * the repo MID-STREAM on the synthesized 100x tree and assert the
   * converged output equals an uninterrupted run of the same feed.
   *
@@ -25,6 +25,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    commit, the danger window of micro-batch replay), restarted on the
   *    same checkpoint, drained; the surviving (key, left, right) pairs of
   *    the output changelog must match the uninterrupted run exactly.
+  *  - Phase C, retractable aggregate on transformWithState
+  *    ([[streaming.ChangelogAgg.aggTws]]): same kill-restart harness over
+  *    the hot-key upsert changelog (ten bucket keys, each holding a
+  *    multiset of every live user value — the worst case for the retract
+  *    bound); each key's FINAL aggregate row must survive identically.
   *
   * Both phases stream from range-partitioned multi-file feeds staged in
   * scratch with strictly increasing modification times, so micro-batches
@@ -59,16 +64,19 @@ object SoakRecovery {
 
     val a = phaseA(spark, bigDir)
     val b = phaseB(spark, bigDir)
+    val c = phaseC(spark, bigDir)
     def j(r: PhaseResult) =
       s"""{"rows":${r.rows},"checksum":${r.checksum},"clean_rows":${r.cleanRows},""" +
         s""""clean_checksum":${r.cleanChecksum},"interrupted":${r.interrupted},""" +
         s""""match":${r.matches},"wall_sec":${fmt(r.wallSec)}}"""
     println(s"""{"metric":"soak$Factor","partition_commit":${j(a)},""" +
-      s""""changelog_join":${j(b)},"factor":$Factor,"src":"$srcDir"}""")
+      s""""changelog_join":${j(b)},"changelog_agg":${j(c)},""" +
+      s""""factor":$Factor,"src":"$srcDir"}""")
     spark.stop()
-    if (!a.matches || !b.matches || !a.interrupted || !b.interrupted) {
+    val phases = Seq(a, b, c)
+    if (phases.exists(r => !r.matches || !r.interrupted)) {
       System.err.println("SOAK FAILED: " +
-        (if (!a.matches || !b.matches) "output mismatch after recovery"
+        (if (phases.exists(!_.matches)) "output mismatch after recovery"
          else "run completed before the kill — soak vacuous, retune"))
       sys.exit(1)
     }
@@ -151,7 +159,8 @@ object SoakRecovery {
     }
 
     // clean run: one uninterrupted drain
-    val cleanSink = Tables.scratch(s"soak/x$Factor-pc-clean")
+    val cleanSink = Tables.scratch(
+      s"soak/x$Factor-pc-clean-${java.util.UUID.randomUUID()}")
     run(cleanSink, graft.streaming.StreamingOps.freshCheckpoint("soak-pc-clean"),
       crashBatch = None)
     val (cleanRows, cleanCk) = checksumOf(
@@ -159,7 +168,8 @@ object SoakRecovery {
         .select(col("event_id"), col("value"), col("dy")))
 
     // interrupted run: crash after batch 2's promote, restart, drain
-    val sink = Tables.scratch(s"soak/x$Factor-pc-soak")
+    val sink = Tables.scratch(
+      s"soak/x$Factor-pc-soak-${java.util.UUID.randomUUID()}")
     val ckpt = graft.streaming.StreamingOps.freshCheckpoint("soak-pc")
     val crashed = run(sink, ckpt, crashBatch = Some(2L))
     run(sink, ckpt, crashBatch = None) // recovery drain
@@ -199,17 +209,28 @@ object SoakRecovery {
         .agg(sum(when(col("kind").isin("+I", "+U"), 1L).otherwise(-1L)).as("c"))
         .filter(col("c") > 0)
 
-    // clean run
-    val cleanSink = Tables.scratch(s"soak/x$Factor-cj-clean")
-    val qc = start(cleanSink,
-      graft.streaming.StreamingOps.freshCheckpoint("soak-cj-clean"))
-    qc.awaitTermination()
-    val (cleanRows, cleanCk) = checksumOf(surviving(cleanSink))
+    killRestartCompare(spark, "cj", start, surviving, t0)
+  }
 
-    // interrupted run: stop() from this thread once batch >= 2 has run
-    // (interrupting whatever batch is in flight), restart, drain
-    val sink = Tables.scratch(s"soak/x$Factor-cj-soak")
-    val ckpt = graft.streaming.StreamingOps.freshCheckpoint("soak-cj")
+  /** Shared kill-restart harness for streaming phases: one clean drain, one
+    * run stopped mid-stream after batch >= 2 (interrupting whatever batch
+    * is in flight) then restarted on the same checkpoint and drained; the
+    * materialized views of both sinks are checksum-compared. `killed ==
+    * false` (feed drained before batch 2) makes the soak vacuous and is
+    * surfaced via `interrupted` in the report. */
+  private def killRestartCompare(spark: SparkSession, tag: String,
+      start: (String, String) => StreamingQuery,
+      materialize: String => DataFrame, t0: Long): PhaseResult = {
+    val cleanSink = Tables.scratch(
+      s"soak/x$Factor-$tag-clean-${java.util.UUID.randomUUID()}")
+    val qc = start(cleanSink,
+      graft.streaming.StreamingOps.freshCheckpoint(s"soak-$tag-clean"))
+    qc.awaitTermination()
+    val (cleanRows, cleanCk) = checksumOf(materialize(cleanSink))
+
+    val sink = Tables.scratch(
+      s"soak/x$Factor-$tag-soak-${java.util.UUID.randomUUID()}")
+    val ckpt = graft.streaming.StreamingOps.freshCheckpoint(s"soak-$tag")
     val q1 = start(sink, ckpt)
     var killed = false
     val deadline = System.nanoTime() + 30L * 60 * 1000000000L
@@ -218,12 +239,45 @@ object SoakRecovery {
       if (p != null && p.batchId >= 2) { q1.stop(); killed = true }
       else Thread.sleep(100)
     }
-    // killed == false here means the whole feed drained before batch 2 —
-    // the soak would be vacuous; surfaced via `interrupted` in the report
     val q2 = start(sink, ckpt)
     q2.awaitTermination()
-    val (rows, ck) = checksumOf(surviving(sink))
+    val (rows, ck) = checksumOf(materialize(sink))
     PhaseResult(rows, ck, cleanRows, cleanCk, killed,
       (System.nanoTime() - t0) / 1e9)
+  }
+
+  // ---- Phase C: TwS retractable aggregate, async kill mid-stream ---------
+
+  private def phaseC(spark: SparkSession, bigDir: String): PhaseResult = {
+    import spark.implicits._
+    import graft.streaming.ChangelogAgg
+    import graft.streaming.ChangelogAgg.AggChange
+    val t0 = System.nanoTime()
+    val feed = Tables.scratch(s"soak/x$Factor-aggchanges-feed")
+    stageFeed(ChangelogAgg.soakAggChanges(spark, bigDir).toDF(),
+      feed, "seq", nFiles = 12)
+
+    val schema = spark.read.parquet(feed).schema
+    def changes = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(feed)
+      .as[AggChange[Long]]
+
+    def start(sink: String, ckpt: String): StreamingQuery =
+      ChangelogAgg.aggTws(changes).toDF()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+
+    // the aggregate's output is itself an upsert changelog; its surviving
+    // rows (signed count per full output row > 0) are each key's FINAL
+    // aggregate — recurring intermediate states telescope away
+    def surviving(sink: String): DataFrame =
+      spark.read.parquet(sink)
+        .groupBy(col("key"), col("cnt"), col("total"), col("vmin"), col("vmax"))
+        .agg(sum(when(col("kind").isin("+I", "+U"), 1L).otherwise(-1L)).as("c"))
+        .filter(col("c") > 0)
+
+    killRestartCompare(spark, "ca", start, surviving, t0)
   }
 }

@@ -426,6 +426,21 @@ object ChangelogAgg {
     }
   }
 
+  /** The q_changelog_agg input changelog, exposed for the recovery soak
+    * ([[graft.SoakRecovery]] phase C): per-user latest-value upserts keyed
+    * by user-bucket — ten hot keys, each holding a multiset of every live
+    * user value, the worst case for the retract bound. */
+  def soakAggChanges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[AggChange[Long]] = {
+    import s.implicits._
+    val ev = Tables.t(s, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[(Long, Long, Double)]
+    latestValueChanges(ev)((_, v) => v)
+  }
+
   val qChangelogFirstLast: Q = Q(
     "q_changelog_firstlast",
     (s, dir) => {
