@@ -29,8 +29,19 @@ object Materialized {
     // evict plans owned by stopped sessions: their cached blocks died with
     // the context, keeping the refs would only leak plans
     cache.values.removeIf(_._1.sparkContext.isStopped)
-    cache.computeIfAbsent((sessionId(spark), key),
-      _ => (spark, build.persist(StorageLevel.MEMORY_AND_DISK)))._2
+    // NOT computeIfAbsent: derived entries build on top of other entries
+    // (shinglesCapped -> shingles), and a nested computeIfAbsent on the
+    // same map throws IllegalStateException("Recursive update") whenever
+    // the inner entry isn't populated yet — previously masked because
+    // bench warm-ups always touched the base relations first. get +
+    // putIfAbsent keeps memoization (worst case one redundant build races,
+    // the loser's persist is unwound) and is reentrancy-safe.
+    val k = (sessionId(spark), key)
+    val hit = cache.get(k)
+    if (hit != null) return hit._2
+    val built = (spark, build.persist(StorageLevel.MEMORY_AND_DISK))
+    val prev = cache.putIfAbsent(k, built)
+    if (prev != null) { built._2.unpersist(); prev._2 } else built._2
   }
 
   /** Drop one session's entries (test isolation). */

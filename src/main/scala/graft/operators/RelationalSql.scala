@@ -250,16 +250,28 @@ object RelationalSql {
     (s, dir) => {
       Tables.registerAll(s, dir)
       // default safety valve is 1M accumulated rows; ~6 halving rounds over
-      // 600k lineitem rows at sf0.1 legitimately produce ~2.9M. The valve
-      // guards runaway recursion, not data volume — size it to the input.
-      // The raised limit is scoped to THIS query: physical planning reads the
-      // session conf lazily, so the recursion must run eagerly inside the
-      // guard (localCheckpoint materializes it distributed, on executors)
-      // before the previous valve value is restored for later queries.
+      // the input legitimately produce ~5x input rows. The valve guards
+      // runaway recursion, not data volume — so SIZE IT TO THE INPUT
+      // (input x 8 covers halving any quantity < 128; a static 20M held at
+      // sf0.1 but tripped on the growth gate's 100x tree, the same
+      // tested-SF-only sizing mistake as the r15 LSH band saturation). The
+      // count is one metadata-sized driver aggregate, the same pattern as
+      // the co-supply threshold. The raised limit is scoped to THIS query:
+      // physical planning reads the session conf lazily, so the recursion
+      // must run eagerly inside the guard before the valve is restored —
+      // via a scratch parquet write-then-read, NOT localCheckpoint: the
+      // checkpoint CACHES the materialized rows on the executors, which at
+      // the growth gate's 100x tree (60M result rows) is the same
+      // memory-sink-shaped harness ceiling the streaming queries shed this
+      // round; a file write is distributed and heap-flat, and is what a
+      // production pipeline does with an iterative result anyway.
       val key = "spark.sql.cteRecursionRowLimit"
       val prev = s.conf.getOption(key)
-      s.conf.set(key, "20000000")
+      val inputRows = Tables.t(s, dir, "lineitem").count()
+      s.conf.set(key, math.max(20000000L, inputRows * 8L).toString)
       try {
+        val out = Tables.scratch(
+          s"recursive-cte/${java.util.UUID.randomUUID()}")
         s.sql("""WITH RECURSIVE it AS (
           |  SELECT l_orderkey AS ok, l_linenumber AS ln,
           |         CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
@@ -267,8 +279,9 @@ object RelationalSql {
           |  UNION ALL
           |  SELECT ok, ln, n DIV 2, iters + 1 FROM it WHERE n > 1
           |)
-          |SELECT ok, ln, n, iters FROM it WHERE n <= 1 ORDER BY ok, ln""".stripMargin)
-          .localCheckpoint(true)
+          |SELECT ok, ln, n, iters FROM it WHERE n <= 1""".stripMargin)
+          .write.parquet(out)
+        s.read.parquet(out).orderBy("ok", "ln")
       } finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
