@@ -64,6 +64,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // an empty/whitespace-only value (e.g. ",") must not silently time
+      // zero queries and overwrite BENCH_FULL.json with an empty partial
+      require(names.nonEmpty,
+        "SPARK_GRAFT_BENCH_ONLY is set but names no query")
       val known = names.intersect(SparkEntry.queries.keySet)
       System.err.println(
         s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY active — timing " +

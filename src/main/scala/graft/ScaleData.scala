@@ -107,6 +107,11 @@ object ScaleData {
     val srcEmb = Tables.t(spark, srcDir, "embeddings")
     val labelShift = math.max(1000L,
       srcEmb.agg(max(col("label").cast("long"))).head().getLong(0) + 1L)
+    // the re-keyed label stays INT to match the source schema; make the
+    // overflow mode explicit rather than an ANSI cast abort mid-synthesis
+    // (largest shifted value is maxLabel + (factor-1)*labelShift < factor*shift)
+    require(factor.toLong * labelShift < Int.MaxValue,
+      s"re-keyed label would overflow INT: factor=$factor labelShift=$labelShift")
     val emb = shiftKeys(withRep(srcEmb, factor), Seq("vec_id"))
       .withColumn("label",
         (col("label") + col("rep") * lit(labelShift)).cast("int"))

@@ -148,10 +148,12 @@ object SoakRecovery {
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination()
         catch {
+          // walk the FULL cause chain (as RobustnessSpec does): the injected
+          // marker can sit several wrappers deep, e.g. inside a
+          // ForeachBatchUserFuncException inside a StreamingQueryException
           case e: Exception if crashBatch.isDefined &&
-              (String.valueOf(e.getMessage).contains("graft-soak") ||
-                Option(e.getCause).exists(c =>
-                  String.valueOf(c.getMessage).contains("graft-soak"))) =>
+              Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+                .exists(t => String.valueOf(t.getMessage).contains("graft-soak")) =>
             sawCrash = true
         }
       } finally spark.conf.unset(PartitionCommit.CrashBeforeRecordKey)

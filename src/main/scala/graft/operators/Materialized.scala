@@ -41,7 +41,13 @@ object Materialized {
     if (hit != null) return hit._2
     val built = (spark, build.persist(StorageLevel.MEMORY_AND_DISK))
     val prev = cache.putIfAbsent(k, built)
-    if (prev != null) { built._2.unpersist(); prev._2 } else built._2
+    // when the putIfAbsent races, do NOT unpersist the loser: CacheManager
+    // keys cached blocks by the ANALYZED PLAN, and both builds of the same
+    // key analyze to the same plan — the loser's unpersist would evict the
+    // winner's entry too, silently un-caching the surviving DataFrame. The
+    // loser's persist was a no-op against the already-registered plan, so
+    // dropping the reference leaks nothing.
+    if (prev != null) prev._2 else built._2
   }
 
   /** Drop one session's entries (test isolation). */

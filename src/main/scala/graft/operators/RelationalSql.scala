@@ -270,8 +270,13 @@ object RelationalSql {
       val inputRows = Tables.t(s, dir, "lineitem").count()
       s.conf.set(key, math.max(20000000L, inputRows * 8L).toString)
       try {
-        val out = Tables.scratch(
-          s"recursive-cte/${java.util.UUID.randomUUID()}")
+        // key the scratch path by (input dir, input rows) and OVERWRITE:
+        // a fresh UUID per invocation accumulated unbounded scratch (up to
+        // ~60M rows per run on the 100x tree) across repeated gate/bench
+        // runs; the same input always reproduces the same result, so one
+        // reused directory per input is correct and bounds the footprint
+        val out = Tables.scratch("recursive-cte/" +
+          Integer.toHexString(dir.hashCode) + s"-$inputRows")
         s.sql("""WITH RECURSIVE it AS (
           |  SELECT l_orderkey AS ok, l_linenumber AS ln,
           |         CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
@@ -280,7 +285,7 @@ object RelationalSql {
           |  SELECT ok, ln, n DIV 2, iters + 1 FROM it WHERE n > 1
           |)
           |SELECT ok, ln, n, iters FROM it WHERE n <= 1""".stripMargin)
-          .write.parquet(out)
+          .write.mode("overwrite").parquet(out)
         s.read.parquet(out).orderBy("ok", "ln")
       } finally prev match {
         case Some(v) => s.conf.set(key, v)
