@@ -30,6 +30,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    the hot-key upsert changelog (ten bucket keys, each holding a
   *    multiset of every live user value — the worst case for the retract
   *    bound); each key's FINAL aggregate row must survive identically.
+  *  - Phase D, CEP NFA on transformWithState
+  *    ([[cep.CepTws.streamingMatchesTws]]): the per-key event buffer,
+  *    in-flight partial-match runs, and armed timer must recover
+  *    coherently; the append-only match set over the 100x events table
+  *    must equal the uninterrupted run's.
   *
   * Both phases stream from range-partitioned multi-file feeds staged in
   * scratch with strictly increasing modification times, so micro-batches
@@ -65,15 +70,17 @@ object SoakRecovery {
     val a = phaseA(spark, bigDir)
     val b = phaseB(spark, bigDir)
     val c = phaseC(spark, bigDir)
+    val d = phaseD(spark, bigDir)
     def j(r: PhaseResult) =
       s"""{"rows":${r.rows},"checksum":${r.checksum},"clean_rows":${r.cleanRows},""" +
         s""""clean_checksum":${r.cleanChecksum},"interrupted":${r.interrupted},""" +
         s""""match":${r.matches},"wall_sec":${fmt(r.wallSec)}}"""
     println(s"""{"metric":"soak$Factor","partition_commit":${j(a)},""" +
       s""""changelog_join":${j(b)},"changelog_agg":${j(c)},""" +
+      s""""cep_nfa":${j(d)},""" +
       s""""factor":$Factor,"src":"$srcDir"}""")
     spark.stop()
-    val phases = Seq(a, b, c)
+    val phases = Seq(a, b, c, d)
     if (phases.exists(r => !r.matches || !r.interrupted)) {
       System.err.println("SOAK FAILED: " +
         (if (phases.exists(!_.matches)) "output mismatch after recovery"
@@ -281,5 +288,45 @@ object SoakRecovery {
         .filter(col("c") > 0)
 
     killRestartCompare(spark, "ca", start, surviving, t0)
+  }
+
+  // ---- Phase D: TwS CEP NFA, async kill mid-stream ------------------------
+
+  /** The NFA's state is the most structurally complex in the repo: a
+    * per-key event buffer (ListState), the set of in-flight partial-match
+    * runs (ListState, each run carrying its accumulated events), and an
+    * armed event-time timer — all three must recover COHERENTLY or the
+    * restarted NFA emits duplicate/missing matches. Streams the 100x
+    * events table through the signup-followedBy-purchase-within-2h pattern
+    * ([[cep.CepTws.streamingMatchesTws]]); output is append-only matches,
+    * so the materialized view is the sink itself. */
+  private def phaseD(spark: SparkSession, bigDir: String): PhaseResult = {
+    import spark.implicits._
+    import graft.cep.{CepTws, Pattern}
+    import graft.streaming.StatefulOps.Ev
+    val t0 = System.nanoTime()
+    val feed = Tables.scratch(s"soak/x$Factor-cep-feed")
+    stageFeed(Tables.t(spark, bigDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us")),
+      feed, "ts_us", nFiles = 12)
+
+    val schema = spark.read.parquet(feed).schema
+    def events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(feed)
+      .as[Ev]
+
+    val pat = Pattern.begin[Ev]("a")(_.event_type == "signup")
+      .followedBy("b")(_.event_type == "purchase")
+      .within(2L * 3600 * 1000000)
+
+    def start(sink: String, ckpt: String): StreamingQuery =
+      CepTws.streamingMatchesTws(events, pat).toDF()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+
+    killRestartCompare(spark, "cep", start, spark.read.parquet(_), t0)
   }
 }
