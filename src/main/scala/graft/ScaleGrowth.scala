@@ -99,7 +99,16 @@ object ScaleGrowth {
     "q_pii_mask", "q_token_count", "q_quality_score",
     "q_json_extract", "q_parse_url",
     "q_type_int_widths", "q_type_binary", "q_type_time_millis",
-    "q_type_interval")
+    "q_type_interval",
+    // r17: the remaining pure-projection families (scalar functions, text
+    // scoring, per-row UDTF/flatMap, media metadata) — same rationale
+    "q_scalar_math", "q_scalar_math2", "q_scalar_math3",
+    "q_scalar_str", "q_scalar_str3", "q_scalar_str4", "q_scalar_str5",
+    "q_scalar_hash", "q_scalar_temporal", "q_scalar_temporal2",
+    "q_collections", "q_flink_fns", "q_hash_code", "q_case_expr",
+    "q_convert_tz", "q_type_char_varchar", "q_calc_filter",
+    "q_lang_id", "q_quality_repetition", "q_explode_tokens",
+    "q_udtf_flatmap", "q_media_resize")
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
