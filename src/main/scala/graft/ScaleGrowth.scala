@@ -55,11 +55,18 @@ object ScaleGrowth {
     // default matches the posture every committed BENCH_NOTES growth table
     // actually ran under (local[16]) — keep doc and default in agreement
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // The 1000x rung needs shuffle partitions sized to the DATA, not the
+    // core count: 600M-row joins at 16 partitions put ~1.5 GB in each
+    // partition's hash/sort buffers. Production sizing rule (brief):
+    // partitions ~ input bytes / maxPartitionBytes; AQE coalesces the
+    // excess at the small rungs, so over-provisioning is free there.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val bigDir = Tables.scratch(s"sf-growth/x$Factor-" +
       srcDir.replaceAll("[^a-zA-Z0-9]", "_"))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_STATE_PROVIDER=rocksdb pins the off-heap RocksDB state

@@ -52,21 +52,43 @@ object ChangelogAgg {
 
   private def isAccumulate(kind: String): Boolean = kind == "+I" || kind == "+U"
 
+  /** A TRANSIENT negative count is kept (not floored away): within a batch
+    * the fold visits changes in ITERATOR order, not seq order, so a
+    * retraction can precede its accumulate — flooring at zero there loses
+    * the cancellation and corrupts the multiset. Keeping the -1 makes the
+    * fold fully COMMUTATIVE (cnt/total are sums; per-value counts are
+    * sums), which is what lets [[agg]] stream each group's iterator
+    * instead of materializing and sorting it — the r17 100x rung caught
+    * `it.toSeq.sortBy` OOMing on an 8M-change group (q_cdc_ingest at the
+    * 100x feed). For a well-formed per-key-causal changelog every value
+    * nets >= 0 by batch end; zeros still drop so state stays
+    * O(distinct live). */
   private def bump(rows: Map[Double, Long], v: Double, delta: Long): Map[Double, Long] = {
     val next = rows.getOrElse(v, 0L) + delta
-    if (next <= 0L) rows - v else rows.updated(v, next)
+    if (next == 0L) rows - v else rows.updated(v, next)
   }
 
-  /** Pure core: fold one change into the accumulator. */
+  /** Pure core: fold one change into the accumulator. Commutative — see
+    * [[bump]]. */
   def applyChange(st: AggState, kind: String, v: Double): AggState = {
     val d = if (isAccumulate(kind)) 1L else -1L
     AggState(st.cnt + d, st.total + d * v, bump(st.values, v, d), st.lastActivityMs)
   }
 
-  /** The aggregate's current result; None when no live rows. */
-  def result(st: AggState): Option[(Long, Double, Double, Double)] =
-    if (st.cnt <= 0L || st.values.isEmpty) None
-    else Some((st.cnt, st.total, st.values.keysIterator.min, st.values.keysIterator.max))
+  /** The aggregate's current result; None when no live rows. min/max scan
+    * only POSITIVE-count entries (a transient negative is not a live row). */
+  def result(st: AggState): Option[(Long, Double, Double, Double)] = {
+    if (st.cnt <= 0L) return None
+    var mn = Double.NaN
+    var mx = Double.NaN
+    st.values.foreach { case (v, n) =>
+      if (n > 0L) {
+        if (mn.isNaN || v < mn) mn = v
+        if (mx.isNaN || v > mx) mx = v
+      }
+    }
+    if (mn.isNaN) None else Some((st.cnt, st.total, mn, mx))
+  }
 
   /** The operator: keyed changelog in → aggregate changelog out. Works
     * identically under streaming (state across micro-batches) and batch.
@@ -95,7 +117,12 @@ object ChangelogAgg {
             val before = result(st0)
             var st = st0
             var lastSeq = Long.MinValue
-            it.toSeq.sortBy(_.seq).foreach { c =>
+            // STREAM the group — never it.toSeq.sortBy: materializing a
+            // group is O(changes-per-key) heap, and at a CDC feed's scale
+            // a single hot key's batch is millions of changes (the r17
+            // 100x rung OOMed here). The fold is commutative (see bump),
+            // so iterator order is as good as seq order.
+            it.foreach { c =>
               st = applyChange(st, c.kind, c.value)
               if (c.seq > lastSeq) lastSeq = c.seq
             }
@@ -157,11 +184,13 @@ object ChangelogAgg {
 
     override def handleInputRows(key: K, rows: Iterator[AggChange[K]],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AggOut[K]] = {
-      val batch = rows.toArray.sortBy(_.seq)
-      if (batch.isEmpty) return Iterator.empty
+      if (!rows.hasNext) return Iterator.empty
       // ONE MapState scan loads the live multiset (min/max need it all
       // anyway — the same O(distinct)-per-touched-batch bound as the
-      // reference's lazy re-scan); deltas fold in memory
+      // reference's lazy re-scan); deltas fold in memory. The batch is
+      // STREAMED, never toArray.sortBy'd — the fold is commutative
+      // (transient negative counts kept, see bump), and a CDC hot key's
+      // batch is millions of changes (the r17 100x OOM finding).
       val live = scala.collection.mutable.Map.empty[Double, Long]
       values.iterator().foreach { case (v, n) => live.put(v, n) }
       val live0 = live.toMap
@@ -169,11 +198,11 @@ object ChangelogAgg {
                 else AggScalars(0L, 0.0, Long.MinValue)
       val before = resultOf(sc0.cnt, sc0.total, live)
       var cnt = sc0.cnt; var total = sc0.total; var lastSeq = Long.MinValue
-      batch.foreach { c =>
+      rows.foreach { c =>
         val d = if (isAccumulate(c.kind)) 1L else -1L
         cnt += d; total += d * c.value
         val n = live.getOrElse(c.value, 0L) + d
-        if (n <= 0L) live.remove(c.value) else live.put(c.value, n)
+        if (n == 0L) live.remove(c.value) else live.put(c.value, n)
         if (c.seq > lastSeq) lastSeq = c.seq
       }
       val after = resultOf(cnt, total, live)
@@ -217,9 +246,18 @@ object ChangelogAgg {
 
     private def resultOf(cnt: Long, total: Double,
         live: scala.collection.Map[Double, Long])
-        : Option[(Long, Double, Double, Double)] =
-      if (cnt <= 0L || live.isEmpty) None
-      else Some((cnt, total, live.keysIterator.min, live.keysIterator.max))
+        : Option[(Long, Double, Double, Double)] = {
+      if (cnt <= 0L) return None
+      var mn = Double.NaN
+      var mx = Double.NaN
+      live.foreach { case (v, n) =>
+        if (n > 0L) {
+          if (mn.isNaN || v < mn) mn = v
+          if (mx.isNaN || v > mx) mx = v
+        }
+      }
+      if (mn.isNaN) None else Some((cnt, total, mn, mx))
+    }
   }
 
   /** Fold the batch's net effect into the aggregate's own changelog
