@@ -63,8 +63,25 @@ object ScaleData {
       factor: Int = 10): Unit = {
     val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_OK_$factor")
     if (marker.exists()) return
+    // Fact tables are written as MANY splittable files, not the source's
+    // single partition: explode-replication keeps the source's partitioning,
+    // and at factor 1000 that is one 1.7 GB file whose ~130 MB-compressed
+    // row groups are the split FLOOR — maxPartitionBytes cannot cut below a
+    // row group, so every scan gets 13 tasks of 11.7M rows and each
+    // map-side sort builds a multi-GB sorter (measured: q_topn's partial
+    // WindowGroupLimit sort pinned one core for 20+ min in a degenerate
+    // grow-spill-TimSort loop). A 1000-executor cluster stores 150M rows
+    // as hundreds of files; match that layout. Hash-repartitioned, not
+    // round-robin: deterministic file contents for exact reuse.
+    val nFiles = math.max(16, factor / 4)
     def write(name: String, df: DataFrame): Unit =
-      df.drop("rep").write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      if (!df.columns.contains("rep")) // dimension: verbatim, single file
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      else {
+        val out = df.drop("rep")
+        out.repartition(nFiles, col(out.columns.head))
+          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
 
     for (dim <- Seq("region", "nation"))
       write(dim, Tables.t(spark, srcDir, dim))
@@ -85,17 +102,26 @@ object ScaleData {
       withRep(Tables.t(spark, srcDir, "events"), factor),
       Seq("event_id", "user_id")))
 
-    // Caesar rotation cycles at 26; past it (factor > 26) a replica-tag
-    // word keeps texts distinct across replicas that share a rotation —
-    // without it, every 26th replica would be a verbatim duplicate and
-    // LSH bucket pair-counts would pick up a quadratic synthesizer
-    // artifact. n_chars is recomputed to stay the fixture's invariant
-    // (n_chars == length(text)); for rep < 26 it is a no-op.
+    // Caesar rotation cycles at 26; past it (factor > 26) every TOKEN gets
+    // a replica-unique base-36 suffix. A replica-tag word alone (the
+    // previous scheme) is not enough at the 1000x rung: two replicas
+    // sharing a rotation then differ by ONE token out of ~100, which keeps
+    // their SimHash within hd<=6 and their shingle Jaccard near 1 — every
+    // 26th replica stays a NEAR-duplicate and the near-dup operators pick
+    // up a pair count QUADRATIC in factor (~93M artifact pairs at 1000x, a
+    // synthesizer artifact, not a workload property). Suffixing every
+    // token leaves same-rotation replicas sharing ZERO tokens (fingerprints
+    // decorrelate, shingle overlap is empty) while preserving within-replica
+    // token-equality structure exactly — the clusters the dedup operators
+    // hunt. n_chars is recomputed to stay the fixture's invariant
+    // (n_chars == length(text)); for rep < 26 and factor <= 26 the scheme
+    // is byte-identical to prior rounds' trees.
     write("documents", shiftKeys(
       withRep(Tables.t(spark, srcDir, "documents"), factor), Seq("doc_id"))
       .withColumn("text", when(col("rep") < 26, caesar(col("text"), col("rep")))
-        .otherwise(concat(lit("g"), col("rep"), lit(" "),
-          caesar(col("text"), col("rep")))))
+        .otherwise(regexp_replace(caesar(col("text"), col("rep")),
+          lit("(\\S+)"),
+          concat(lit("$1g"), lower(conv(col("rep").cast("string"), 10, 36))))))
       .withColumn("n_chars", length(col("text")).cast("long")))
 
     // vector rotation cycles at the dimension; rotate by rep mod dim and

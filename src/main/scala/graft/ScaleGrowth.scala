@@ -64,8 +64,19 @@ object ScaleGrowth {
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val bigDir = Tables.scratch(s"sf-growth/x$Factor-" +
       srcDir.replaceAll("[^a-zA-Z0-9]", "_"))
+    // Split size is the OTHER data-sizing knob (brief: "size
+    // spark.sql.files.maxPartitionBytes so partitions fit in executor
+    // memory at the target SF"): at the 1000x tree a 128m split of
+    // high-compression synthesized parquet decodes to ~1.2 GB of unsafe
+    // rows, and 13 concurrent map-side WindowGroupLimit sorts of that size
+    // spill-thrash (every pointer-array growth failure TimSorts and spills
+    // the whole buffer — measured: q_topn's partial sort pinned one core
+    // for 26 min). 32m splits keep each sort in-memory.
+    val maxPartitionBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -35,6 +35,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    in-flight partial-match runs, and armed timer must recover
   *    coherently; the append-only match set over the 100x events table
   *    must equal the uninterrupted run's.
+  *  - Phase E, streaming SimHash near-dup
+  *    ([[streaming.NearDupStream.pairs]]): per-bucket fingerprint indexes
+  *    across ~459k bucket keys — the highest state-key-cardinality
+  *    operator in the repo; the recovered "arrived-before" relation must
+  *    reconstruct exactly or pairs duplicate/vanish.
   *
   * Both phases stream from range-partitioned multi-file feeds staged in
   * scratch with strictly increasing modification times, so micro-batches
@@ -71,16 +76,17 @@ object SoakRecovery {
     val b = phaseB(spark, bigDir)
     val c = phaseC(spark, bigDir)
     val d = phaseD(spark, bigDir)
+    val e = phaseE(spark, bigDir)
     def j(r: PhaseResult) =
       s"""{"rows":${r.rows},"checksum":${r.checksum},"clean_rows":${r.cleanRows},""" +
         s""""clean_checksum":${r.cleanChecksum},"interrupted":${r.interrupted},""" +
         s""""match":${r.matches},"wall_sec":${fmt(r.wallSec)}}"""
     println(s"""{"metric":"soak$Factor","partition_commit":${j(a)},""" +
       s""""changelog_join":${j(b)},"changelog_agg":${j(c)},""" +
-      s""""cep_nfa":${j(d)},""" +
+      s""""cep_nfa":${j(d)},"neardup_stream":${j(e)},""" +
       s""""factor":$Factor,"src":"$srcDir"}""")
     spark.stop()
-    val phases = Seq(a, b, c, d)
+    val phases = Seq(a, b, c, d, e)
     if (phases.exists(r => !r.matches || !r.interrupted)) {
       System.err.println("SOAK FAILED: " +
         (if (phases.exists(!_.matches)) "output mismatch after recovery"
@@ -328,5 +334,35 @@ object SoakRecovery {
         .trigger(Trigger.AvailableNow()).start()
 
     killRestartCompare(spark, "cep", start, spark.read.parquet(_), t0)
+  }
+
+  // ---- Phase E: streaming SimHash near-dup, async kill mid-stream ---------
+
+  /** The r17 incremental near-dup ([[streaming.NearDupStream]]): per-bucket
+    * fingerprint indexes in ListState across ~459k bucket keys — the
+    * highest state-KEY-cardinality operator in the repo (the other phases
+    * stress deep state under FEW keys). A replayed batch must re-derive
+    * exactly the pairs the killed attempt emitted: the store rolls back to
+    * the last committed version, so each bucket's "who arrived before me"
+    * relation — which decides WHEN a pair is emitted — must reconstruct
+    * bit-identically. Output is the append-only confirmed pair set. */
+  private def phaseE(spark: SparkSession, bigDir: String): PhaseResult = {
+    val t0 = System.nanoTime()
+    val feed = Tables.scratch(s"soak/x$Factor-neardup-feed")
+    stageFeed(Tables.t(spark, bigDir, "documents").select("doc_id", "text"),
+      feed, "doc_id", nFiles = 12)
+
+    val schema = spark.read.parquet(feed).schema
+    def docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(feed)
+
+    def start(sink: String, ckpt: String): StreamingQuery =
+      graft.streaming.NearDupStream.pairs(spark, docs)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+
+    killRestartCompare(spark, "nd", start, spark.read.parquet(_), t0)
   }
 }

@@ -130,22 +130,32 @@ object NearDupStream {
           s"(shiftright(simhash, ${j * 7}) & 127))"
       }.mkString(", ")
 
+  /** The whole in-flight pipeline over ANY streaming `documents`-shaped
+    * DataFrame (needs `doc_id`, `text`): fingerprint → 28 postings →
+    * per-bucket stateful matcher. Returns the append-only pair stream —
+    * shared by the oracle query and the kill-restart soak (phase E). */
+  def pairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val stream = withSimhash(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(expr(s"array($pairEntries)")).as("ch"))
+      .select(col("ch.i").as("i"), col("ch.j").as("j"), col("ch.v").as("v"),
+        col("doc_id").as("doc"), col("simhash").as("sh"))
+      .as[BandRow]
+    implicit val outEnc = Encoders.product[NearDupPair]
+    stream
+      .groupByKey(r => (r.i, r.j, r.v))
+      .transformWithState(new SimhashBucketProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   val qTwsSimhashDedup: Q = Q(
     "q_tws_simhash_dedup",
     (s, dir) => TwsOps.withRocksDb(s) {
       import s.implicits._
-      val stream = withSimhash(StreamingOps.streamTable(s, dir, "documents"))
-        .select(col("doc_id"), col("simhash"),
-          explode(expr(s"array($pairEntries)")).as("ch"))
-        .select(col("ch.i").as("i"), col("ch.j").as("j"), col("ch.v").as("v"),
-          col("doc_id").as("doc"), col("simhash").as("sh"))
-        .as[BandRow]
-      implicit val outEnc = Encoders.product[NearDupPair]
-      val pairs = stream
-        .groupByKey(r => (r.i, r.j, r.v))
-        .transformWithState(new SimhashBucketProcessor,
-          TimeMode.None(), OutputMode.Append())
-      StreamingOps.runToMemory(s, pairs.toDF(), "append", "graft_tws_simhash")
+      val out = pairs(s, StreamingOps.streamTable(s, dir, "documents"))
+      StreamingOps.runToMemory(s, out, "append", "graft_tws_simhash")
         .orderBy($"doc_a", $"doc_b")
     },
     // Identical answer to the batch twin q_simhash_banded — the oracle is

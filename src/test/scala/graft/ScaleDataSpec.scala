@@ -95,6 +95,17 @@ class ScaleDataSpec extends GraftSpec {
       .select($"embedding").collect().map(_.getSeq[Float](0))
     assert(one.length == 30 && one.distinct.length >= 27,
       "only dim-cycle collisions may repeat a vector (none at 30 < 64)")
+    // Same-rotation replicas (rep and rep+26) must share ZERO tokens, not
+    // just differ somewhere: one differing token leaves SimHash within
+    // hd<=6 and the near-dup pair count quadratic in factor (the r17
+    // 1000x-rung artifact). rep=1 and rep=27 share rotation 1.
+    val srcId = docs.select(($"doc_id" % ScaleData.KeyShift).as("s"))
+      .limit(1).collect()(0).getLong(0)
+    def toks(rep: Int): Set[String] = docs
+      .filter($"doc_id" === srcId + rep.toLong * ScaleData.KeyShift)
+      .select($"text").collect()(0).getString(0).split(" ").toSet
+    assert(toks(1).intersect(toks(27)).isEmpty,
+      "same-rotation replicas must share no tokens past the cycle")
   }
 
   test("synthesis is skipped on re-run (completion marker)") {
