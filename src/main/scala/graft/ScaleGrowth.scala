@@ -166,6 +166,9 @@ object ScaleGrowth {
     val rows = selected.map { name =>
       val t1 = time(spark, name, srcDir)
       val t10a = time(spark, name, bigDir)
+      // incremental line per query: a crash mid-slice (disk-full spill,
+      // OOM) must not lose the numbers already measured
+      println(f"[growth] $name base=$t1%.2f x$Factor=$t10a%.2f")
       // one drift re-run for anything over the line — a load spike doesn't
       // repeat, a complexity-class problem does
       val t10 =
