@@ -457,6 +457,138 @@ object SimilarityOps {
            |FROM probes p LEFT JOIN hits h ON h.qid = p.vec_id
            |ORDER BY qid""".stripMargin))
 
+  /** Hierarchical (two-level) IVF assign — the 100 TB path the r17 1000x
+    * rung demanded: [[qAnnIvf]]'s exact assign is `vectors CROSS JOIN
+    * broadcast(centroids)`, O(N x C), and the re-celled index contract
+    * grows C with the corpus — O(N^2 / cell-size) overall, which exhausted
+    * 68 GB of spill at the 1000x tree (2M vectors x ~100k centroids =
+    * 2e11 candidate rows). Standard coarse-quantizer fix (FAISS IVF on an
+    * IMI/residual coarse level; Johnson et al. 2017, "Billion-scale
+    * similarity search with GPUs"): cluster the C centroids into ~sqrt(C)
+    * super-cells, route each vector to its top-2 super-cells (N x sqrt(C)
+    * dots), then assign among ONLY those super-cells' members
+    * (N x 2 sqrt(C) dots) — O(N sqrt(C)) total, ~3e9 dots at the 1000x
+    * tree instead of 2e11.
+    *
+    * Determinism/oracle: the super-grouping must be identical in both
+    * engines, so instead of k-means it chunks centroids ordered by a fixed
+    * 1-D projection (component sum, rounded) into ceil(sqrt(C))-sized
+    * groups — deterministic, SQL-expressible, and locality-preserving
+    * enough for the routing to be non-trivial. The assignment is
+    * APPROXIMATE by construction (a vector's true nearest centroid can
+    * live in an un-probed super-cell); that is the documented trade the
+    * coarse quantizer makes, and exactly why the oracle mirrors the SAME
+    * two-level rule rather than the exact argmax. Search then runs
+    * within-cell like [[qAnnIvf]]. */
+  val qAnnIvf2Level: Q = Q(
+    "q_ann_ivf_2level",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = embDouble(s, dir)
+      val cents = Tables.t(s, dir, "embeddings")
+        .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
+        .groupBy($"label", $"pos").agg(round(avg($"col"), 6).as("c"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cvec"))
+        .withColumn("cnorm", sqrt(dotProduct($"cvec", $"cvec")))
+        .withColumn("proj",
+          round(expr("aggregate(cvec, cast(0 as double), (a, x) -> a + x)"), 6))
+      // chunk size = ceil(sqrt(C)); one metadata-sized action, like the
+      // catalog listings — the centroid table is cells x dims, never data
+      val nCells = cents.count()
+      val chunk = math.ceil(math.sqrt(nCells.toDouble)).toLong
+      val wOrd = Window.orderBy($"proj", $"label")
+      val grouped = cents
+        .withColumn("g", ((row_number().over(wOrd) - 1L) / chunk).cast("long"))
+      val supers = grouped.select($"g", posexplode($"cvec"))
+        .groupBy($"g", $"pos").agg(round(avg($"col"), 6).as("gc"))
+        .groupBy($"g")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"gc"))),
+          x => x.getField("gc")).as("gvec"))
+        .withColumn("gnorm", sqrt(dotProduct($"gvec", $"gvec")))
+      // level 1: route every vector to its top-2 super-cells — N x sqrt(C)
+      val wRoute = Window.partitionBy($"vec_id").orderBy($"gsim".desc, $"g")
+      val routed = e.crossJoin(broadcast(supers))
+        .withColumn("gsim",
+          round(dotProduct($"dvec", $"gvec") / ($"dnorm" * $"gnorm"), 6))
+        .withColumn("grn", row_number().over(wRoute))
+        .filter($"grn" <= 2)
+        .select($"vec_id", $"g", $"dvec", $"dnorm")
+      // level 2: exact argmax among ONLY the routed super-cells' members
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"label")
+      val assigned = routed
+        .join(broadcast(grouped.select($"g", $"label", $"cvec", $"cnorm")), Seq("g"))
+        .withColumn("csim",
+          round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter($"arn" === 1)
+        .select($"vec_id", $"label".as("cell"), $"dvec", $"dnorm")
+      // search: top-3 within the assigned cell, exactly like q_ann_ivf
+      val wRank = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
+      assigned.select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
+        .join(assigned.select($"vec_id".as("cid"), $"cell", $"dvec".as("cv"), $"dnorm".as("cn")),
+          Seq("cell"))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotProduct($"qv", $"cv") / ($"qn" * $"cn"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter($"rn" <= 3)
+        .orderBy($"qid", $"rn")
+    },
+    Some("""WITH cent0 AS (
+           |  SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+           |  GROUP BY label, d),
+           |cents AS (
+           |  SELECT label, list(c ORDER BY d) AS cvec,
+           |         round(list_sum(list(c ORDER BY d)), 6) AS proj
+           |  FROM cent0 GROUP BY label),
+           |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS chunk FROM cents),
+           |grouped AS (
+           |  SELECT label, cvec,
+           |         CAST(floor((row_number() OVER (ORDER BY proj, label) - 1)
+           |              / (SELECT chunk FROM nc)) AS BIGINT) AS g
+           |  FROM cents),
+           |super0 AS (
+           |  SELECT g, d, round(avg(cvec[d]), 6) AS gc
+           |  FROM grouped CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+           |  GROUP BY g, d),
+           |supers AS (SELECT g, list(gc ORDER BY d) AS gvec FROM super0 GROUP BY g),
+           |routed AS (
+           |  SELECT vec_id, g FROM (
+           |    SELECT e.vec_id, s.g,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY round(list_cosine_similarity(
+           |               CAST(e.embedding AS DOUBLE[]), s.gvec), 6) DESC, s.g) AS grn
+           |    FROM embeddings e CROSS JOIN supers s) WHERE grn <= 2),
+           |assign0 AS (
+           |  SELECT e.vec_id, gr.label,
+           |         round(list_cosine_similarity(
+           |           CAST(e.embedding AS DOUBLE[]), gr.cvec), 6) AS csim
+           |  FROM embeddings e JOIN routed r ON r.vec_id = e.vec_id
+           |       JOIN grouped gr ON gr.g = r.g),
+           |assigned AS (
+           |  SELECT vec_id, label AS cell FROM (
+           |    SELECT vec_id, label,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY csim DESC, label) AS arn
+           |    FROM assign0) WHERE arn = 1),
+           |sims AS (
+           |  SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+           |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+           |  FROM assigned qa JOIN assigned ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+           |       JOIN embeddings a ON a.vec_id = qa.vec_id
+           |       JOIN embeddings b ON b.vec_id = ca.vec_id)
+           |SELECT qid, cid, sim, rn FROM (
+           |  SELECT qid, cid, sim,
+           |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+           |  FROM sims) WHERE rn <= 3
+           |ORDER BY qid, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(qCosineTopK, qCosineTopKBucketed, qEmbedNearDup,
-    qEmbedCentroids, qAnnIvf, qSemanticDedup, qAnnRecall, qAnnRecallNprobe2)
+    qEmbedCentroids, qAnnIvf, qAnnIvf2Level, qSemanticDedup, qAnnRecall,
+    qAnnRecallNprobe2)
 }
