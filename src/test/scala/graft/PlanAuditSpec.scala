@@ -179,12 +179,14 @@ class PlanAuditSpec extends GraftSpec {
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val exempt = SparkEntry.calibrationQueries ++ Set("q_cross_join")
-    // IVF assignment cross-joins every vector against the CENTROID table —
-    // O(N x #cells) with a constant-size broadcast build side; that
-    // broadcast NLJ is the correct plan, a hash shuffle would be pure cost.
-    // q_ann_recall adds the sanctioned O(|probe sample| x N) brute ground
-    // truth with the SAMPLE broadcast — the scale-correct recall eval.
-    val broadcastNljOk = Set("q_ann_ivf", "q_ann_recall", "q_ann_recall_nprobe2")
+    // q_ann_recall* add the sanctioned O(|probe sample| x N) brute ground
+    // truth with the SAMPLE broadcast — the scale-correct recall eval. The
+    // sample is a filter, not an aggregate, so the aggBounded exemption
+    // below can't see it; its boundedness is the % 25 sampling rate.
+    // (IVF centroid/super-cell assignment BNLJs are covered semantically
+    // by aggBounded — no names needed.)
+    val broadcastNljOk =
+      Set("q_ann_recall", "q_ann_recall_nprobe2", "q_ann_recall_2level")
     // Semantic exemption (no name list needed): a BNLJ whose BOTH inputs are
     // provably single-row — each side tops out in an ungrouped global
     // aggregate, below only row-preserving/reducing unary nodes — is a 1x1
@@ -193,6 +195,12 @@ class PlanAuditSpec extends GraftSpec {
     def descend(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case r: ReusedExchangeExec    => Seq(r.child)
+      // a persist()'d relation (Materialized.of) prints its cached plan but
+      // hides it from .children — descend so a BNLJ inside the cached build
+      // is judged by the same semantic rules instead of the conservative
+      // "printed but unreachable" arm
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(m.relation.cachedPlan)
       case other                    => other.children
     }
     def allNodes(p: SparkPlan): Seq[SparkPlan] =
@@ -232,6 +240,28 @@ class PlanAuditSpec extends GraftSpec {
         kids.size == 1 && rowPreserving.contains(p.getClass.getSimpleName) &&
           literalBounded(kids.head)
     }
+    // Third semantic exemption (r18, replaces growing the name list): a
+    // BNLJ whose BROADCAST side tops out in a grouped FINAL/COMPLETE
+    // aggregate — reached through row-preserving unary nodes only — has a
+    // build side bounded by the DISTINCT-GROUP count, not the data size.
+    // That is the IVF-assignment shape (q_ann_ivf's centroid table =
+    // groupBy(label); q_ann_ivf_2level's super-cell table = groupBy(g) over
+    // the centroids): routing every vector against a broadcast of the
+    // aggregated index is the intended O(N x cells) / O(N x sqrt(C)) plan;
+    // a hash shuffle would be pure cost. The BroadcastExchange's own size
+    // ceiling still backstops a pathological high-cardinality groupBy at
+    // runtime. The r17 lesson this encodes: the NEXT aggregated-broadcast
+    // ANN query must not need a new name on a list.
+    def aggBounded(p: SparkPlan): Boolean = p match {
+      case agg: BaseAggregateExec =>
+        agg.aggregateExpressions.forall(ae =>
+          ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
+          ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete)
+      case _ =>
+        val kids = descend(p)
+        kids.size == 1 && rowPreserving.contains(p.getClass.getSimpleName) &&
+          aggBounded(kids.head)
+    }
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
       operators.TpchSql.all ++ operators.TemporalSql.all ++
       operators.GroupWindowSql.all ++ operators.SketchOps.all ++
@@ -250,14 +280,17 @@ class PlanAuditSpec extends GraftSpec {
         if (broadcastNljOk.contains(q.name)) false
         else if (pStr.contains("BroadcastNestedLoopJoin") && nljNodes.isEmpty)
           true // printed but not reachable by the walk — fail conservatively
-        else nljNodes.exists(b => !(singleRow(b.left) && singleRow(b.right)) &&
-          // literal-bounded exemption: only the BROADCAST side may be the
-          // literal (the streamed side stays arbitrary — that's the point
-          // of a band join); require it explicitly
-          !(b.buildSide match {
-            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => literalBounded(b.left)
-            case org.apache.spark.sql.catalyst.optimizer.BuildRight => literalBounded(b.right)
-          }))
+        else nljNodes.exists { b =>
+          // literal/aggregate-bounded exemptions apply to the BROADCAST
+          // side only (the streamed side stays arbitrary — that's the
+          // point of a band/assignment join); require it explicitly
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          }
+          !(singleRow(b.left) && singleRow(b.right)) &&
+            !literalBounded(build) && !aggBounded(build)
+        }
       if (pStr.contains("CartesianProduct") || nljBad) Some(q.name) else None
     }
     assert(offenders.isEmpty, s"unbounded join shapes in: $offenders")
