@@ -66,12 +66,14 @@ object ScaleGrowth {
       srcDir.replaceAll("[^a-zA-Z0-9]", "_"))
     // Split size is the OTHER data-sizing knob (brief: "size
     // spark.sql.files.maxPartitionBytes so partitions fit in executor
-    // memory at the target SF"): at the 1000x tree a 128m split of
-    // high-compression synthesized parquet decodes to ~1.2 GB of unsafe
-    // rows, and 13 concurrent map-side WindowGroupLimit sorts of that size
-    // spill-thrash (every pointer-array growth failure TimSorts and spills
-    // the whole buffer — measured: q_topn's partial sort pinned one core
-    // for 26 min). 32m splits keep each sort in-memory.
+    // memory at the target SF"). History: the r17 1000x q_topn stall
+    // (map-side WindowGroupLimit sort pinning a core 26 min) was FIXED by
+    // the synthesizer's file LAYOUT change — facts now write
+    // max(16, factor/4) hash-partitioned files, so row groups (not this
+    // knob) bound the split size — and the recorded passing 1000x run used
+    // the 128m default. This env var is the opt-in escape hatch for a
+    // future tree whose layout can't be rewritten (drop to 32m to keep
+    // each map-side sort in-memory).
     val maxPartitionBytes =
       sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
     val builder = SparkSession.builder()

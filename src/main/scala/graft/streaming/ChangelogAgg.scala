@@ -76,18 +76,35 @@ object ChangelogAgg {
   }
 
   /** The aggregate's current result; None when no live rows. min/max scan
-    * only POSITIVE-count entries (a transient negative is not a live row). */
-  def result(st: AggState): Option[(Long, Double, Double, Double)] = {
-    if (st.cnt <= 0L) return None
+    * only POSITIVE-count entries (a transient negative is not a live row).
+    *
+    * `total` is RECOMPUTED here as Σ v·n over the multiset in sorted-value
+    * order, not read from the running accumulator: the fold is commutative
+    * but FP addition is not ASSOCIATIVE, so the running sum can differ in
+    * the last ulp across iterator orders — and shuffle iterator order is
+    * not guaranteed stable across runs/retries. The soak gate compares a
+    * clean run against a kill-restart run bit-exactly (xxhash64 over the
+    * emitted changelog), so emission must be a pure function of state
+    * CONTENT. Sorted Σ v·n is deterministic for identical state and costs
+    * the same O(distinct) bound as the min/max scan (ADVICE r17). */
+  def result(st: AggState): Option[(Long, Double, Double, Double)] =
+    resultOfMultiset(st.cnt, st.values)
+
+  private[graft] def resultOfMultiset(cnt: Long,
+      values: scala.collection.Map[Double, Long])
+      : Option[(Long, Double, Double, Double)] = {
+    if (cnt <= 0L) return None
+    var total = 0.0
     var mn = Double.NaN
     var mx = Double.NaN
-    st.values.foreach { case (v, n) =>
+    values.toArray.sortBy(_._1).foreach { case (v, n) =>
+      total += v * n
       if (n > 0L) {
         if (mn.isNaN || v < mn) mn = v
         if (mx.isNaN || v > mx) mx = v
       }
     }
-    if (mn.isNaN) None else Some((st.cnt, st.total, mn, mx))
+    if (mn.isNaN) None else Some((cnt, total, mn, mx))
   }
 
   /** The operator: keyed changelog in → aggregate changelog out. Works
@@ -196,7 +213,7 @@ object ChangelogAgg {
       val live0 = live.toMap
       val sc0 = if (scalars.exists()) scalars.get()
                 else AggScalars(0L, 0.0, Long.MinValue)
-      val before = resultOf(sc0.cnt, sc0.total, live)
+      val before = resultOfMultiset(sc0.cnt, live)
       var cnt = sc0.cnt; var total = sc0.total; var lastSeq = Long.MinValue
       rows.foreach { c =>
         val d = if (isAccumulate(c.kind)) 1L else -1L
@@ -205,7 +222,7 @@ object ChangelogAgg {
         if (n == 0L) live.remove(c.value) else live.put(c.value, n)
         if (c.seq > lastSeq) lastSeq = c.seq
       }
-      val after = resultOf(cnt, total, live)
+      val after = resultOfMultiset(cnt, live)
       if (after.isEmpty) {
         scalars.clear(); values.clear()
         if (armed != null && armed.exists()) {
@@ -244,20 +261,6 @@ object ChangelogAgg {
       Iterator.empty
     }
 
-    private def resultOf(cnt: Long, total: Double,
-        live: scala.collection.Map[Double, Long])
-        : Option[(Long, Double, Double, Double)] = {
-      if (cnt <= 0L) return None
-      var mn = Double.NaN
-      var mx = Double.NaN
-      live.foreach { case (v, n) =>
-        if (n > 0L) {
-          if (mn.isNaN || v < mn) mn = v
-          if (mx.isNaN || v > mx) mx = v
-        }
-      }
-      if (mn.isNaN) None else Some((cnt, total, mn, mx))
-    }
   }
 
   /** Fold the batch's net effect into the aggregate's own changelog
