@@ -359,50 +359,57 @@ object DedupOps {
     * quadratic-in-bucket candidate count) stays O(N / 459k) — the 100x
     * growth gate caught the previous 4-bit bands (7k buckets) saturating
     * at ~500k docs and going 282x on 100x input. */
+  /** The banded near-dup join at ANY declared [[SimhashBanding.Scheme]] —
+    * the batch half of the batch/stream twin pair (the stream half is
+    * NearDupStream.pairs at the same scheme; SimhashBandingSpec pins their
+    * agreement at a non-default width). `hdMax` is validated against the
+    * scheme's pigeonhole guarantee — a scheme that can't see hd <= hdMax
+    * is rejected at build time, not discovered as missing pairs. */
+  private[graft] def simhashBandedPairs(s: SparkSession, dir: String,
+      scheme: SimhashBanding.Scheme, hdMax: Int): DataFrame = {
+    import s.implicits._
+    scheme.requireCovers(hdMax)
+    val sh0 = simhashM(s, dir)
+    // bits < 56 bands AND measures hd on the masked low-bits signature —
+    // consistent in both engines; the default is a no-op left out of the
+    // plan so the golden default plans don't change
+    val sh = if (scheme.bits == 56) sh0
+             else sh0.withColumn("simhash", expr(s"simhash & ${scheme.sigMask}"))
+    // chunk-PAIR banding: hd <= maxHd damages at most maxHd of the n
+    // chunks, so at least one of the C(n,2) chunk pairs is fully intact —
+    // bucketing on 2*chunkBits-bit pair values finds the same pair set as
+    // single-chunk banding with far fewer join candidates
+    // (sum N^2/2^(2w) over C(n,2) combos vs N^2/2^w over n)
+    val chunks = sh.select($"doc_id", $"simhash",
+      explode(expr(s"array(${scheme.pairEntriesExpr})")).as("ch"))
+      .select($"doc_id", $"simhash", $"ch.i".as("i"), $"ch.j".as("j"), $"ch.v".as("v"))
+    // first-intact-bucket dedup: a close pair matches in MANY of the C(n,2)
+    // buckets (hd=0 matches all of them), so join-then-DISTINCT shuffles the
+    // candidate multiset (~15x the pair count here). Both signatures are
+    // present in the joined row, so keep a pair ONLY where (i, j) is its
+    // lexicographically-first intact chunk pair — each pair survives in
+    // exactly one bucket and the distinct (a full extra shuffle of every
+    // candidate) disappears. m = intact-chunk bitmask of the XOR; lowest
+    // set bit via m & -m.
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+          col("a.v") === col("b.v") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.i").as("i"), col("a.j").as("j"),
+        expr("a.simhash ^ b.simhash").as("x"))
+      .withColumn("m", expr(scheme.intactMaskExpr("x")))
+      .where(expr("(m & -m) = shiftleft(1, i)") &&
+        expr("((m - shiftleft(1, i)) & -(m - shiftleft(1, i))) = shiftleft(1, j)"))
+      .select($"doc_a", $"doc_b", expr("cast(bit_count(x) as int)").as("hd"))
+      .filter($"hd" <= hdMax)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val qSimhashBanded: Q = Q(
     "q_simhash_banded",
-    (s, dir) => {
-      import s.implicits._
-      val sh = simhashM(s, dir)
-      // chunk-PAIR banding: hd <= 6 damages at most 6 of the 8 7-bit
-      // chunks, so at least one of the C(8,2)=28 chunk pairs is fully
-      // intact — bucketing on 14-bit pair values finds the same pair set
-      // as single-chunk banding with far fewer join candidates
-      // (sum_c N^2/2^14 over 28 combos vs N^2/2^7 over 8)
-      val pairEntries = (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j))
-        .map { case (i, j) =>
-          s"named_struct('i', $i, 'j', $j, 'v', " +
-            s"shiftleft(shiftright(simhash, ${i * 7}) & 127, 7) + " +
-            s"(shiftright(simhash, ${j * 7}) & 127))"
-        }.mkString(", ")
-      val chunks = sh.select($"doc_id", $"simhash",
-        explode(expr(s"array($pairEntries)")).as("ch"))
-        .select($"doc_id", $"simhash", $"ch.i".as("i"), $"ch.j".as("j"), $"ch.v".as("v"))
-      // first-intact-bucket dedup: a close pair matches in MANY of the 28
-      // buckets (hd=0 matches all 28), so join-then-DISTINCT shuffles the
-      // candidate multiset (~15x the pair count here). Both signatures are
-      // present in the joined row, so keep a pair ONLY where (i, j) is its
-      // lexicographically-first intact chunk pair — each pair survives in
-      // exactly one bucket and the distinct (a full extra shuffle of every
-      // candidate) disappears. m = intact-chunk bitmask of the XOR; lowest
-      // set bit via m & -m.
-      chunks.as("a")
-        .join(chunks.as("b"),
-          col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
-            col("a.v") === col("b.v") && col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.i").as("i"), col("a.j").as("j"),
-          expr("a.simhash ^ b.simhash").as("x"))
-        .withColumn("m", expr((0 until 8)
-          .map(c => s"IF((shiftright(x, ${7 * c}) & 127) = 0, ${1 << c}, 0)")
-          .mkString(" + ")))
-        .where(expr("(m & -m) = shiftleft(1, i)") &&
-          expr("((m - shiftleft(1, i)) & -(m - shiftleft(1, i))) = shiftleft(1, j)"))
-        .select($"doc_a", $"doc_b", expr("cast(bit_count(x) as int)").as("hd"))
-        .filter($"hd" <= 6)
-        .orderBy($"doc_a", $"doc_b")
-    },
+    (s, dir) => simhashBandedPairs(s, dir, SimhashBanding.Default, 6),
     Some("""WITH toks AS (
            |  SELECT doc_id,
            |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.{Q, Tables}
+import graft.operators.SimhashBanding
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
@@ -21,12 +22,15 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * near-dup semantics on the same keyed-state runtime
   * (flink-streaming-java/.../KeyedProcessFunction.java shape).
   *
-  * Banding contract (identical to the batch twin): hd <= 6 damages at most
-  * 6 of the 8 7-bit chunks, so at least one of the C(8,2)=28 chunk PAIRS is
-  * fully intact — a close pair is guaranteed to co-bucket on its intact
-  * pair's 14-bit value. 28 x 2^14 ≈ 459k buckets keeps per-bucket
-  * population (and the quadratic-in-bucket comparison count) O(N/459k),
-  * the width the r15 100x growth rung forced on the batch twin.
+  * Banding contract (identical to the batch twin, both driven by the same
+  * declared [[SimhashBanding.Scheme]]): at the default 56-bit/7-bit-chunk
+  * scheme, hd <= 6 damages at most 6 of the 8 chunks, so at least one of
+  * the C(8,2)=28 chunk PAIRS is fully intact — a close pair is guaranteed
+  * to co-bucket on its intact pair's 14-bit value. 28 x 2^14 ≈ 459k
+  * buckets keeps per-bucket population (and the quadratic-in-bucket
+  * comparison count) O(N/459k), the width the r15 100x growth rung forced
+  * on the batch twin; the per-width saturation arithmetic lives on the
+  * Scheme.
   *
   * Emit-once determinism regardless of arrival order: a colliding pair is
   * emitted from exactly ONE bucket — the one whose (i, j) is the pair's
@@ -50,8 +54,10 @@ object NearDupStream {
   /** Per-bucket incremental matcher: ListState holds every fingerprint ever
     * seen in this bucket; each arrival compares against state + this
     * batch's earlier arrivals, emits confirmed pairs, then appends itself
-    * (ONE appendList per key per batch — the probed appendValue cliff). */
-  class SimhashBucketProcessor
+    * (ONE appendList per key per batch — the probed appendValue cliff).
+    * Banding geometry comes from the declared [[SimhashBanding.Scheme]]
+    * (serialized into the processor), never re-derived constants. */
+  class SimhashBucketProcessor(scheme: SimhashBanding.Scheme, hdMax: Int)
       extends StatefulProcessor[(Int, Int, Long), BandRow, NearDupPair] {
     @transient private var fps: ListState[FpEntry] = _
 
@@ -59,18 +65,13 @@ object NearDupStream {
       fps = getHandle.getListState[FpEntry]("fps",
         Encoders.product[FpEntry], TTLConfig.NONE)
 
-    /** Emit iff hd <= 6 AND this bucket's (i, j) is the pair's first intact
-      * chunk pair — the emit-once rule shared with the batch twin. */
+    /** Emit iff hd <= hdMax AND this bucket's (i, j) is the pair's first
+      * intact chunk pair — the emit-once rule shared with the batch twin. */
     private def confirmed(i: Int, j: Int, a: FpEntry, b: FpEntry): Option[NearDupPair] = {
       val x = a.sh ^ b.sh
       val hd = java.lang.Long.bitCount(x)
-      if (hd > 6) return None
-      var m = 0
-      var c = 0
-      while (c < 8) {
-        if (((x >>> (7 * c)) & 127L) == 0L) m |= 1 << c
-        c += 1
-      }
+      if (hd > hdMax) return None
+      val m = scheme.intactMask(x)
       val lo = m & -m
       val rest = m - lo
       val lo2 = rest & -rest
@@ -106,8 +107,8 @@ object NearDupStream {
     * `('0x' || substr(md5(tok), 1, 14))::BIGINT`), per-bit ±1 balances
     * folded with higher-order functions — pure per-row expressions, so the
     * stream needs no shuffle before the keyed state. */
-  private def withSimhash(docs: DataFrame): DataFrame =
-    docs
+  private def withSimhash(docs: DataFrame, scheme: SimhashBanding.Scheme): DataFrame = {
+    val full = docs
       .withColumn("toks",
         split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
       .withColumn("hs", expr(
@@ -120,32 +121,37 @@ object NearDupStream {
         """aggregate(zip_with(bal, sequence(0, 55),
           |    (b, j) -> IF(b > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
-
-  /** The 28 chunk-pair postings per document (batch twin's banding). */
-  private val pairEntries: String =
-    (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j))
-      .map { case (i, j) =>
-        s"named_struct('i', $i, 'j', $j, 'v', " +
-          s"shiftleft(shiftright(simhash, ${i * 7}) & 127, 7) + " +
-          s"(shiftright(simhash, ${j * 7}) & 127))"
-      }.mkString(", ")
+    // bits < 56 masks to the low-bits signature (hd is then measured on the
+    // masked value, same as the batch twin); default adds no plan node
+    if (scheme.bits == 56) full
+    else full.withColumn("simhash", expr(s"simhash & ${scheme.sigMask}"))
+  }
 
   /** The whole in-flight pipeline over ANY streaming `documents`-shaped
-    * DataFrame (needs `doc_id`, `text`): fingerprint → 28 postings →
-    * per-bucket stateful matcher. Returns the append-only pair stream —
+    * DataFrame (needs `doc_id`, `text`): fingerprint → C(n,2) chunk-pair
+    * postings → per-bucket stateful matcher, at a declared
+    * [[SimhashBanding.Scheme]]. Returns the append-only pair stream —
     * shared by the oracle query and the kill-restart soak (phase E). */
-  def pairs(s: SparkSession, docs: DataFrame): DataFrame = {
+  def pairs(s: SparkSession, docs: DataFrame,
+      scheme: SimhashBanding.Scheme = SimhashBanding.Default,
+      hdMax: Int = 6): DataFrame = {
     import s.implicits._
-    val stream = withSimhash(docs)
+    scheme.requireCovers(hdMax)
+    // same TwS discipline as aggTws/joinTws (ADVICE r17): batch callers
+    // need the state coordinator warmed; streaming callers fail fast on a
+    // non-RocksDB provider instead of dying late inside the first batch
+    TwsOps.ensureStateCoordinator(s)
+    if (docs.isStreaming) TwsOps.requireRocksDb(s, "NearDupStream.pairs")
+    val stream = withSimhash(docs, scheme)
       .select(col("doc_id"), col("simhash"),
-        explode(expr(s"array($pairEntries)")).as("ch"))
+        explode(expr(s"array(${scheme.pairEntriesExpr})")).as("ch"))
       .select(col("ch.i").as("i"), col("ch.j").as("j"), col("ch.v").as("v"),
         col("doc_id").as("doc"), col("simhash").as("sh"))
       .as[BandRow]
     implicit val outEnc = Encoders.product[NearDupPair]
     stream
       .groupByKey(r => (r.i, r.j, r.v))
-      .transformWithState(new SimhashBucketProcessor,
+      .transformWithState(new SimhashBucketProcessor(scheme, hdMax),
         TimeMode.None(), OutputMode.Append())
       .toDF()
   }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{DedupOps, SimhashBanding}
+import graft.streaming.{NearDupStream, StreamingOps, TwsOps}
+
+/** The banding geometry is a DECLARED scale parameter (verdict r17 #4):
+  * validate the scheme algebra, pin that batch and stream twins agree at a
+  * NON-default width (so the width is genuinely threaded through both
+  * engines, not decorative), and pin that schemes too narrow for the hd<=6
+  * product contract are rejected at build time. */
+class SimhashBandingSpec extends GraftSpec {
+
+  test("default scheme is the r15-forced width: 8 chunks, hd<=6, 459k buckets") {
+    val d = SimhashBanding.Default
+    assert(d.bits == 56 && d.chunkBits == 7)
+    assert(d.nChunks == 8)
+    assert(d.maxHd == 6)
+    assert(d.nChunkPairs == 28)
+    assert(d.buckets == 28L * (1L << 14)) // 458,752
+  }
+
+  test("scheme validation: non-tiling, too-few-chunks, and hd-coverage rejects") {
+    intercept[IllegalArgumentException](SimhashBanding.Scheme(56, 5)) // 56 % 5 != 0
+    intercept[IllegalArgumentException](SimhashBanding.Scheme(56, 28)) // 2 chunks
+    intercept[IllegalArgumentException](SimhashBanding.Scheme(64, 8)) // > md5Hash56
+    // (56, 14): 4 chunks guarantee only hd<=2 — must refuse an hd<=6 query
+    val wide = SimhashBanding.Scheme(56, 14)
+    assert(wide.maxHd == 2)
+    intercept[IllegalArgumentException](wide.requireCovers(6))
+  }
+
+  test("batch banded pairs at a non-default width (56,4) find the same hd<=6 set") {
+    // 14 chunks of 4 bits guarantee hd<=12 > 6, so the pair SET must equal
+    // the default scheme's — only the bucketing route differs
+    val narrow = SimhashBanding.Scheme(56, 4)
+    assert(narrow.maxHd == 12)
+    val defaultPairs = DedupOps
+      .simhashBandedPairs(spark, sfDir, SimhashBanding.Default, 6)
+      .collect().map(_.toSeq).toSeq
+    val narrowPairs = DedupOps
+      .simhashBandedPairs(spark, sfDir, narrow, 6)
+      .collect().map(_.toSeq).toSeq
+    assert(defaultPairs.nonEmpty, "fixture has no near-dup pairs — vacuous parity")
+    assert(narrowPairs == defaultPairs)
+  }
+
+  test("stream and batch twins agree at a non-default width (56,4)") {
+    val narrow = SimhashBanding.Scheme(56, 4)
+    val batch = DedupOps.simhashBandedPairs(spark, sfDir, narrow, 6)
+      .collect().map(_.toSeq).toSeq
+    val stream = TwsOps.withRocksDb(spark) {
+      import org.apache.spark.sql.functions.col
+      val out = NearDupStream.pairs(spark,
+        StreamingOps.streamTable(spark, sfDir, "documents"), narrow, 6)
+      StreamingOps.runToMemory(spark, out, "append", "graft_banding_narrow")
+        .orderBy(col("doc_a"), col("doc_b"))
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(batch.nonEmpty, "fixture has no near-dup pairs — vacuous parity")
+    assert(stream == batch)
+  }
+
+  test("masked-signature width (48,6) agrees across twins and hd uses masked bits") {
+    // bits < 56: both engines band AND measure hd on the low-48-bit
+    // signature; 8 chunks of 6 keep the hd<=6 guarantee
+    val masked = SimhashBanding.Scheme(48, 6)
+    assert(masked.maxHd == 6)
+    val batch = DedupOps.simhashBandedPairs(spark, sfDir, masked, 6)
+      .collect().map(_.toSeq).toSeq
+    val stream = TwsOps.withRocksDb(spark) {
+      import org.apache.spark.sql.functions.col
+      val out = NearDupStream.pairs(spark,
+        StreamingOps.streamTable(spark, sfDir, "documents"), masked, 6)
+      StreamingOps.runToMemory(spark, out, "append", "graft_banding_masked")
+        .orderBy(col("doc_a"), col("doc_b"))
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(batch.nonEmpty)
+    assert(stream == batch)
+    // the masked hd can only shrink, so the masked pair set is a superset
+    // of the full-width set on the same corpus
+    val full = DedupOps.simhashBandedPairs(spark, sfDir, SimhashBanding.Default, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maskedSet = batch.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])).toSet
+    assert(full.subsetOf(maskedSet))
+  }
+}
