@@ -72,21 +72,34 @@ object SoakRecovery {
       srcDir.replaceAll("[^a-zA-Z0-9]", "_"))
     ScaleData.synthesize(spark, srcDir, bigDir, Factor)
 
-    val a = phaseA(spark, bigDir)
-    val b = phaseB(spark, bigDir)
-    val c = phaseC(spark, bigDir)
-    val d = phaseD(spark, bigDir)
-    val e = phaseE(spark, bigDir)
-    def j(r: PhaseResult) =
+    // local-iteration phase filter (driver never sets this) — the 1000x
+    // rung re-runs single phases at a state size where running all five
+    // serially would take hours. Loud, like Verify's SPARK_GRAFT_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_SOAK_PHASES")
+      .map(_.toUpperCase.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { ps =>
+      System.err.println(
+        s"[soak] WARNING: SPARK_GRAFT_SOAK_PHASES active — running only ${ps.mkString(",")}")
+      require(ps.subsetOf(Set("A", "B", "C", "D", "E")),
+        s"unknown soak phases: ${ps.mkString(",")}")
+    }
+    def run(tag: String, f: => PhaseResult): Option[PhaseResult] =
+      if (only.forall(_.contains(tag))) Some(f) else None
+    val a = run("A", phaseA(spark, bigDir))
+    val b = run("B", phaseB(spark, bigDir))
+    val c = run("C", phaseC(spark, bigDir))
+    val d = run("D", phaseD(spark, bigDir))
+    val e = run("E", phaseE(spark, bigDir))
+    def j(r: Option[PhaseResult]) = r.map(r =>
       s"""{"rows":${r.rows},"checksum":${r.checksum},"clean_rows":${r.cleanRows},""" +
         s""""clean_checksum":${r.cleanChecksum},"interrupted":${r.interrupted},""" +
-        s""""match":${r.matches},"wall_sec":${fmt(r.wallSec)}}"""
+        s""""match":${r.matches},"wall_sec":${fmt(r.wallSec)}}""").getOrElse("null")
     println(s"""{"metric":"soak$Factor","partition_commit":${j(a)},""" +
       s""""changelog_join":${j(b)},"changelog_agg":${j(c)},""" +
       s""""cep_nfa":${j(d)},"neardup_stream":${j(e)},""" +
       s""""factor":$Factor,"src":"$srcDir"}""")
     spark.stop()
-    val phases = Seq(a, b, c, d, e)
+    val phases = Seq(a, b, c, d, e).flatten
     if (phases.exists(r => !r.matches || !r.interrupted)) {
       System.err.println("SOAK FAILED: " +
         (if (phases.exists(!_.matches)) "output mismatch after recovery"
