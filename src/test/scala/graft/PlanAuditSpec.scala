@@ -168,6 +168,25 @@ class PlanAuditSpec extends GraftSpec {
       s"min-aggregate not split partial+final:\n$p")
   }
 
+  test("q_ann_ivf_2level: routing/argmax are map-side partial aggregations, not vector-payload window shuffles") {
+    val p = phys(operators.SimilarityOps.qAnnIvf2Level)
+    // the r18 re-plan's claim: no window partitioned by vec_id — a
+    // row_number over the multiplied candidate rows would shuffle the
+    // N x sqrt(C) relation with the 520-byte vector payload attached
+    // (~330 GB at the 1000x tree). The only windows allowed are the
+    // metadata-scale global centroid ordering and the search top-3 rank
+    // (which Spark executes as partial+final WindowGroupLimit).
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      s"two-level assign regressed to a per-vector window shuffle:\n$p")
+    // routing: bounded TopK partial+final (leaderboards cross the exchange)
+    assert(p.contains("partial_topkaggregator"), s"routing not partial-aggregated:\n$p")
+    assert(p.contains("ObjectHashAggregate"), p)
+    // level-2 argmax: partial+final min(struct) — one row per vector crosses
+    assert(p.contains("partial_min(cand"), s"argmax not partial-aggregated:\n$p")
+    // search rank runs as the bounded WindowGroupLimit, not a full sort rank
+    assert(p.contains("WindowGroupLimit"), s"search top-3 lost its group limit:\n$p")
+  }
+
   test("no unbounded cross/nested-loop join in any scale-path query plan") {
     // every non-calibration batch query must avoid CartesianProduct and
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
