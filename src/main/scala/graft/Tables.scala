@@ -94,10 +94,18 @@ object Tables {
     * survive the JVM, while a disk-backed /tmp under concurrent writer load
     * turns an 0.3 s write into a double-digit outlier (observed in BENCH_r03:
     * q_partitioned_scan 13.3 s on the driver vs 1.3 s locally). */
+  /** Scratch placement is a SCALE parameter (r18 finding, the tmpfs twin of
+    * r17's "file layout is a scale parameter"): tmpfs pages count against
+    * RAM, so a staged feed that fits the filesystem can still evict the
+    * JVM — the 1000x CDC replay feeds (37+15 GB) plus a 24g runner
+    * exceeded a 125 GB container. SPARK_GRAFT_SCRATCH relocates the whole
+    * scratch tree (e.g. to a disk-backed path) for runs whose staged data
+    * competes with the heap; default stays the fast RAM-backed path. */
   def scratch(sub: String): String = {
-    val base =
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH").getOrElse {
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-scratch"
       else System.getProperty("java.io.tmpdir") + "/graft-scratch"
+    }
     s"$base/$sub"
   }
 }
