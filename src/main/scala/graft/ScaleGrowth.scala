@@ -108,38 +108,29 @@ object ScaleGrowth {
     spark.stop()
   }
 
-  /** Pure-projection (map-only) queries: under `count()` Catalyst prunes
-    * the projected expressions entirely, so the timing measures scan +
-    * row-count and the growth number is vacuous (the r15 caveat). These
-    * are timed through a checksum aggregate over every output column
-    * instead — xxhash64 forces each expression to evaluate, the single
+  /** EVERY query is timed through a checksum aggregate over every output
+    * column — xxhash64 forces each expression to evaluate, the single
     * scalar agg adds no shuffle of substance, and nothing materializes
-    * driver-side beyond one row. */
-  val ChecksumQueries: Set[String] = Set(
-    "q_pii_mask", "q_token_count", "q_quality_score",
-    "q_json_extract", "q_parse_url",
-    "q_type_int_widths", "q_type_binary", "q_type_time_millis",
-    "q_type_interval",
-    // r17: the remaining pure-projection families (scalar functions, text
-    // scoring, per-row UDTF/flatMap, media metadata) — same rationale
-    "q_scalar_math", "q_scalar_math2", "q_scalar_math3",
-    "q_scalar_str", "q_scalar_str3", "q_scalar_str4", "q_scalar_str5",
-    "q_scalar_hash", "q_scalar_temporal", "q_scalar_temporal2",
-    "q_collections", "q_flink_fns", "q_hash_code", "q_case_expr",
-    "q_convert_tz", "q_type_char_varchar", "q_calc_filter",
-    "q_lang_id", "q_quality_repetition", "q_explode_tokens",
-    "q_udtf_flatmap", "q_media_resize")
-
+    * driver-side beyond one row.
+    *
+    * History of why this is unconditional: r15 caught `count()` pruning
+    * map-only projections (the timing measured scan + row-count); the fix
+    * was a name list of checksum-timed queries. r18 caught the SECOND
+    * instance of the same caveat one operator family over: under count(),
+    * ColumnPruning drops an UNCONSUMED Window node entirely (probed:
+    * q_over_rows' counted plan has no Window at all), so every
+    * pure-window-projection growth number was a bare scan timing. A name
+    * list per pruning-susceptible operator family loses by induction —
+    * checksum everything instead. (Queries whose ranks/filters consume the
+    * window — q_topn — were never affected; their numbers stand.) */
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, dir)
-    if (ChecksumQueries(name)) {
-      import org.apache.spark.sql.functions.{col, expr, xxhash64}
-      // bit_xor: order-independent and cannot overflow (sum of row hashes
-      // trips ANSI long-overflow within a few million rows)
-      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
-        .agg(expr("bit_xor(h)")).collect()
-    } else df.count()
+    import org.apache.spark.sql.functions.{col, expr, xxhash64}
+    // bit_xor: order-independent and cannot overflow (sum of row hashes
+    // trips ANSI long-overflow within a few million rows)
+    df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -124,17 +124,38 @@ class ScaleDataSpec extends GraftSpec {
       "an IVF index retrained on a 3x corpus must have 3x cells")
   }
 
-  test("growth-gate checksum materializer evaluates every projection-family query") {
-    // ScaleGrowth times the pure-projection family through
-    // bit_xor(xxhash64(all output columns)); this guards the wiring — an
-    // unhashable column type added to one of these queries would otherwise
-    // only fail at gate time, far from the edit
+  test("growth-gate checksum materializer evaluates the pruning-susceptible families") {
+    // ScaleGrowth now times EVERY query through bit_xor(xxhash64(all
+    // output columns)) — r15 caught count() pruning map-only projections,
+    // r18 caught it pruning unconsumed Window nodes (q_over_rows' counted
+    // plan had no Window at all). This guards the wiring over the two
+    // known-susceptible families — an unhashable column type added to one
+    // of these queries would otherwise only fail at gate time, far from
+    // the edit.
     import org.apache.spark.sql.functions.{col, expr, xxhash64}
-    for (name <- ScaleGrowth.ChecksumQueries) {
+    val pruningSusceptible = Seq(
+      // pure projections (the r15 family)
+      "q_pii_mask", "q_token_count", "q_quality_score", "q_json_extract",
+      "q_parse_url", "q_scalar_math", "q_scalar_str", "q_scalar_hash",
+      "q_collections", "q_flink_fns", "q_lang_id", "q_quality_repetition",
+      "q_explode_tokens", "q_udtf_flatmap", "q_media_resize",
+      // unconsumed-window projections (the r18 family)
+      "q_over_rows", "q_over_range_frame", "q_over_navigation", "q_over_rank")
+    for (name <- pruningSusceptible) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val r = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
         .agg(expr("bit_xor(h)")).head()
       assert(!r.isNullAt(0), s"$name produced no rows to checksum")
     }
+  }
+
+  test("the r18 window-pruning caveat is real: count() drops an unconsumed Window") {
+    // pins the REASON the gate checksums instead of counting — if a Spark
+    // upgrade stops pruning here, the checksum is merely redundant, but if
+    // this assert ever fires the gate comment's premise needs re-checking
+    val counted = SparkEntry.queries("q_over_rows")(spark, sfDir)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(!counted.contains("Window"),
+      "count() no longer prunes the Window — re-evaluate the gate's timing note")
   }
 }
