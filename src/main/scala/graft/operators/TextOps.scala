@@ -684,10 +684,14 @@ object TextOps {
         .select($"doc_id", split($"text", " ").as("toks"))
         .select($"doc_id", posexplode(expr(chunk5Expr)))
         .withColumnRenamed("col", "chunk")
-        // 32-bit shift, not *1e6: a document beyond 1M chunks would
-        // collide ord across documents and break the deterministic global
-        // keep-first (pos < 2^32 chunks ≈ 20B tokens/doc is a safe bound)
-        .withColumn("ord", $"doc_id" * 4294967296L + $"pos")
+        // lexicographic (doc_id, pos) struct, NOT a packed long: the r18
+        // 1000x rung caught `doc_id * 2^32 + pos` overflowing — key-shifted
+        // ids reach ~1e11 there and ANY bit split bets on both ranges at
+        // once (the r15 star-CC fingerprint lesson, second occurrence).
+        // min(struct) is the same total order with no arithmetic, valid for
+        // arbitrary 64-bit ids; it still partial-aggregates map-side (as a
+        // sort aggregate — structs have no mutable hash-agg buffer)
+        .withColumn("ord", struct($"doc_id", $"pos"))
       val firstOrd = chunks.groupBy($"chunk").agg(min($"ord").as("min_ord"))
       val kept = chunks.join(firstOrd, "chunk").where($"ord" === $"min_ord")
       val docStats = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
@@ -710,7 +714,7 @@ object TextOps {
            |  FROM t),
            |chunks AS (
            |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk,
-           |         doc_id * 4294967296 + u.pos AS ord
+           |         {'doc_id': doc_id, 'pos': u.pos} AS ord
            |  FROM c),
            |first_ord AS (SELECT chunk, min(ord) AS min_ord FROM chunks GROUP BY chunk),
            |kept AS (
