@@ -162,8 +162,11 @@ object LookupJoin {
       probe: Dataset[(Long, Long)],
       backendFactory: () => LookupBackend,
       opts: LookupOptions,
+      // 3 min like the reference's table.exec.async-lookup.timeout default
+      // (ExecutionConfigOptions.java) — the r18 1000x rung caught a 30 s
+      // default expiring under a cold backend's first-load latency
       timeout: scala.concurrent.duration.Duration =
-        scala.concurrent.duration.Duration(30, "s")): Dataset[(Long, Option[String])] = {
+        scala.concurrent.duration.Duration(3, "min")): Dataset[(Long, Option[String])] = {
     val spark = probe.sparkSession
     import spark.implicits._
     AsyncOps.asyncMapPartitionsWithSetup(probe, opts.asyncCapacity, timeout)(() => {
@@ -186,19 +189,35 @@ object LookupJoin {
     * `open` loads the file executor-side (the embedded-table case); a real
     * JDBC backend implements the same two methods with a Connection +
     * PreparedStatement and changes nothing else in [[lookupJoinPointReads]]. */
+  object CsvFileBackend {
+    // ONE dim load per JVM per file, shared by every task/partition — the
+    // r18 1000x rung caught the per-instance lazy load building a separate
+    // 15M-entry map in EVERY concurrent partition (16 x ~1.5 GB: the heap
+    // cost of the embedded stand-in inverting the real connector's cost
+    // model, where the data stays DB-side and tasks share a pool). A real
+    // JDBC backend shares its connection pool exactly like this shares the
+    // table. computeIfAbsent also collapses the 256 concurrent first-loads
+    // into one read with everyone else blocking on it (no re-entrancy here,
+    // unlike Materialized's derived-entry case).
+    private val tables =
+      new java.util.concurrent.ConcurrentHashMap[String, Map[Long, String]]()
+    private[graft] def load(path: String): Map[Long, String] =
+      tables.computeIfAbsent(path, p => {
+        val src = scala.io.Source.fromFile(p)
+        try src.getLines().map { line =>
+          // a NULL dim value writes as a bare key (concat_ws skips nulls) —
+          // treat the missing field as empty instead of a MatchError
+          line.split(",", 2) match {
+            case Array(k, v) => k.trim.toLong -> v
+            case Array(k) => k.trim.toLong -> ""
+          }
+        }.toMap
+        finally src.close()
+      })
+  }
+
   final class CsvFileBackend(path: String) extends LookupBackend {
-    @transient private lazy val table: Map[Long, String] = {
-      val src = scala.io.Source.fromFile(path)
-      try src.getLines().map { line =>
-        // a NULL dim value writes as a bare key (concat_ws skips nulls) —
-        // treat the missing field as empty instead of a MatchError
-        line.split(",", 2) match {
-          case Array(k, v) => k.trim.toLong -> v
-          case Array(k) => k.trim.toLong -> ""
-        }
-      }.toMap
-      finally src.close()
-    }
+    @transient private lazy val table: Map[Long, String] = CsvFileBackend.load(path)
     @volatile var closed = false
     override def get(key: Long): Option[String] = table.get(key)
     override def close(): Unit = closed = true
