@@ -80,6 +80,11 @@ object SoakRecovery {
     only.foreach { ps =>
       System.err.println(
         s"[soak] WARNING: SPARK_GRAFT_SOAK_PHASES active — running only ${ps.mkString(",")}")
+      // empty/whitespace value would otherwise run ZERO phases and exit
+      // PASS vacuously — a misconfigured env var must fail loudly, not
+      // silently turn the recovery gate into a no-op success (ADVICE r18)
+      require(ps.nonEmpty,
+        "SPARK_GRAFT_SOAK_PHASES is set but names no phases — unset it or list A..E")
       require(ps.subsetOf(Set("A", "B", "C", "D", "E")),
         s"unknown soak phases: ${ps.mkString(",")}")
     }

@@ -201,7 +201,18 @@ object LookupJoin {
     // unlike Materialized's derived-entry case).
     private val tables =
       new java.util.concurrent.ConcurrentHashMap[String, Map[Long, String]]()
-    private[graft] def load(path: String): Map[Long, String] =
+    private[graft] def load(path: String): Map[Long, String] = {
+      // Evict entries whose file is gone BEFORE loading: every invocation of
+      // q_lookup_async_cache overwrites the dim dir with a fresh part-file
+      // UUID, so keying by absolute path alone accretes one full dim copy
+      // per invocation (~1.5 GB each at the 1000x rung) with the dead paths
+      // pinned forever — the r18 heap fix re-introduced serially (ADVICE
+      // r18). mode("overwrite") deletes the old part file, so file-exists is
+      // exactly the liveness test; a real JDBC pool evicts closed
+      // connections the same way.
+      tables.keys().asIterator().forEachRemaining { p =>
+        if (p != path && !new java.io.File(p).exists()) tables.remove(p)
+      }
       tables.computeIfAbsent(path, p => {
         val src = scala.io.Source.fromFile(p)
         try src.getLines().map { line =>
@@ -214,6 +225,7 @@ object LookupJoin {
         }.toMap
         finally src.close()
       })
+    }
   }
 
   final class CsvFileBackend(path: String) extends LookupBackend {

@@ -166,8 +166,14 @@ object ChangelogAgg {
   // ---- transformWithState runtime (r12 migration) ----
 
   /** Scalar half of the TwS accumulator; the multiset half lives in
-    * MapState so it never re-serializes whole. */
-  final case class AggScalars(cnt: Long, total: Double, lastActivityMs: Long)
+    * MapState so it never re-serializes whole. No running `total`: emission
+    * recomputes it from the multiset ([[resultOfMultiset]]), and a running
+    * FP sum folded in shuffle-iterator order would make the CHECKPOINTED
+    * state differ in the last ulp between a clean run and a kill-restart
+    * run — dead weight today, a latent flake for any future state-level
+    * checksum compare (ADVICE r18). State is now itself a pure function of
+    * the multiset. */
+  final case class AggScalars(cnt: Long, lastActivityMs: Long)
 
   /** [[agg]]'s exact semantics on the transformWithState runtime — the
     * widest-traffic fMGWS migration (reference
@@ -212,12 +218,12 @@ object ChangelogAgg {
       values.iterator().foreach { case (v, n) => live.put(v, n) }
       val live0 = live.toMap
       val sc0 = if (scalars.exists()) scalars.get()
-                else AggScalars(0L, 0.0, Long.MinValue)
+                else AggScalars(0L, Long.MinValue)
       val before = resultOfMultiset(sc0.cnt, live)
-      var cnt = sc0.cnt; var total = sc0.total; var lastSeq = Long.MinValue
+      var cnt = sc0.cnt; var lastSeq = Long.MinValue
       rows.foreach { c =>
         val d = if (isAccumulate(c.kind)) 1L else -1L
-        cnt += d; total += d * c.value
+        cnt += d
         val n = live.getOrElse(c.value, 0L) + d
         if (n == 0L) live.remove(c.value) else live.put(c.value, n)
         if (c.seq > lastSeq) lastSeq = c.seq
@@ -230,7 +236,7 @@ object ChangelogAgg {
         }
       } else {
         val activity = math.max(sc0.lastActivityMs, lastSeq)
-        scalars.update(AggScalars(cnt, total, activity))
+        scalars.update(AggScalars(cnt, activity))
         // diff write-back: only values whose live count CHANGED touch RocksDB
         (live0.keySet ++ live.keySet).foreach { v =>
           (live0.get(v), live.get(v)) match {

@@ -181,11 +181,13 @@ class PlanAuditSpec extends GraftSpec {
     // (which Spark executes as partial+final WindowGroupLimit).
     assert(!p.contains("windowspecdefinition(vec_id"),
       s"two-level assign regressed to a per-vector window shuffle:\n$p")
-    // routing: bounded TopK partial+final (leaderboards cross the exchange)
-    assert(p.contains("partial_topkaggregator"), s"routing not partial-aggregated:\n$p")
+    // BOTH levels: bounded TopK partial+final (a 2-entry leaderboard per
+    // vector per map task crosses each exchange — level 2 moved from
+    // min(struct) to the same TopK in r19 so nprobe=2 is a stored-rank
+    // filter, not a recompute)
+    assert("partial_topkaggregator".r.findAllIn(p).length >= 2,
+      s"routing/assign not partial-aggregated at both levels:\n$p")
     assert(p.contains("ObjectHashAggregate"), p)
-    // level-2 argmax: partial+final min(struct) — one row per vector crosses
-    assert(p.contains("partial_min(cand"), s"argmax not partial-aggregated:\n$p")
     // search rank runs as the bounded WindowGroupLimit, not a full sort rank
     assert(p.contains("WindowGroupLimit"), s"search top-3 lost its group limit:\n$p")
   }
@@ -195,95 +197,7 @@ class PlanAuditSpec extends GraftSpec {
     // BroadcastNestedLoopJoin — the two shapes that melt at 100 TB.
     // (q_cross_join is a deliberate 5x5 dims cross; the stream queries
     // can't be explained without starting them.)
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val exempt = SparkEntry.calibrationQueries ++ Set("q_cross_join")
-    // q_ann_recall* add the sanctioned O(|probe sample| x N) brute ground
-    // truth with the SAMPLE broadcast — the scale-correct recall eval. The
-    // sample is a filter, not an aggregate, so the aggBounded exemption
-    // below can't see it; its boundedness is the % 25 sampling rate.
-    // (IVF centroid/super-cell assignment BNLJs are covered semantically
-    // by aggBounded — no names needed.)
-    val broadcastNljOk =
-      Set("q_ann_recall", "q_ann_recall_nprobe2", "q_ann_recall_2level")
-    // Semantic exemption (no name list needed): a BNLJ whose BOTH inputs are
-    // provably single-row — each side tops out in an ungrouped global
-    // aggregate, below only row-preserving/reducing unary nodes — is a 1x1
-    // join (the scalar-ratio shape, e.g. TPC-DS q61) and is the correct
-    // plan at any scale.
-    def descend(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case r: ReusedExchangeExec    => Seq(r.child)
-      // a persist()'d relation (Materialized.of) prints its cached plan but
-      // hides it from .children — descend so a BNLJ inside the cached build
-      // is judged by the same semantic rules instead of the conservative
-      // "printed but unreachable" arm
-      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        Seq(m.relation.cachedPlan)
-      case other                    => other.children
-    }
-    def allNodes(p: SparkPlan): Seq[SparkPlan] =
-      p +: (descend(p) ++ p.subqueries).flatMap(allNodes)
-    // WHITELIST of wrappers known to preserve or reduce rows — default-deny,
-    // so an unanticipated row-multiplying unary node (Generate, Expand, a
-    // flatMap object operator) can never smuggle an unbounded side past the
-    // exemption (r12 review hardening)
-    val rowPreserving = Set("ProjectExec", "FilterExec", "SortExec",
-      "WholeStageCodegenExec", "InputAdapter", "BroadcastExchangeExec",
-      "ShuffleExchangeExec", "ReusedExchangeExec", "CoalesceExec",
-      "AQEShuffleReadExec", "ShuffleQueryStageExec", "BroadcastQueryStageExec",
-      "AdaptiveSparkPlanExec", "LocalLimitExec", "GlobalLimitExec",
-      "TakeOrderedAndProjectExec", "SubqueryExec", "ColumnarToRowExec")
-    def singleRow(p: SparkPlan): Boolean = p match {
-      case agg: BaseAggregateExec =>
-        // FINAL/COMPLETE ungrouped aggregate = one row; a PARTIAL-mode one
-        // emits a row per partition and must not qualify
-        agg.groupingExpressions.isEmpty &&
-          agg.aggregateExpressions.forall(ae =>
-            ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
-            ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete)
-      case _ =>
-        val kids = descend(p)
-        kids.size == 1 && rowPreserving.contains(p.getClass.getSimpleName) &&
-          singleRow(kids.head)
-    }
-    // Second semantic exemption: a side that bottoms out in a LITERAL
-    // LocalTableScan (a VALUES relation — compile-time-constant row count,
-    // e.g. the q84 income-band dimension) is bounded at ANY data scale, so
-    // a BNLJ against it is a constant-factor map-side band join, not an
-    // unbounded blowup.
-    def literalBounded(p: SparkPlan): Boolean = p match {
-      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
-      case _ =>
-        val kids = descend(p)
-        kids.size == 1 && rowPreserving.contains(p.getClass.getSimpleName) &&
-          literalBounded(kids.head)
-    }
-    // Third semantic exemption (r18, replaces growing the name list): a
-    // BNLJ whose BROADCAST side tops out in a grouped FINAL/COMPLETE
-    // aggregate — reached through row-preserving unary nodes only — has a
-    // build side bounded by the DISTINCT-GROUP count, not the data size.
-    // That is the IVF-assignment shape (q_ann_ivf's centroid table =
-    // groupBy(label); q_ann_ivf_2level's super-cell table = groupBy(g) over
-    // the centroids): routing every vector against a broadcast of the
-    // aggregated index is the intended O(N x cells) / O(N x sqrt(C)) plan;
-    // a hash shuffle would be pure cost. The BroadcastExchange's own size
-    // ceiling still backstops a pathological high-cardinality groupBy at
-    // runtime. The r17 lesson this encodes: the NEXT aggregated-broadcast
-    // ANN query must not need a new name on a list.
-    def aggBounded(p: SparkPlan): Boolean = p match {
-      case agg: BaseAggregateExec =>
-        agg.aggregateExpressions.forall(ae =>
-          ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
-          ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete)
-      case _ =>
-        val kids = descend(p)
-        kids.size == 1 && rowPreserving.contains(p.getClass.getSimpleName) &&
-          aggBounded(kids.head)
-    }
     val batchQs = (operators.Relational.all ++ operators.RelationalSql.all ++
       operators.TpchSql.all ++ operators.TemporalSql.all ++
       operators.GroupWindowSql.all ++ operators.SketchOps.all ++
@@ -294,28 +208,203 @@ class PlanAuditSpec extends GraftSpec {
       operators.TpcdsShapes.all ++ operators.GraphOps.all ++
       dsl.TableApiOps.all)
       .filterNot(q => exempt.contains(q.name))
-    val offenders = batchQs.flatMap { q =>
-      val plan = q.run(spark, sfDir).queryExecution.executedPlan
-      val pStr = plan.toString
-      val nljNodes = allNodes(plan).collect { case b: BroadcastNestedLoopJoinExec => b }
-      val nljBad =
-        if (broadcastNljOk.contains(q.name)) false
-        else if (pStr.contains("BroadcastNestedLoopJoin") && nljNodes.isEmpty)
-          true // printed but not reachable by the walk — fail conservatively
-        else nljNodes.exists { b =>
-          // literal/aggregate-bounded exemptions apply to the BROADCAST
-          // side only (the streamed side stays arbitrary — that's the
-          // point of a band/assignment join); require it explicitly
-          val build = b.buildSide match {
-            case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
-            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
-          }
-          !(singleRow(b.left) && singleRow(b.right)) &&
-            !literalBounded(build) && !aggBounded(build)
-        }
-      if (pStr.contains("CartesianProduct") || nljBad) Some(q.name) else None
-    }
+    val offenders = batchQs.filter(q =>
+      BnljAudit.unbounded(q.run(spark, sfDir).queryExecution.executedPlan))
+      .map(_.name)
     assert(offenders.isEmpty, s"unbounded join shapes in: $offenders")
+  }
+
+  test("negative: the BNLJ audit still rejects genuinely unbounded shapes") {
+    // the semantic exemptions (single-row, literal VALUES, aggregated
+    // index, modulo sample) must not have widened into a hole: each of
+    // these plans IS the unbounded blowup the audit exists for, and every
+    // one must stay red. Guards the exemption lattice the way
+    // requireCovers guards the banding scheme — by construction, not
+    // by review.
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Tables.t(spark, sfDir, "documents").select($"doc_id", $"n_chars")
+    val ev = Tables.t(spark, sfDir, "events").select($"event_id", $"user_id")
+    def isUnbounded(df: org.apache.spark.sql.DataFrame): Boolean =
+      BnljAudit.unbounded(df.queryExecution.executedPlan)
+    // 1. raw scan broadcast side — the textbook unbounded BNLJ
+    assert(isUnbounded(ev.join(broadcast(docs), $"event_id" > $"doc_id")),
+      "unfiltered broadcast side passed the audit")
+    // 2. a non-sampling filter (predicate selectivity is data-dependent,
+    //    not a declared bounded fraction) must NOT count as a sample
+    assert(isUnbounded(
+      ev.join(broadcast(docs.filter($"n_chars" > 0)), $"event_id" > $"doc_id")),
+      "a value predicate was accepted as a bounded sample")
+    // 3. a coarse modulo (% 2 keeps half the relation) is not a bounded
+    //    fraction either — the sample exemption requires modulus >= 10
+    assert(isUnbounded(
+      ev.join(broadcast(docs.filter($"doc_id" % 2 === 0)), $"event_id" > $"doc_id")),
+      "a 1/2 'sample' was accepted as bounded")
+    // 4. a grouped aggregate on the relation's own identity column is
+    //    O(N) groups — aggBounded must refuse identity-keyed grouping
+    assert(isUnbounded(
+      ev.join(broadcast(docs.groupBy($"doc_id").agg(max($"n_chars").as("m"))),
+        $"event_id" > $"doc_id")),
+      "an identity-keyed groupBy was accepted as an aggregated index")
+    // and the exemptions themselves still hold where they should:
+    assert(!isUnbounded(
+      ev.join(broadcast(docs.filter($"doc_id" % 25 === 0)), $"event_id" > $"doc_id")),
+      "the modulo-sample exemption regressed")
+    assert(!isUnbounded(
+      ev.join(broadcast(docs.groupBy($"n_chars").agg(count(lit(1)).as("n"))),
+        $"event_id" > $"n")),
+      "the aggregated-index exemption regressed")
+  }
+}
+
+/** The BNLJ/cartesian boundedness classifier — shared by the audit sweep
+  * and its negative spec so the exemption lattice is itself under test.
+  *
+  * Exemption lattice (all SEMANTIC — since r19 there is no query-name or
+  * column-name allow-list left):
+  *  1. single-row x single-row (ungrouped global aggregates): the
+  *     scalar-ratio shape (TPC-DS q61) — a 1x1 join at any scale.
+  *  2. literal-bounded broadcast side (VALUES relation): compile-time
+  *     constant row count (the q84 income-band dimension).
+  *  3. aggregated-index broadcast side: tops out in a grouped
+  *     FINAL/COMPLETE aggregate whose grouping keys are NOT identity-like
+  *     (no `*_id` / `*key` column): the IVF centroid/super-cell tables
+  *     (groupBy(label), groupBy(g)) — bounded by distinct groups. The
+  *     identity-name refusal closes the ADVICE r18 hole where a
+  *     groupBy(doc_id) — O(N) groups by construction — would have passed
+  *     structurally; identity-keyed relations are what the fixture's id
+  *     columns ARE, so the name shape is the semantic contract here, with
+  *     the BroadcastExchange size ceiling as the runtime backstop.
+  *  4. modulo-sample broadcast side: a deterministic `col % m = k` filter
+  *     with m >= 10 — the declared bounded-fraction probe sample of the
+  *     ANN recall methodology (vec_id % 25). A value predicate or a
+  *     coarse % 2 does not qualify (selectivity unknown / fraction not
+  *     bounded); this retires the r18 three-name broadcastNljOk list.
+  */
+private[graft] object BnljAudit {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal, Pmod, Remainder}
+
+  def descend(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case r: ReusedExchangeExec    => Seq(r.child)
+    // a persist()'d relation (Materialized.of) prints its cached plan but
+    // hides it from .children — descend so a BNLJ inside the cached build
+    // is judged by the same semantic rules instead of the conservative
+    // "printed but unreachable" arm
+    case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      Seq(m.relation.cachedPlan)
+    case other                    => other.children
+  }
+  def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p +: (descend(p) ++ p.subqueries).flatMap(allNodes)
+
+  // WHITELIST of wrappers known to preserve or reduce rows — default-deny,
+  // so an unanticipated row-multiplying unary node (Generate, Expand, a
+  // flatMap object operator) can never smuggle an unbounded side past the
+  // exemption (r12 review hardening)
+  val rowPreserving = Set("ProjectExec", "FilterExec", "SortExec",
+    "WholeStageCodegenExec", "InputAdapter", "BroadcastExchangeExec",
+    "ShuffleExchangeExec", "ReusedExchangeExec", "CoalesceExec",
+    "AQEShuffleReadExec", "ShuffleQueryStageExec", "BroadcastQueryStageExec",
+    "AdaptiveSparkPlanExec", "LocalLimitExec", "GlobalLimitExec",
+    "TakeOrderedAndProjectExec", "SubqueryExec", "ColumnarToRowExec")
+
+  private def spine(p: SparkPlan)(leaf: SparkPlan => Boolean): Boolean =
+    leaf(p) || {
+      val kids = descend(p)
+      kids.size == 1 && rowPreserving.contains(p.getClass.getSimpleName) &&
+        spine(kids.head)(leaf)
+    }
+
+  private def finalOrComplete(agg: BaseAggregateExec): Boolean =
+    agg.aggregateExpressions.forall(ae =>
+      ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
+      ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete)
+
+  /** FINAL/COMPLETE ungrouped aggregate = one row; a PARTIAL-mode one
+    * emits a row per partition and must not qualify. */
+  def singleRow(p: SparkPlan): Boolean = spine(p) {
+    case agg: BaseAggregateExec =>
+      agg.groupingExpressions.isEmpty && finalOrComplete(agg)
+    case _ => false
+  }
+
+  def literalBounded(p: SparkPlan): Boolean = spine(p) {
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case _ => false
+  }
+
+  /** Identity-like column names — grouping by one of these is O(N) groups
+    * by construction (they ARE the fixtures' row/entity identities), which
+    * is exactly the degenerate case the aggregated-index exemption must
+    * refuse (ADVICE r18). */
+  private def identityLike(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.endsWith("_id") || n.endsWith("key") || n == "id"
+  }
+
+  def aggBounded(p: SparkPlan): Boolean = spine(p) {
+    case agg: BaseAggregateExec =>
+      finalOrComplete(agg) && agg.groupingExpressions.forall(ge =>
+        ge.references.forall(attr => !identityLike(attr.name)))
+    case _ => false
+  }
+
+  /** `col % m = k` with deterministic col and literal m >= 10: the declared
+    * bounded-fraction sample (the ANN recall probe set's vec_id % 25). */
+  private def isModuloSample(cond: Expression): Boolean = {
+    def modulus(e: Expression): Option[Long] = e match {
+      case r: Remainder => r.right match {
+        case Literal(m: Long, _) => Some(m)
+        case Literal(m: Int, _)  => Some(m.toLong)
+        case _ => None
+      }
+      case pm: Pmod => pm.right match {
+        case Literal(m: Long, _) => Some(m)
+        case Literal(m: Int, _)  => Some(m.toLong)
+        case _ => None
+      }
+      case _ => None
+    }
+    cond.exists {
+      case EqualTo(l, r) =>
+        (r.isInstanceOf[Literal] && l.deterministic && modulus(l).exists(_ >= 10)) ||
+        (l.isInstanceOf[Literal] && r.deterministic && modulus(r).exists(_ >= 10))
+      case _ => false
+    }
+  }
+
+  def sampleBounded(p: SparkPlan): Boolean = spine(p) {
+    case f: org.apache.spark.sql.execution.FilterExec => isModuloSample(f.condition)
+    case _ => false
+  }
+
+  /** True iff the plan contains a cartesian product or a BNLJ that no
+    * semantic exemption covers. */
+  def unbounded(plan: SparkPlan): Boolean = {
+    val pStr = plan.toString
+    val nljNodes = allNodes(plan).collect { case b: BroadcastNestedLoopJoinExec => b }
+    val nljBad =
+      if (pStr.contains("BroadcastNestedLoopJoin") && nljNodes.isEmpty)
+        true // printed but not reachable by the walk — fail conservatively
+      else nljNodes.exists { b =>
+        // bounded-side exemptions apply to the BROADCAST side only (the
+        // streamed side stays arbitrary — that's the point of a
+        // band/assignment/sample join); require it explicitly
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        }
+        !(singleRow(b.left) && singleRow(b.right)) &&
+          !literalBounded(build) && !aggBounded(build) && !sampleBounded(build)
+      }
+    pStr.contains("CartesianProduct") || nljBad
   }
 }
 
