@@ -481,9 +481,15 @@ object SimilarityOps {
     * two-level rule rather than the exact argmax. Search then runs
     * within-cell like [[qAnnIvf]].
     *
-    * This relation is (vec_id, cell, dvec, dnorm); persisted and shared by
-    * [[qAnnIvf2Level]] (the search) and [[qAnnRecall2Level]] (the recall
-    * audit), like [[ivfAssign2]] is for the one-level pair. */
+    * This relation is (vec_id, cell, arn, dvec, dnorm) with `arn` <= 2 —
+    * like [[ivfAssign2]], the index stores each vector's TOP-2 cells so the
+    * nprobe knob is a filter, not a recompute: `arn = 1` is the primary
+    * assignment ([[qAnnIvf2Level]], [[qAnnRecall2Level]]), `arn <= 2` the
+    * nprobe=2 probe set ([[qAnnIvf2LevelNprobe2]],
+    * [[qAnnRecall2LevelNprobe2]]). The level-2 top-2 keeps the r18 plan
+    * discipline: a bounded TopKAggregator partial aggregation (a 2-entry
+    * leaderboard per vector per map task crosses the exchange), never a
+    * row_number window over the multiplied candidate rows. */
   private[graft] def ivfAssign2Level(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = Materialized.of(s, s"ivf-assign-2level:$dir") {
     import s.implicits._
@@ -534,22 +540,25 @@ object SimilarityOps {
           first($"dvec").as("dvec"), first($"dnorm").as("dnorm"))
         .select($"vec_id", explode($"top").as("t"), $"dvec", $"dnorm")
         .select($"vec_id", $"t._2".as("g"), $"dvec", $"dnorm")
-      // level 2: exact argmax among ONLY the routed super-cells' members —
+      // level 2: exact top-2 among ONLY the routed super-cells' members —
       // again map-side: broadcast hash join on g multiplies to ~2N*sqrt(C)
-      // rows inside the stage, projected straight into a partial
-      // min(struct(-csim, label)) (argmax by csim DESC then label ASC, the
-      // oracle's ordering) so the exchange carries one row per vector.
+      // rows inside the stage, projected straight into the same bounded
+      // TopKAggregator partial aggregation as level 1 (csim DESC, label
+      // ASC — the oracle's row_number ordering) so the exchange carries
+      // one 2-entry leaderboard per vector. Keeping rank 2 costs nothing
+      // over the r18 argmax (the leaderboard replaces the min(struct)
+      // buffer) and makes nprobe a downstream filter.
       val assigned = routed
         .join(broadcast(grouped.select($"g", $"label", $"cvec", $"cnorm")), Seq("g"))
         .select($"vec_id",
-          struct(
-            (-round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6)).as("nc"),
-            $"label").as("cand"),
-          $"dvec", $"dnorm")
+          round(dotProduct($"dvec", $"cvec") / ($"dnorm" * $"cnorm"), 6).as("csim"),
+          $"label".cast("long").as("label"), $"dvec", $"dnorm")
         .groupBy($"vec_id")
-        .agg(min($"cand").as("best"),
+        .agg(top2($"csim", $"label").as("top"),
           first($"dvec").as("dvec"), first($"dnorm").as("dnorm"))
-        .select($"vec_id", $"best.label".as("cell"), $"dvec", $"dnorm")
+        .select($"vec_id", $"dvec", $"dnorm", posexplode($"top"))
+        .select($"vec_id", $"col._2".as("cell"),
+          ($"pos" + 1).cast("int").as("arn"), $"dvec", $"dnorm")
       assigned
   }
 
@@ -558,7 +567,7 @@ object SimilarityOps {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val assigned = ivfAssign2Level(s, dir)
+      val assigned = ivfAssign2Level(s, dir).filter($"arn" === 1).drop("arn")
       // search: top-3 within the assigned cell, exactly like q_ann_ivf
       val wRank = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
       assigned.select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
@@ -645,7 +654,7 @@ object SimilarityOps {
     (s, dir) => {
       import s.implicits._
       val e = embDouble(s, dir)
-      val assigned = ivfAssign2Level(s, dir)
+      val assigned = ivfAssign2Level(s, dir).filter($"arn" === 1).drop("arn")
       val probes = assigned.filter($"vec_id" % 25 === 0)
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"sim".desc, $"cid")
@@ -741,7 +750,168 @@ object SimilarityOps {
            |FROM probes p LEFT JOIN hits h ON h.qid = p.vec_id
            |ORDER BY qid""".stripMargin))
 
+  /** Shared CTE chain: the two-level coarse-quantizer assignment at
+    * arn <= 2 — the oracle mirror of [[ivfAssign2Level]]. */
+  private val assign2LevelSql: String =
+    """cent0 AS (
+      |  SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+      |  GROUP BY label, d),
+      |cents AS (
+      |  SELECT label, list(c ORDER BY d) AS cvec,
+      |         round(list_sum(list(c ORDER BY d)), 6) AS proj
+      |  FROM cent0 GROUP BY label),
+      |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS chunk FROM cents),
+      |grouped AS (
+      |  SELECT label, cvec,
+      |         CAST(floor((row_number() OVER (ORDER BY proj, label) - 1)
+      |              / (SELECT chunk FROM nc)) AS BIGINT) AS g
+      |  FROM cents),
+      |super0 AS (
+      |  SELECT g, d, round(avg(cvec[d]), 6) AS gc
+      |  FROM grouped CROSS JOIN (SELECT unnest(range(1, 65)) AS d) r
+      |  GROUP BY g, d),
+      |supers AS (SELECT g, list(gc ORDER BY d) AS gvec FROM super0 GROUP BY g),
+      |routed AS (
+      |  SELECT vec_id, g FROM (
+      |    SELECT e.vec_id, s.g,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(
+      |               CAST(e.embedding AS DOUBLE[]), s.gvec), 6) DESC, s.g) AS grn
+      |    FROM embeddings e CROSS JOIN supers s) WHERE grn <= 2),
+      |assign0 AS (
+      |  SELECT e.vec_id, gr.label,
+      |         round(list_cosine_similarity(
+      |           CAST(e.embedding AS DOUBLE[]), gr.cvec), 6) AS csim
+      |  FROM embeddings e JOIN routed r ON r.vec_id = e.vec_id
+      |       JOIN grouped gr ON gr.g = r.g),
+      |assign2 AS (
+      |  SELECT vec_id, label AS cell, arn FROM (
+      |    SELECT vec_id, label,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY csim DESC, label) AS arn
+      |    FROM assign0) WHERE arn <= 2),
+      |candidates AS (SELECT vec_id, cell FROM assign2 WHERE arn = 1)""".stripMargin
+
+  /** nprobe=2 search on the TWO-LEVEL index — the accuracy/cost knob the
+    * one-level path already publishes (q_ann_recall_nprobe2), now on the
+    * scale path (VERDICT r18 order #3): each query probes its top-2
+    * ASSIGNED CELLS (both levels approximate: top-2 super-cells at level 1,
+    * then the 2 best cells among their members). Candidates stay linear —
+    * each candidate vector lives in exactly its primary (arn=1) cell, so a
+    * (probe, candidate) pair appears at most once and the join output is
+    * <= 2x the nprobe=1 search. Same persisted index relation, same
+    * TopK-partial-agg plan discipline — nprobe is a FILTER on the stored
+    * top-2 assignment, not a recompute. */
+  val qAnnIvf2LevelNprobe2: Q = Q(
+    "q_ann_ivf_2level_nprobe2",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val assign2 = ivfAssign2Level(s, dir)
+      val candidates = assign2.filter($"arn" === 1)
+      val wRank = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
+      assign2.select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
+        .join(candidates.select($"vec_id".as("cid"), $"cell", $"dvec".as("cv"), $"dnorm".as("cn")),
+          Seq("cell"))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotProduct($"qv", $"cv") / ($"qn" * $"cn"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter($"rn" <= 3)
+        .orderBy($"qid", $"rn")
+    },
+    Some(s"""WITH $assign2LevelSql,
+            |sims AS (
+            |  SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+            |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            |  FROM assign2 qa JOIN candidates ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+            |       JOIN embeddings a ON a.vec_id = qa.vec_id
+            |       JOIN embeddings b ON b.vec_id = ca.vec_id)
+            |SELECT qid, cid, sim, rn FROM (
+            |  SELECT qid, cid, sim,
+            |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+            |  FROM sims) WHERE rn <= 3
+            |ORDER BY qid, rn""".stripMargin))
+
+  /** Recall@3 for the two-level nprobe=2 search — completes the published
+    * accuracy/cost curve: {one-level, two-level} x {nprobe=1, nprobe=2},
+    * all four on the same probe sample, ground truth, and tie-break.
+    * Measured at sf0.01 (20 probes, k=3): mean recall@3 = 0.5167 vs the
+    * ONE-LEVEL nprobe=2's 0.50 (q_ann_recall_nprobe2) — the coarse routing
+    * costs zero recall at nprobe=2 on this corpus (it incidentally nudges
+    * one probe's second cell to a better choice), matching the nprobe=1
+    * pair (both exactly 0.2667). The knob, not the quantizer level, sets
+    * the recall. */
+  val qAnnRecall2LevelNprobe2: Q = Q(
+    "q_ann_recall_2level_nprobe2",
+    (s, dir) => {
+      import s.implicits._
+      val e = embDouble(s, dir)
+      val assign2 = ivfAssign2Level(s, dir)
+      val candidates = assign2.filter($"arn" === 1)
+      val probeCells = assign2.filter($"vec_id" % 25 === 0)
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"sim".desc, $"cid")
+      val ivf2 = probeCells
+        .select($"vec_id".as("qid"), $"cell", $"dvec".as("qv"), $"dnorm".as("qn"))
+        .join(candidates
+          .select($"vec_id".as("cid"), $"cell", $"dvec".as("cv"), $"dnorm".as("cn")),
+          Seq("cell"))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotProduct($"qv", $"cv") / ($"qn" * $"cn"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wRank)).filter($"rn" <= 3)
+        .select($"qid", $"cid")
+      val exact = broadcast(probeCells.filter($"arn" === 1)
+          .select($"vec_id".as("qid"), $"dvec".as("qv"), $"dnorm".as("qn")))
+        .crossJoin(e.select($"vec_id".as("cid"), $"dvec".as("cv"), $"dnorm".as("cn")))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          round(dotProduct($"qv", $"cv") / ($"qn" * $"cn"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wRank)).filter($"rn" <= 3)
+        .select($"qid", $"cid")
+      val hits = ivf2.join(exact, Seq("qid", "cid"))
+        .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+      probeCells.filter($"arn" === 1).select($"vec_id".as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .orderBy($"qid")
+    },
+    Some(s"""WITH $assign2LevelSql,
+            |probe_cells AS (SELECT vec_id, cell FROM assign2 WHERE vec_id % 25 = 0),
+            |probes AS (SELECT DISTINCT vec_id FROM probe_cells),
+            |ivf_sims AS (
+            |  SELECT pc.vec_id AS qid, ca.vec_id AS cid,
+            |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            |  FROM probe_cells pc
+            |       JOIN candidates ca ON pc.cell = ca.cell AND pc.vec_id <> ca.vec_id
+            |       JOIN embeddings a ON a.vec_id = pc.vec_id
+            |       JOIN embeddings b ON b.vec_id = ca.vec_id),
+            |ivf AS (SELECT qid, cid FROM (
+            |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+            |  FROM ivf_sims) WHERE rn <= 3),
+            |exact_sims AS (
+            |  SELECT p.vec_id AS qid, e2.vec_id AS cid,
+            |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            |                                      CAST(e2.embedding AS DOUBLE[])), 6) AS sim
+            |  FROM probes p JOIN embeddings a ON a.vec_id = p.vec_id
+            |       CROSS JOIN embeddings e2
+            |  WHERE e2.vec_id <> p.vec_id),
+            |exact AS (SELECT qid, cid FROM (
+            |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+            |  FROM exact_sims) WHERE rn <= 3),
+            |hits AS (SELECT i.qid, count(*) AS n
+            |         FROM ivf i JOIN exact x ON i.qid = x.qid AND i.cid = x.cid
+            |         GROUP BY i.qid)
+            |SELECT p.vec_id AS qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+            |FROM probes p LEFT JOIN hits h ON h.qid = p.vec_id
+            |ORDER BY qid""".stripMargin))
+
   val all: Seq[Q] = Seq(qCosineTopK, qCosineTopKBucketed, qEmbedNearDup,
-    qEmbedCentroids, qAnnIvf, qAnnIvf2Level, qSemanticDedup, qAnnRecall,
-    qAnnRecallNprobe2, qAnnRecall2Level)
+    qEmbedCentroids, qAnnIvf, qAnnIvf2Level, qAnnIvf2LevelNprobe2,
+    qSemanticDedup, qAnnRecall, qAnnRecallNprobe2, qAnnRecall2Level,
+    qAnnRecall2LevelNprobe2)
 }
