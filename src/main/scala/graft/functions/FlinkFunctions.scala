@@ -68,4 +68,17 @@ object FlinkFunctions {
     * 31-bit variant saturating its 8-bit band space and going quadratic). */
   def md5Hash56(str: Column): Column =
     conv(substring(md5(str), 1, 14), 16, 10).cast("long")
+
+  /** Cross-engine stable 64-bit string hash: ALL 16 leading md5 hex chars,
+    * as the signed two's-complement long with that bit pattern. Assembled
+    * from two 32-bit halves — `conv` emits the UNSIGNED decimal string, and
+    * an ANSI cast of a >= 2^63 value to long aborts, so the sign bit must
+    * enter through the (wrap-defined, never-aborting) shift, not the cast.
+    * The DuckDB oracle mirrors it as UBIGINT -> HUGEINT -> two's-complement
+    * fold (see DedupOps.hashed64Sql). Feeds SimhashBanding schemes wider
+    * than 56 bits (r18 verdict order: the 64-bit scheme's blocker was
+    * exactly this encoding). */
+  def md5Hash64(str: Column): Column =
+    shiftleft(conv(substring(md5(str), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(str), 9, 8), 16, 10).cast("long"))
 }

@@ -63,6 +63,9 @@ object DedupOps {
   private def simhashM(s: SparkSession, dir: String): DataFrame =
     Materialized.of(s, s"simhash:$dir")(
       simhash(Tables.t(s, dir, "documents")))
+  private def simhashWideM(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, s"simhash64:$dir")(
+      simhash(Tables.t(s, dir, "documents"), producerBits = 64))
   private def minhashBandsM(s: SparkSession, dir: String): DataFrame =
     Materialized.of(s, s"minhash_bands:$dir")(
       minhashBands(s, Tables.t(s, dir, "documents")))
@@ -242,9 +245,8 @@ object DedupOps {
     * growth gate caught the earlier 31-bit signature saturating its 8-bit
     * band space (bucket population grows with N once the value space is
     * full, turning the banded join quadratic — 282x wall on 100x input). */
-  private object SimhashAgg
+  private class SimhashAgg(W: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
-    val W = 56
     override def zero: Array[Int] = new Array[Int](W)
     override def reduce(b: Array[Int], h: Long): Array[Int] = {
       var j = 0
@@ -275,12 +277,17 @@ object DedupOps {
     * 0.63 s → 0.36 s at sf0.1), and partial-aggregates map-side — at 100 TB
     * the shuffle carries one W-int balance buffer per (doc, mapper) instead
     * of the token-hash stream (W = 56 since the r15 band-saturation fix). */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame, producerBits: Int = 56): DataFrame = {
+    val tokHash = producerBits match {
+      case 56 => graft.functions.FlinkFunctions.md5Hash56 _
+      case 64 => graft.functions.FlinkFunctions.md5Hash64 _
+      case w  => throw new IllegalArgumentException(s"no $w-bit md5 producer")
+    }
     val hashed = docs
       .select(col("doc_id"),
         explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("tok"))
-      .select(col("doc_id"), graft.functions.FlinkFunctions.md5Hash56(col("tok")).as("h"))
-    val sh = org.apache.spark.sql.functions.udaf(SimhashAgg)
+      .select(col("doc_id"), tokHash(col("tok")).as("h"))
+    val sh = org.apache.spark.sql.functions.udaf(new SimhashAgg(producerBits))
     hashed.groupBy(col("doc_id"))
       .agg(sh(col("h")).as("simhash"))
   }
@@ -367,22 +374,37 @@ object DedupOps {
     * is rejected at build time, not discovered as missing pairs. */
   private[graft] def simhashBandedPairs(s: SparkSession, dir: String,
       scheme: SimhashBanding.Scheme, hdMax: Int): DataFrame = {
-    import s.implicits._
     scheme.requireCovers(hdMax)
-    val sh0 = simhashM(s, dir)
-    // bits < 56 bands AND measures hd on the masked low-bits signature —
-    // consistent in both engines; the default is a no-op left out of the
-    // plan so the golden default plans don't change
-    val sh = if (scheme.bits == 56) sh0
+    // the scheme names its producer: widths <= 56 read the 56-bit
+    // signature table, wider ones the 64-bit twin (r19) — each scheme's
+    // signatures materialize once per session like any index relation
+    val sh0 = if (scheme.producerBits == 56) simhashM(s, dir)
+              else simhashWideM(s, dir)
+    bandedPairsOverSignatures(sh0, scheme, hdMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The banded join itself, over ANY (doc_id, simhash) relation — shared
+    * by the oracle queries and the [[graft.BandSaturation]] probe (which
+    * feeds it synthetic signatures at corpus sizes the text pipeline can't
+    * reach in this container, so the scheme's saturation knee is measured
+    * on the REAL plan, not a model of it). */
+  private[graft] def bandedPairsOverSignatures(sh0: DataFrame,
+      scheme: SimhashBanding.Scheme, hdMax: Int): DataFrame = {
+    // bits < producer width bands AND measures hd on the masked low-bits
+    // signature — consistent in both engines; full-width schemes are a
+    // no-op left out of the plan so the golden default plans don't change
+    val sh = if (scheme.bits == scheme.producerBits) sh0
              else sh0.withColumn("simhash", expr(s"simhash & ${scheme.sigMask}"))
     // chunk-PAIR banding: hd <= maxHd damages at most maxHd of the n
     // chunks, so at least one of the C(n,2) chunk pairs is fully intact —
     // bucketing on 2*chunkBits-bit pair values finds the same pair set as
     // single-chunk banding with far fewer join candidates
     // (sum N^2/2^(2w) over C(n,2) combos vs N^2/2^w over n)
-    val chunks = sh.select($"doc_id", $"simhash",
+    val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(expr(s"array(${scheme.pairEntriesExpr})")).as("ch"))
-      .select($"doc_id", $"simhash", $"ch.i".as("i"), $"ch.j".as("j"), $"ch.v".as("v"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.i").as("i"), col("ch.j").as("j"), col("ch.v").as("v"))
     // first-intact-bucket dedup: a close pair matches in MANY of the C(n,2)
     // buckets (hd=0 matches all of them), so join-then-DISTINCT shuffles the
     // candidate multiset (~15x the pair count here). Both signatures are
@@ -402,9 +424,8 @@ object DedupOps {
       .withColumn("m", expr(scheme.intactMaskExpr("x")))
       .where(expr("(m & -m) = shiftleft(1, i)") &&
         expr("((m - shiftleft(1, i)) & -(m - shiftleft(1, i))) = shiftleft(1, j)"))
-      .select($"doc_a", $"doc_b", expr("cast(bit_count(x) as int)").as("hd"))
-      .filter($"hd" <= hdMax)
-      .orderBy($"doc_a", $"doc_b")
+      .select(col("doc_a"), col("doc_b"), expr("cast(bit_count(x) as int)").as("hd"))
+      .filter(col("hd") <= hdMax)
   }
 
   val qSimhashBanded: Q = Q(
@@ -436,6 +457,67 @@ object DedupOps {
            |  ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** DuckDB fragment: the signed-64-bit token hash — UBIGINT parse of all
+    * 16 md5 hex chars folded to the two's-complement BIGINT through
+    * HUGEINT (a >= 2^63 value can't cast straight to BIGINT, and
+    * `1::BIGINT << 63` aborts on overflow — HUGEINT is the neutral ground
+    * where both the parse and the bit-63 term are representable). This is
+    * the oracle encoding that unblocked the 64-bit scheme (r18 verdict
+    * order #2); `>>`/`xor`/`bit_count` on the folded BIGINT are
+    * two's-complement like the JVM's, verified by the green oracle. */
+  private val hashed64Sql: String =
+    """hashed AS (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |                   THEN u - 18446744073709551616::HUGEINT
+      |                   ELSE u END AS BIGINT) AS h
+      |  FROM (SELECT doc_id,
+      |               CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)::HUGEINT AS u
+      |        FROM toks))""".stripMargin
+
+  /** The banded near-dup join at the WIDE scheme — [[SimhashBanding.Wide]]
+    * (64-bit signature, 8-bit chunks): same 8 chunks and hd <= 6 pigeonhole
+    * guarantee as the default, 4x the bucket space (28 x 2^16 ≈ 1.8M), so
+    * the saturation knee sits 4x further out than the default's (which
+    * re-saturates a couple of decades past its measured-linear 5M docs).
+    * Same first-intact-pair emit-once plan; only the scheme (and therefore
+    * the token-hash producer + oracle encoding) changes — the point of the
+    * banding being a declared scheme. NOTE: a 64-bit simhash weights bits
+    * independently of the 56-bit one, so the PAIR SET can differ from
+    * q_simhash_banded's at the margin (hd near the threshold) — this is a
+    * different fingerprint, not a different algorithm. */
+  val qSimhashBandedWide: Q = Q(
+    "q_simhash_banded_wide",
+    (s, dir) => simhashBandedPairs(s, dir, SimhashBanding.Wide, 6),
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id,
+            |         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+            |  FROM documents),
+            |$hashed64Sql,
+            |bits AS (
+            |  SELECT doc_id, j,
+            |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+            |  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS j) r
+            |  GROUP BY 1, 2),
+            |sh AS (
+            |  SELECT doc_id,
+            |         CAST(CASE WHEN sg >= 9223372036854775808::HUGEINT
+            |                   THEN sg - 18446744073709551616::HUGEINT
+            |                   ELSE sg END AS BIGINT) AS simhash
+            |  FROM (SELECT doc_id,
+            |               sum(CASE WHEN bal > 0 THEN (1::HUGEINT << j)
+            |                        ELSE 0::HUGEINT END) AS sg
+            |        FROM bits GROUP BY 1)),
+            |chunks AS (
+            |  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS v
+            |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS c) r)
+            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+            |FROM chunks a JOIN chunks b
+            |  ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** Dedup clusters via iterative min-label propagation (IterateOps driver
     * loop — reference DataSet.iterateDelta workloads; Gelly-style CC), then
@@ -597,6 +679,6 @@ object DedupOps {
            |FROM inc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qNgramJaccardCapped,
-    qMinhashLsh, qSimhash, qSimhashPairs, qSimhashBanded,
+    qMinhashLsh, qSimhash, qSimhashPairs, qSimhashBanded, qSimhashBandedWide,
     qDedupClustersIterate, qDedupClusters, qBloomDedup)
 }

@@ -44,19 +44,29 @@ package graft.operators
   * B = 28 * 2^16 ≈ 1.8M, 4x the default) or chunk-TRIPLE banding; both are
   * scheme changes, not code rewrites.
   *
-  * `bits` <= 56 is the current producer contract: signatures come from
-  * md5-derived 56-bit token hashes (14 hex chars — 16 would overflow a
-  * signed BIGINT parse in the DuckDB oracle). bits < 56 masks the
-  * signature to its low `bits` bits in BOTH engines (hamming distance is
-  * then measured on the masked signature, consistently).
+  * Producer contract: `bits` <= 56 signatures come from md5-derived
+  * 56-bit token hashes (14 hex chars — a full 16 would overflow a signed
+  * BIGINT parse in DuckDB); 56 < `bits` <= 64 selects the WIDE producer
+  * (r19): the full 16 hex chars assembled as two 32-bit halves
+  * (`FlinkFunctions.md5Hash64`), which the oracle reproduces bit-for-bit
+  * by parsing UBIGINT and folding to the signed two's-complement BIGINT
+  * through HUGEINT — the encoding that unblocked the 64-bit width the
+  * r18 verdict ordered (4x the default's bucket space at the same hd <= 6
+  * guarantee). bits < producerBits masks the signature to its low `bits`
+  * bits in BOTH engines (hamming distance is then measured on the masked
+  * signature, consistently); bits == producerBits adds no plan node.
   */
 object SimhashBanding {
 
   final case class Scheme(bits: Int, chunkBits: Int) {
-    require(bits >= 8 && bits <= 56,
-      s"signature width $bits outside the md5Hash56 producer contract [8, 56]")
+    require(bits >= 8 && bits <= 64,
+      s"signature width $bits outside the md5 producer contract [8, 64]")
     require(chunkBits >= 1 && bits % chunkBits == 0,
       s"chunkBits=$chunkBits must tile the $bits-bit signature exactly")
+
+    /** Which token-hash producer feeds this width: the legacy 14-hex-char
+      * 56-bit hash, or the full-16-hex 64-bit hash (r19). */
+    val producerBits: Int = if (bits <= 56) 56 else 64
 
     val nChunks: Int = bits / chunkBits
     require(nChunks >= 3,
@@ -67,7 +77,9 @@ object SimhashBanding {
     val maxHd: Int = nChunks - 2
 
     val chunkMask: Long = (1L << chunkBits) - 1L
-    val sigMask: Long = (1L << bits) - 1L
+    // 1L << 64 wraps to 1 in JVM shift semantics — the full-width mask is
+    // all-ones, special-cased rather than computed off the wrap
+    val sigMask: Long = if (bits == 64) -1L else (1L << bits) - 1L
     val nChunkPairs: Int = nChunks * (nChunks - 1) / 2
 
     /** Bucket space — the saturation knob (see object doc). */
@@ -113,4 +125,13 @@ object SimhashBanding {
     * buckets — the width the r15 100x rung forced and the r17 1000x rung
     * measured linear at 5M docs. */
   val Default: Scheme = Scheme(56, 7)
+
+  /** 64-bit signature, 8-bit chunks: 8 chunks, hd <= 6 guaranteed, 28 x
+    * 2^16 ≈ 1.8M buckets — 4x the default's space, the next decade of
+    * headroom the r18 verdict ordered (the default re-saturates a couple
+    * of decades past 5M docs; this scheme's knee is 4x further out at the
+    * SAME pigeonhole guarantee). Costs one extra md5 hex char per token
+    * hash and the wide oracle encoding; nothing else changes — the point
+    * of the scheme being declared. q_simhash_banded_wide runs it. */
+  val Wide: Scheme = Scheme(64, 8)
 }

@@ -22,11 +22,38 @@ class SimhashBandingSpec extends GraftSpec {
   test("scheme validation: non-tiling, too-few-chunks, and hd-coverage rejects") {
     intercept[IllegalArgumentException](SimhashBanding.Scheme(56, 5)) // 56 % 5 != 0
     intercept[IllegalArgumentException](SimhashBanding.Scheme(56, 28)) // 2 chunks
-    intercept[IllegalArgumentException](SimhashBanding.Scheme(64, 8)) // > md5Hash56
+    intercept[IllegalArgumentException](SimhashBanding.Scheme(72, 8)) // > any md5 producer
     // (56, 14): 4 chunks guarantee only hd<=2 — must refuse an hd<=6 query
     val wide = SimhashBanding.Scheme(56, 14)
     assert(wide.maxHd == 2)
     intercept[IllegalArgumentException](wide.requireCovers(6))
+  }
+
+  test("wide scheme (64,8): same 8-chunk hd<=6 guarantee, 4x the bucket space, 64-bit producer") {
+    val w = SimhashBanding.Wide
+    assert(w.bits == 64 && w.chunkBits == 8)
+    assert(w.nChunks == 8 && w.maxHd == 6 && w.nChunkPairs == 28)
+    assert(w.buckets == 28L * (1L << 16)) // 1,835,008 = 4x the default
+    assert(w.producerBits == 64)
+    assert(w.sigMask == -1L) // all 64 bits — computed mask would wrap to 0
+    assert(SimhashBanding.Default.producerBits == 56)
+  }
+
+  test("stream and batch twins agree at the wide scheme (64,8)") {
+    // the r19 width: both engines must thread the 64-bit producer (two
+    // 32-bit conv halves) and the full-width no-mask path identically
+    val batch = DedupOps.simhashBandedPairs(spark, sfDir, SimhashBanding.Wide, 6)
+      .collect().map(_.toSeq).toSeq
+    val stream = TwsOps.withRocksDb(spark) {
+      import org.apache.spark.sql.functions.col
+      val out = NearDupStream.pairs(spark,
+        StreamingOps.streamTable(spark, sfDir, "documents"), SimhashBanding.Wide, 6)
+      StreamingOps.runToMemory(spark, out, "append", "graft_banding_wide")
+        .orderBy(col("doc_a"), col("doc_b"))
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(batch.nonEmpty, "fixture has no near-dup pairs at the wide scheme — vacuous parity")
+    assert(stream == batch)
   }
 
   test("batch banded pairs at a non-default width (56,4) find the same hd<=6 set") {
