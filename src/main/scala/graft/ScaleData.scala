@@ -37,6 +37,69 @@ object ScaleData {
   /** Per-replica key shift — comfortably above any fixture key. */
   val KeyShift = 100000000L
 
+  // ---- zipf skew mode (r18 verdict order #1) -------------------------
+  //
+  // Every uniform tree certifies shuffles under the one condition real
+  // 100 TB corpora never grant: evenly spread keys. `skew = true` remaps a
+  // deterministic fraction of each fact table's SHUFFLE-KEY column through
+  // a zipf(1) rank draw over the existing key space, so the skewed tree
+  // has globally hot keys (hottest ~ pHot * ln2/ln(H) of all rows, rank r
+  // gets 1/r of that) while every remapped value stays a valid key — the
+  // same queries run unmodified. Draw: rank = floor(H^u) for u uniform in
+  // [0,1) gives P(rank=r) ∝ 1/r exactly (log-uniform), one expression, no
+  // rejection loop. Hash-gated per row off the row's own identity column,
+  // so the remap is deterministic and replica-independent.
+  //
+  // Per-column hotness is calibrated to the failure mode under test, not
+  // uniform: the unsalted lineitem⋈supplier join needs a partition past
+  // AQE's skew-split thresholds (>256 MB and >5x median — l_suppkey gets
+  // ~3% of 600M rows on rank 1), while the stream-stream join's output
+  // grows QUADRATICALLY in per-key density inside the time window
+  // (legitimate join semantics, not an engine defect), so user_id gets a
+  // milder ~0.6% head that keeps the hot user's output contribution
+  // bounded. Dimension-side keys are never remapped — fact-side FK skew
+  // joins N-to-1 against unique build keys, which is the AQE-splittable
+  // shape; remapping both sides would make the OUTPUT quadratic in the
+  // hot-key mass, a data property no engine fixes.
+  //
+  // Documents get boilerplate-template skew instead of key skew: near-dup
+  // hot buckets come from duplicated CONTENT. Multiplicity is bounded
+  // (~300 copies of the hottest template at the 1000x tree) because a
+  // real pipeline exact-dedups before near-dup — unbounded exact
+  // duplicates would not reach the banded join — and because the
+  // in-bucket compare (and the pair OUTPUT) is inherently quadratic in
+  // per-bucket multiplicity.
+
+  private def zipfRemap(idCol: org.apache.spark.sql.Column,
+      orig: org.apache.spark.sql.Column, salt: String,
+      pHotPer100k: Int, h: Int, minKey: Long, kSrc: Long, factor: Int)
+      : org.apache.spark.sql.Column = {
+    val gate =
+      pmod(xxhash64(idCol, lit(salt + ":gate")), lit(100000L)) < lit(pHotPer100k.toLong)
+    val u = (pmod(xxhash64(idCol, lit(salt + ":rank")), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val rank = floor(pow(lit(h.toDouble), u)).cast("long") // zipf(1) over [1, h]
+    // rank -> the rank-th key of the GLOBAL (replicated) key space:
+    // consecutive ranks walk the source keys, then spill into the next
+    // replica's shifted copy; the replica index wraps modulo `factor` so a
+    // rank space larger than kSrc * factor (the sf0.01 smoke tree: h=1024
+    // suppliers > 100 keys x 10 replicas) folds back onto REAL keys
+    // instead of minting orphans that silently miss the join
+    val hot = lit(minKey) + pmod(rank - 1L, lit(kSrc)) +
+      pmod(floor((rank - 1L).cast("double") / lit(kSrc.toDouble)).cast("long"),
+        lit(factor.toLong)) * lit(KeyShift)
+    when(gate, hot).otherwise(orig)
+  }
+
+  /** Bounded-multiplicity boilerplate template for hot documents (reads
+    * the staged `__zrank` column): every token embeds the rank, so
+    * different templates share ZERO tokens (fingerprints decorrelate)
+    * while copies are byte-identical — hd=0 near-dup clusters that land
+    * all C(n,2) of their banding buckets. */
+  private def docTemplate: org.apache.spark.sql.Column = expr(
+    "concat_ws(' ', transform(sequence(1, 80), " +
+      "i -> concat('tpl', cast(__zrank as string), 'w', cast(pmod(i * 31 + __zrank, 97) as string))))")
+
   private def withRep(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
 
@@ -58,10 +121,13 @@ object ScaleData {
 
   /** Synthesize `factor`x of `srcDir` into `outDir` (skipped when a prior
     * run's completion marker is present — the synthesized tree is
-    * deterministic, so reuse is exact). */
+    * deterministic, so reuse is exact). `skew = true` additionally remaps
+    * the fact tables' shuffle-key columns through the zipf draw (see the
+    * mode doc above) — callers give a skewed tree its own outDir. */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int = 10): Unit = {
-    val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_OK_$factor")
+      factor: Int = 10, skew: Boolean = false): Unit = {
+    val marker = new java.io.File(
+      s"$outDir/_GRAFT_SCALE_OK_$factor" + (if (skew) "_zipf" else ""))
     if (marker.exists()) return
     // Fact tables are written as MANY splittable files, not the source's
     // single partition: explode-replication keeps the source's partitioning,
@@ -86,21 +152,68 @@ object ScaleData {
     for (dim <- Seq("region", "nation"))
       write(dim, Tables.t(spark, srcDir, dim))
 
+    // dense key spans of the dimension/entity tables the skewed FK columns
+    // draw from (metadata-sized aggs; the fixture key spaces are dense by
+    // construction, so min..max IS the valid-key set)
+    def span(table: String, key: String): (Long, Long) = {
+      val r = Tables.t(spark, srcDir, table)
+        .agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+      (r.getLong(0), r.getLong(1) - r.getLong(0) + 1L)
+    }
+
     write("customer", shiftKeys(
       withRep(Tables.t(spark, srcDir, "customer"), factor), Seq("c_custkey")))
     write("supplier", shiftKeys(
       withRep(Tables.t(spark, srcDir, "supplier"), factor), Seq("s_suppkey")))
     write("part", shiftKeys(
       withRep(Tables.t(spark, srcDir, "part"), factor), Seq("p_partkey")))
-    write("orders", shiftKeys(
+
+    val orders0 = shiftKeys(
       withRep(Tables.t(spark, srcDir, "orders"), factor),
-      Seq("o_orderkey", "o_custkey")))
-    write("lineitem", shiftKeys(
+      Seq("o_orderkey", "o_custkey"))
+    write("orders", if (!skew) orders0 else {
+      // hot customers: rank 1 ~ 1.25% of all orders (0.15 * ln2/ln4096) —
+      // the per-group TopN/rank skew case (q_topn's WindowGroupLimit must
+      // bound it map-side)
+      val (ck0, nCk) = span("customer", "c_custkey")
+      orders0.withColumn("o_custkey", zipfRemap(col("o_orderkey"),
+        col("o_custkey"), "o_custkey", pHotPer100k = 15000, h = 4096,
+        minKey = ck0, kSrc = nCk, factor = factor))
+    })
+
+    val lineitem0 = shiftKeys(
       withRep(Tables.t(spark, srcDir, "lineitem"), factor),
-      Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    write("events", shiftKeys(
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    write("lineitem", if (!skew) lineitem0 else {
+      // hot suppliers: rank 1 ~ 3% of all lineitems (0.30 * ln2/ln1024) —
+      // sized to push the unsalted join's hot shuffle partition past
+      // AQE's skew-split thresholds (>256 MB, >5x median at 256
+      // partitions on the 1000x tree) so the rung can assert the split
+      // actually fires, and to give q_salted_join a real straggler to
+      // scatter
+      val (sk0, nSk) = span("supplier", "s_suppkey")
+      lineitem0.withColumn("l_suppkey", zipfRemap(
+        col("l_orderkey") * 8L + col("l_linenumber").cast("long"),
+        col("l_suppkey"), "l_suppkey", pHotPer100k = 30000, h = 1024,
+        minKey = sk0, kSrc = nSk, factor = factor))
+    })
+
+    val events0 = shiftKeys(
       withRep(Tables.t(spark, srcDir, "events"), factor),
-      Seq("event_id", "user_id")))
+      Seq("event_id", "user_id"))
+    write("events", if (!skew) events0 else {
+      // hot users: rank 1 ~ 0.6% of all events (0.10 * ln2/ln65536) —
+      // keyed-state skew for the stream-stream and changelog joins. Kept
+      // an order milder than l_suppkey: a stream-stream join's OUTPUT
+      // grows quadratically in per-key density inside the time window
+      // (join semantics, not engine cost), so the head is sized to stress
+      // the state store without drowning the measurement in legitimate
+      // output rows
+      val (uk0, nUk) = span("events", "user_id")
+      events0.withColumn("user_id", zipfRemap(col("event_id"),
+        col("user_id"), "user_id", pHotPer100k = 10000, h = 65536,
+        minKey = uk0, kSrc = nUk, factor = factor))
+    })
 
     // Caesar rotation cycles at 26; past it (factor > 26) every TOKEN gets
     // a replica-unique base-36 suffix. A replica-tag word alone (the
@@ -116,12 +229,33 @@ object ScaleData {
     // hunt. n_chars is recomputed to stay the fixture's invariant
     // (n_chars == length(text)); for rep < 26 and factor <= 26 the scheme
     // is byte-identical to prior rounds' trees.
-    write("documents", shiftKeys(
+    val documents0 = shiftKeys(
       withRep(Tables.t(spark, srcDir, "documents"), factor), Seq("doc_id"))
       .withColumn("text", when(col("rep") < 26, caesar(col("text"), col("rep")))
         .otherwise(regexp_replace(caesar(col("text"), col("rep")),
           lit("(\\S+)"),
           concat(lit("$1g"), lower(conv(col("rep").cast("string"), 10, 36))))))
+    val documents1 = if (!skew) documents0 else {
+      // boilerplate-template skew: ~0.072% of docs (gated per replica off
+      // the shifted doc_id) get a zipf-ranked template text — at the 1000x
+      // tree (5M docs) the hottest template has ~300 byte-identical
+      // copies, rank r ~ 300/r. Hot BUCKETS for the banded near-dup twins
+      // (each template cluster lands all 28 of its chunk-pair buckets)
+      // and hot fingerprints for exact dedup, with the multiplicity
+      // bounded for the reason in the mode doc: exact-dup mass beyond
+      // this dies in exact dedup before any real near-dup pass, and both
+      // the in-bucket compare and the legitimate pair OUTPUT are
+      // quadratic in multiplicity.
+      val gate =
+        pmod(xxhash64(col("doc_id"), lit("doc-tpl:gate")), lit(100000L)) < lit(72L)
+      val u = (pmod(xxhash64(col("doc_id"), lit("doc-tpl:rank")), lit(1000000L))
+        .cast("double") + lit(0.5)) / lit(1000000.0)
+      documents0
+        .withColumn("__zrank", floor(pow(lit(4096.0), u)).cast("long"))
+        .withColumn("text", when(gate, docTemplate).otherwise(col("text")))
+        .drop("__zrank")
+    }
+    write("documents", documents1
       .withColumn("n_chars", length(col("text")).cast("long")))
 
     // vector rotation cycles at the dimension; rotate by rep mod dim and

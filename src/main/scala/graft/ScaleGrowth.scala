@@ -23,6 +23,26 @@ object ScaleGrowth {
   val MaxGrowth: Double = 1.5 * Factor // shuffle-linear tolerance
   val MinWall = 2.0    // flag floor: below this, fixed startup dominates
 
+  /** SPARK_GRAFT_GROWTH_SKEW=zipf: synthesize (and time against) the
+    * ZIPF-SKEWED tree instead of the uniform one (ScaleData skew mode) —
+    * the r18 verdict's order #1: every uniform tree certifies shuffles
+    * under the one condition real 100 TB corpora never grant. The skewed
+    * tree gets its own scratch dir and marker; the baseline side of the
+    * table is still the uniform srcDir, so read a skew run's growth column
+    * against the UNIFORM tree's committed numbers at the same factor (the
+    * skew cost is the delta between those runs — BENCH_NOTES carries the
+    * side-by-side). */
+  val SkewMode: Option[String] = sys.env.get("SPARK_GRAFT_GROWTH_SKEW")
+    .map(_.trim.toLowerCase).filter(_.nonEmpty)
+  require(SkewMode.forall(_ == "zipf"),
+    s"unknown SPARK_GRAFT_GROWTH_SKEW mode: ${SkewMode.get} (only 'zipf')")
+
+  /** Queries whose SKEWED-tree plan must show AQE's skew-join split
+    * actually firing (`skew=true` on the sort-merge join): the unsalted
+    * twin exists for exactly this assertion — the salted variant handles
+    * the same hot key by construction, AQE must handle the naive plan. */
+  val expectAqeSkewSplit: Set[String] = Set("q_unsalted_join")
+
   /** The scale-sensitive set: streaming state families, shuffling joins,
     * dedup/LSH/IVF, window/rank, CEP, and the heaviest TPC-DS shapes. */
   val queries: Seq[String] = Seq(
@@ -63,6 +83,7 @@ object ScaleGrowth {
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val bigDir = Tables.scratch(s"sf-growth/x$Factor-" +
+      SkewMode.map(_ + "-").getOrElse("") +
       srcDir.replaceAll("[^a-zA-Z0-9]", "_"))
     // Split size is the OTHER data-sizing knob (brief: "size
     // spark.sql.files.maxPartitionBytes so partitions fit in executor
@@ -123,21 +144,45 @@ object ScaleGrowth {
     * list per pruning-susceptible operator family loses by induction —
     * checksum everything instead. (Queries whose ranks/filters consume the
     * window — q_topn — were never affected; their numbers stand.) */
-  private def time(spark: SparkSession, name: String, dir: String): Double = {
+  private def time(spark: SparkSession, name: String, dir: String): Double =
+    timeAndCount(spark, name, dir)._1
+
+  /** Also returns the OUTPUT row count (free — same single-row aggregate):
+    * skew runs need it, because a hot key can legitimately grow a join's
+    * output quadratically in per-key density and the wall number is only
+    * interpretable next to the cardinality it produced. */
+  private def timeAndCount(spark: SparkSession, name: String,
+      dir: String): (Double, Long) = {
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, dir)
     import org.apache.spark.sql.functions.{col, expr, xxhash64}
     // bit_xor: order-independent and cannot overflow (sum of row hashes
     // trips ANSI long-overflow within a few million rows)
-    df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
-      .agg(expr("bit_xor(h)")).collect()
-    (System.nanoTime() - t0) / 1e9
+    val row = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)"), expr("count(1)")).collect()(0)
+    ((System.nanoTime() - t0) / 1e9, row.getLong(1))
+  }
+
+  /** Post-timing plan audit for [[expectAqeSkewSplit]] on a skewed tree:
+    * re-run the checksum action and require the FINAL adaptive plan to
+    * carry a skew-split sort-merge join (`skew=true`). An un-fired split
+    * on the tree built to trigger it means the thresholds or the data
+    * model are wrong — fail the rung loudly, don't record a silently
+    * unsplit straggler as "linear". */
+  private def assertSkewSplit(spark: SparkSession, name: String, dir: String): Boolean = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    import org.apache.spark.sql.functions.{col, expr, xxhash64}
+    val c = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)"))
+    c.collect()
+    val p = c.queryExecution.executedPlan.toString
+    p.contains("skew=true")
   }
 
   def synthesizeAndReport(spark: SparkSession, srcDir: String,
       bigDir: String): Unit = {
     val tSynth0 = System.nanoTime()
-    ScaleData.synthesize(spark, srcDir, bigDir, Factor)
+    ScaleData.synthesize(spark, srcDir, bigDir, Factor, skew = SkewMode.isDefined)
     val synthSec = (System.nanoTime() - tSynth0) / 1e9
 
     // warm both trees (parquet listing + JVM/codegen first-touch), then the
@@ -158,16 +203,27 @@ object ScaleGrowth {
 
     val rows = selected.map { name =>
       val t1 = time(spark, name, srcDir)
-      val t10a = time(spark, name, bigDir)
+      val (t10a, bigRows) = timeAndCount(spark, name, bigDir)
       // incremental line per query: a crash mid-slice (disk-full spill,
       // OOM) must not lose the numbers already measured
-      println(f"[growth] $name base=$t1%.2f x$Factor=$t10a%.2f")
+      println(f"[growth] $name base=$t1%.2f x$Factor=$t10a%.2f rows=$bigRows")
       // one drift re-run for anything over the line — a load spike doesn't
       // repeat, a complexity-class problem does
       val t10 =
         if (t10a > MaxGrowth * t1 && t10a > MinWall)
           math.min(t10a, time(spark, name, bigDir))
         else t10a
+      if (SkewMode.isDefined && expectAqeSkewSplit.contains(name)) {
+        val fired = assertSkewSplit(spark, name, bigDir)
+        println(s"[growth] $name aqe_skew_split=$fired")
+        // AQE's split thresholds are ABSOLUTE bytes (256 MB + 5x median):
+        // only the 1000x tree's hot partition (~3% of 600M rows) crosses
+        // them — smaller factors report the boolean without failing, the
+        // full rung must prove the mitigation fires
+        require(fired || Factor < 1000,
+          s"$name on the zipf tree did not trigger AQE's skew-join split — " +
+            "the rung exists to prove that mitigation fires")
+      }
       (name, t1, t10)
     }
     def fmt(v: Double) =
@@ -192,6 +248,7 @@ object ScaleGrowth {
       s""""total_base":${fmt(total1)},"total_big":${fmt(total10)},""" +
       s""""overall_growth":${fmt(total10 / total1)},"factor":$Factor,""" +
       s""""n_queries":${rows.size},"super_linear":$flaggedJson,""" +
-      s""""max_growth":$MaxGrowth,"src":"$srcDir"}""")
+      s""""max_growth":$MaxGrowth,"skew":"${SkewMode.getOrElse("uniform")}",""" +
+      s""""src":"$srcDir"}""")
   }
 }

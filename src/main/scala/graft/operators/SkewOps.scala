@@ -54,6 +54,32 @@ object SkewOps {
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
+  /** The UNSALTED twin of [[qSaltedJoin]] — identical semantics and oracle,
+    * naive plan: plain equi-join, no salt scatter. Exists for the zipf
+    * skew rung (r18 verdict order #1): on the skewed tree the hot
+    * l_suppkey concentrates ~3% of 600M rows in one shuffle partition,
+    * and THIS query is where the rung asserts AQE's skew-join split
+    * actually fires (`skew=true` in the final adaptive plan —
+    * ScaleGrowth.expectAqeSkewSplit), while the salted twin shows the
+    * mitigation that also covers what AQE can't re-plan (hash-partitioned
+    * aggregations, stream state). At the bench SFs the supplier side is
+    * broadcast and the two twins share a plan shape — the divergence under
+    * scale+skew is the point. */
+  val qUnsaltedJoin: Q = Q(
+    "q_unsalted_join",
+    (s, dir) => {
+      import s.implicits._
+      val l = Tables.t(s, dir, "lineitem")
+        .select($"l_suppkey", $"l_extendedprice", $"l_discount")
+      val sup = Tables.t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      l.join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          graft.operators.Relational.moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+        .orderBy($"s_nationkey")
+    },
+    qSaltedJoin.oracle)
+
   /** Count windows (reference KeyedStream.countWindow /
     * CountTumblingWindowAssigner): tumbling count-of-N per key, batch form —
     * bucket = (arrival rank - 1) / N. */
@@ -77,5 +103,5 @@ object SkewOps {
            |  FROM events)
            |GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin))
 
-  val all: Seq[Q] = Seq(qSaltedJoin, qCountWindow)
+  val all: Seq[Q] = Seq(qSaltedJoin, qUnsaltedJoin, qCountWindow)
 }

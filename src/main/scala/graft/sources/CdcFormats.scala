@@ -286,8 +286,15 @@ object CdcFormats {
         // one file per phase: with maxFilesPerTrigger=1 that is one
         // micro-batch per phase — the minimum that still forces every
         // retraction to consume state persisted in an EARLIER batch, at half
-        // the per-batch state-commit cost of finer splits
-        df.coalesce(1).write.mode("overwrite").text(d)
+        // the per-batch state-commit cost of finer splits.
+        // gzip (r19): the 1000x phased/replayed feeds are ~40-70 GB of raw
+        // json lines — past this container's disk AND its RAM-backed
+        // scratch (the r18 disclosed environment bound); json compresses
+        // ~10x and the phase files are single-file by design already, so
+        // compression costs no read parallelism. A real CDC topic is
+        // compressed at rest for the same reason.
+        df.coalesce(1).write.mode("overwrite")
+          .option("compression", "gzip").text(d)
         // pin mod times per phase: sequential writes are normally ordered
         // anyway, but same-millisecond ties would let the file source
         // interleave phases and break per-key causal order
@@ -334,9 +341,12 @@ object CdcFormats {
       phases.zipWithIndex.foreach { case ((sub, df), i) =>
         val d = s"$root/$sub"
         // key-shuffled within the phase: deterministic (hash of the key)
-        // but decorrelated from key order
+        // but decorrelated from key order. gzip: see the phased writer —
+        // the replayed feed is the largest (re-delivered suffix) and was
+        // still growing past 58 GB when the r18 attempt was killed.
         df.orderBy(hash(col("o_orderkey"))).select("value")
-          .coalesce(1).write.mode("overwrite").text(d)
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "gzip").text(d)
         val t0 = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
         val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
         try ls.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t0))
