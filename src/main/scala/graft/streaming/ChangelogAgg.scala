@@ -462,7 +462,11 @@ object ChangelogAgg {
     import spark.implicits._
     ev.groupByKey(_._2).flatMapGroups {
       (uid: Long, it: Iterator[(Long, Long, Double)]) =>
-        val sorted = it.toSeq.sortBy(_._1)
+        // toVector: `sorted(i - 1)` below must be O(1) — on the List that
+        // Iterator.toSeq returns it is O(i), i.e. O(n^2) per group, which
+        // the r19 zipf rung caught as a multi-hour hot-user straggler in
+        // ChangelogJoin's twin of this generator
+        val sorted = it.toVector.sortBy(_._1)
         val bucket = uid % 10
         sorted.zipWithIndex.flatMap { case ((eid, _, v), i) =>
           if (i == 0) Seq(AggChange[Long](bucket, eid * 2 + 1, "+I", tv(uid, v)))

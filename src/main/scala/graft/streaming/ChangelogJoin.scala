@@ -411,7 +411,13 @@ object ChangelogJoin {
     import spark.implicits._
     ev.filter(keep).groupByKey(_._2).flatMapGroups {
       (uid: Long, it: Iterator[(Long, Long, String, Double)]) =>
-        val sorted = it.toSeq.sortBy(_._1)
+        // toVector, NOT toSeq: Iterator.toSeq gives a List, and the
+        // retract-previous lookup `sorted(i - 1)` on a linked list is O(i)
+        // — O(n^2) per group. Invisible on uniform keys (~67 events/user);
+        // the r19 zipf rung's hot user (625k events) turned it into a
+        // single-core multi-hour straggler (2e11 list steps). Same class
+        // as ChangelogAgg's oracle generator — both fixed together.
+        val sorted = it.toVector.sortBy(_._1)
         sorted.zipWithIndex.flatMap { case ((eid, _, _, v), i) =>
           if (i == 0) Seq(Change[Long, Double, Long](uid, eid * 4 + 1, 0, "+I", Some(v), None))
           else Seq(
