@@ -172,7 +172,16 @@ object ChangelogAgg {
     * state differ in the last ulp between a clean run and a kill-restart
     * run — dead weight today, a latent flake for any future state-level
     * checksum compare (ADVICE r18). State is now itself a pure function of
-    * the multiset. */
+    * the multiset.
+    *
+    * STATE-SCHEMA BREAK (r19, ADVICE r19): dropping `total` changed the
+    * transformWithState value-state encoding, so a checkpoint written by
+    * pre-r19 code does not restore under this class. Safe today because
+    * every soak/recovery path regenerates its checkpoint within one code
+    * version; a future CROSS-version kill-restart soak must treat a decode
+    * failure here as this documented break, not an engine bug. If state
+    * evolution across code versions becomes a requirement, version the
+    * state name ("scalars" -> "scalars_v2") instead of the encoding. */
   final case class AggScalars(cnt: Long, lastActivityMs: Long)
 
   /** [[agg]]'s exact semantics on the transformWithState runtime — the

@@ -241,6 +241,14 @@ class PlanAuditSpec extends GraftSpec {
     assert(isUnbounded(
       ev.join(broadcast(docs.filter($"doc_id" % 2 === 0)), $"event_id" > $"doc_id")),
       "a 1/2 'sample' was accepted as bounded")
+    // 3b. a modulo sample DISJOINED with a broad predicate keeps an
+    //     arbitrarily large fraction — only a top-level CONJUNCT bounds
+    //     the filter (ADVICE r19: cond.exists matched the modulo anywhere
+    //     in the tree, including under Or)
+    assert(isUnbounded(
+      ev.join(broadcast(docs.filter($"doc_id" % 25 === 0 || $"n_chars" > 0)),
+        $"event_id" > $"doc_id")),
+      "a disjoined modulo 'sample' was accepted as bounded")
     // 4. a grouped aggregate on the relation's own identity column is
     //    O(N) groups — aggBounded must refuse identity-keyed grouping
     assert(isUnbounded(
@@ -288,7 +296,7 @@ private[graft] object BnljAudit {
   import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
   import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-  import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal, Pmod, Remainder}
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal, Pmod, Remainder}
 
   def descend(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -357,8 +365,15 @@ private[graft] object BnljAudit {
   }
 
   /** `col % m = k` with deterministic col and literal m >= 10: the declared
-    * bounded-fraction sample (the ANN recall probe set's vec_id % 25). */
+    * bounded-fraction sample (the ANN recall probe set's vec_id % 25). The
+    * modulo EqualTo must be a TOP-LEVEL CONJUNCT: under an Or (or a Not) it
+    * does not bound the filter's selectivity — `id % 25 = 0 OR broad_pred`
+    * keeps an arbitrarily large fraction (ADVICE r19). */
   private def isModuloSample(cond: Expression): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
     def modulus(e: Expression): Option[Long] = e match {
       case r: Remainder => r.right match {
         case Literal(m: Long, _) => Some(m)
@@ -372,7 +387,7 @@ private[graft] object BnljAudit {
       }
       case _ => None
     }
-    cond.exists {
+    conjuncts(cond).exists {
       case EqualTo(l, r) =>
         (r.isInstanceOf[Literal] && l.deterministic && modulus(l).exists(_ >= 10)) ||
         (l.isInstanceOf[Literal] && r.deterministic && modulus(r).exists(_ >= 10))
