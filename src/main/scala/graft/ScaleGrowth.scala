@@ -46,15 +46,20 @@ object ScaleGrowth {
   /** The scale-sensitive set: streaming state families, shuffling joins,
     * dedup/LSH/IVF, window/rank, CEP, and the heaviest TPC-DS shapes. */
   val queries: Seq[String] = Seq(
-    // scan + agg + join
+    // scan + agg + join (q_unsalted_join sits in the DEFAULT list so a
+    // plain SPARK_GRAFT_GROWTH_SKEW=zipf run cannot silently skip the AQE
+    // skew-mitigation assertion the rung exists to enforce — ADVICE r19)
     "q_agg_q1", "q_join_topn", "q_broadcast_join_agg", "q_salted_join",
+    "q_unsalted_join",
     "q_split_count_distinct", "q_topn", "q_over_rows",
     "q_interval_join", "q_asof_join",
     // TPC-DS heavy shapes
     "q_tpcds_q14_shape", "q_tpcds_q23_shape", "q_tpcds_q28_shape",
     "q_tpcds_q47_shape",
-    // streaming state
+    // streaming state (the bucketed twin is the skew-safe stream-stream
+    // join plan — the un-bucketed original stays listed as the control)
     "q_stream_tumble", "q_stream_over", "q_stream_outer_join",
+    "q_stream_outer_join_bucketed",
     "q_changelog_agg", "q_count_window", "q_tws_topn", "q_tws_dedup",
     // dedup / LSH / similarity
     "q_dedup_exact", "q_line_dedup", "q_bloom_dedup", "q_minhash_lsh",
@@ -129,6 +134,8 @@ object ScaleGrowth {
     // the big x big split probe needs a tree big enough to cross even the
     // container-scaled thresholds; 100x and up qualify
     if (SkewMode.isDefined && Factor >= 100) skewSplitProbe(spark, bigDir)
+    sys.env.get("SPARK_GRAFT_ORDERED_PROBE")
+      .foreach(mf => orderedFeedProbe(spark, bigDir, mf))
     spark.stop()
   }
 
@@ -192,7 +199,7 @@ object ScaleGrowth {
     * hot l_orderkey (~2.5% of 600M rows on one key at 1000x): the orders
     * side is fact-sized, so AQE has no broadcast escape and the ONLY
     * mitigation is the skew-join split. Runs with container-scaled split
-    * thresholds (64 MB hot-partition floor / 16 MB advisory instead of
+    * thresholds (8 MB hot-partition floor / 4 MB advisory instead of
     * the 256/64 MB defaults, scoped to this probe): AQE's thresholds are
     * ABSOLUTE bytes sized for production executors, and this 16-core
     * container's whole shuffle is what one executor handles in
@@ -232,6 +239,87 @@ object ScaleGrowth {
       require(fired,
         "lineitem x orders on the zipf tree did not trigger AQE's skew-join " +
           "split — the big x big case has no other mitigation")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Mitigation (a) for the r19 stream-stream-join skew finding, measured:
+    * replay the SAME events feed TIME-ORDERED across many files with
+    * `maxFilesPerTrigger` bounding each micro-batch, so the watermark
+    * advances and evicts join state between batches — per-key live state
+    * is then bounded by the join interval plus one batch's time span,
+    * independent of key heat. This is a DEPLOYMENT posture (how a
+    * production pipeline feeds the join: time-ordered Kafka topics /
+    * bounded triggers), not a plan change; the plan-level fix is the
+    * bucketed twin. The probe stages events range-partitioned by ts
+    * (equal timestamps co-locate, so batch k+1 is strictly later than
+    * batch k — nothing is ever late under the 0s watermark), stamps file
+    * mtimes in range order (the file-stream source orders by modification
+    * time), times q_stream_outer_join over the ordered feed, and requires
+    * the output checksum to equal the batch-computed emission rule
+    * (matched pairs + unmatched purchases whose window closed under the
+    * final combined watermark — the committed oracle, mirrored in Spark).
+    * Enable with SPARK_GRAFT_ORDERED_PROBE=<maxFilesPerTrigger>. */
+  private def orderedFeedProbe(spark: SparkSession, dir: String,
+      maxFiles: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val nFiles = 64
+    val ord = Tables.scratch("sf-growth/ordered-" +
+      new java.io.File(dir).getName)
+    val marker = new java.io.File(s"$ord/_ORDERED_OK_$nFiles")
+    if (!marker.exists) {
+      Tables.t(spark, dir, "events")
+        .repartitionByRange(nFiles, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(s"$ord/events.parquet")
+      val parts = new java.io.File(s"$ord/events.parquet").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      // range partition i writes part-0000i: lexical order IS time order;
+      // stamp mtimes to match, 2s apart (the source sorts by mtime in ms)
+      val base = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 2000L) }
+      marker.createNewFile()
+    }
+    // expected output: the oracle's emission rule computed in batch (ms
+    // precision exactly as the committed DuckDB oracle states it)
+    def side(t: String, a: String) = Tables.t(spark, dir, "events")
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_uid"),
+        col("ts").as(s"${a}_ts"))
+    val p = side("purchase", "p")
+    val c = side("click", "c")
+    val wmMs = math.min(
+      p.agg(max(expr("unix_micros(p_ts) DIV 1000"))).collect()(0).getLong(0),
+      c.agg(max(expr("unix_micros(c_ts) DIV 1000"))).collect()(0).getLong(0))
+    val onExpr = "p_uid = c_uid AND c_ts >= p_ts AND " +
+      "c_ts <= p_ts + INTERVAL 10 MINUTES"
+    val matched = p.join(c, expr(onExpr)).select(col("p_id"), col("c_id"))
+    val unmatchedClosed = p.join(c, expr(onExpr), "left_anti")
+      .filter(expr(s"unix_micros(p_ts) DIV 1000 + 600000 <= ${wmMs}L"))
+      .select(col("p_id"), lit(null).cast("long").as("c_id"))
+    val exp = matched.unionAll(unmatchedClosed)
+      .select(xxhash64(col("p_id"), col("c_id")).as("h"))
+      .agg(expr("bit_xor(h)"), expr("count(1)")).collect()(0)
+
+    val scoped = Seq(
+      graft.streaming.StreamingOps.MaxFilesKey -> maxFiles,
+      graft.streaming.StreamingOps.SinkKey -> "parquet")
+    val saved = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries("q_stream_outer_join")(spark, ord)
+      val got = df.select(xxhash64(col("p_id"), col("c_id")).as("h"))
+        .agg(expr("bit_xor(h)"), expr("count(1)")).collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[growth] ordered_feed_probe q_stream_outer_join " +
+        f"sec=$sec%.2f rows=${got.getLong(1)} maxFilesPerTrigger=$maxFiles " +
+        s"match=${got == exp}")
+      require(got.getLong(1) == exp.getLong(1) && got.getLong(0) == exp.getLong(0),
+        s"ordered replay diverged from the emission rule: got $got expected $exp")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)

@@ -51,6 +51,7 @@ object SparkEntry {
       streaming.TwsOps.all ++
       streaming.SessionTws.all ++
       streaming.DedupSql.all ++
+      streaming.BucketedStreamJoin.all ++
       streaming.NearDupStream.all ++
       streaming.WatermarkIdleness.all ++
       streaming.PartitionCommit.all ++

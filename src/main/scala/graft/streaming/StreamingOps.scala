@@ -21,12 +21,25 @@ object StreamingOps {
   /** Replay a parquet fixture as a stream (schema inferred from the raw
     * batch read — file streams need an explicit schema), normalized like the
     * batch path (ns timestamps -> µs TimestampType). */
+  /** Session-conf key: a positive integer routes every [[streamTable]]
+    * replay through `maxFilesPerTrigger`, so an AvailableNow run processes
+    * the fixture as MULTIPLE micro-batches instead of one. With a
+    * time-ordered multi-file feed this is the production deployment
+    * posture for stream-stream joins: the watermark advances and EVICTS
+    * per-key state every batch, bounding live state to the join interval
+    * plus one batch's span — the cheap mitigation for the r19 zipf
+    * finding (ScaleGrowth's ordered-feed probe measures it). Unset for
+    * Verify/Bench, whose single-file fixtures replay in one batch. */
+  val MaxFilesKey = "spark.graft.streamMaxFilesPerTrigger"
+
   def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     val schema = Tables.raw(spark, dir, name).schema
+    val reader = spark.readStream.schema(schema)
+    val mf = spark.conf.get(MaxFilesKey, "")
+    val withOpts = if (mf.nonEmpty) reader.option("maxFilesPerTrigger", mf) else reader
     // Glob form: the file-stream source requires a directory basePath; the
     // {name} glob keeps basePath = dir while matching only this fixture.
-    Tables.normalize(name,
-      spark.readStream.schema(schema).parquet(s"$dir/{$name}.parquet"))
+    Tables.normalize(name, withOpts.parquet(s"$dir/{$name}.parquet"))
   }
 
   /** Size state partitions to the keyed cardinality for the duration of a

@@ -348,19 +348,36 @@ private[graft] object BnljAudit {
     case _ => false
   }
 
-  /** Identity-like column names — grouping by one of these is O(N) groups
-    * by construction (they ARE the fixtures' row/entity identities), which
-    * is exactly the degenerate case the aggregated-index exemption must
-    * refuse (ADVICE r18). */
-  private def identityLike(name: String): Boolean = {
-    val n = name.toLowerCase
-    n.endsWith("_id") || n.endsWith("key") || n == "id"
+  /** Count a subtree's output rows. Executing a subtree ripped out of its
+    * planned query loses the columnar->row transitions the planner
+    * inserted around it, so re-insert them: wrap every columnar node
+    * (vectorized parquet scans) in ColumnarToRowExec before executing. */
+  private def rowCount(p: SparkPlan): Long = {
+    val rowed = p.transformUp {
+      case c if c.supportsColumnar =>
+        org.apache.spark.sql.execution.ColumnarToRowExec(c)
+    }
+    rowed.execute().count()
   }
 
+  /** The aggregated-index exemption, SEMANTIC form (r20 — retires the r18
+    * `*_id`/`*key` column-name refusal, the audit's last naming
+    * convention): a broadcast-side aggregate is bounded iff it MEASURABLY
+    * COMPRESSES its input on the fixture — distinct groups at most 3/4 of
+    * the leaf input rows. An index over row identity (groupBy doc_id)
+    * compresses nothing (groups == rows) whatever the column is called; a
+    * genuine dictionary/centroid/histogram index collapses many rows per
+    * group, and with a fixed key domain it only gets MORE compressive as N
+    * grows, so the fixture measurement is conservative in the direction
+    * that matters. Executing the agg subtree and its leaves is cheap at
+    * audit (fixture) scale; ABSOLUTE broadcast size stays backstopped at
+    * runtime by the BroadcastExchange ceiling, which is what bounds a
+    * compressive-but-still-huge index at 100 TB. */
   def aggBounded(p: SparkPlan): Boolean = spine(p) {
-    case agg: BaseAggregateExec =>
-      finalOrComplete(agg) && agg.groupingExpressions.forall(ge =>
-        ge.references.forall(attr => !identityLike(attr.name)))
+    case agg: BaseAggregateExec if finalOrComplete(agg) =>
+      val groups = rowCount(agg)
+      val input = agg.collectLeaves().map(rowCount).sum
+      input > 0 && groups * 4 <= input * 3
     case _ => false
   }
 
@@ -447,6 +464,45 @@ class StreamingPlanAuditSpec extends GraftSpec {
       .streamingQuery.lastExecution.executedPlan.toString
     assert(plan.contains("StreamingSymmetricHashJoin"),
       s"expected symmetric hash join operator:\n$plan")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
+
+  test("bucketed stream-stream join keys state by (uid, time_bucket)") {
+    // the r19 skew finding's plan-level fix: the composite key must reach
+    // the SSHJ's equi-key list, so per-key state (and probe cost) is
+    // bounded by rows-per-bucket, not key heat — if the bucket columns
+    // fall out of the key (e.g. a future refactor moves them into the
+    // residual condition), the O(k^2) hot-key cliff silently returns
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{BucketedStreamJoin, StreamingOps}
+    val widthUs = 10L * 60 * 1000 * 1000
+    def side(t: String, a: String) = StreamingOps.streamTable(spark, sfDir, "events")
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_uid"),
+        col("ts").as(s"${a}_ts"))
+      .withWatermark(s"${a}_ts", "0 seconds")
+    val p = side("purchase", "p")
+      .withColumn("p_bkt", BucketedStreamJoin.bucketOf(col("p_ts"), widthUs))
+    val c = side("click", "c")
+      .withColumn("c_bkt", BucketedStreamJoin.expandBuckets(col("c_ts"), widthUs, 1))
+    val j = p.join(c,
+      expr("p_uid = c_uid AND p_bkt = c_bkt AND " +
+        "c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"),
+      "leftOuter")
+    val ckpt = Tables.scratch(s"plan-audit-join/${java.util.UUID.randomUUID()}")
+    val q = j.writeStream.format("memory").queryName("audit_sshj_bucketed")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+    val sshj = exec.collect {
+      case s: org.apache.spark.sql.execution.streaming.operators.stateful.join.StreamingSymmetricHashJoinExec => s
+    }
+    assert(sshj.nonEmpty, s"expected symmetric hash join operator:\n$exec")
+    val leftKeys = sshj.head.leftKeys.map(_.toString).mkString(",")
+    assert(leftKeys.contains("p_uid") && leftKeys.contains("p_bkt"),
+      s"composite (uid, bucket) must be the state key, got: $leftKeys")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
 

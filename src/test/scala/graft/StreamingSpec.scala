@@ -29,6 +29,21 @@ class StreamingSpec extends GraftSpec {
     } finally spark.conf.unset(StreamingOps.SinkKey)
   }
 
+  test("bucketed stream-stream outer join is row-identical to the unbucketed plan") {
+    // the time-bucketed decomposition (BucketedStreamJoin) must be
+    // invisible to results: same matched pairs, same null-pads, same
+    // emission rule — only the state layout (composite (uid, bucket) key)
+    // differs. Both SFs' oracles also pin this; the spec keeps the parity
+    // under sbt test where the growth trees aren't oracle-checked.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    val unbucketed = rows(graft.streaming.DedupSql.qStreamOuterJoin.run(spark, sfDir))
+    val bucketed = rows(
+      graft.streaming.BucketedStreamJoin.qStreamOuterJoinBucketed.run(spark, sfDir))
+    assert(bucketed == unbucketed,
+      s"decomposition changed results: ${bucketed.size} vs ${unbucketed.size} rows")
+  }
+
   test("streaming tumble agg over MemoryStream matches expected windows") {
     val sparkS = spark
     import sparkS.implicits._
