@@ -51,8 +51,13 @@ object BandSaturation {
     val ns: Seq[Long] = sys.env.getOrElse("SPARK_GRAFT_BAND_NS",
       "2500000,5000000,10000000,20000000")
       .split(",").map(_.trim.toLong).toSeq
-    val schemes = Seq("default" -> SimhashBanding.Default,
-      "wide" -> SimhashBanding.Wide)
+    // SPARK_GRAFT_BAND_SCHEMES picks the slice (r20 adds the chunk-triple
+    // scheme from the SimhashBanding past-wide decision memo)
+    val allSchemes = Map("default" -> SimhashBanding.Default,
+      "wide" -> SimhashBanding.Wide, "triple" -> SimhashBanding.Triple)
+    val schemes = sys.env.getOrElse("SPARK_GRAFT_BAND_SCHEMES", "default,wide")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map(tag => tag -> allSchemes(tag))
 
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -67,10 +72,17 @@ object BandSaturation {
         s" & ${(1L << scheme.producerBits) - 1}"
       val sig = spark.range(n).select(col("id").as("doc_id"),
         expr(s"xxhash64(id, 7)$mask").as("simhash"))
-      // exact Σ C(pop,2) over (i,j,v) buckets — partial agg, never a join
-      val candidates = sig.select(
-          explode(expr(s"array(${scheme.pairEntriesExpr})")).as("ch"))
-        .groupBy(col("ch.i"), col("ch.j"), col("ch.v"))
+      // exact Σ C(pop,2) over band buckets — partial agg, never a join
+      // (pair schemes keep the committed (i,j,v) posting shape; bandSize>2
+      // posts (band-mask, v) like the production k-subset join)
+      val postings =
+        if (scheme.bandSize == 2) sig.select(
+            explode(expr(s"array(${scheme.pairEntriesExpr})")).as("ch"))
+          .groupBy(col("ch.i"), col("ch.j"), col("ch.v"))
+        else sig.select(
+            explode(expr(s"array(${scheme.bandEntriesExpr})")).as("ch"))
+          .groupBy(col("ch.b"), col("ch.v"))
+      val candidates = postings
         .agg(count(lit(1)).as("pop"))
         .agg(sum(expr("pop * (pop - 1) / 2")).cast("long")).head().getLong(0)
       // wall of the production join, checksum-consumed (uniform signatures

@@ -59,7 +59,7 @@ object ScaleGrowth {
     // streaming state (the bucketed twin is the skew-safe stream-stream
     // join plan — the un-bucketed original stays listed as the control)
     "q_stream_tumble", "q_stream_over", "q_stream_outer_join",
-    "q_stream_outer_join_bucketed",
+    "q_stream_outer_join_bucketed", "q_stream_interval_join_bucketed",
     "q_changelog_agg", "q_count_window", "q_tws_topn", "q_tws_dedup",
     // dedup / LSH / similarity
     "q_dedup_exact", "q_line_dedup", "q_bloom_dedup", "q_minhash_lsh",

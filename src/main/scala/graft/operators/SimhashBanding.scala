@@ -44,6 +44,37 @@ package graft.operators
   * B = 28 * 2^16 ≈ 1.8M, 4x the default) or chunk-TRIPLE banding; both are
   * scheme changes, not code rewrites.
   *
+  * Past-wide decision memo (r20, the BandSaturation follow-up): the probe
+  * measured candidates/doc DOUBLING with N for both pair schemes — wide
+  * buys a 2x corpus step at equal cost, not immunity — so the next step
+  * is k=3 banding (`bandSize`). The arithmetic, with candidates/doc ~
+  * N * C(n,k) / 2^(k*chunkBits) (each doc posts C(n,k) entries; a
+  * colliding posting needs k chunks equal):
+  *   - (64,8)-TRIPLE, the obvious candidate: n=8 chunks, so maxHd =
+  *     8 - 3 = 5 — REJECTED by requireCovers(6). hd=6 can damage 6 of 8
+  *     chunks leaving only 2 intact, and no intact triple exists: the
+  *     56 * 2^24 ≈ 9.4e8 bucket space is unreachable without breaking
+  *     the product contract. (The chunk-triple idea as originally noted
+  *     fails AT THIS WIDTH; it needs >= 9 chunks for hd <= 6.)
+  *   - (63,7)-TRIPLE ([[Triple]]): mask the 64-bit producer to 63 bits =
+  *     9 chunks of 7; maxHd = 9 - 3 = 6 — the contract holds. B =
+  *     C(9,3) * 2^21 ≈ 1.76e8 buckets (~96x wide-pair); candidates/doc =
+  *     N * 84 / 2^21 = N/24966 vs wide-pair's N/2340 and default's
+  *     N/585: ~10.7x fewer candidates than wide at the same N — one full
+  *     corpus DECADE of headroom per the same doubling law — for 3x the
+  *     posting/shuffle volume (84 vs 28 postings/doc, 1.5x the posting
+  *     bytes per entry is avoided by packing v into one long).
+  *   - Widening past 64 bits loses to both: the signature no longer fits
+  *     one BIGINT, so producer, state rows, and the oracle encoding all
+  *     go two-column for a 2x (not 10x) knee shift per 8 bits added.
+  * Verdict: [[Triple]] is the instantiated past-wide scheme (batch path;
+  * the streaming twin's state key is (i, j, v)-shaped and would key by
+  * (band mask, v) — a mechanical extension, not done until a deployment
+  * needs an INCREMENTAL corpus past wide's knee). Beyond triple, the same
+  * doubling law eventually wins again (~2.4e9 docs at the measured 2136
+  * cand/doc knee cost); at that corpus size exact-dedup-first plus
+  * per-shard banding is the production posture, not a fourth chunk.
+  *
   * Producer contract: `bits` <= 56 signatures come from md5-derived
   * 56-bit token hashes (14 hex chars — a full 16 would overflow a signed
   * BIGINT parse in DuckDB); 56 < `bits` <= 64 selects the WIDE producer
@@ -58,7 +89,7 @@ package graft.operators
   */
 object SimhashBanding {
 
-  final case class Scheme(bits: Int, chunkBits: Int) {
+  final case class Scheme(bits: Int, chunkBits: Int, bandSize: Int = 2) {
     require(bits >= 8 && bits <= 64,
       s"signature width $bits outside the md5 producer contract [8, 64]")
     require(chunkBits >= 1 && bits % chunkBits == 0,
@@ -69,12 +100,18 @@ object SimhashBanding {
     val producerBits: Int = if (bits <= 56) 56 else 64
 
     val nChunks: Int = bits / chunkBits
-    require(nChunks >= 3,
-      s"chunk-pair banding needs >= 3 chunks, got $nChunks ($bits/$chunkBits)")
+    require(bandSize >= 2, s"banding needs chunk groups of >= 2, got $bandSize")
+    require(nChunks >= bandSize + 1,
+      s"chunk-$bandSize banding needs >= ${bandSize + 1} chunks, got " +
+        s"$nChunks ($bits/$chunkBits)")
     require(nChunks <= 30, s"intact-chunk bitmask must fit an Int, got $nChunks chunks")
+    require(bandSize * chunkBits <= 62,
+      s"band value ${bandSize}x$chunkBits bits must fit a positive long")
 
-    /** Largest hamming distance guaranteed to co-bucket (no false negatives). */
-    val maxHd: Int = nChunks - 2
+    /** Largest hamming distance guaranteed to co-bucket (no false
+      * negatives): hd damages at most hd chunks, so hd <= n - bandSize
+      * leaves at least one intact chunk `bandSize`-subset. */
+    val maxHd: Int = nChunks - bandSize
 
     val chunkMask: Long = (1L << chunkBits) - 1L
     // 1L << 64 wraps to 1 in JVM shift semantics — the full-width mask is
@@ -82,8 +119,15 @@ object SimhashBanding {
     val sigMask: Long = if (bits == 64) -1L else (1L << bits) - 1L
     val nChunkPairs: Int = nChunks * (nChunks - 1) / 2
 
+    /** The chunk-index subsets this scheme bands on (ascending indices,
+      * lexicographic combo order) — C(nChunks, bandSize) of them. */
+    def bandCombos: IndexedSeq[IndexedSeq[Int]] =
+      (0 until nChunks).combinations(bandSize).map(_.toIndexedSeq).toIndexedSeq
+
+    val nBands: Int = bandCombos.size
+
     /** Bucket space — the saturation knob (see object doc). */
-    val buckets: Long = nChunkPairs.toLong * (1L << (2 * chunkBits))
+    val buckets: Long = nBands.toLong * (1L << (bandSize * chunkBits))
 
     /** Guard a query's hd contract against the scheme's guarantee. */
     def requireCovers(hdMax: Int): Unit =
@@ -95,11 +139,32 @@ object SimhashBanding {
       for { i <- 0 until nChunks; j <- i + 1 until nChunks } yield (i, j)
 
     /** SQL: array of (i, j, v) postings — one per chunk pair — over a
-      * (pre-masked) `simhash` column; v is the 2*chunkBits-bit pair value. */
-    def pairEntriesExpr: String = chunkPairs.map { case (i, j) =>
-      s"named_struct('i', $i, 'j', $j, 'v', " +
-        s"shiftleft(shiftright(simhash, ${i * chunkBits}) & $chunkMask, $chunkBits) + " +
-        s"(shiftright(simhash, ${j * chunkBits}) & $chunkMask))"
+      * (pre-masked) `simhash` column; v is the 2*chunkBits-bit pair value.
+      * Pair-shaped (the streaming twin keys state by (i, j, v)); schemes
+      * with bandSize > 2 band through [[bandEntriesExpr]]. */
+    def pairEntriesExpr: String = {
+      require(bandSize == 2,
+        s"pair postings are undefined for bandSize=$bandSize — use bandEntriesExpr")
+      chunkPairs.map { case (i, j) =>
+        s"named_struct('i', $i, 'j', $j, 'v', " +
+          s"shiftleft(shiftright(simhash, ${i * chunkBits}) & $chunkMask, $chunkBits) + " +
+          s"(shiftright(simhash, ${j * chunkBits}) & $chunkMask))"
+      }.mkString(", ")
+    }
+
+    /** SQL: array of (b, v) postings — one per chunk `bandSize`-subset —
+      * over a (pre-masked) `simhash` column. `b` is the subset's chunk
+      * bitmask (so the emit-once rule can compare it against the peeled
+      * lowest-`bandSize` intact bits directly); `v` packs the subset's
+      * chunk values ascending-index-first into bandSize*chunkBits bits. */
+    def bandEntriesExpr: String = bandCombos.map { combo =>
+      val mask = combo.map(1 << _).sum
+      val v = combo.zipWithIndex.map { case (c, idx) =>
+        val sh = (bandSize - 1 - idx) * chunkBits
+        if (sh == 0) s"(shiftright(simhash, ${c * chunkBits}) & $chunkMask)"
+        else s"shiftleft(shiftright(simhash, ${c * chunkBits}) & $chunkMask, $sh)"
+      }.mkString(" + ")
+      s"named_struct('b', $mask, 'v', $v)"
     }.mkString(", ")
 
     /** SQL: intact-chunk bitmask of an XOR column — bit c set iff chunk c
@@ -134,4 +199,13 @@ object SimhashBanding {
     * hash and the wide oracle encoding; nothing else changes — the point
     * of the scheme being declared. q_simhash_banded_wide runs it. */
   val Wide: Scheme = Scheme(64, 8)
+
+  /** 63-bit signature (64-bit producer masked), 7-bit chunks, TRIPLE
+    * banding: 9 chunks, hd <= 6 guaranteed (9 - 3), C(9,3) = 84 bands x
+    * 2^21 values ≈ 1.76e8 buckets — ~96x wide-pair's space, ~10.7x fewer
+    * candidates/doc at equal N, for 3x the posting volume (see the
+    * past-wide decision memo in the object doc; (64,8)-triple is REJECTED
+    * there: 8 chunks guarantee only hd <= 5 under triples).
+    * q_simhash_banded_triple runs it (batch path). */
+  val Triple: Scheme = Scheme(63, 7, 3)
 }

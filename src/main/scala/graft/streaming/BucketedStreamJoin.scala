@@ -67,6 +67,14 @@ object BucketedStreamJoin {
     explode(sequence(
       bucketOf(tsCol, widthUs) - backBuckets, bucketOf(tsCol, widthUs)))
 
+  /** Forward twin of [[expandBuckets]] — [bucket, bucket + fwdBuckets] —
+    * for a probe side whose matches lie AFTER it in time (a click matching
+    * purchases in `(c_ts, c_ts + W]` sits in the purchase's bucket or the
+    * one before it, so the click expands forward). */
+  def expandBucketsForward(tsCol: Column, widthUs: Long, fwdBuckets: Int): Column =
+    explode(sequence(
+      bucketOf(tsCol, widthUs), bucketOf(tsCol, widthUs) + fwdBuckets))
+
   /** q_stream_outer_join_bucketed: the skew-safe twin of
     * q_stream_outer_join — purchases left-joined to same-user clicks in the
     * following 10 minutes, null-padding once the watermark proves no match
@@ -111,5 +119,47 @@ object BucketedStreamJoin {
            |    AND epoch_ms(p.ts) + 600000 <= wm.w)
            |ORDER BY p_id, c_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qStreamOuterJoinBucketed)
+  /** q_stream_interval_join_bucketed: the skew-safe twin of
+    * q_stream_interval_join — purchases inner-joined to same-user clicks in
+    * the PRECEDING 10 minutes (`c_ts ∈ [p_ts - W, p_ts)`). The r20 zipf
+    * rung caught the un-bucketed operator super-linear at 100x (same SSHJ
+    * per-key full-state probe as the outer join; both-side state this
+    * time). Decomposition correctness for the backward interval: a match
+    * has `p_ts ∈ (c_ts, c_ts + W]`, so the purchase's bucket is the
+    * click's bucket or the one after — the CLICK side expands FORWARD into
+    * {bucket, bucket+1}, purchases keep their native bucket, and each pair
+    * joins under exactly one composite key (the purchase's bucket, which
+    * equals exactly one of the click's two distinct expansion values). An
+    * inner join has no null-pad reconciliation at all, so the 2x
+    * click-state replication is the entire cost. Identical oracle. */
+  val qStreamIntervalJoinBucketed: Q = Q(
+    "q_stream_interval_join_bucketed",
+    (s, dir) => StreamingOps.withStatePartitions(s, 8) {
+      import s.implicits._
+      val widthUs = 10L * 60 * 1000 * 1000 // bucket width = interval span
+      val ev = StreamingOps.streamTable(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+        .withColumn("p_bkt", bucketOf(col("p_ts"), widthUs))
+      val c = ev.filter($"event_type" === "click")
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+        .withColumn("c_bkt", expandBucketsForward(col("c_ts"), widthUs, fwdBuckets = 1))
+      val joined = p.join(c,
+        expr("p_user = c_user AND p_bkt = c_bkt AND " +
+          "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"))
+        .select($"p_id", $"c_id")
+      StreamingOps.runToMemory(s, joined, "append", "graft_stream_ij_bucketed")
+        .orderBy($"p_id", $"c_id")
+    },
+    // verbatim the un-bucketed operator's oracle
+    Some("""SELECT a.event_id AS p_id, b.event_id AS c_id
+           |FROM events a JOIN events b
+           |  ON a.user_id = b.user_id
+           | AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+           |WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+           |ORDER BY p_id, c_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qStreamOuterJoinBucketed, qStreamIntervalJoinBucketed)
 }

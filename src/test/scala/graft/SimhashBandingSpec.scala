@@ -111,4 +111,41 @@ class SimhashBandingSpec extends GraftSpec {
     val maskedSet = batch.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])).toSet
     assert(full.subsetOf(maskedSet))
   }
+
+  test("triple scheme (63,7,3): 9 chunks, hd<=6, 84 bands; (64,8)-triple rejected at hd<=6") {
+    val t = SimhashBanding.Triple
+    assert(t.bits == 63 && t.chunkBits == 7 && t.bandSize == 3)
+    assert(t.nChunks == 9 && t.maxHd == 6)
+    assert(t.nBands == 84) // C(9,3)
+    assert(t.buckets == 84L * (1L << 21)) // ~1.76e8, ~96x wide-pair
+    assert(t.producerBits == 64 && t.sigMask == (1L << 63) - 1)
+    // the decision memo's rejected candidate: 8 chunks guarantee only
+    // hd<=5 under triple banding — the hd<=6 contract must refuse it
+    val naive = SimhashBanding.Scheme(64, 8, 3)
+    assert(naive.maxHd == 5)
+    intercept[IllegalArgumentException](naive.requireCovers(6))
+    // pair-shaped postings are undefined for k>2 schemes
+    intercept[IllegalArgumentException](t.pairEntriesExpr)
+  }
+
+  test("triple banded pairs equal brute force hd<=6 on the masked 63-bit signature") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // brute-force ground truth over the fixture (O(n^2) is fine at test SF):
+    // proves the k-subset banding finds EVERY hd<=6 pair (pigeonhole, no
+    // false negatives) and emits each exactly once (list equality, not set)
+    val sh = DedupOps.simhashWideM(spark, sfDir)
+      .withColumn("simhash", expr(s"simhash & ${SimhashBanding.Triple.sigMask}"))
+    val brute = sh.as("a")
+      .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("cast(bit_count(a.simhash ^ b.simhash) as int)").as("hd"))
+      .filter(col("hd") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+      .collect().map(_.toSeq).toSeq
+    val banded = DedupOps
+      .simhashBandedPairs(spark, sfDir, SimhashBanding.Triple, 6)
+      .collect().map(_.toSeq).toSeq
+    assert(brute.nonEmpty, "fixture has no near-dup pairs at 63 bits — vacuous")
+    assert(banded == brute)
+  }
 }

@@ -44,6 +44,21 @@ class StreamingSpec extends GraftSpec {
       s"decomposition changed results: ${bucketed.size} vs ${unbucketed.size} rows")
   }
 
+  test("bucketed stream interval join is row-identical to the unbucketed plan") {
+    // backward-interval twin (r20): the click side expands FORWARD into
+    // {bucket, bucket+1}; inner join, so no null-pad reconciliation —
+    // results must still be exactly the un-bucketed operator's
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    val unbucketed = rows(
+      graft.streaming.StatefulOps.qStreamIntervalJoin.run(spark, sfDir))
+    val bucketed = rows(
+      graft.streaming.BucketedStreamJoin.qStreamIntervalJoinBucketed.run(spark, sfDir))
+    assert(unbucketed.nonEmpty, "fixture produced no interval-join pairs — vacuous")
+    assert(bucketed == unbucketed,
+      s"decomposition changed results: ${bucketed.size} vs ${unbucketed.size} rows")
+  }
+
   test("streaming tumble agg over MemoryStream matches expected windows") {
     val sparkS = spark
     import sparkS.implicits._
