@@ -60,6 +60,119 @@ object Scratch {
         time("q_minhash_lsh")(SparkEntry.queries("q_minhash_lsh")(spark, sfDir).count())
         time("q_dedup_clusters")(SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count())
         time("q_dedup_clusters#2")(SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count())
+      case "stateparts" =>
+        def runTumble(tag: String): Unit =
+          time(s"tumble$tag")(SparkEntry.queries("q_stream_tumble")(spark, sfDir).count())
+        def runHop(tag: String): Unit =
+          time(s"hop$tag")(SparkEntry.queries("q_stream_hop")(spark, sfDir).count())
+        runTumble("@32-warmup")
+        runTumble("@32")
+        runHop("@32")
+        streaming.StreamingOps.withStatePartitions(spark, 8) {
+          runTumble("@8")
+          runHop("@8")
+        }
+        runTumble("@32b")
+        streaming.StreamingOps.withStatePartitions(spark, 8) { runTumble("@8b") }
+      case "cdcprof" =>
+        import org.apache.spark.sql.functions._
+        import graft.streaming.{ChangelogAgg, UpsertSink}
+        import graft.streaming.ChangelogAgg.AggChange
+        import sources.CdcFormats
+        import spark.implicits._
+        streaming.StreamingOps.withStatePartitions(spark, 8) {
+          val feed = CdcFormats.writeDebeziumFeedPhased(spark, sfDir)
+          val t0 = System.nanoTime()
+          val raw = spark.readStream.option("maxFilesPerTrigger", CdcFormats.PhaseFiles)
+            .text(s"$feed/*/")
+          val changes = CdcFormats.debezium(raw, CdcFormats.feedSchema).select(
+            col("o_orderpriority"), col("o_orderkey"), col("kind"), col("o_totalprice"))
+            .as[(String, Long, String, Double)]
+            .map { case (prio, k, kind, price) =>
+              val phase = kind match {
+                case "+I" => 0L; case "-U" => 1L; case "+U" => 2L; case _ => 3L
+              }
+              AggChange[String](prio, k * 4 + phase, kind,
+                math.round(price * 10000).toDouble)
+            }
+          val agg = ChangelogAgg.agg(changes).toDF()
+          val store = new UpsertSink.InMemoryStore()
+          val ckpt = streaming.StreamingOps.freshCheckpoint("cdcprof")
+          val q = UpsertSink.foreachBatchChangelog(agg, "kind", Seq("key"), store)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          println(f"[scratch] cdc-stream total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          q.recentProgress.foreach { p =>
+            println(s"[scratch] batch ${p.batchId} rows=${p.numInputRows} durations=${p.durationMs}")
+          }
+          store.close()
+        }
+      case "shexpr" =>
+        import org.apache.spark.sql.functions._
+        val docs = Tables.t(spark, sfDir, "documents")
+        val toks = docs.withColumn("toks",
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+        def legacy(w: Int) = {
+          val tokHash =
+            if (w == 56) "CAST(conv(substr(md5(t), 1, 14), 16, 10) AS BIGINT)"
+            else "(shiftleft(CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT), 32) | " +
+              "CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT))"
+          expr(
+            s"""aggregate(zip_with(
+               |    aggregate(transform(toks, t -> $tokHash), array_repeat(0, $w),
+               |      (acc, h) -> zip_with(acc, sequence(0, ${w - 1}),
+               |        (a, j) -> a + IF(((h >> j) & 1) = 1, 1, -1))),
+               |    sequence(0, ${w - 1}),
+               |    (b, j) -> IF(b > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+        }
+        def fast(w: Int) = org.apache.spark.sql.graft.SimhashFunctions
+          .simhashOfTokens(col("toks"), w)
+        for (r <- 1 to 2; w <- Seq(56, 64)) {
+          time(s"legacy$w#$r")(toks.select(legacy(w).as("s")).agg(sum("s")).count())
+          time(s"expr$w#$r")(toks.select(fast(w).as("s")).agg(sum("s")).count())
+        }
+        // the old batch plan: explode + md5Hash + ObjectHashAggregate
+        val oldBatch = {
+          val hashed = docs.select(col("doc_id"),
+            explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("tok"))
+            .select(col("doc_id"), graft.functions.FlinkFunctions.md5Hash56(col("tok")).as("h"))
+          hashed.groupBy(col("doc_id"))
+            .agg(expr("sum(h)").as("s")) // stand-in shuffle-shaped agg
+        }
+        time("oldBatchShape")(oldBatch.count())
+        time("newBatch#1")(operators.DedupOps.simhash(docs).count())
+        time("newBatch#2")(operators.DedupOps.simhash(docs).count())
+      case "triple" =>
+        import org.apache.spark.sql.functions._
+        val scheme = operators.SimhashBanding.Triple
+        val sh0 = operators.DedupOps.simhashWideM(spark, sfDir)
+        time("store")(sh0.count())
+        val sh = sh0.withColumn("simhash", expr(s"simhash & ${scheme.sigMask}"))
+        val posts = sh.select(col("doc_id"), col("simhash"),
+          explode(expr(s"array(${scheme.bandEntriesExpr})")).as("ch"))
+          .select(col("doc_id"), col("simhash"),
+            col("ch.b").as("bnd"), col("ch.v").as("v"))
+        time("posts#1")(posts.count())
+        time("posts#2")(posts.count())
+        val joined = posts.as("a")
+          .join(posts.as("b"),
+            col("a.bnd") === col("b.bnd") && col("a.v") === col("b.v") &&
+              col("a.doc_id") < col("b.doc_id"))
+        time("join-candidates")(joined.count())
+        time("full#1")(SparkEntry.queries("q_simhash_banded_triple")(spark, sfDir).count())
+        time("full#2")(SparkEntry.queries("q_simhash_banded_triple")(spark, sfDir).count())
+        time("wide-full")(SparkEntry.queries("q_simhash_banded_wide")(spark, sfDir).count())
+        val df2 = SparkEntry.queries("q_simhash_banded_triple")(spark, sfDir)
+        df2.count()
+        println("[scratch] executed plan (tail):")
+        println(df2.queryExecution.executedPlan.toString.linesIterator
+          .take(40).mkString("\n"))
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        time("full-nocodegen")(SparkEntry.queries("q_simhash_banded_triple")(spark, sfDir).count())
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
     }
     spark.stop()
   }
