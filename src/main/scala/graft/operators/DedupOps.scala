@@ -177,26 +177,32 @@ object DedupOps {
     * with the band signature — the LSH bucket key. */
   private val P31 = 2147483647L
 
-  /** Per-doc banded MinHash signatures. One shuffle (the shingle distinct +
-    * collect); the 16 permutation minima are computed per row with
-    * higher-order expressions instead of a 16x explode — at 100 TB that
-    * removes a full shuffle of #docs x #perms rows. */
+  /** Per-doc banded MinHash signatures. One shuffle (the shingle distinct
+    * feeding the grouped minima); sig_i = min over shingle hashes of
+    * (a_i*h + b_i) mod p, a_i=2i+1, b_i=(1000003*i+12345) mod p —
+    * identical math to the SQL oracle.
+    *
+    * r20 (guide §2.3 "aggregate before you shuffle" + §4): the 16
+    * permutation minima are 16 built-in `min` aggregates, which partial-
+    * aggregate map-side — the exchange carries a 16-long leaderboard per
+    * (doc, mapper) instead of the full shingle-hash list the previous
+    * collect_list shipped, and the per-element arithmetic runs in
+    * whole-stage codegen instead of the interpreted array_min/transform
+    * higher-order fold (16 interpreted passes per doc). At 100 TB the
+    * shuffle drops from every shingle hash to #docs x 16 longs. */
   def minhashBands(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val hashed = shingles(docs)
-      .withColumn("h", md5Hash31(col("sh")))
-      .groupBy($"doc_id")
-      .agg(collect_list($"h").as("hs"))
-    // sig_i = min over shingle hashes of (a_i*h + b_i) mod p, a_i=2i+1,
-    // b_i=(1000003*i+12345) mod p — identical math to the SQL oracle
-    def sig(i: Int): org.apache.spark.sql.Column = {
+    val hashed = shingles(docs).withColumn("h", md5Hash31(col("sh")))
+    val sigAggs = (0 until 16).map { i =>
       val a = 2L * i + 1
       val b = (1000003L * i + 12345L) % P31
-      expr(s"array_min(transform(hs, x -> ($a * x + $b) % $P31))")
+      min(expr(s"($a * h + $b) % $P31")).as(s"mh$i")
     }
     def bandSig(band: Int): org.apache.spark.sql.Column =
-      concat_ws("-", (4 * band until 4 * band + 4).map(i => sig(i).cast("string")): _*)
-    (0 until 4).foldLeft(hashed) { (df, b) => df.withColumn(s"sig$b", bandSig(b)) }
+      concat_ws("-", (4 * band until 4 * band + 4).map(i => col(s"mh$i").cast("string")): _*)
+    hashed.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id") +:
+        (0 until 4).map(b => bandSig(b).as(s"sig$b")): _*)
       .selectExpr("doc_id", "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
   }
 
@@ -235,62 +241,30 @@ object DedupOps {
             |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             |ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** SimHash (56-bit) over the token multiset: bit j set iff
-    * sum over tokens of (+1 if bit j of h(token) else -1) > 0. The balances
-    * are folded by a single typed aggregator — one agg expression, so
-    * CollapseProject can inline md5 only ONCE and map-side partial
-    * aggregation works: the shuffle carries a 56-int buffer per (doc,
-    * mapper) instead of every token hash. Width 56 (14 md5 hex chars —
-    * production simhash is 64-bit, Manku et al. WWW'07): the 10x/100x
-    * growth gate caught the earlier 31-bit signature saturating its 8-bit
-    * band space (bucket population grows with N once the value space is
-    * full, turning the banded join quadratic — 282x wall on 100x input). */
-  private class SimhashAgg(W: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
-    override def zero: Array[Int] = new Array[Int](W)
-    override def reduce(b: Array[Int], h: Long): Array[Int] = {
-      var j = 0
-      while (j < W) { b(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1 }
-      b
-    }
-    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
-      var j = 0
-      while (j < W) { a(j) += b(j); j += 1 }
-      a
-    }
-    override def finish(b: Array[Int]): Long = {
-      var out = 0L; var j = 0
-      while (j < W) { if (b(j) > 0) out |= (1L << j); j += 1 }
-      out
-    }
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
-      org.apache.spark.sql.Encoders.scalaLong
-  }
-
-  /** History: a per-bit separate-sum formulation needed an explicit
-    * repartition barrier (CollapseProject inlined md5 into every partial-agg
-    * update — one md5 per bit per token) and shipped every token hash
-    * through that exchange. The single typed aggregator evaluates md5 once,
-    * janino-compiles a fraction of the code (cold 1.5 s → 0.7 s, warm
-    * 0.63 s → 0.36 s at sf0.1), and partial-aggregates map-side — at 100 TB
-    * the shuffle carries one W-int balance buffer per (doc, mapper) instead
-    * of the token-hash stream (W = 56 since the r15 band-saturation fix). */
-  def simhash(docs: DataFrame, producerBits: Int = 56): DataFrame = {
-    val tokHash = producerBits match {
-      case 56 => graft.functions.FlinkFunctions.md5Hash56 _
-      case 64 => graft.functions.FlinkFunctions.md5Hash64 _
-      case w  => throw new IllegalArgumentException(s"no $w-bit md5 producer")
-    }
-    val hashed = docs
-      .select(col("doc_id"),
-        explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("tok"))
-      .select(col("doc_id"), tokHash(col("tok")).as("h"))
-    val sh = org.apache.spark.sql.functions.udaf(new SimhashAgg(producerBits))
-    hashed.groupBy(col("doc_id"))
-      .agg(sh(col("h")).as("simhash"))
-  }
+  /** SimHash over the token multiset: bit j set iff
+    * sum over tokens of (+1 if bit j of h(token) else -1) > 0. Width 56
+    * (14 md5 hex chars — production simhash is 64-bit, Manku et al.
+    * WWW'07): the 10x/100x growth gate caught the earlier 31-bit signature
+    * saturating its 8-bit band space (bucket population grows with N once
+    * the value space is full, turning the banded join quadratic — 282x
+    * wall on 100x input).
+    *
+    * History: a per-bit separate-sum formulation needed an explicit
+    * repartition barrier and shipped every token hash through an exchange;
+    * r9 replaced it with a typed balance-buffer Aggregator (explode →
+    * ObjectHashAggregate, one 56-int buffer per (doc, mapper) across the
+    * shuffle). r20 (guide §2.4/§4) removes the explode AND the exchange
+    * outright: [[org.apache.spark.sql.graft.SimhashFromTokens]] folds the
+    * whole token array per ROW in one codegen'd JVM loop — bit-exact with
+    * both predecessors (integer balances are order-independent;
+    * SimhashExprSpec pins it against the higher-order reference) — so the
+    * signature stage is now map-only: 1 Exchange → 0, and at 100 TB the
+    * signature build is embarrassingly parallel with zero shuffle bytes. */
+  def simhash(docs: DataFrame, producerBits: Int = 56): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.SimhashFunctions.simhashOfTokens(
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "),
+        producerBits).as("simhash"))
 
   val qSimhash: Q = Q(
     "q_simhash",
@@ -412,8 +386,16 @@ object DedupOps {
     // present in the joined row, so keep a pair ONLY where (i, j) is its
     // lexicographically-first intact chunk pair — each pair survives in
     // exactly one bucket and the distinct (a full extra shuffle of every
-    // candidate) disappears. m = intact-chunk bitmask of the XOR; lowest
-    // set bit via m & -m.
+    // candidate) disappears. m = intact-chunk bitmask of the XOR.
+    //
+    // r20 (guide §4): the test "the two lowest set bits of m are exactly
+    // {i, j}" is ONE bitmask identity — m restricted to the bits at or
+    // below j must be exactly {i, j}: (m & (2*(1<<j) - 1)) = (1<<i)+(1<<j).
+    // The previous two-stage peel ((m&-m) = 1<<i, then the same on m minus
+    // its low bit) referenced m five times, and the optimizer collapses the
+    // m-projection into the join condition, re-evaluating the n-IF intact
+    // mask per reference — measured 6x slower at bandSize=3 where the
+    // 3-stage peel multiplied references exponentially (see bandedKSubset).
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
@@ -423,8 +405,7 @@ object DedupOps {
         col("a.i").as("i"), col("a.j").as("j"),
         expr("a.simhash ^ b.simhash").as("x"))
       .withColumn("m", expr(scheme.intactMaskExpr("x")))
-      .where(expr("(m & -m) = shiftleft(1, i)") &&
-        expr("((m - shiftleft(1, i)) & -(m - shiftleft(1, i))) = shiftleft(1, j)"))
+      .where(expr("(m & (2 * shiftleft(1, j) - 1)) = (shiftleft(1, i) + shiftleft(1, j))"))
       .select(col("doc_a"), col("doc_b"), expr("cast(bit_count(x) as int)").as("hd"))
       .filter(col("hd") <= hdMax)
   }
@@ -435,32 +416,35 @@ object DedupOps {
     * by their chunk BITMASK instead of (i, j), so the emit-once rule is
     * one comparison: the band survives iff its mask equals the `bandSize`
     * LOWEST set bits of the intact-chunk mask (the lexicographically-first
-    * intact subset is exactly the greedy lowest-index pick). The peel is a
-    * codegen-friendly chain of `m & -m` stages, one per band slot — no
-    * distinct, no UDF, nothing driver-side. */
+    * intact subset is exactly the greedy lowest-index pick).
+    *
+    * r20 (guide §4): "the bandSize lowest set bits of m are exactly bnd"
+    * is ONE bitmask identity — bnd ⊆ m holds by construction (the joined
+    * band's chunks are intact), so the greedy pick equals bnd iff m has no
+    * OTHER set bit at or below bnd's highest bit: (m & bm) = bnd, where bm
+    * (all bits at or below bnd's highest bit) is a per-band CONSTANT
+    * carried in the posting struct, and m is referenced exactly ONCE. The
+    * original 3-stage `m & -m` peel chain referenced each previous stage
+    * twice, and the optimizer collapses the projections into the join
+    * condition — the n-IF intact mask was being re-evaluated ~2^bandSize
+    * times per candidate row (measured: 9.6 s warm vs 1.1 s for the pair
+    * path on 852k candidates; ~1.5 s after this change). */
   private[graft] def bandedKSubset(sh: DataFrame,
       scheme: SimhashBanding.Scheme, hdMax: Int): DataFrame = {
     val posts = sh.select(col("doc_id"), col("simhash"),
       explode(expr(s"array(${scheme.bandEntriesExpr})")).as("ch"))
       .select(col("doc_id"), col("simhash"),
-        col("ch.b").as("bnd"), col("ch.v").as("v"))
-    val joined = posts.as("a")
+        col("ch.b").as("bnd"), col("ch.bm").as("bm"), col("ch.v").as("v"))
+    posts.as("a")
       .join(posts.as("b"),
         col("a.bnd") === col("b.bnd") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.bnd").as("bnd"), expr("a.simhash ^ b.simhash").as("x"))
-      .withColumn("m0", expr(scheme.intactMaskExpr("x")))
-    // peel the bandSize lowest set bits of the intact mask; the joined
-    // band's chunks are intact by construction, so m0 always has >=
-    // bandSize bits and every peel stage is nonzero
-    val peeled = (1 to scheme.bandSize).foldLeft(joined) { (df, k) =>
-      df.withColumn(s"lo$k", expr(s"m${k - 1} & -m${k - 1}"))
-        .withColumn(s"m$k", expr(s"m${k - 1} - lo$k"))
-    }
-    peeled
-      .where(expr((1 to scheme.bandSize).map("lo" + _).mkString(" + ") + " = bnd"))
+        col("a.bnd").as("bnd"), col("a.bm").as("bm"),
+        expr("a.simhash ^ b.simhash").as("x"))
+      .withColumn("m", expr(scheme.intactMaskExpr("x")))
+      .where(expr("(m & bm) = bnd"))
       .select(col("doc_a"), col("doc_b"), expr("cast(bit_count(x) as int)").as("hd"))
       .filter(col("hd") <= hdMax)
   }

@@ -152,19 +152,24 @@ object SimhashBanding {
       }.mkString(", ")
     }
 
-    /** SQL: array of (b, v) postings — one per chunk `bandSize`-subset —
+    /** SQL: array of (b, bm, v) postings — one per chunk `bandSize`-subset —
       * over a (pre-masked) `simhash` column. `b` is the subset's chunk
-      * bitmask (so the emit-once rule can compare it against the peeled
-      * lowest-`bandSize` intact bits directly); `v` packs the subset's
-      * chunk values ascending-index-first into bandSize*chunkBits bits. */
+      * bitmask; `bm` is the constant filled mask of every bit at or below
+      * the subset's highest chunk index, so the emit-once rule is the
+      * single-evaluation identity `(m & bm) = b` ("the intact mask has no
+      * other set bit at or below b's highest bit" — given b ⊆ m that makes
+      * b exactly the lexicographically-first intact subset); `v` packs the
+      * subset's chunk values ascending-index-first into
+      * bandSize*chunkBits bits. */
     def bandEntriesExpr: String = bandCombos.map { combo =>
       val mask = combo.map(1 << _).sum
+      val filled = (1 << (combo.max + 1)) - 1
       val v = combo.zipWithIndex.map { case (c, idx) =>
         val sh = (bandSize - 1 - idx) * chunkBits
         if (sh == 0) s"(shiftright(simhash, ${c * chunkBits}) & $chunkMask)"
         else s"shiftleft(shiftright(simhash, ${c * chunkBits}) & $chunkMask, $sh)"
       }.mkString(" + ")
-      s"named_struct('b', $mask, 'v', $v)"
+      s"named_struct('b', $mask, 'bm', $filled, 'v', $v)"
     }.mkString(", ")
 
     /** SQL: intact-chunk bitmask of an XOR column — bit c set iff chunk c

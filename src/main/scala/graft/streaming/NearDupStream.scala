@@ -102,34 +102,23 @@ object NearDupStream {
     }
   }
 
-  /** In-flight SimHash at the scheme's producer width: md5-derived token
-    * hashes (identical to the batch `FlinkFunctions.md5Hash56`/`md5Hash64`
-    * and the DuckDB oracle encodings), per-bit ±1 balances folded with
-    * higher-order functions — pure per-row expressions, so the stream
-    * needs no shuffle before the keyed state. The 64-bit producer
-    * assembles two 32-bit conv halves (a single 16-hex conv's unsigned
-    * decimal output would abort an ANSI cast for values >= 2^63); its
-    * signature fold adds the bit-63 term LAST (ascending j), so partial
-    * sums stay in range and the final sum is the signed two's-complement
-    * value, never an ANSI overflow. */
+  /** In-flight SimHash at the scheme's producer width: one codegen'd
+    * per-row fold over the token array
+    * ([[org.apache.spark.sql.graft.SimhashFromTokens]] — md5-derived token
+    * hashes identical to the batch `FlinkFunctions.md5Hash56`/`md5Hash64`
+    * and the DuckDB oracle encodings), so the stream needs no shuffle
+    * before the keyed state. r20 (guide §4): replaces the higher-order
+    * zip_with/aggregate fold, which evaluated interpreted lambdas per
+    * (token, bit) and allocated a fresh W-array per token step —
+    * SimhashExprSpec pins the expression bit-exact against that
+    * formulation at both widths. */
   private def withSimhash(docs: DataFrame, scheme: SimhashBanding.Scheme): DataFrame = {
-    val w = scheme.producerBits
-    val tokHash =
-      if (w == 56) "CAST(conv(substr(md5(t), 1, 14), 16, 10) AS BIGINT)"
-      else "(shiftleft(CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT), 32) | " +
-           "CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT))"
     val full = docs
       .withColumn("toks",
         split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
-      .withColumn("hs", expr(s"transform(toks, t -> $tokHash)"))
-      .withColumn("bal", expr(
-        s"""aggregate(hs, array_repeat(0, $w),
-           |  (acc, h) -> zip_with(acc, sequence(0, ${w - 1}),
-           |    (a, j) -> a + IF(((h >> j) & 1) = 1, 1, -1)))""".stripMargin))
-      .withColumn("simhash", expr(
-        s"""aggregate(zip_with(bal, sequence(0, ${w - 1}),
-           |    (b, j) -> IF(b > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("simhash",
+        org.apache.spark.sql.graft.SimhashFunctions.simhashOfTokens(
+          col("toks"), scheme.producerBits))
     // bits < producer width masks to the low-bits signature (hd is then
     // measured on the masked value, same as the batch twin); full-width
     // schemes add no plan node
