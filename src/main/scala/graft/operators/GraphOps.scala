@@ -236,12 +236,21 @@ object GraphOps {
       // when it fits and shuffle-joins it on a billion-node graph.
       val und = coSupplyEdges(s, dir, ordered = false)
       val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      // r20 (guide §2.4): the wedge join references the oriented edge
+      // relation THREE times (e1/e2/e3); without a materialization barrier
+      // each reference re-derives the orientation (two joins with the
+      // degree relation) — three redundant subtree executions, 6 joins
+      // instead of 2 before the wedge join even starts. localCheckpoint
+      // pins the node-pair-sized oriented edges once (released with the
+      // session); the 1000x-scale twin of this barrier is writing the
+      // oriented edge relation to the lake before the wedge join.
       val e = und
         .join(deg.as("du"), col("u") === col("du.n"))
         .join(deg.as("dv"), col("v") === col("dv.n"))
         .filter(col("du.d") < col("dv.d") ||
           (col("du.d") === col("dv.d") && col("u") < col("v")))
         .select(col("u"), col("v"))
+        .localCheckpoint(eager = true)
       e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
         .join(e.as("e3"), col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
