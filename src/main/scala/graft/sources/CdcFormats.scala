@@ -174,7 +174,20 @@ object CdcFormats {
     * calls — from the OTHER CDC queries in the same run included — reuse
     * the directory instead of re-deriving and re-writing the feed. Bump
     * [[FeedVersion]] when changing any feed's content. */
-  private val FeedVersion = "v1"
+  private val FeedVersion = "v2"
+
+  /** Files per streaming-feed phase (r20, guide §2.5 "input skew: one huge
+    * unsplittable file"): gzip text is unsplittable, so the previous
+    * one-file-per-phase layout decoded each micro-batch in ONE task no
+    * matter how many cores the session has. Phases are now written as
+    * `PhaseFiles` same-mtime gzip files and the consumers read with
+    * `maxFilesPerTrigger = PhaseFiles`, so a trigger still consumes EXACTLY
+    * one phase (all files of a phase share its pinned mtime, and the file
+    * source takes the oldest N) — identical batch boundaries, identical
+    * per-key causal order (each key appears at most once per phase, so any
+    * within-phase file split preserves keyed FIFO), 4x the decode
+    * parallelism. This is the file analogue of a 4-partition CDC topic. */
+  private[graft] val PhaseFiles = 4
   // marker content = generator version + the source fixture's identity:
   // the round driver REGENERATES /root/testdata between rounds while the
   // tmpfs scratch can survive, so a version string alone would serve a
@@ -283,17 +296,19 @@ object CdcFormats {
     cachedFeed(root, dir) {
       phases.zipWithIndex.foreach { case ((sub, df), i) =>
         val d = s"$root/$sub"
-        // one file per phase: with maxFilesPerTrigger=1 that is one
-        // micro-batch per phase — the minimum that still forces every
-        // retraction to consume state persisted in an EARLIER batch, at half
-        // the per-batch state-commit cost of finer splits.
-        // gzip (r19): the 1000x phased/replayed feeds are ~40-70 GB of raw
-        // json lines — past this container's disk AND its RAM-backed
-        // scratch (the r18 disclosed environment bound); json compresses
-        // ~10x and the phase files are single-file by design already, so
-        // compression costs no read parallelism. A real CDC topic is
-        // compressed at rest for the same reason.
-        df.coalesce(1).write.mode("overwrite")
+        // PhaseFiles files per phase, one phase per micro-batch (see
+        // PhaseFiles): the minimum batch count that still forces every
+        // retraction to consume state persisted in an EARLIER batch, now
+        // with intra-batch decode parallelism. Partitioning by the message
+        // text + sorting by its md5 keeps the feed bytes DETERMINISTIC
+        // (the disk marker caches them) while staying decorrelated from
+        // key order. gzip (r19): the 1000x phased/replayed feeds are
+        // ~40-70 GB of raw json lines — past this container's disk AND its
+        // RAM-backed scratch; json compresses ~10x. A real CDC topic is
+        // compressed at rest and partitioned for the same reasons.
+        df.repartition(PhaseFiles, col("value"))
+          .sortWithinPartitions(md5(col("value")))
+          .write.mode("overwrite")
           .option("compression", "gzip").text(d)
         // pin mod times per phase: sequential writes are normally ordered
         // anyway, but same-millisecond ties would let the file source
@@ -340,12 +355,15 @@ object CdcFormats {
     cachedFeed(root, dir) {
       phases.zipWithIndex.foreach { case ((sub, df), i) =>
         val d = s"$root/$sub"
-        // key-shuffled within the phase: deterministic (hash of the key)
-        // but decorrelated from key order. gzip: see the phased writer —
+        // key-shuffled within the phase: deterministic (partitioned by key,
+        // sorted by key hash) but decorrelated from key order — no consumer
+        // can lean on accidental key-sorted input. PhaseFiles same-mtime
+        // files per phase (see PhaseFiles). gzip: see the phased writer —
         // the replayed feed is the largest (re-delivered suffix) and was
         // still growing past 58 GB when the r18 attempt was killed.
-        df.orderBy(hash(col("o_orderkey"))).select("value")
-          .coalesce(1).write.mode("overwrite")
+        df.repartition(PhaseFiles, col("o_orderkey"))
+          .sortWithinPartitions(hash(col("o_orderkey"))).select("value")
+          .write.mode("overwrite")
           .option("compression", "gzip").text(d)
         val t0 = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
         val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
@@ -376,25 +394,26 @@ object CdcFormats {
       import graft.streaming.ChangelogAgg.AggChange
       val feed = writeDebeziumFeed(s, dir)
       val changelog = debezium(s.read.text(feed), feedSchema)
+      // deterministic per-key ordinal (final state is order-insensitive;
+      // the ordinal pins intermediate emission order for streaming runs).
+      // The measure is QUANTIZED to integral 1e-4 units before it enters
+      // the retractable sum: integer-valued doubles add and retract
+      // EXACTLY (well under 2^53), so the accumulated total is
+      // order-independent — the raw-double sum flipped a half-cent
+      // rounding boundary against the oracle's batch sum at sf0.1.
+      // r20 (guide §4): the phase/quantize arithmetic is plain column
+      // algebra — native expressions (round(x, 0) is HALF_UP, identical to
+      // math.round on the positive prices) instead of the previous typed
+      // .map closure, which forced a deserialize → closure → re-serialize
+      // round-trip per row in front of the keyed aggregation.
       val changes = changelog.select(
-        $"o_orderpriority", $"o_orderkey", $"kind", $"o_totalprice", $"version")
-        .as[(String, Long, String, Double, Int)]
-        .map { case (prio, k, kind, price, v) =>
-          // deterministic per-key ordinal (final state is order-insensitive;
-          // the ordinal pins intermediate emission order for streaming runs)
-          val phase = kind match {
-            case "+I" => 0L; case "-U" => 1L; case "+U" => 2L; case _ => 3L
-          }
-          // the measure is QUANTIZED to integral 1e-4 units before it
-          // enters the retractable sum: integer-valued doubles add and
-          // retract EXACTLY (well under 2^53), so the accumulated total is
-          // order-independent — the raw-double sum flipped a half-cent
-          // rounding boundary against the oracle's batch sum at sf0.1
-          // (retraction arithmetic visits values in a different order
-          // than any batch sum; quantization is the drift-proof fix)
-          AggChange[String](prio, k * 4 + phase, kind,
-            math.round(price * 10000).toDouble)
-        }
+        $"o_orderpriority".as("key"),
+        ($"o_orderkey" * 4 + when($"kind" === "+I", 0L)
+          .when($"kind" === "-U", 1L).when($"kind" === "+U", 2L)
+          .otherwise(3L)).as("seq"),
+        $"kind",
+        round($"o_totalprice" * 10000, 0).cast("double").as("value"))
+        .as[AggChange[String]]
       ChangelogAgg.agg(changes).filter(_.kind == "+I").toDF()
         .select($"key".as("o_orderpriority"), $"cnt",
           round($"total" / 10000, 2).as("total"),
@@ -461,30 +480,28 @@ object CdcFormats {
     * under real micro-batched execution. */
   val qCdcStream: Q = Q(
     "q_cdc_stream",
-    (s, dir) => {
+    // r20: state partitions sized to the keyed cardinality (5 priorities) —
+    // the established withStatePartitions discipline; the flatMapGroupsWith
+    // State store was opening/committing 32 partition stores per micro-batch
+    // for 5 keys (3 batches x 32 commits; now 3 x 8)
+    (s, dir) => graft.streaming.StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       import graft.streaming.{ChangelogAgg, UpsertSink}
       import graft.streaming.ChangelogAgg.AggChange
       val feed = writeDebeziumFeedPhased(s, dir)
-      val raw = s.readStream.option("maxFilesPerTrigger", 1)
+      val raw = s.readStream.option("maxFilesPerTrigger", PhaseFiles)
         .text(s"$feed/*/")
+      // same native phase/quantize column algebra as q_cdc_ingest (r20,
+      // guide §4 — see the comment there; the typed .map closure cost a
+      // ser/deser round-trip per row per micro-batch here)
       val changes = debezium(raw, feedSchema).select(
-        $"o_orderpriority", $"o_orderkey", $"kind", $"o_totalprice")
-        .as[(String, Long, String, Double)]
-        .map { case (prio, k, kind, price) =>
-          val phase = kind match {
-            case "+I" => 0L; case "-U" => 1L; case "+U" => 2L; case _ => 3L
-          }
-          // the measure is QUANTIZED to integral 1e-4 units before it
-          // enters the retractable sum: integer-valued doubles add and
-          // retract EXACTLY (well under 2^53), so the accumulated total is
-          // order-independent — the raw-double sum flipped a half-cent
-          // rounding boundary against the oracle's batch sum at sf0.1
-          // (retraction arithmetic visits values in a different order
-          // than any batch sum; quantization is the drift-proof fix)
-          AggChange[String](prio, k * 4 + phase, kind,
-            math.round(price * 10000).toDouble)
-        }
+        $"o_orderpriority".as("key"),
+        ($"o_orderkey" * 4 + when($"kind" === "+I", 0L)
+          .when($"kind" === "-U", 1L).when($"kind" === "+U", 2L)
+          .otherwise(3L)).as("seq"),
+        $"kind",
+        round($"o_totalprice" * 10000, 0).cast("double").as("value"))
+        .as[AggChange[String]]
       val agg = ChangelogAgg.agg(changes).toDF()
       val store = new UpsertSink.InMemoryStore()
       val ckpt = graft.streaming.StreamingOps.freshCheckpoint("cdc-stream")
@@ -591,7 +608,7 @@ object CdcFormats {
            |  o_totalprice DOUBLE, version INT
            |) WITH ('format' = 'debezium-json', 'path' = '$feed/*/',
            |        'scan.mode' = 'streaming',
-           |        'scan.files-per-trigger' = '1')""".stripMargin)
+           |        'scan.files-per-trigger' = '$PhaseFiles')""".stripMargin)
       GraftSql.run(s,
         s"""CREATE TABLE graft_cdc_upsert_out (
            |  kind STRING, o_orderkey BIGINT, o_orderpriority STRING,
@@ -627,7 +644,7 @@ object CdcFormats {
       import s.implicits._
       import graft.streaming.UpsertSink
       val feed = writeDebeziumFeedReplayed(s, dir)
-      val raw = s.readStream.option("maxFilesPerTrigger", 1)
+      val raw = s.readStream.option("maxFilesPerTrigger", PhaseFiles)
         .text(s"$feed/*/")
       val changes = debezium(raw, feedSchema)
         .select(col("kind"), col("o_orderkey"), col("o_orderpriority"),
