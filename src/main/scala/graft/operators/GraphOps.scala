@@ -153,7 +153,11 @@ object GraphOps {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = edges.select(col("src").as("node")).distinct()
     val n = nodes.count() // Gelly's numVertices — one count job, metadata-sized result
-    val withDeg = edges.join(outdeg, "src")
+    // r20 (guide §2.4): the degree-annotated edge relation is referenced by
+    // EVERY round's scatter join; without a barrier each round re-runs the
+    // outdeg aggregation + join. localCheckpoint pins it once (edge-sized,
+    // same pattern as ConnectedComponents/iterateDelta).
+    val withDeg = edges.join(outdeg, "src").localCheckpoint(eager = true)
     vertexIterate(withDeg, nodes.select(col("node"), lit(1.0 / n).as("rank")), iters)(
       scatter = df => df.select(col("dst").as("node"), (col("rank") / col("outdeg")).as("msg")),
       gather = m => m.groupBy("node").agg(sum("msg").as("acc")),
