@@ -60,6 +60,28 @@ object Scratch {
         time("q_minhash_lsh")(SparkEntry.queries("q_minhash_lsh")(spark, sfDir).count())
         time("q_dedup_clusters")(SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count())
         time("q_dedup_clusters#2")(SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count())
+      case "ssjprof" =>
+        import org.apache.spark.sql.functions._
+        streaming.StreamingOps.withStatePartitions(spark, 8) {
+          val t0 = System.nanoTime()
+          def side(t: String, a: String) = streaming.StreamingOps.streamTable(spark, sfDir, "events")
+            .filter(col("event_type") === t)
+            .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_uid"),
+              col("ts").as(s"${a}_ts"))
+            .withWatermark(s"${a}_ts", "0 seconds")
+          val joined = side("purchase", "p").join(side("click", "c"),
+            expr("p_uid = c_uid AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"),
+            "leftOuter")
+          val q = joined.select(col("p_id"), col("c_id")).writeStream
+            .format("memory").queryName("ssjprof").outputMode("append")
+            .option("checkpointLocation", streaming.StreamingOps.freshCheckpoint("ssjprof"))
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          println(f"[scratch] ssj total ${(System.nanoTime() - t0) / 1e9}%.3f s rows=${spark.table("ssjprof").count()}")
+          q.recentProgress.foreach { p =>
+            println(s"[scratch] batch ${p.batchId} rows=${p.numInputRows} durations=${p.durationMs} state=${p.stateOperators.map(o => s"rows=${o.numRowsTotal} commit=${o.commitTimeMs}ms").mkString}")
+          }
+        }
       case "stateparts" =>
         def runTumble(tag: String): Unit =
           time(s"tumble$tag")(SparkEntry.queries("q_stream_tumble")(spark, sfDir).count())

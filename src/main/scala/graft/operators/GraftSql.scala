@@ -1632,7 +1632,7 @@ object GraftSql {
     * the bounded replay), like its group-window siblings. */
   val qDdlComputed: Q = Q(
     "q_ddl_computed",
-    (s, dir) => {
+    (s, dir) => graft.streaming.StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       run(s,
         s"""CREATE TABLE graft_ev_computed (

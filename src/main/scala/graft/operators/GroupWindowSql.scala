@@ -194,7 +194,7 @@ object GroupWindowSql {
     * replay), bit-identical to the batch twin's oracle. */
   val qTumbleSqlStream: Q = Q(
     "q_group_window_sql_stream",
-    (s, dir) => {
+    (s, dir) => graft.streaming.StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       graft.streaming.StreamingOps.streamTable(s, dir, "events")
         .createOrReplaceTempView("events_stream")
@@ -215,7 +215,7 @@ object GroupWindowSql {
     * mode, bit-identical to the batch hop oracle. */
   val qHopSqlStream: Q = Q(
     "q_group_window_sql_stream_hop",
-    (s, dir) => {
+    (s, dir) => graft.streaming.StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       graft.streaming.StreamingOps.streamTable(s, dir, "events")
         .createOrReplaceTempView("events_stream_hop")
@@ -240,7 +240,7 @@ object GroupWindowSql {
     * gap-merge happens in the streaming session-window state. */
   val qSessionSqlStream: Q = Q(
     "q_group_window_sql_stream_session",
-    (s, dir) => {
+    (s, dir) => graft.streaming.StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       graft.streaming.StreamingOps.streamTable(s, dir, "events")
         .createOrReplaceTempView("events_stream_sess")

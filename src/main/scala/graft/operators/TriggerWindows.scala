@@ -259,7 +259,7 @@ object TriggerWindows {
     * window average sampled at every 5th row. */
   val qCountTriggerWindow: Q = Q(
     "q_count_trigger_window",
-    (s, dir) => {
+    (s, dir) => graft.streaming.StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       // r12: the TwS runtime — per-element E rows in ListState need no
       // generic WinState encoder at all (the fMGWS path used kryo to dodge
@@ -412,7 +412,7 @@ object TriggerWindows {
     * two implementations cross-validate each other. */
   val qSessionDynamicStream: Q = Q(
     "q_session_dynamic_stream",
-    (s, dir) => {
+    (s, dir) => graft.streaming.StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       val gap = when(col("event_type") === "purchase", "30 minutes")
         .otherwise("10 minutes")

@@ -158,11 +158,12 @@ object NearDupStream {
   val qTwsSimhashDedup: Q = Q(
     "q_tws_simhash_dedup",
     (s, dir) => TwsOps.withRocksDb(s) {
+      StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       val out = pairs(s, StreamingOps.streamTable(s, dir, "documents"))
       StreamingOps.runToMemory(s, out, "append", "graft_tws_simhash")
         .orderBy($"doc_a", $"doc_b")
-    },
+    }},
     // Identical answer to the batch twin q_simhash_banded — the oracle is
     // shared verbatim: single-chunk banding + DISTINCT finds the same pair
     // set the chunk-pair route finds without the DISTINCT.

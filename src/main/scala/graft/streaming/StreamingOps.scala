@@ -123,7 +123,7 @@ object StreamingOps {
     * oracle as the batch q_window_tumble. */
   val qStreamTumble: Q = Q(
     "q_stream_tumble",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
       val agg = streamTable(s, dir, "events")
         .groupBy(window($"ts", "5 minutes"), $"event_type")
@@ -143,7 +143,7 @@ object StreamingOps {
     * Output restricted to the key columns so keep-first equals DISTINCT. */
   val qStreamDedup: Q = Q(
     "q_stream_dedup",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
       val dedup = streamTable(s, dir, "events")
         .select($"user_id", $"event_type")
@@ -157,7 +157,7 @@ object StreamingOps {
   /** Streaming sliding-window aggregate (complete mode), hop twin. */
   val qStreamHop: Q = Q(
     "q_stream_hop",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
       val agg = streamTable(s, dir, "events")
         .groupBy(window($"ts", "600 seconds", "300 seconds"), $"event_type")
@@ -181,7 +181,7 @@ object StreamingOps {
     * merges sessions across micro-batches in state. */
   val qStreamSession: Q = Q(
     "q_stream_session",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
       val agg = streamTable(s, dir, "events")
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
@@ -201,7 +201,7 @@ object StreamingOps {
     * broadcast state refresh. */
   val qStreamStaticJoin: Q = Q(
     "q_stream_static_join",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
       val dim = graft.Tables.t(s, dir, "customer")
         .select($"c_custkey", $"c_nationkey")
@@ -245,7 +245,7 @@ object StreamingOps {
     * ingestion dedup needs. */
   val qStreamPipeline: Q = Q(
     "q_stream_pipeline",
-    (s, dir) => {
+    (s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
       val dedup = streamTable(s, dir, "documents")
         .withColumn("norm", trim(regexp_replace(lower($"text"), "\\s+", " ")))

@@ -35,7 +35,7 @@ object WatermarkIdleness {
 
   val qWatermarkIdle: Q = Q(
     "q_watermark_idle",
-    (s, dir) => {
+    (s, dir) => graft.streaming.StreamingOps.withStatePartitions(s, 8) {
       import s.implicits._
       val prev = s.conf.getOption(PolicyKey)
       s.conf.set(PolicyKey, "max")
