@@ -47,10 +47,19 @@ object StreamingOps {
     * micro-batch (store open/commit), so a low-cardinality keyed op wants far
     * fewer partitions than the session default — and a 100 TB one wants more;
     * this is the knob. The session conf is restored afterwards (the running
-    * query keeps the value it was planned with). */
+    * query keeps the value it was planned with).
+    *
+    * SPARK_GRAFT_STATE_PARTITIONS overrides every call site's local value
+    * (r20): the per-query numbers are sized to the FIXTURE's keyed
+    * cardinality, and a scale run (the growth gate's 100x/1000x trees, a
+    * cluster deployment) needs state-stage parallelism sized to ITS data —
+    * one env knob re-sizes the whole family without touching per-operator
+    * defaults, keeping the bench comparable across rounds. */
   def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val eff = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt).getOrElse(n)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", eff.toString)
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
