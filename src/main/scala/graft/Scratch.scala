@@ -6,11 +6,18 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    // extra session confs for A/B sweeps, e.g.
+    // SPARK_GRAFT_SCRATCH_CONF="spark.sql.codegen.cache.maxEntries=5000;spark.sql.adaptive.enabled=false"
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_CONF", "")
+      .split(";").map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.t(spark, sfDir, "documents").count()
     def time(name: String)(f: => Long): Unit = {
@@ -19,6 +26,47 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s  rows=$n")
     }
     args.headOption.getOrElse("simhash") match {
+      case "overhead" =>
+        // Decompose the per-query fixed-cost floor of the sub-second batch
+        // queries: wall = build (DF construction incl. registerAll) +
+        // parse/analysis/optimization/planning (tracker phases) + execution
+        // (AQE re-plans + codegen compile + job/task scheduling). Janino
+        // compile time comes from the global CodegenMetrics histogram delta;
+        // job/task counts from a listener.
+        import org.apache.spark.metrics.source.CodegenMetrics
+        import org.apache.spark.scheduler._
+        val jobCount = new java.util.concurrent.atomic.AtomicInteger
+        val taskCount = new java.util.concurrent.atomic.AtomicInteger
+        val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(j: SparkListenerJobStart): Unit = { jobCount.incrementAndGet(); () }
+          override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+            taskCount.incrementAndGet()
+            if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration)
+            ()
+          }
+        })
+        val names = args.drop(1).headOption
+          .map(_.split(",").toSeq)
+          .getOrElse(Seq("q_tpcds_q67_shape", "q_tpcds_q88_shape", "q_tpcds_q59_shape",
+            "q_tpch_q3", "q_agg_q1", "q_topn", "q_window_tumble", "q_grouping_id"))
+        println(f"${"query"}%-32s ${"wall"}%7s ${"build"}%7s ${"parse"}%6s ${"ana"}%6s ${"opt"}%6s ${"plan"}%6s ${"exec"}%7s ${"cgenMs"}%7s ${"nCompile"}%8s ${"jobs"}%5s ${"tasks"}%6s ${"taskMs"}%7s")
+        for (r <- 1 to 2; name <- names) {
+          val cg0 = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+          val cgSum0 = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+          val j0 = jobCount.get; val tk0 = taskCount.get; val tt0 = taskTimeMs.get
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.count()
+          val t2 = System.nanoTime()
+          Thread.sleep(50) // let the listener bus drain task-end events
+          val ph = df.queryExecution.tracker.phases
+          def phMs(k: String): Long = ph.get(k).map(p => p.endTimeMs - p.startTimeMs).getOrElse(-1L)
+          val cgN = CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cg0
+          val cgSum = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum - cgSum0
+          println(f"$name#$r%-31s ${(t2 - t0) / 1e9}%7.3f ${(t1 - t0) / 1e9}%7.3f ${phMs("parsing")}%6d ${phMs("analysis")}%6d ${phMs("optimization")}%6d ${phMs("planning")}%6d ${(t2 - t1) / 1e9}%7.3f $cgSum%7d $cgN%8d ${jobCount.get - j0}%5d ${taskCount.get - tk0}%6d ${taskTimeMs.get - tt0}%7d")
+        }
       case "simhash" =>
         time("q_simhash")(SparkEntry.queries("q_simhash")(spark, sfDir).count())
         time("q_simhash_pairs")(SparkEntry.queries("q_simhash_pairs")(spark, sfDir).count())
