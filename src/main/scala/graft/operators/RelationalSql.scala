@@ -245,10 +245,15 @@ object RelationalSql {
     * each recursion round as a distributed step; the frontier shrinks as
     * rows fall below the WHERE guard — the loop-unrolling twin of
     * `IterateOps.iterate`. */
+  /** One cloned session per (parent session, input dir), carrying the
+    * raised recursion valve — see [[qRecursiveCte]]. Entries of stopped
+    * contexts are dropped like Tables' plan cache. */
+  private val recursionSessions = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.SparkSession]()
+
   val qRecursiveCte: Q = Q(
     "q_recursive_cte",
     (s, dir) => {
-      Tables.registerAll(s, dir)
       // default safety valve is 1M accumulated rows; ~6 halving rounds over
       // the input legitimately produce ~5x input rows. The valve guards
       // runaway recursion, not data volume — so SIZE IT TO THE INPUT
@@ -256,41 +261,48 @@ object RelationalSql {
       // sf0.1 but tripped on the growth gate's 100x tree, the same
       // tested-SF-only sizing mistake as the r15 LSH band saturation). The
       // count is one metadata-sized driver aggregate, the same pattern as
-      // the co-supply threshold. The raised limit is scoped to THIS query:
-      // physical planning reads the session conf lazily, so the recursion
-      // must run eagerly inside the guard before the valve is restored —
-      // via a scratch parquet write-then-read, NOT localCheckpoint: the
-      // checkpoint CACHES the materialized rows on the executors, which at
-      // the growth gate's 100x tree (60M result rows) is the same
-      // memory-sink-shaped harness ceiling the streaming queries shed this
-      // round; a file write is distributed and heap-flat, and is what a
-      // production pipeline does with an iterative result anyway.
-      val key = "spark.sql.cteRecursionRowLimit"
-      val prev = s.conf.getOption(key)
-      val inputRows = Tables.t(s, dir, "lineitem").count()
-      s.conf.set(key, math.max(20000000L, inputRows * 8L).toString)
-      try {
-        // key the scratch path by (input dir, input rows) and OVERWRITE:
-        // a fresh UUID per invocation accumulated unbounded scratch (up to
-        // ~60M rows per run on the 100x tree) across repeated gate/bench
-        // runs; the same input always reproduces the same result, so one
-        // reused directory per input is correct and bounds the footprint
-        val out = Tables.scratch("recursive-cte/" +
-          Integer.toHexString(dir.hashCode) + s"-$inputRows")
-        s.sql("""WITH RECURSIVE it AS (
-          |  SELECT l_orderkey AS ok, l_linenumber AS ln,
-          |         CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
-          |  FROM lineitem
-          |  UNION ALL
-          |  SELECT ok, ln, n DIV 2, iters + 1 FROM it WHERE n > 1
-          |)
-          |SELECT ok, ln, n, iters FROM it WHERE n <= 1""".stripMargin)
-          .write.mode("overwrite").parquet(out)
-        s.read.parquet(out).orderBy("ok", "ln")
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
+      // the co-supply threshold.
+      //
+      // The valve must be raised while the recursion EXECUTES, not merely
+      // while the DataFrame is built: physical planning reads the session
+      // conf lazily, at action time. The previous shape therefore ran the
+      // recursion eagerly inside a conf guard and parked the result in a
+      // scratch parquet (write + re-scan + range-sort of the full result
+      // per invocation — ~1.5 s of pure I/O at sf0.1, 60M rows of it on
+      // the 100x tree). r21: scope the raised valve to a CLONED session
+      // instead. newSession() shares the SparkContext and data but owns an
+      // isolated SQLConf, so the returned (lazy) DataFrame executes under
+      // the raised valve whenever the caller acts on it, the parent
+      // session's valve is untouched, and the write-then-read disappears —
+      // the plan is the recursion itself, distributed and heap-flat.
+      val sub = {
+        recursionSessions.values.removeIf(_.sparkContext.isStopped)
+        recursionSessions.computeIfAbsent(
+          (System.identityHashCode(s), dir), _ => {
+            val ns = s.newSession()
+            // newSession starts from the context defaults, not the parent's
+            // runtime conf — copy every modifiable conf so the recursion
+            // plans under the same session posture (timezone, ANSI, AQE,
+            // shuffle partitions) as every other query in the run
+            s.conf.getAll.foreach { case (k, v) =>
+              if (ns.conf.isModifiable(k)) ns.conf.set(k, v)
+            }
+            val inputRows = Tables.t(ns, dir, "lineitem").count()
+            ns.conf.set("spark.sql.cteRecursionRowLimit",
+              math.max(20000000L, inputRows * 8L).toString)
+            ns
+          })
       }
+      Tables.registerAll(sub, dir)
+      sub.sql("""WITH RECURSIVE it AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |         CAST(FLOOR(l_quantity) AS BIGINT) AS n, 0 AS iters
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT ok, ln, n DIV 2, iters + 1 FROM it WHERE n > 1
+        |)
+        |SELECT ok, ln, n, iters FROM it WHERE n <= 1""".stripMargin)
+        .orderBy("ok", "ln")
     },
     Some("""WITH RECURSIVE it AS (
            |  SELECT l_orderkey AS ok, l_linenumber AS ln,
