@@ -174,7 +174,7 @@ object CdcFormats {
     * calls — from the OTHER CDC queries in the same run included — reuse
     * the directory instead of re-deriving and re-writing the feed. Bump
     * [[FeedVersion]] when changing any feed's content. */
-  private val FeedVersion = "v2"
+  private val FeedVersion = "v3"
 
   /** Files per streaming-feed phase (r20, guide §2.5 "input skew: one huge
     * unsplittable file"): gzip text is unsplittable, so the previous
@@ -188,6 +188,31 @@ object CdcFormats {
     * within-phase file split preserves keyed FIFO), 4x the decode
     * parallelism. This is the file analogue of a 4-partition CDC topic. */
   private[graft] val PhaseFiles = 4
+
+  /** Guarantee a phase directory holds EXACTLY [[PhaseFiles]] data files
+    * (ADVICE r20 / verdict item 7): Spark omits output files for empty
+    * partitions, so a tiny phase whose hash layout leaves a partition
+    * empty would emit fewer files — and the consumers' one-phase-per-
+    * micro-batch invariant (`maxFilesPerTrigger = PhaseFiles`) would then
+    * silently pull the NEXT phase's oldest files into the same batch,
+    * merging a retraction with its insert's batch. Current fixtures write
+    * thousands of rows per phase (all partitions non-empty), so this pads
+    * nothing at the gated SFs; a smoke-sized input gets zero-row gzip
+    * files (valid empty members — feed DATA bytes unchanged) up to the
+    * count. Called before mtime pinning so pads share the phase's mtime. */
+  private def padPhaseFiles(d: String): Unit = {
+    val dir = java.nio.file.Paths.get(d)
+    val ls = java.nio.file.Files.list(dir)
+    val n =
+      try ls.filter(p => p.getFileName.toString.startsWith("part-")).count().toInt
+      finally ls.close()
+    require(n <= PhaseFiles, s"phase $d wrote $n > $PhaseFiles part files")
+    (n until PhaseFiles).foreach { i =>
+      val os = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve(f"part-pad$i%05d.txt.gz")))
+      os.close()
+    }
+  }
   // marker content = generator version + the source fixture's identity:
   // the round driver REGENERATES /root/testdata between rounds while the
   // tmpfs scratch can survive, so a version string alone would serve a
@@ -310,6 +335,7 @@ object CdcFormats {
           .sortWithinPartitions(md5(col("value")))
           .write.mode("overwrite")
           .option("compression", "gzip").text(d)
+        padPhaseFiles(d)
         // pin mod times per phase: sequential writes are normally ordered
         // anyway, but same-millisecond ties would let the file source
         // interleave phases and break per-key causal order
@@ -365,6 +391,7 @@ object CdcFormats {
           .sortWithinPartitions(hash(col("o_orderkey"))).select("value")
           .write.mode("overwrite")
           .option("compression", "gzip").text(d)
+        padPhaseFiles(d)
         val t0 = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
         val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
         try ls.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t0))

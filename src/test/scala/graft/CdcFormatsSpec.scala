@@ -174,6 +174,50 @@ class CdcFormatsSpec extends GraftSpec {
     assert(out.length == 5) // one row per order priority
   }
 
+  test("phased feed pads tiny phases to PhaseFiles so one batch = one phase") {
+    // ADVICE r20 / r21: Spark omits files for empty partitions, so a phase
+    // smaller than PhaseFiles rows could emit fewer files — and the
+    // consumers' maxFilesPerTrigger = PhaseFiles would pull the next
+    // phase's files into the same batch, merging a retraction with its
+    // insert's batch. The writer now pads with zero-row gzip members; a
+    // 2-order input (1 even key for the update phase, 1 'F' key for the
+    // delete phase) exercises every pad path.
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc-pad-").toString
+    val ts = java.sql.Timestamp.valueOf("1996-01-02 00:00:00")
+    Seq(
+      (2L, 10L, "F", 100.0, ts, "1-URGENT"),
+      (5L, 11L, "O", 200.0, ts, "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val feed = CdcFormats.writeDebeziumFeedPhased(spark, dir)
+    for (phase <- Seq("0_ins", "1_upd", "2_del")) {
+      val files = new java.io.File(s"$feed/$phase").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(files.length == CdcFormats.PhaseFiles,
+        s"$phase: ${files.length} files, want ${CdcFormats.PhaseFiles}")
+    }
+    // replay with the consumers' trigger cap: each batch must carry exactly
+    // one phase's change kinds — never a mix
+    val batches = scala.collection.mutable.Map[Long, Set[String]]()
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", CdcFormats.PhaseFiles).text(s"$feed/*/")
+    val q = CdcFormats.debezium(raw, CdcFormats.feedSchema)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        graft.streaming.StreamingOps.freshCheckpoint("cdc-pad-spec"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val kinds = b.select("kind").collect().map(_.getString(0)).toSet
+        batches.synchronized { batches(id) = kinds }; ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val nonEmpty = batches.toSeq.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    assert(nonEmpty == Seq(Set("+I"), Set("-U", "+U"), Set("-D")),
+      s"phases bled across batches: $batches")
+  }
+
   test("upsert store converges under at-least-once replay with interleaved keys") {
     import graft.streaming.UpsertSink
     val sparkS = spark
