@@ -33,7 +33,7 @@ object StreamingOps {
   val MaxFilesKey = "spark.graft.streamMaxFilesPerTrigger"
 
   def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val schema = Tables.raw(spark, dir, name).schema
+    val schema = Tables.rawSchema(spark, dir, name)
     val reader = spark.readStream.schema(schema)
     val mf = spark.conf.get(MaxFilesKey, "")
     val withOpts = if (mf.nonEmpty) reader.option("maxFilesPerTrigger", mf) else reader
@@ -55,9 +55,32 @@ object StreamingOps {
     * cluster deployment) needs state-stage parallelism sized to ITS data —
     * one env knob re-sizes the whole family without touching per-operator
     * defaults, keeping the bench comparable across rounds. */
+  /** Bench attribution hook (r21, verdict item 8): the bench sets the
+    * query name it is about to time; [[withStatePartitions]] records the
+    * EFFECTIVE partition count under it, and the bench writes the map into
+    * BENCH_FULL.json — so a driver round can correlate the state-sizing
+    * knob with the stateful family's timings instead of taking the
+    * builder's A/B on faith. Inheritable: foreachBatch bodies run on
+    * streaming-execution threads. */
+  val currentQueryName = new InheritableThreadLocal[String]
+  val effectiveStatePartitions =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
   def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    // validate the override eagerly and by name (ADVICE r20): a typo'd env
+    // value would otherwise throw a bare NumberFormatException deep inside
+    // every stateful query, and 0/negative would reach shuffle.partitions
     val eff = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
-      .map(_.trim).filter(_.nonEmpty).map(_.toInt).getOrElse(n)
+      .map(_.trim).filter(_.nonEmpty).map { v =>
+        val i =
+          try v.toInt
+          catch { case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, got '$v'") }
+        require(i > 0,
+          s"SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, got '$v'")
+        i
+      }.getOrElse(n)
+    Option(currentQueryName.get).foreach(effectiveStatePartitions.put(_, eff))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", eff.toString)
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
