@@ -67,6 +67,27 @@ object Scratch {
           val cgSum = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum - cgSum0
           println(f"$name#$r%-31s ${(t2 - t0) / 1e9}%7.3f ${(t1 - t0) / 1e9}%7.3f ${phMs("parsing")}%6d ${phMs("analysis")}%6d ${phMs("optimization")}%6d ${phMs("planning")}%6d ${(t2 - t1) / 1e9}%7.3f $cgSum%7d $cgN%8d ${jobCount.get - j0}%5d ${taskCount.get - tk0}%6d ${taskTimeMs.get - tt0}%7d")
         }
+      case "ssjab" =>
+        // Stream-stream join family A/B (r20 verdict what's-wrong #1): the
+        // 6 SSHJ queries timed alone, then with the bucketed twins
+        // interleaved, two passes each — is the driver-observed regression
+        // interference from the twins or just the family's variance band?
+        val family = Seq("q_stream_outer_join", "q_stream_full_outer_join",
+          "q_stream_right_outer_join", "q_stream_semi_join",
+          "q_stream_anti_join", "q_stream_interval_join")
+        val twins = Seq("q_stream_outer_join_bucketed", "q_stream_interval_join_bucketed")
+        def runSet(tag: String, names: Seq[String]): Unit =
+          names.foreach(n => time(s"$n$tag")(SparkEntry.queries(n)(spark, sfDir).count()))
+        runSet("@warm", family.take(1))
+        runSet("@alone1", family)
+        runSet("@alone2", family)
+        val interleaved = family.flatMap {
+          case n @ "q_stream_outer_join" => Seq(n, twins.head)
+          case n @ "q_stream_interval_join" => Seq(n, twins.last)
+          case n => Seq(n)
+        }
+        runSet("@twins1", interleaved)
+        runSet("@twins2", interleaved)
       case "simhash" =>
         time("q_simhash")(SparkEntry.queries("q_simhash")(spark, sfDir).count())
         time("q_simhash_pairs")(SparkEntry.queries("q_simhash_pairs")(spark, sfDir).count())

@@ -35,6 +35,19 @@ object Tables {
   private val tableCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, String), (SparkSession, DataFrame)]()
 
+  /** Raw schema, memoized per (dir, table) — r21: file-stream sources need
+    * an explicit schema, and every streaming query previously paid a fresh
+    * `spark.read.parquet` (directory listing + footer read) just to throw
+    * the relation away after `.schema`. The schema is a pure function of
+    * the fixture files (plus the pinned nanosAsLong conf [[raw]] sets for
+    * events), so one read serves every query and session in the JVM. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
+  def rawSchema(spark: SparkSession, dir: String,
+      name: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent((dir, name), _ => raw(spark, dir, name).schema)
+
   /** Normalized read: ns-precision columns become TimestampType (µs,
     * truncated — floor, so second-level bucketing is unaffected).
     *

@@ -92,9 +92,12 @@ object ConnectedComponents {
     while (i < maxIter && !converged) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nextFp = fp(next)
-      // both sides are distinct canonical pair-sets: fixpoint = set equality
-      converged = nextFp == curFp &&
-        next.except(e).isEmpty && e.except(next).isEmpty
+      // both sides are distinct canonical pair-sets: fixpoint = set
+      // equality. One except suffices (r21): the fingerprint equality
+      // already proved |next| = |e| (count is the tuple's first field),
+      // and for equal-cardinality sets next ⊆ e ⟹ next = e — the second
+      // except job was provably redundant.
+      converged = nextFp == curFp && next.except(e).isEmpty
       e = next
       curFp = nextFp
       i += 1

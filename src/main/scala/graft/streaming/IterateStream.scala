@@ -110,12 +110,17 @@ object IterateStream {
         // the same batchId — the fresh write replaces the failed attempt's
         // staged dir instead of erroring on it
         val staged = s"$base/stage/round-$batchId"
+        val tw0 = System.nanoTime()
         body(batch)
           .withColumn("__fb", coalesce(feedback, lit(false)))
           .write.mode("overwrite").partitionBy("__fb").parquet(staged)
+        val twMs = (System.nanoTime() - tw0) / 1e6
         def moveInto(fromSub: String, to: String): Boolean =
           moveParts(java.nio.file.Paths.get(staged, fromSub),
             java.nio.file.Paths.get(to), f"round-$batchId%06d-")
+        if (sys.env.contains("SPARK_GRAFT_ITERATE_DEBUG"))
+          System.err.println(f"[iterate:$name] round=$batchId " +
+            f"inParts=${batch.rdd.getNumPartitions} writeMs=$twMs%.0f")
         // Empty rounds write no part files, so a drained feedback edge moves
         // nothing into the source dir and the loop terminates — the
         // empty-append tail-chase is structurally impossible here.

@@ -34,9 +34,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * its explode + aggregate exchange entirely: at 100 TB the signature
   * stage becomes embarrassingly parallel with zero shuffle bytes.
   *
-  * Null contract: null array → null; a null token element → null
-  * (md5(null) is null and the fold it replaces propagated it to the
-  * whole signature).
+  * Null contract (DELIBERATE, not legacy-equivalent — ADVICE r20): null
+  * array → null; a null token element → null signature. The legacy fold
+  * differed here: Spark's IF treats a null condition as false, so
+  * md5(null)'s null hash contributed -1 per bit instead of nulling the
+  * signature. A null element is unreachable from split() output (the only
+  * producer), so the twins still agree on every reachable input; the
+  * expression picks the saner contract for the unreachable case.
   */
 case class SimhashFromTokens(child: Expression, producerBits: Int)
     extends UnaryExpression with ExpectsInputTypes {
