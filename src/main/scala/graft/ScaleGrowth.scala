@@ -347,6 +347,20 @@ object ScaleGrowth {
     Seq("q_cep_next", "q_stream_outer_join", "q_changelog_agg",
       "q_stream_over", "q_tws_topn", "q_minhash_lsh", "q_simhash")
       .foreach(warm(_, cepDir))
+    // CDC feeds are INPUT staging — the topic a deployment already has —
+    // not the replay pipeline under test: pre-stage them (disk-cached per
+    // tree) so a q_cdc_* gate row times the consumer (gzip decode + keyed
+    // upsert across micro-batches), not to_json+gzip of half a billion
+    // feed lines inside the first timed invocation (r21, verdict item 9)
+    if (selected.exists(_.startsWith("q_cdc"))) {
+      val t0 = System.nanoTime()
+      for (d <- Seq(srcDir, bigDir)) {
+        sources.CdcFormats.writeDebeziumFeedPhased(spark, d)
+        sources.CdcFormats.writeDebeziumFeedReplayed(spark, d)
+        sources.CdcFormats.writeDebeziumFeed(spark, d)
+      }
+      println(f"[growth] cdc_feed_staging sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
 
     val rows = selected.map { name =>
       val t1 = time(spark, name, srcDir)
